@@ -1,0 +1,124 @@
+"""Deduplication operators: exact, n-gram Jaccard, bag-of-words
+fingerprint.
+
+Scale design (100 TB):
+- Exact dedup never shuffles document text — only a 128-bit digest.
+- Jaccard runs as shingle-inverted-index self-join: shuffle key is the
+  shingle, so co-occurring docs meet in one partition. Stop-shingle
+  removal (``max_doc_freq``) bounds the worst-case quadratic blowup of
+  ultra-common shingles — the standard skew guard for this operator.
+- All expressions are JVM built-ins; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate stats (docs vs distinct digests)."""
+    h = F.md5(F.col(text_col))
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(h).alias("n_unique"),
+        (F.count("*") - F.count_distinct(h)).alias("n_dup_rows"),
+    )
+
+
+def dedup_exact(
+    df: DataFrame, key_cols: Sequence[str], order_col: Optional[str] = None
+) -> DataFrame:
+    """Keep one row per key. With ``order_col``, keeps the smallest
+    (deterministic keep-first); otherwise plain dropDuplicates.
+    One shuffle on the key columns."""
+    if order_col is None:
+        return df.dropDuplicates(list(key_cols))
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "shingle"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (docs shorter than n
+    words produce none). Array built with a higher-order transform —
+    single map stage, then distinct (shuffle on (id, shingle))."""
+    sh = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return (
+        df.where(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col), F.explode(sh).alias(out_col))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold.
+
+    Inverted-index self-join: |pairs sharing a shingle| dominates cost;
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    (skew/stop-shingle guard — at 100 TB always set it; left unset here
+    for oracle parity on the small fixtures).
+
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded portably.
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(freq.where(F.col("__df") <= max_doc_freq), "shingle", "inner")
+            .drop("__df")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", fround(jac, 4).alias("jaccard"))
+    )
+
+
+def bow_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bag-of-words md5 fingerprint; returns clusters (fingerprint,
+    n_docs, keeper=min id) with more than one member."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
+    )
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split / filter /
+regexp_replace / higher-order functions) — no Python UDFs — so they
+stay inside whole-stage codegen and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround
+
+# Stopword profiles for the heuristic language identifier. Small,
+# high-frequency function words; enough to separate major languages on
+# real prose (unit-tested in tests/test_textstats.py).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+}
+
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Token/char totals per group. One map-side-combined shuffle."""
+    n_tokens = F.size(_words(text_col))
+    agg = [
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        fround(F.avg(n_tokens), 4).alias("avg_tokens"),
+    ]
+    if "n_chars" in df.columns:
+        agg.append(F.sum("n_chars").alias("total_chars"))
+    else:
+        agg.append(F.sum(F.length(text_col)).alias("total_chars"))
+    return df.groupBy(group_col).agg(*agg)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality score in [0,1]: length (50%), stopword
+    density (30%), punctuation cleanliness (20%).
+
+    Mirrors the q_quality_score oracle exactly — any change here must
+    change the SQL twin in queries/text_pipeline.py.
+    """
+    stoplist = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_tokens = F.size(_words(text_col))
+    n_ch = F.length(text_col)
+    n_punct = n_ch - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), w -> w IN ({stoplist})))")
+
+    length_part = F.when(n_tokens >= 40, F.lit(1.0)).otherwise(n_tokens / F.lit(40.0))
+    stop_part = F.when(n_tokens > 0, (n_stop * F.lit(1.0) / n_tokens) * 2.0).otherwise(
+        F.lit(0.0)
+    )
+    punct_part = F.when(n_ch > 0, F.lit(1.0) - n_punct * F.lit(1.0) / n_ch).otherwise(
+        F.lit(0.0)
+    )
+    score = length_part * 0.5 + stop_part * 0.3 + punct_part * 0.2
+    return df.withColumn("score", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
+    """Stopword-profile language identifier (n-gram-free heuristic).
+
+    Counts hits against each language's function-word profile over
+    lowercased words; argmax wins, alphabetical-first on ties, 'und'
+    (undetermined) when no profile hits. Pure built-in expressions —
+    scales as a single map stage.
+    """
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s']", " ")), r"\s+")
+    scored = df.withColumn("__w", words)
+    for lang, stops in STOPWORDS.items():
+        stoplist = ", ".join(f"'{w}'" for w in stops)
+        scored = scored.withColumn(
+            f"__hits_{lang}", F.expr(f"size(filter(__w, w -> w IN ({stoplist})))")
+        )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # alphabetical => deterministic tie-break
+        pred = pred.when(F.col(f"__hits_{lang}") == best, F.lit(lang))
+    out = scored.withColumn(out_col, pred)
+    return out.drop("__w", *[f"__hits_{lang}" for lang in langs])
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "fingerprints"
+) -> DataFrame:
+    """Winnowing-style document fingerprints: md5-based 60-bit hashes of
+    each `window`-word shingle, keeping the per-document minimum per
+    hash band — a compact signature for containment detection.
+    Implemented with higher-order functions (no UDF)."""
+    from huckli_spark.functions.portable import h60  # noqa: F401  (doc pointer)
+
+    w = _words(text_col)
+    shingles = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {window}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {window})))"
+    )
+    hashes = F.expr(
+        "transform(__sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    )
+    out = (
+        df.withColumn("__sh", F.when(F.size(w) >= window, shingles).otherwise(F.array()))
+        .withColumn(out_col, hashes)
+        .drop("__sh")
+    )
+    return out

@@ -1,0 +1,93 @@
+"""Embedding similarity-search parity queries over `embeddings`.
+
+Oracles use DuckDB list_dot_product on DOUBLE[] casts with the cosine
+assembled as dot/(sqrt(aa)*sqrt(bb)) — the exact operand shape of
+``operators.simsearch.cosine`` — then portable rounding before any
+ranking, so ordering ties break identically across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.operators import simsearch
+from huckli_spark.queries import query
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_COS = (
+    "list_dot_product(qv, nv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@query(
+    "q_ann_bruteforce",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings
+    ), sims AS (
+      SELECT query_id, neighbor_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM q CROSS JOIN c
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 neighbors for 10 query vectors.",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    return simsearch.cosine_topk(em, em.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q_dedup_embed_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             {sql_fround("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))", 6)}
+               AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.45
+    """,
+    doc="embedding-cosine near-duplicate pairs (threshold tuned to the "
+    "fixture's similarity ceiling ~0.51).",
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.cosine_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+@query(
+    "q_embed_norms",
+    f"""
+    SELECT label, count(*) AS n,
+           {sql_fround('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))', 6)}
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label vector count + mean L2 norm (F.aggregate fold).",
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    return em.groupBy("label").agg(
+        F.count("*").alias("n"),
+        fround(F.avg(simsearch.l2_norm("embedding")), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis / deduplication parity queries over `documents`.
+
+These are the large-scale training-data-pipeline operators (BASELINE
+"north_star"): exact dedup, n-gram Jaccard near-dup, bag-of-words
+fingerprinting, token counting, quality scoring, lexical profiling.
+Each has a DuckDB oracle; the heavy-lifting implementations live in
+``huckli_spark.operators`` — these queries are thin drivers over them
+so the driver's correctness gate covers the operator code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.operators import textstats
+from huckli_spark.operators.dedup import exact_dup_stats, jaccard_pairs, bow_fingerprint
+from huckli_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+    FROM documents
+    """,
+    doc="exact dedup stats: docs vs distinct content hashes. Scale: one "
+    "hash-agg shuffle on a 128-bit digest, no text movement.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_stats(_docs(spark, sf_dir), text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@query(
+    "q_ngram_jaccard",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           {sql_fround('n_common * 1.0 / (s1.n + s2.n - n_common)', 4)} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    """,
+    doc="word-3-gram Jaccard near-duplicate pairs at >= 0.8.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (bag-of-words content signature)
+# ---------------------------------------------------------------------------
+@query(
+    "q_fingerprint",
+    """
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+    doc="bag-of-words md5 fingerprint; clusters sharing a fingerprint are "
+    "near-dups. Scale: map-side signature, one shuffle on the digest.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bow_fingerprint(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+@query(
+    "q_token_count",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           {sql_fround("avg(len(string_split(text, ' ')))", 4)} AS avg_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="whitespace token counting per language partition.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count_by(_docs(spark, sf_dir), group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+@query(
+    "q_quality_score",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_ch,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+               AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens >= 40 THEN 1.0 ELSE n_tokens / 40.0 END * 0.5
+             + CASE WHEN n_tokens > 0
+                    THEN (n_stop * 1.0 / n_tokens) * 2.0 ELSE 0 END * 0.3
+             + CASE WHEN n_ch > 0
+                    THEN (1.0 - n_punct * 1.0 / n_ch) ELSE 0 END * 0.2
+               AS score
+      FROM scored
+    )
+    SELECT CASE WHEN score >= 0.8 THEN 'high'
+                WHEN score >= 0.6 THEN 'medium'
+                ELSE 'low' END AS quality,
+           count(*) AS n,
+           {sql_fround('avg(score)', 4)} AS avg_score
+    FROM q
+    GROUP BY 1
+    """,
+    doc="heuristic quality score (length/stopword/punctuation ratios) "
+    "bucketed into classes.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = textstats.quality_score(_docs(spark, sf_dir), text_col="text")
+    return (
+        scored.select(
+            F.when(F.col("score") >= 0.8, "high")
+            .when(F.col("score") >= 0.6, "medium")
+            .otherwise("low")
+            .alias("quality"),
+            "score",
+        )
+        .groupBy("quality")
+        .agg(F.count("*").alias("n"), fround(F.avg("score"), 4).alias("avg_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# lexical profile (stand-in for language ID on this single-vocabulary
+# fixture; the real n-gram language identifier is
+# operators/textstats.py::language_id with its own unit tests)
+# ---------------------------------------------------------------------------
+@query(
+    "q_lang_profile",
+    f"""
+    WITH w AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS total_words,
+           count(DISTINCT w) AS vocab,
+           {sql_fround('count(DISTINCT w) * 1.0 / count(*)', 6)} AS type_token_ratio
+    FROM w
+    GROUP BY lang
+    """,
+    doc="per-language lexical profile: vocabulary size + type/token ratio.",
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return w.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_words"),
+        F.count_distinct("w").alias("vocab"),
+        fround(F.count_distinct("w") / F.count("*"), 6).alias("type_token_ratio"),
+    )
