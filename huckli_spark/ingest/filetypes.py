@@ -1,0 +1,1635 @@
+"""Declarative file-type registry: 20 ingest file types -> 31 tables.
+
+This module is the Spark-first replacement for the reference's derive
+macro (/root/reference/huckli-import-derive/src/lib.rs:51-138) plus its
+twenty ``impl From<Proto>`` modules: each ``FileTypeSpec`` carries the
+wire schema, the S3 bucket/prefix binding, and a Catalyst projection
+from the decoded struct DataFrame to one or more typed tables.
+
+Proto field numbering note: helium-proto descriptors aren't vendored in
+this environment, so the ``Msg`` schemas here are this engine's own
+frozen descriptors, shaped 1:1 after the reference's table projections
+(FIXTURES.md §2, derived from the cited reference modules). The
+*behaviors* are parity-faithful:
+
+- keys -> base58check(0x00‖key)    (S1, huckli-import/src/lib.rs:139-156)
+- epoch -> sec/ms heuristic @1e12  (S4, lib.rs:165-175; subsumes the
+  fixed sec/ms conversions S2/S3 for any realistic epoch)
+- decimal-as-string -> f64, 0.0 on absence/garbage (S5, lib.rs:307-313)
+- 16-byte blobs -> canonical UUID strings (S6)
+- enums -> proto string names, decode-side (S8)
+- oneof demux to N tables (A11), repeated -> child tables (A12)
+- first-element-or-default (S12, boosting.rs:39)
+- pubkey-nonempty-else-cbsd_id coalesce (S9, radio_thresholds.rs:35-39)
+- nested report unwrap via struct navigation (S13)
+- every table gets a trailing ``file_source`` provenance column (A19)
+
+Deviation (documented, SURVEY §7): parent keys for exploded children
+are deterministic — uuid-formatted md5(file_source:frame_index) — not
+uuid4 (radio_reward.rs:117). Nondeterministic keys diverge between
+parent and child under Spark stage retries; the deterministic key
+preserves join semantics and is retry-safe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.decimals import proto_decimal
+from huckli_spark.functions.keys import helium_pubkey_udf, uuid16
+from huckli_spark.functions.timestamps import ts_heuristic
+from huckli_spark.sources.protowire import Field, Msg
+
+# ---------------------------------------------------------------------------
+# enum name tables (S8; domains per FIXTURES.md §0)
+# ---------------------------------------------------------------------------
+E_TECHNOLOGY = {0: "CELLULAR", 1: "WIFI"}
+E_STATUS = {0: "VALID", 1: "INVALID"}
+E_VALIDITY = {0: "VALID", 1: "INVALID_LOCATION", 2: "INVALID_KEY"}
+E_REASON = {0: "NONE", 1: "BANNED", 2: "STALE", 3: "INVALID"}
+E_BAN_TYPE = {0: "ALL", 1: "POC", 2: "DATA"}
+E_RESULT = {0: "SPEEDTEST_AVG_VALID", 1: "SPEEDTEST_AVG_FAIL"}
+E_SIGNAL_LEVEL = {0: "NONE", 1: "LOW", 2: "MEDIUM", 3: "HIGH"}
+E_LOCATION_SOURCE = {0: "UNKNOWN", 1: "ASSERTED", 2: "GPS", 3: "SKYHOOK"}
+E_REWARD_TYPE = {0: "POC", 1: "DATA", 2: "MAPPING", 3: "OPERATIONAL"}
+E_SERVICE_PROVIDER = {0: "HELIUM_MOBILE", 1: "OTHER"}
+E_HEX_STATUS = {0: "ELIGIBLE", 1: "INELIGIBLE_LOCATION", 2: "INELIGIBLE_RADIO"}
+E_URBANIZED = {0: "URBANIZED", 1: "NOT_URBANIZED", 2: "OUTSIDE_US"}
+E_FOOTFALL = {0: "FOOTFALL_A", 1: "FOOTFALL_B", 2: "FOOTFALL_C"}
+E_LANDTYPE = {0: "BUILT", 1: "GREEN", 2: "WATER"}
+
+
+@dataclass(frozen=True)
+class FileTypeSpec:
+    """One CLI-selectable file family (reference SupportedFileTypes,
+    huckli-import/src/lib.rs:115-137)."""
+
+    name: str  # CLI name
+    bucket: str
+    prefix: str
+    msg: Msg
+    project: Callable[[DataFrame], dict[str, DataFrame]]
+    tables: tuple[str, ...]
+
+
+REGISTRY: dict[str, FileTypeSpec] = {}
+
+
+def _register(spec: FileTypeSpec) -> FileTypeSpec:
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+# column helpers ------------------------------------------------------------
+def _key(src: str) -> Column:
+    return helium_pubkey_udf(F.col(src))
+
+
+def _ts(src) -> Column:
+    col = F.col(src) if isinstance(src, str) else src
+    return ts_heuristic(col)
+
+
+def _uuid(src: str) -> Column:
+    return uuid16(F.col(src))
+
+
+def _dec(src: str) -> Column:
+    return proto_decimal(F.col(src))
+
+
+def parent_id() -> Column:
+    """Deterministic uuid-shaped parent key (documented deviation from
+    uuid4 — see module docstring)."""
+    return uuid16(
+        F.unhex(F.md5(F.concat_ws(":", F.col("file_source"), F.col("frame_index"))))
+    )
+
+
+def _fs(cols: list[Column]) -> list[Column]:
+    return [*cols, F.col("file_source")]
+
+
+def _single(table: str, build: Callable[[DataFrame], DataFrame]):
+    def project(df: DataFrame) -> dict[str, DataFrame]:
+        return {table: build(df)}
+
+    return project
+
+
+# ---------------------------------------------------------------------------
+# 1. boosted_hex_update (boosting.rs:13-39)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="boosted-hex-update",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="boosted_hex_update",
+        msg=Msg(
+            "BoostedHexUpdateV1",
+            (
+                Field(1, "timestamp", "uint64"),
+                Field(
+                    2,
+                    "update",
+                    "message",
+                    schema=Msg(
+                        "BoostedHex",
+                        (
+                            Field(1, "location", "uint64"),
+                            Field(2, "start_ts", "uint64"),
+                            Field(3, "end_ts", "uint64"),
+                            Field(4, "period_length", "uint32"),
+                            Field(5, "multipliers", "uint32", repeated=True),
+                            Field(6, "version", "uint32"),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+        tables=("boosted_hex_update",),
+        project=_single(
+            "boosted_hex_update",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        _ts("timestamp").alias("timestamp"),
+                        F.col("update.location").alias("location"),
+                        _ts(F.col("update.start_ts")).alias("start_ts"),
+                        _ts(F.col("update.end_ts")).alias("end_ts"),
+                        F.col("update.period_length").cast("int").alias("period_length"),
+                        # S12 first-element-or-default (boosting.rs:39)
+                        F.coalesce(
+                            F.element_at("update.multipliers", 1), F.lit(0)
+                        ).cast("int").alias("multiplier"),
+                        F.col("update.version").cast("int").alias("version"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 2. coverage_object + coverage_location (coverage.rs:43-111)
+# ---------------------------------------------------------------------------
+_COVERAGE_MSG = Msg(
+    "CoverageObjectV1",
+    (
+        Field(
+            1,
+            "coverage_object",
+            "message",
+            schema=Msg(
+                "CoverageObjectReq",
+                (
+                    Field(1, "pub_key", "bytes"),  # oneof key_type (S10)
+                    Field(2, "cbsd_id", "string"),
+                    Field(3, "uuid", "bytes"),
+                    Field(4, "coverage_claim_time", "uint64"),
+                    Field(5, "indoor", "bool"),
+                    Field(
+                        6,
+                        "coverage",
+                        "message",
+                        repeated=True,
+                        schema=Msg(
+                            "RadioHexSignalLevel",
+                            (
+                                Field(1, "location", "uint64"),
+                                Field(2, "signal_level", "enum", enum_names=E_SIGNAL_LEVEL),
+                                Field(3, "signal_power", "int32"),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ),
+)
+
+
+def _coverage_project(df: DataFrame) -> dict[str, DataFrame]:
+    co = df.select("file_source", F.col("coverage_object").alias("o"))
+    # S10 oneof key dispatch: pub_key set -> (b58 key, 'wifi') else
+    # (cbsd_id, 'cbrs') — lowercase radio_type is the one lowercase
+    # enum exception (coverage.rs:58-67)
+    has_key = (F.col("o.pub_key").isNotNull()) & (F.length("o.pub_key") > 0)
+    parent = co.select(
+        *_fs(
+            [
+                F.when(has_key, helium_pubkey_udf(F.col("o.pub_key")))
+                .otherwise(F.col("o.cbsd_id"))
+                .alias("radio_key"),
+                F.when(has_key, F.lit("wifi")).otherwise(F.lit("cbrs")).alias("radio_type"),
+                uuid16(F.col("o.uuid")).alias("uuid"),
+                _ts(F.col("o.coverage_claim_time")).alias("coverage_claim_time"),
+                F.col("o.indoor").alias("indoor"),
+            ]
+        )
+    )
+    child = (
+        co.select(
+            "file_source",
+            uuid16(F.col("o.uuid")).alias("uuid"),
+            F.explode_outer("o.coverage").alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .select(
+            *_fs(
+                [
+                    F.col("uuid"),
+                    F.col("c.location").cast("string").alias("location"),
+                    F.col("c.signal_level").alias("signal_level"),
+                    F.col("c.signal_power").alias("signal_power"),
+                ]
+            )
+        )
+    )
+    return {"coverage_object": parent, "coverage_location": child}
+
+
+_register(
+    FileTypeSpec(
+        name="coverage-object",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="coverage_object",
+        msg=_COVERAGE_MSG,
+        tables=("coverage_object", "coverage_location"),
+        project=_coverage_project,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 3-4. data transfer ingest + verified (data_transfer.rs:11-103)
+# ---------------------------------------------------------------------------
+_DT_USAGE = Msg(
+    "DataTransferUsage",
+    (
+        Field(1, "pub_key", "bytes"),
+        Field(2, "upload_bytes", "uint64"),
+        Field(3, "download_bytes", "uint64"),
+        Field(4, "technology", "enum", enum_names=E_TECHNOLOGY),
+        Field(5, "event_id", "string"),
+        Field(6, "payer", "bytes"),
+        Field(7, "timestamp", "uint64"),
+    ),
+)
+_DT_SESSION = Msg(
+    "DataTransferSessionReq",
+    (
+        Field(1, "data_transfer_usage", "message", schema=_DT_USAGE),
+        Field(2, "rewardable_bytes", "uint64"),
+        Field(3, "carrier_id", "string"),
+    ),
+)
+_DT_INGEST = Msg(
+    "DataTransferSessionIngestReportV1",
+    (
+        Field(1, "report", "message", schema=_DT_SESSION),
+        Field(2, "received_timestamp", "uint64"),
+    ),
+)
+
+
+def _dt_common(prefix: str) -> list[Column]:
+    """S13 two-level struct navigation into report.data_transfer_usage."""
+    u = f"{prefix}.data_transfer_usage"
+    return [
+        helium_pubkey_udf(F.col(f"{u}.pub_key")).alias("hotspot_key"),
+        F.col(f"{u}.upload_bytes").alias("upload_bytes"),
+        F.col(f"{u}.download_bytes").alias("download_bytes"),
+        F.col(f"{prefix}.rewardable_bytes").alias("rewardable_bytes"),
+        F.col(f"{u}.technology").alias("technology"),
+        F.col(f"{u}.event_id").alias("event_id"),
+        helium_pubkey_udf(F.col(f"{u}.payer")).alias("payer"),
+        _ts(F.col(f"{u}.timestamp")).alias("timestamp"),
+    ]
+
+
+_register(
+    FileTypeSpec(
+        name="data-transfer-ingest",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="data_transfer_session_ingest_report",
+        msg=_DT_INGEST,
+        tables=("data_transfer_ingest_report",),
+        project=_single(
+            "data_transfer_ingest_report",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        *_dt_common("report"),
+                        _ts("received_timestamp").alias("received_timestamp"),
+                        F.col("report.carrier_id").alias("carrier_id"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+_register(
+    FileTypeSpec(
+        name="verified-data-transfer-ingest",
+        bucket="helium-mainnet-mobile-packet-verifier",
+        prefix="verified_data_transfer_session",
+        msg=Msg(
+            "VerifiedDataTransferIngestReportV1",
+            (
+                Field(1, "report", "message", schema=_DT_INGEST),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
+            ),
+        ),
+        tables=("verified_data_transfer_ingest_report",),
+        project=_single(
+            "verified_data_transfer_ingest_report",
+            # S13 three-level unwrap (data_transfer.rs:83-85)
+            lambda df: df.select(
+                *_fs(
+                    [
+                        *_dt_common("report.report"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("status").alias("status"),
+                        F.col("report.report.carrier_id").alias("carrier"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 5. data_transfer_burn (data_transfer.rs:105-127)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="data-transfer-burn",
+        bucket="helium-mainnet-mobile-packet-verifier",
+        prefix="valid_data_transfer_session",
+        msg=Msg(
+            "ValidDataTransferSession",
+            (
+                Field(1, "pub_key", "bytes"),
+                Field(2, "upload_bytes", "uint64"),
+                Field(3, "download_bytes", "uint64"),
+                Field(4, "num_dcs", "uint64"),
+                Field(5, "payer", "bytes"),
+                Field(6, "first_timestamp", "uint64"),
+                Field(7, "last_timestamp", "uint64"),
+                Field(8, "rewardable_bytes", "uint64"),
+                Field(9, "burn_timestamp", "uint64"),
+            ),
+        ),
+        tables=("data_transfer_burn",),
+        project=_single(
+            "data_transfer_burn",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        _key("pub_key").alias("hotspot_key"),
+                        F.col("upload_bytes"),
+                        F.col("download_bytes"),
+                        F.col("num_dcs"),
+                        _key("payer").alias("payer"),
+                        _ts("first_timestamp").alias("first_timestamp"),
+                        _ts("last_timestamp").alias("last_timestamp"),
+                        F.col("rewardable_bytes"),
+                        _ts("burn_timestamp").alias("burn_timestamp"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 6. enabled_carriers_info (enabled_carriers_info.rs:8-34)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="enabled-carriers-info",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="enabled_carriers_report",
+        msg=Msg(
+            "EnabledCarriersInfoReportV1",
+            (
+                Field(1, "pub_key", "bytes"),
+                Field(
+                    2,
+                    "enabled_carriers",
+                    "message",
+                    repeated=True,
+                    schema=Msg(
+                        "CarrierInfo",
+                        (Field(1, "carrier", "string"), Field(2, "enabled", "bool")),
+                    ),
+                ),
+                Field(3, "sampled_carriers", "string", repeated=True),
+                Field(4, "firmware_version", "string"),
+                Field(5, "timestamp_ms", "uint64"),
+            ),
+        ),
+        tables=("enabled_carriers_info",),
+        project=_single(
+            "enabled_carriers_info",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        _key("pub_key").alias("hotspot_key"),
+                        # S11 json column
+                        F.to_json("enabled_carriers").alias("enabled_carriers"),
+                        # reference quirk: TEXT by sql-attr omission
+                        # (enabled_carriers_info.rs:17-19)
+                        F.to_json("sampled_carriers").alias("sampled_carriers"),
+                        F.col("firmware_version"),
+                        # quirk: stringified datetime, not timestamptz
+                        F.date_format(
+                            _ts("timestamp_ms"), "yyyy-MM-dd HH:mm:ss 'UTC'"
+                        ).alias("timestamp_ms"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 7-8. wifi heartbeats (heartbeats.rs:9-88)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="verified-wifi-heartbeat",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="validated_heartbeat",
+        msg=Msg(
+            "Heartbeat",
+            (
+                Field(1, "pub_key", "bytes"),
+                Field(2, "timestamp", "uint64"),
+                Field(3, "validity", "enum", enum_names=E_VALIDITY),
+                Field(4, "lat", "double"),
+                Field(5, "lon", "double"),
+                Field(6, "coverage_object", "bytes"),
+                Field(7, "location_validation_timestamp", "uint64"),
+                Field(8, "distance_to_asserted", "uint64"),
+                Field(9, "location_trust_score_multiplier", "uint32"),
+                Field(10, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
+            ),
+        ),
+        tables=("verified_wifi_heartbeat",),
+        project=_single(
+            "verified_wifi_heartbeat",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        _key("pub_key").alias("hotspot_key"),
+                        _ts("timestamp").alias("timestamp"),
+                        F.col("validity"),
+                        F.col("lat"),
+                        F.col("lon"),
+                        _uuid("coverage_object").alias("coverage_object"),
+                        _ts("location_validation_timestamp").alias(
+                            "location_validation_timestamp"
+                        ),
+                        F.col("distance_to_asserted"),
+                        F.col("location_trust_score_multiplier").cast("int").alias(
+                            "location_trust_score_multiplier"
+                        ),
+                        F.col("location_source"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+_register(
+    FileTypeSpec(
+        name="wifi-heartbeat-ingest",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="wifi_heartbeat_report",
+        msg=Msg(
+            "WifiHeartbeatIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "WifiHeartbeat",
+                        (
+                            Field(1, "pub_key", "bytes"),
+                            Field(2, "lat", "double"),
+                            Field(3, "lon", "double"),
+                            Field(4, "timestamp", "uint64"),
+                            Field(5, "coverage_object", "bytes"),
+                            Field(6, "location_validation_timestamp", "uint64"),
+                            Field(7, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
+                            Field(8, "operation_mode", "bool"),
+                        ),
+                    ),
+                ),
+                Field(2, "received_timestamp", "uint64"),
+            ),
+        ),
+        tables=("wifi_heartbeat_ingest_report",),
+        project=_single(
+            "wifi_heartbeat_ingest_report",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        helium_pubkey_udf(F.col("report.pub_key")).alias("hotspot_key"),
+                        _ts(F.col("report.timestamp")).alias("timestamp"),
+                        F.col("report.lat").alias("lat"),
+                        F.col("report.lon").alias("lon"),
+                        uuid16(F.col("report.coverage_object")).alias("coverage_object"),
+                        _ts("received_timestamp").alias("received_timestamp"),
+                        F.col("report.operation_mode").alias("operation_mode"),
+                        _ts(F.col("report.location_validation_timestamp")).alias(
+                            "location_validation_timestamp"
+                        ),
+                        F.col("report.location_source").alias("location_source"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 9. iot rewards — oneof demux to 3 tables (iot_rewards.rs:8-152)
+# ---------------------------------------------------------------------------
+_IOT_MSG = Msg(
+    "IotRewardShare",
+    (
+        Field(1, "start_period", "uint64"),
+        Field(2, "end_period", "uint64"),
+        Field(
+            3,
+            "gateway_reward",
+            "message",
+            schema=Msg(
+                "GatewayReward",
+                (
+                    Field(1, "hotspot_key", "bytes"),
+                    Field(2, "beacon_amount", "uint64"),
+                    Field(3, "witness_amount", "uint64"),
+                    Field(4, "dc_transfer_amount", "uint64"),
+                ),
+            ),
+        ),
+        Field(
+            4,
+            "operational_reward",
+            "message",
+            schema=Msg("OperationalReward", (Field(1, "amount", "uint64"),)),
+        ),
+        Field(
+            5,
+            "unallocated_reward",
+            "message",
+            schema=Msg(
+                "UnallocatedReward",
+                (
+                    Field(1, "reward_type", "enum", enum_names=E_REWARD_TYPE),
+                    Field(2, "amount", "uint64"),
+                ),
+            ),
+        ),
+    ),
+)
+
+
+def _iot_project(df: DataFrame) -> dict[str, DataFrame]:
+    # A11 oneof demux: single decoded pass feeds 3 filtered projections;
+    # callers persist the decoded frame (pipeline.py) so Spark doesn't
+    # re-read per sink (SURVEY §4 single-pass demux note).
+    periods = [
+        _ts("start_period").alias("start_period"),
+        _ts("end_period").alias("end_period"),
+    ]
+    gw = df.where(F.col("gateway_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                helium_pubkey_udf(F.col("gateway_reward.hotspot_key")).alias("hotspot_key"),
+                F.col("gateway_reward.beacon_amount").alias("beacon_amount"),
+                F.col("gateway_reward.witness_amount").alias("witness_amount"),
+                F.col("gateway_reward.dc_transfer_amount").alias("dc_transfer_amount"),
+            ]
+        )
+    )
+    op = df.where(F.col("operational_reward").isNotNull()).select(
+        *_fs([*periods, F.col("operational_reward.amount").alias("amount")])
+    )
+    un = df.where(F.col("unallocated_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                F.col("unallocated_reward.reward_type").alias("reward_type"),
+                F.col("unallocated_reward.amount").alias("amount"),
+            ]
+        )
+    )
+    return {
+        "iot_gateway_rewards": gw,
+        "iot_operational_rewards": op,
+        "iot_unallocated_rewards": un,
+    }
+
+
+_register(
+    FileTypeSpec(
+        name="iot-rewards",
+        bucket="helium-mainnet-iot-verified-rewards",
+        prefix="iot_network_reward_shares_v1",
+        msg=_IOT_MSG,
+        tables=(
+            "iot_gateway_rewards",
+            "iot_operational_rewards",
+            "iot_unallocated_rewards",
+        ),
+        project=_iot_project,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 10. mobile rewards — oneof demux to 6 tables + 3 exploded children
+# (mobile_rewards.rs:12-165, radio_reward.rs:16-247)
+# ---------------------------------------------------------------------------
+_RADIO_REWARD_V2 = Msg(
+    "RadioRewardV2",
+    (
+        Field(1, "hotspot_key", "bytes"),
+        Field(2, "base_coverage_points_sum", "string"),  # proto Decimal (S5)
+        Field(3, "boosted_coverage_points_sum", "string"),
+        Field(4, "base_reward_shares", "string"),
+        Field(5, "boosted_reward_shares", "string"),
+        Field(6, "base_poc_reward", "uint64"),
+        Field(7, "boosted_poc_reward", "uint64"),
+        Field(8, "seniority_timestamp", "uint64"),
+        Field(9, "coverage_object", "bytes"),
+        Field(10, "location_trust_score_multiplier", "string"),
+        Field(11, "speedtest_multiplier", "string"),
+        Field(12, "sp_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
+        Field(13, "oracle_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
+        Field(14, "speedtest_avg_upload", "uint64"),
+        Field(15, "speedtest_avg_download", "uint64"),
+        Field(16, "speedtest_avg_latency_ms", "uint32"),
+        Field(17, "speedtest_avg_timestamp", "uint64"),
+        Field(
+            18,
+            "location_trust_scores",
+            "message",
+            repeated=True,
+            schema=Msg(
+                "LocationTrustScore",
+                (
+                    Field(1, "meters_to_asserted", "uint64"),
+                    Field(2, "trust_score", "string"),
+                ),
+            ),
+        ),
+        Field(
+            19,
+            "speedtests",
+            "message",
+            repeated=True,
+            schema=Msg(
+                "Speedtest",
+                (
+                    Field(1, "upload", "uint64"),
+                    Field(2, "download", "uint64"),
+                    Field(3, "latency_ms", "uint32"),
+                    Field(4, "timestamp", "uint64"),
+                ),
+            ),
+        ),
+        Field(
+            20,
+            "covered_hexes",
+            "message",
+            repeated=True,
+            schema=Msg(
+                "CoveredHex",
+                (
+                    Field(1, "location", "uint64"),
+                    Field(2, "base_coverage_points", "string"),
+                    Field(3, "boosted_coverage_points", "string"),
+                    Field(4, "urbanized", "enum", enum_names=E_URBANIZED),
+                    Field(5, "footfall", "enum", enum_names=E_FOOTFALL),
+                    Field(6, "landtype", "enum", enum_names=E_LANDTYPE),
+                    Field(7, "assignment_multiplier", "string"),
+                    Field(8, "rank", "uint32"),
+                    Field(9, "rank_multiplier", "string"),
+                    Field(10, "boosted_multiplier", "uint32"),
+                    Field(11, "service_provider_override", "bool"),
+                ),
+            ),
+        ),
+    ),
+)
+
+_MOBILE_MSG = Msg(
+    "MobileRewardShare",
+    (
+        Field(1, "start_period", "uint64"),
+        Field(2, "end_period", "uint64"),
+        Field(
+            3,
+            "gateway_reward",
+            "message",
+            schema=Msg(
+                "MobileGatewayReward",
+                (
+                    Field(1, "hotspot_key", "bytes"),
+                    Field(2, "dc_transfer_reward", "uint64"),
+                    Field(3, "rewardable_bytes", "uint64"),
+                    Field(4, "price", "uint64"),
+                ),
+            ),
+        ),
+        Field(
+            4,
+            "subscriber_reward",
+            "message",
+            schema=Msg(
+                "SubscriberReward",
+                (
+                    Field(1, "subscriber_id", "bytes"),
+                    Field(2, "discovery_location_amount", "uint64"),
+                    Field(3, "verification_mapping_amount", "uint64"),
+                    Field(4, "reward_override_entity_key", "string"),
+                ),
+            ),
+        ),
+        Field(
+            5,
+            "service_provider_reward",
+            "message",
+            schema=Msg(
+                "ServiceProviderReward",
+                (
+                    Field(1, "service_provider", "enum", enum_names=E_SERVICE_PROVIDER),
+                    Field(2, "amount", "uint64"),
+                    Field(3, "rewardable_entity_key", "string"),
+                ),
+            ),
+        ),
+        Field(
+            6,
+            "unallocated_reward",
+            "message",
+            schema=Msg(
+                "MobileUnallocatedReward",
+                (
+                    Field(1, "reward_type", "enum", enum_names=E_REWARD_TYPE),
+                    Field(2, "amount", "uint64"),
+                ),
+            ),
+        ),
+        Field(
+            7,
+            "promotion_reward",
+            "message",
+            schema=Msg(
+                "PromotionReward",
+                (
+                    Field(1, "entity", "string"),
+                    Field(2, "service_provider_amount", "uint64"),
+                    Field(3, "matched_amount", "uint64"),
+                ),
+            ),
+        ),
+        Field(8, "radio_reward_v2", "message", schema=_RADIO_REWARD_V2),
+    ),
+)
+
+
+def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
+    periods = [
+        _ts("start_period").alias("start_period"),
+        _ts("end_period").alias("end_period"),
+    ]
+    gw = df.where(F.col("gateway_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                helium_pubkey_udf(F.col("gateway_reward.hotspot_key")).alias("hotspot_key"),
+                F.col("gateway_reward.dc_transfer_reward").alias("dc_transfer_reward"),
+                F.col("gateway_reward.rewardable_bytes").alias("rewardable_bytes"),
+                F.col("gateway_reward.price").alias("price"),
+            ]
+        )
+    )
+    sub = df.where(F.col("subscriber_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                uuid16(F.col("subscriber_reward.subscriber_id")).alias("subscriber_id"),
+                F.col("subscriber_reward.discovery_location_amount").alias(
+                    "discovery_location_amount"
+                ),
+                F.col("subscriber_reward.verification_mapping_amount").alias(
+                    "verification_mapping_amount"
+                ),
+                F.col("subscriber_reward.reward_override_entity_key").alias(
+                    "reward_override_entity_key"
+                ),
+            ]
+        )
+    )
+    sp = df.where(F.col("service_provider_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                F.col("service_provider_reward.service_provider").alias("service_provider"),
+                F.col("service_provider_reward.amount").alias("amount"),
+                F.col("service_provider_reward.rewardable_entity_key").alias(
+                    "rewardable_entity_key"
+                ),
+            ]
+        )
+    )
+    un = df.where(F.col("unallocated_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                F.col("unallocated_reward.reward_type").alias("reward_type"),
+                F.col("unallocated_reward.amount").alias("amount"),
+            ]
+        )
+    )
+    promo = df.where(F.col("promotion_reward").isNotNull()).select(
+        *_fs(
+            [
+                *periods,
+                F.col("promotion_reward.entity").alias("entity"),
+                F.col("promotion_reward.service_provider_amount").alias(
+                    "service_provider_amount"
+                ),
+                F.col("promotion_reward.matched_amount").alias("matched_amount"),
+            ]
+        )
+    )
+
+    # parent + A12 exploded children, joined by the deterministic id
+    radio_base = df.where(F.col("radio_reward_v2").isNotNull()).select(
+        "file_source",
+        "frame_index",
+        parent_id().alias("id"),
+        *periods,
+        F.col("radio_reward_v2").alias("r"),
+    )
+    radio = radio_base.select(
+        *_fs(
+            [
+                F.col("id"),
+                F.col("start_period"),
+                F.col("end_period"),
+                helium_pubkey_udf(F.col("r.hotspot_key")).alias("hotspot_key"),
+                proto_decimal(F.col("r.base_coverage_points_sum")).alias(
+                    "base_coverage_points_sum"
+                ),
+                proto_decimal(F.col("r.boosted_coverage_points_sum")).alias(
+                    "boosted_coverage_points_sum"
+                ),
+                proto_decimal(F.col("r.base_reward_shares")).alias("base_reward_shares"),
+                proto_decimal(F.col("r.boosted_reward_shares")).alias(
+                    "boosted_reward_shares"
+                ),
+                F.col("r.base_poc_reward").alias("base_poc_reward"),
+                F.col("r.boosted_poc_reward").alias("boosted_poc_reward"),
+                _ts(F.col("r.seniority_timestamp")).alias("seniority_timestamp"),
+                uuid16(F.col("r.coverage_object")).alias("coverage_object"),
+                proto_decimal(F.col("r.location_trust_score_multiplier")).alias(
+                    "location_trust_score_multiplier"
+                ),
+                proto_decimal(F.col("r.speedtest_multiplier")).alias(
+                    "speedtest_multiplier"
+                ),
+                F.col("r.sp_boosted_hex_status").alias("sp_boosted_hex_status"),
+                F.col("r.oracle_boosted_hex_status").alias("oracle_boosted_hex_status"),
+                F.col("r.speedtest_avg_upload").alias("speedtest_avg_upload"),
+                F.col("r.speedtest_avg_download").alias("speedtest_avg_download"),
+                F.col("r.speedtest_avg_latency_ms").cast("int").alias(
+                    "speedtest_avg_latency_ms"
+                ),
+                _ts(F.col("r.speedtest_avg_timestamp")).alias("speedtest_avg_timestamp"),
+            ]
+        )
+    )
+    trust = (
+        radio_base.select("file_source", "id", F.explode("r.location_trust_scores").alias("t"))
+        .select(
+            *_fs(
+                [
+                    F.col("id"),
+                    F.col("t.meters_to_asserted").alias("meters_to_asserted"),
+                    proto_decimal(F.col("t.trust_score")).alias("trust_score"),
+                ]
+            )
+        )
+    )
+    speed = (
+        radio_base.select("file_source", "id", F.explode("r.speedtests").alias("s"))
+        .select(
+            *_fs(
+                [
+                    F.col("id"),
+                    F.col("s.upload").alias("upload"),
+                    F.col("s.download").alias("download"),
+                    F.col("s.latency_ms").cast("int").alias("latency_ms"),
+                    _ts(F.col("s.timestamp")).alias("timestamp"),
+                ]
+            )
+        )
+    )
+    hexes = (
+        radio_base.select("file_source", "id", F.explode("r.covered_hexes").alias("h"))
+        .select(
+            *_fs(
+                [
+                    F.col("id"),
+                    F.col("h.location").alias("location"),
+                    proto_decimal(F.col("h.base_coverage_points")).alias(
+                        "base_coverage_points"
+                    ),
+                    proto_decimal(F.col("h.boosted_coverage_points")).alias(
+                        "boosted_coverage_points"
+                    ),
+                    F.col("h.urbanized").alias("urbanized"),
+                    F.col("h.footfall").alias("footfall"),
+                    F.col("h.landtype").alias("landtype"),
+                    proto_decimal(F.col("h.assignment_multiplier")).alias(
+                        "assignment_multiplier"
+                    ),
+                    F.col("h.rank").cast("int").alias("rank"),
+                    proto_decimal(F.col("h.rank_multiplier")).alias("rank_multiplier"),
+                    F.col("h.boosted_multiplier").cast("int").alias("boosted_multiplier"),
+                    F.col("h.service_provider_override").alias("service_provider_override"),
+                ]
+            )
+        )
+    )
+    return {
+        "mobile_gateway_rewards": gw,
+        "mobile_subscriber_rewards": sub,
+        "mobile_service_provider_rewards": sp,
+        "mobile_unallocated_rewards": un,
+        "mobile_promotion_rewards": promo,
+        "mobile_radio_rewards": radio,
+        "mobile_reward_trust_scores": trust,
+        "mobile_reward_speedtests": speed,
+        "mobile_reward_covered_hexes": hexes,
+    }
+
+
+_register(
+    FileTypeSpec(
+        name="mobile-rewards",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="mobile_network_reward_shares_v1",
+        msg=_MOBILE_MSG,
+        tables=(
+            "mobile_gateway_rewards",
+            "mobile_subscriber_rewards",
+            "mobile_service_provider_rewards",
+            "mobile_unallocated_rewards",
+            "mobile_promotion_rewards",
+            "mobile_radio_rewards",
+            "mobile_reward_trust_scores",
+            "mobile_reward_speedtests",
+            "mobile_reward_covered_hexes",
+        ),
+        project=_mobile_project,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 11. mobile_reward_manifest (mobile_rewards.rs:260-293)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="mobile-reward-manifest",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="network_reward_manifest_v1",
+        msg=Msg(
+            "RewardManifest",
+            (
+                Field(1, "written_files", "string", repeated=True),
+                Field(2, "start_timestamp", "uint64"),
+                Field(3, "end_timestamp", "uint64"),
+                Field(4, "epoch", "uint64"),
+                Field(5, "price", "uint64"),
+            ),
+        ),
+        tables=("mobile_reward_manifest",),
+        project=_single(
+            "mobile_reward_manifest",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        _ts("start_timestamp").alias("start_period"),
+                        _ts("end_timestamp").alias("end_period"),
+                        F.col("epoch"),
+                        F.col("price"),
+                        # S11: repeated filename strings -> JSON array
+                        F.to_json("written_files").alias("written_files"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 12-13. radio usage stats v1/v2 (usage.rs:8-79, usage_v2.rs:8-90)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="radio-usage-stats",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="radio_usage_stats_ingest_report.",  # trailing '.' (usage.rs:8-12)
+        msg=Msg(
+            "RadioUsageStatsIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "RadioUsageStats",
+                        (
+                            Field(1, "hotspot_key", "bytes"),
+                            Field(2, "start_period", "uint64"),
+                            Field(3, "end_period", "uint64"),
+                            Field(4, "service_provider_user_count", "uint64"),
+                            Field(5, "disco_mapping_user_count", "uint64"),
+                            Field(6, "offload_user_count", "uint64"),
+                            Field(7, "service_provider_transfer_bytes", "uint64"),
+                            Field(8, "offload_transfer_bytes", "uint64"),
+                            Field(
+                                9,
+                                "carrier_transfer",
+                                "message",
+                                repeated=True,
+                                schema=Msg(
+                                    "CarrierTransfer",
+                                    (
+                                        Field(1, "carrier_id", "string"),
+                                        Field(2, "transfer_bytes", "uint32"),
+                                        Field(3, "user_count", "uint32"),
+                                    ),
+                                ),
+                            ),
+                            Field(10, "timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "received_timestamp", "uint64"),
+            ),
+        ),
+        tables=("radio_usage_stats",),
+        project=_single(
+            "radio_usage_stats",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        helium_pubkey_udf(F.col("report.hotspot_key")).alias("hotspot_key"),
+                        _ts(F.col("report.start_period")).alias("start_period"),
+                        _ts(F.col("report.end_period")).alias("end_period"),
+                        F.col("report.service_provider_user_count").alias(
+                            "service_provider_user_count"
+                        ),
+                        F.col("report.disco_mapping_user_count").alias(
+                            "disco_mapping_user_count"
+                        ),
+                        F.col("report.offload_user_count").alias("offload_user_count"),
+                        F.col("report.service_provider_transfer_bytes").alias(
+                            "service_provider_transfer_bytes"
+                        ),
+                        F.col("report.offload_transfer_bytes").alias(
+                            "offload_transfer_bytes"
+                        ),
+                        _ts(F.col("report.timestamp")).alias("timestamp"),
+                        _ts("received_timestamp").alias("received_timestamp"),
+                        F.to_json(F.col("report.carrier_transfer")).alias(
+                            "carrier_transfer"
+                        ),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+_register(
+    FileTypeSpec(
+        name="radio-usage-stats-v2",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="radio_usage_stats_ingest_report_v2",
+        msg=Msg(
+            "RadioUsageStatsIngestReportV2",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "RadioUsageStatsV2",
+                        (
+                            Field(1, "hotspot_key", "bytes"),
+                            Field(2, "start_period", "uint64"),
+                            Field(3, "end_period", "uint64"),
+                            Field(4, "carrier_pubkey", "bytes"),
+                            Field(5, "user_count_total", "uint64"),
+                            Field(6, "rewarded_bytes_transferred_total", "uint64"),
+                            Field(7, "unrewarded_bytes_transferred_total", "uint64"),
+                            Field(8, "sampling_user_count_total", "uint64"),
+                            Field(9, "sampling_bytes_transferred_total", "uint64"),
+                            Field(
+                                10,
+                                "carrier_transfer_info",
+                                "message",
+                                repeated=True,
+                                schema=Msg(
+                                    "CarrierTransferInfo",
+                                    (
+                                        Field(1, "carrier_id", "string"),
+                                        Field(2, "transfer_bytes", "uint64"),
+                                        Field(3, "user_count", "uint64"),
+                                    ),
+                                ),
+                            ),
+                            Field(
+                                11,
+                                "sampling_carrier_transfer_info",
+                                "message",
+                                repeated=True,
+                                schema=Msg(
+                                    "SamplingCarrierTransferInfo",
+                                    (
+                                        Field(1, "carrier_id", "string"),
+                                        Field(2, "transfer_bytes", "uint64"),
+                                        Field(3, "user_count", "uint64"),
+                                    ),
+                                ),
+                            ),
+                            Field(12, "timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "received_timestamp", "uint64"),
+            ),
+        ),
+        tables=("radio_usage_stats_v2",),
+        project=_single(
+            "radio_usage_stats_v2",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        helium_pubkey_udf(F.col("report.hotspot_key")).alias("hotspot_key"),
+                        _ts(F.col("report.start_period")).alias("start_period"),
+                        _ts(F.col("report.end_period")).alias("end_period"),
+                        _ts(F.col("report.timestamp")).alias("timestamp"),
+                        _ts("received_timestamp").alias("received_timestamp"),
+                        helium_pubkey_udf(F.col("report.carrier_pubkey")).alias(
+                            "carrier_pubkey"
+                        ),
+                        F.col("report.user_count_total").alias("user_count_total"),
+                        F.col("report.rewarded_bytes_transferred_total").alias(
+                            "rewarded_bytes_transferred_total"
+                        ),
+                        F.col("report.unrewarded_bytes_transferred_total").alias(
+                            "unrewarded_bytes_transferred_total"
+                        ),
+                        F.col("report.sampling_user_count_total").alias(
+                            "sampling_user_count_total"
+                        ),
+                        F.col("report.sampling_bytes_transferred_total").alias(
+                            "sampling_bytes_transferred_total"
+                        ),
+                        F.to_json(F.col("report.carrier_transfer_info")).alias(
+                            "carrier_transfer_info"
+                        ),
+                        F.to_json(F.col("report.sampling_carrier_transfer_info")).alias(
+                            "sampling_carrier_transfer_info"
+                        ),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 14-15. subscriber mapping activity (subscribers.rs:11-76)
+# ---------------------------------------------------------------------------
+_SUB_REPORT = Msg(
+    "SubscriberMappingActivity",
+    (
+        Field(1, "subscriber_id", "bytes"),
+        Field(2, "discovery_reward_shares", "uint64"),
+        Field(3, "verification_reward_shares", "uint64"),
+        Field(4, "timestamp", "uint64"),
+        Field(5, "reward_override_entity_key", "string"),
+    ),
+)
+
+
+def _sub_common(prefix: str) -> list[Column]:
+    return [
+        uuid16(F.col(f"{prefix}.subscriber_id")).alias("subscriber_id"),
+        F.col(f"{prefix}.discovery_reward_shares").alias("discovery_reward_shares"),
+        F.col(f"{prefix}.verification_reward_shares").alias("verification_reward_shares"),
+        _ts(F.col(f"{prefix}.timestamp")).alias("timestamp"),
+        F.col(f"{prefix}.reward_override_entity_key").alias("reward_override_entity_key"),
+    ]
+
+
+_register(
+    FileTypeSpec(
+        name="subscriber-mapping-activity",
+        bucket="helium-mainnet-mobile-ingest",
+        prefix="subscriber_mapping_activity_ingest_report",
+        msg=Msg(
+            "SubscriberMappingActivityIngestReportV1",
+            (
+                Field(1, "report", "message", schema=_SUB_REPORT),
+                Field(2, "received_timestamp", "uint64"),
+            ),
+        ),
+        tables=("subscriber_mapping_activity_ingest",),
+        project=_single(
+            "subscriber_mapping_activity_ingest",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        *_sub_common("report"),
+                        _ts("received_timestamp").alias("received_timestamp"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+_register(
+    FileTypeSpec(
+        name="verified-subscriber-mapping-activity",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_subscriber_mapping_activity_report",
+        msg=Msg(
+            "VerifiedSubscriberMappingActivityReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "SubscriberMappingActivityIngestReportV1",
+                        (
+                            Field(1, "report", "message", schema=_SUB_REPORT),
+                            Field(2, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
+            ),
+        ),
+        tables=("verified_subscriber_mapping_activity",),
+        project=_single(
+            "verified_subscriber_mapping_activity",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        *_sub_common("report.report"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verification_timestamp"),
+                        F.col("status"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 16. verified_cdr_verification (sp_banned_radio.rs:11-49)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="verified-sp-banned-radio",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_service_provider_boosted_rewards_banned_radio",
+        msg=Msg(
+            "VerifiedSpBoostedRewardsBannedRadioIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "SpBoostedRewardsBannedRadioIngestReportV1",
+                        (
+                            Field(
+                                1,
+                                "report",
+                                "message",
+                                schema=Msg(
+                                    "SpBoostedRewardsBannedRadioReq",
+                                    (
+                                        Field(1, "hotspot_pubkey", "bytes"),  # oneof (S10)
+                                        Field(2, "cbsd_id", "string"),
+                                        Field(3, "reason", "enum", enum_names=E_REASON),
+                                        Field(4, "until", "uint64"),
+                                        Field(5, "ban_type", "enum", enum_names=E_BAN_TYPE),
+                                    ),
+                                ),
+                            ),
+                            Field(2, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
+            ),
+        ),
+        tables=("verified_cdr_verification",),
+        project=_single(
+            "verified_cdr_verification",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        # S10 oneof key dispatch
+                        F.when(
+                            F.length(F.col("report.report.hotspot_pubkey")) > 0,
+                            helium_pubkey_udf(F.col("report.report.hotspot_pubkey")),
+                        )
+                        .otherwise(F.col("report.report.cbsd_id"))
+                        .alias("hotspot_key"),
+                        F.col("report.report.reason").alias("reason"),
+                        _ts(F.col("report.report.until")).alias("until"),
+                        F.col("report.report.ban_type").alias("ban_type"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("status"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 17-18. radio thresholds (radio_thresholds.rs:10-80)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="verified-radio-threshold",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_radio_threshold_report",
+        msg=Msg(
+            "VerifiedRadioThresholdIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "RadioThresholdIngestReportV1",
+                        (
+                            Field(
+                                1,
+                                "report",
+                                "message",
+                                schema=Msg(
+                                    "RadioThresholdReq",
+                                    (
+                                        Field(1, "hotspot_pubkey", "bytes"),
+                                        Field(2, "cbsd_id", "string"),
+                                        Field(3, "bytes_threshold", "uint64"),
+                                        Field(4, "subscriber_threshold", "uint32"),
+                                        Field(5, "threshold_timestamp", "uint64"),
+                                    ),
+                                ),
+                            ),
+                            Field(2, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
+            ),
+        ),
+        tables=("verified_radio_threshold",),
+        project=_single(
+            "verified_radio_threshold",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        # S9 conditional key coalesce (radio_thresholds.rs:35-39)
+                        F.when(
+                            F.length(F.col("report.report.hotspot_pubkey")) > 0,
+                            helium_pubkey_udf(F.col("report.report.hotspot_pubkey")),
+                        )
+                        .otherwise(F.col("report.report.cbsd_id"))
+                        .alias("radio_key"),
+                        F.col("report.report.bytes_threshold").alias("bytes_threshold"),
+                        F.col("report.report.subscriber_threshold").cast("int").alias(
+                            "subscriber_threshold"
+                        ),
+                        _ts(F.col("report.report.threshold_timestamp")).alias(
+                            "threshold_timestamp"
+                        ),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("status"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+_register(
+    FileTypeSpec(
+        name="verified-invalidated-radio-threshold",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_invalidated_radio_threshold_report",
+        msg=Msg(
+            "VerifiedInvalidatedRadioThresholdIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "InvalidatedRadioThresholdIngestReportV1",
+                        (
+                            Field(
+                                1,
+                                "report",
+                                "message",
+                                schema=Msg(
+                                    "InvalidatedRadioThresholdReq",
+                                    (
+                                        Field(1, "hotspot_pubkey", "bytes"),
+                                        Field(2, "cbsd_id", "string"),
+                                        Field(3, "reason", "enum", enum_names=E_REASON),
+                                        Field(4, "timestamp", "uint64"),
+                                    ),
+                                ),
+                            ),
+                            Field(2, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
+            ),
+        ),
+        tables=("verified_invalidated_radio_threshold",),
+        project=_single(
+            "verified_invalidated_radio_threshold",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        F.when(
+                            F.length(F.col("report.report.hotspot_pubkey")) > 0,
+                            helium_pubkey_udf(F.col("report.report.hotspot_pubkey")),
+                        )
+                        .otherwise(F.col("report.report.cbsd_id"))
+                        .alias("radio_key"),
+                        F.col("report.report.reason").alias("reason"),
+                        _ts(F.col("report.report.timestamp")).alias("threshold_timestamp"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("status"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 19. verified_speedtest_report — the M1 minimum slice
+# (verified_speedtest.rs:8-48)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="verified-speedtest",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_speedtest",
+        msg=Msg(
+            "VerifiedSpeedtest",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "Speedtest",
+                        (
+                            Field(1, "pub_key", "bytes"),
+                            Field(2, "serial", "string"),
+                            Field(3, "timestamp", "uint64"),
+                            Field(4, "upload_speed", "uint64"),
+                            Field(5, "download_speed", "uint64"),
+                            Field(6, "latency", "uint32"),
+                            Field(7, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "timestamp", "uint64"),
+                Field(3, "result", "enum", enum_names=E_RESULT),
+            ),
+        ),
+        tables=("verified_speedtest_report",),
+        project=_single(
+            "verified_speedtest_report",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        helium_pubkey_udf(F.col("report.pub_key")).alias("hotspot_key"),
+                        F.col("report.serial").alias("serial"),
+                        _ts(F.col("report.timestamp")).alias("timestamp"),
+                        F.col("report.upload_speed").alias("upload_speed"),
+                        F.col("report.download_speed").alias("download_speed"),
+                        F.col("report.latency").cast("int").alias("latency"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("result"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+# ---------------------------------------------------------------------------
+# 20. verified_unique_connections (unique_connections.rs:8-28)
+# ---------------------------------------------------------------------------
+_register(
+    FileTypeSpec(
+        name="verified-unique-connections",
+        bucket="helium-mainnet-mobile-verified",
+        prefix="verified_unique_connections_report",
+        msg=Msg(
+            "VerifiedUniqueConnectionsIngestReportV1",
+            (
+                Field(
+                    1,
+                    "report",
+                    "message",
+                    schema=Msg(
+                        "UniqueConnectionsReq",
+                        (
+                            Field(1, "pubkey", "bytes"),
+                            Field(2, "start_timestamp", "uint64"),
+                            Field(3, "end_timestamp", "uint64"),
+                            Field(4, "unique_connections", "uint64"),
+                            Field(5, "sent_timestamp", "uint64"),
+                            Field(6, "received_timestamp", "uint64"),
+                        ),
+                    ),
+                ),
+                Field(2, "timestamp", "uint64"),
+                Field(3, "status", "enum", enum_names=E_STATUS),
+            ),
+        ),
+        tables=("verified_unique_connections",),
+        project=_single(
+            "verified_unique_connections",
+            lambda df: df.select(
+                *_fs(
+                    [
+                        helium_pubkey_udf(F.col("report.pubkey")).alias("hotspot_key"),
+                        _ts(F.col("report.start_timestamp")).alias("start_timestamp"),
+                        _ts(F.col("report.end_timestamp")).alias("end_timestamp"),
+                        F.col("report.unique_connections").alias("unique_connections"),
+                        _ts(F.col("report.sent_timestamp")).alias("sent_timestamp"),
+                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        _ts("timestamp").alias("verified_timestamp"),
+                        F.col("status"),
+                    ]
+                )
+            ),
+        ),
+    )
+)
+
+
+ALL_TABLES: tuple[str, ...] = tuple(
+    t for spec in REGISTRY.values() for t in spec.tables
+)

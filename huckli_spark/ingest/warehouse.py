@@ -1,0 +1,160 @@
+"""Warehouse + checkpoint + ingest pipeline (reference A14-A18, §3.1).
+
+Storage is a parquet directory per table (the production target is
+Delta/Iceberg for ACID appends and ``replaceWhere file_source = key``
+idempotent re-ingest — SURVEY §7 M6; plain parquet keeps the container
+dependency-free and the semantics identical for the tested flows).
+
+Checkpoint parity (huckli-db/src/lib.rs:16-56):
+- ``files_processed(file_name, prefix, file_timestamp, processed_at)``
+- ``latest_file_processed_timestamp(prefix)`` = max() (A17; the
+  reference's ORDER BY ... DESC LIMIT 1 is the same plan).
+- Data-append then checkpoint-append, NO transaction between them —
+  the reference's at-least-once gap (§3.1 step 8) is preserved and
+  documented; a crash between the two re-imports the file on
+  --continue.
+
+Scale: ingest parallelism is the file-list repartition (A9's
+``.buffered(10)`` analog — except unbounded by a hardcoded 10; the
+task scheduler handles thousands of files); each target table write is
+a straight map-side pipeline (no shuffle) except the demux families,
+where the decoded frame is persisted once and N projections read the
+cached copy (single-pass demux, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from huckli_spark.ingest.decode import decode_frames
+from huckli_spark.ingest.filetypes import REGISTRY, FileTypeSpec
+from huckli_spark.sources.framing import frames_df
+from huckli_spark.sources.listing import FileInfo, FileSelection
+
+FILES_PROCESSED_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("prefix", T.StringType(), False),
+        T.StructField("file_timestamp", T.TimestampType(), False),
+        T.StructField("processed_at", T.TimestampType(), False),
+    ]
+)
+
+
+class Warehouse:
+    """A directory of parquet tables + the files_processed checkpoint."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- table access -------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def has_table(self, name: str) -> bool:
+        p = self.table_path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.table_path(name))
+
+    def sql(self, query: str, tables: Optional[list[str]] = None) -> DataFrame:
+        """Register warehouse tables as views and run Spark SQL — the
+        post-ingest query surface (the reference hands the user a
+        DuckDB file; we hand them the Spark catalog)."""
+        names = tables or [
+            d for d in os.listdir(self.path) if self.has_table(d)
+        ]
+        for n in names:
+            self.table(n).createOrReplaceTempView(n)
+        return self.spark.sql(query)
+
+    # -- checkpoint (A16-A17) ----------------------------------------------
+    def save_file_processed(self, info: FileInfo) -> None:
+        now = datetime.now(timezone.utc)
+        df = self.spark.createDataFrame(
+            [(os.path.basename(info.key), info.prefix, info.timestamp, now)],
+            FILES_PROCESSED_SCHEMA,
+        )
+        self.append("files_processed", df)
+
+    def latest_file_processed_timestamp(self, prefix: str) -> Optional[datetime]:
+        if not self.has_table("files_processed"):
+            return None
+        row = (
+            self.table("files_processed")
+            .where(F.col("prefix") == prefix)
+            .agg(F.max("file_timestamp").alias("ts"))
+            .collect()[0]
+        )
+        if row.ts is None:
+            return None
+        return row.ts.replace(tzinfo=timezone.utc)
+
+    # -- ingest (§3.1 steps 6-8) -------------------------------------------
+    def ingest_files(
+        self, file_type: str, files: list[FileInfo], paths: Optional[dict[str, str]] = None
+    ) -> dict[str, int]:
+        """Run the full pipeline for a list of files: frame -> decode ->
+        project -> append + checkpoint. Returns {table: appended_rows}.
+
+        All files of the batch are processed in ONE Spark job per
+        target table (not per-file loops — the reference's per-file
+        commit granularity is preserved only in the checkpoint rows).
+        """
+        spec = REGISTRY[file_type]
+        if not files:
+            return {}
+        file_paths = [paths[f.key] if paths else f.key for f in files]
+        frames = frames_df(self.spark, file_paths)
+        decoded = decode_frames(frames, spec.msg)
+        multi_table = len(spec.tables) > 1
+        if multi_table:
+            # single-pass demux: decode once, serve N projections
+            decoded = decoded.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out: dict[str, int] = {}
+            for name, df in spec.project(decoded).items():
+                before = self.table(name).count() if self.has_table(name) else 0
+                self.append(name, df)
+                out[name] = self.table(name).count() - before
+            # checkpoint AFTER data commit, per file (A16; at-least-once)
+            for info in files:
+                self.save_file_processed(info)
+            return out
+        finally:
+            if multi_table:
+                decoded.unpersist()
+
+    def ingest(
+        self,
+        file_type: str,
+        directory: str,
+        selection: Optional[FileSelection] = None,
+    ) -> dict[str, int]:
+        """CLI-shaped entry (§3.1-3.3): plan the file set from the
+        selection args (+checkpoint for --continue), then ingest."""
+        spec: FileTypeSpec = REGISTRY[file_type]
+        selection = selection or FileSelection()
+        checkpoint_after = None
+        if selection.continue_:
+            checkpoint_after = self.latest_file_processed_timestamp(spec.prefix)
+        files = selection.resolve_files(
+            directory, spec.prefix, checkpoint_after=checkpoint_after
+        )
+        paths = {f.key: os.path.join(directory, os.path.basename(f.key)) for f in files}
+        return self.ingest_files(file_type, files, paths=paths)

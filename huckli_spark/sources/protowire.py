@@ -1,0 +1,245 @@
+"""Minimal protobuf wire-format codec (pure Python, public spec:
+https://protobuf.dev/programming-guides/encoding/).
+
+The reference decodes prost-generated Helium messages
+(/root/reference/huckli-import/src/lib.rs:215-238). The helium-proto
+descriptors aren't vendored in this environment, so the engine ships
+its own declarative message schemas (ingest/filetypes.py) and this
+generic codec. The codec handles the subset the reference's tables
+need: varint scalars, 64/32-bit fixed, length-delimited
+(string/bytes/embedded message), repeated fields, enums-as-names.
+
+Decode errors raise ``WireError``; the pipeline's frame loop catches
+them and drops the record, matching the reference's
+log-to-stderr-and-skip tolerance (huckli-import/src/lib.rs:227-235).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+class WireError(ValueError):
+    pass
+
+
+# wire types
+VARINT, I64, LEN, I32 = 0, 1, 2, 5
+
+_SCALAR_WIRE = {
+    "uint64": VARINT,
+    "int64": VARINT,
+    "uint32": VARINT,
+    "int32": VARINT,
+    "bool": VARINT,
+    "enum": VARINT,
+    "double": I64,
+    "float": I32,
+    "string": LEN,
+    "bytes": LEN,
+    "message": LEN,
+}
+
+
+@dataclass(frozen=True)
+class Field:
+    num: int
+    name: str
+    ptype: str  # key of _SCALAR_WIRE
+    repeated: bool = False
+    # enum: value -> NAME mapping (proto as_str_name parity —
+    # e.g. mobile_rewards.rs:172 stores enum string names)
+    enum_names: Optional[dict[int, str]] = None
+    # message: nested schema
+    schema: Optional["Msg"] = None
+
+
+@dataclass(frozen=True)
+class Msg:
+    name: str
+    fields: tuple[Field, ...] = field(default_factory=tuple)
+
+    def by_num(self) -> dict[int, Field]:
+        return {f.num: f for f in self.fields}
+
+
+# ---------------------------------------------------------------------------
+# encoding (fixture generation / tests)
+# ---------------------------------------------------------------------------
+def _enc_varint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64  # two's-complement, proto int32/int64 negative
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_tag(num: int, wire: int) -> bytes:
+    return _enc_varint((num << 3) | wire)
+
+
+def encode(msg: Msg, values: dict[str, Any]) -> bytes:
+    """Encode a dict of python values per the schema (test fixtures)."""
+    out = bytearray()
+    for f in msg.fields:
+        if f.name not in values or values[f.name] is None:
+            continue
+        vals = values[f.name] if f.repeated else [values[f.name]]
+        for v in vals:
+            wire = _SCALAR_WIRE[f.ptype]
+            out += _enc_tag(f.num, wire)
+            if f.ptype in ("uint64", "int64", "uint32", "int32"):
+                out += _enc_varint(int(v))
+            elif f.ptype == "bool":
+                out += _enc_varint(1 if v else 0)
+            elif f.ptype == "enum":
+                if isinstance(v, str):
+                    rev = {n: k for k, n in (f.enum_names or {}).items()}
+                    v = rev[v]
+                out += _enc_varint(int(v))
+            elif f.ptype == "double":
+                out += struct.pack("<d", float(v))
+            elif f.ptype == "float":
+                out += struct.pack("<f", float(v))
+            elif f.ptype == "string":
+                b = v.encode("utf-8")
+                out += _enc_varint(len(b)) + b
+            elif f.ptype == "bytes":
+                out += _enc_varint(len(v)) + bytes(v)
+            elif f.ptype == "message":
+                b = encode(f.schema, v)
+                out += _enc_varint(len(b)) + b
+            else:  # pragma: no cover
+                raise WireError(f"unsupported ptype {f.ptype}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoding
+# ---------------------------------------------------------------------------
+def _dec_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise WireError("truncated varint")
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise WireError("varint too long")
+
+
+def decode(msg: Msg, data: bytes) -> dict[str, Any]:
+    """Decode bytes into {field_name: value} per the schema. Unknown
+    fields are skipped (standard proto forward-compat); missing fields
+    take proto3 defaults (0 / "" / b"" / False / first enum name /
+    None for messages, [] for repeated)."""
+    by_num = msg.by_num()
+    out: dict[str, Any] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        tag, pos = _dec_varint(data, pos)
+        num, wire = tag >> 3, tag & 7
+        f = by_num.get(num)
+        if wire == VARINT:
+            raw, pos = _dec_varint(data, pos)
+            val: Any = raw
+        elif wire == I64:
+            if pos + 8 > n:
+                raise WireError("truncated i64")
+            val = data[pos : pos + 8]
+            pos += 8
+        elif wire == I32:
+            if pos + 4 > n:
+                raise WireError("truncated i32")
+            val = data[pos : pos + 4]
+            pos += 4
+        elif wire == LEN:
+            ln, pos = _dec_varint(data, pos)
+            if pos + ln > n:
+                raise WireError("truncated len-delimited")
+            val = data[pos : pos + ln]
+            pos += ln
+        else:
+            raise WireError(f"unsupported wire type {wire}")
+        if f is None:
+            continue  # unknown field: skip
+        val = _convert(f, val, wire)
+        if f.repeated:
+            out.setdefault(f.name, []).append(val)
+        else:
+            out[f.name] = val
+    # proto3 defaults for absent fields
+    for f in msg.fields:
+        if f.name not in out:
+            out[f.name] = _default(f)
+    return out
+
+
+def _convert(f: Field, val: Any, wire: int) -> Any:
+    t = f.ptype
+    if t in ("uint64", "uint32"):
+        return int(val)
+    if t in ("int64", "int32"):
+        v = int(val)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+    if t == "bool":
+        return bool(val)
+    if t == "enum":
+        names = f.enum_names or {}
+        return names.get(int(val), str(int(val)))
+    if t == "double":
+        if wire != I64:
+            raise WireError("double field with wrong wire type")
+        return struct.unpack("<d", val)[0]
+    if t == "float":
+        if wire != I32:
+            raise WireError("float field with wrong wire type")
+        return struct.unpack("<f", val)[0]
+    if t == "string":
+        try:
+            return val.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise WireError(f"bad utf-8 in {f.name}") from e
+    if t == "bytes":
+        return bytes(val)
+    if t == "message":
+        return decode(f.schema, val)
+    raise WireError(f"unsupported ptype {t}")
+
+
+def _default(f: Field) -> Any:
+    if f.repeated:
+        return []
+    t = f.ptype
+    if t in ("uint64", "int64", "uint32", "int32"):
+        return 0
+    if t == "bool":
+        return False
+    if t == "double" or t == "float":
+        return 0.0
+    if t == "string":
+        return ""
+    if t == "bytes":
+        return b""
+    if t == "enum":
+        names = f.enum_names or {}
+        return names.get(0, "0")
+    if t == "message":
+        return None
+    raise WireError(f"unsupported ptype {t}")
