@@ -152,7 +152,14 @@ class Warehouse:
         selection = selection or FileSelection()
         checkpoint_after = None
         if selection.continue_:
-            checkpoint_after = self.latest_file_processed_timestamp(spec.prefix)
+            # checkpoint rows store the filename-parsed prefix (no
+            # trailing '.'), so query with the normalized form — the
+            # reference queries with the dotted constant and would
+            # never match its own checkpoint rows for this file type
+            # (latent quirk; deviation documented).
+            checkpoint_after = self.latest_file_processed_timestamp(
+                spec.prefix.rstrip(".")
+            )
         files = selection.resolve_files(
             directory, spec.prefix, checkpoint_after=checkpoint_after
         )

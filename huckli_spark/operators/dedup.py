@@ -87,6 +87,9 @@ def jaccard_pairs(
             sh.join(freq.where(F.col("__df") <= max_doc_freq), "shingle", "inner")
             .drop("__df")
         )
+    # the shingle relation feeds three consumers (sizes + both join
+    # sides); persist so the scan+explode+distinct runs once
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("d1"), "shingle")

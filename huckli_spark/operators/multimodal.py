@@ -1,0 +1,347 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side design is the real product: schemas, Arrow batch
+shapes, ``mapInPandas`` signatures, and explode semantics are all
+production-grade and tested. The codec itself is pluggable:
+
+- Real formats (JPEG/PNG/WAV/MP4) require PIL/soundfile/pyav, which
+  this container does not ship — ``decode_real`` raises
+  ``NotImplementedError`` with the dependency named (STUB, clearly
+  marked).
+- The deterministic "HK" formats below (HKI1 images, HKA1 audio,
+  HKV1 video = concatenated HKI1 frames) exercise every byte of the
+  plumbing with real math (numpy resize, channel stats, RMS/ZCR,
+  frame sampling) and make the tests hermetic.
+
+Scale notes:
+- Decode/feature stages are map-only (no shuffle); partitioning is
+  whatever the source had — repartition by size beforehand if media
+  blobs are skewed.
+- Feature vectors come back as ``array<double>`` ready for the
+  simsearch operators.
+- Blobs stay in Arrow buffers end-to-end; nothing is collected.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from huckli_spark.runtime import ensure_package_on_executors
+
+IMG_MAGIC = b"HKI1"  # HKI1 | u16 w | u16 h | u8 c | pixels (w*h*c u8)
+AUD_MAGIC = b"HKA1"  # HKA1 | u32 sample_rate | i16 samples
+VID_MAGIC = b"HKV1"  # HKV1 | u16 n_frames | frames (each a full HKI1 blob)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fake codec (container has no image/audio libs)
+# ---------------------------------------------------------------------------
+def encode_image(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return IMG_MAGIC + struct.pack("<HHB", w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    if data[:4] != IMG_MAGIC:
+        raise ValueError("not an HKI1 image")
+    w, h, c = struct.unpack("<HHB", data[4:9])
+    return np.frombuffer(data[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    return AUD_MAGIC + struct.pack("<I", sample_rate) + samples.astype("<i2").tobytes()
+
+
+def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != AUD_MAGIC:
+        raise ValueError("not an HKA1 audio blob")
+    (sr,) = struct.unpack("<I", data[4:8])
+    return np.frombuffer(data[8:], dtype="<i2"), sr
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    out = VID_MAGIC + struct.pack("<H", len(frames))
+    for f in frames:
+        out += encode_image(f)
+    return out
+
+
+def iter_video_frames(data: bytes) -> Iterator[bytes]:
+    if data[:4] != VID_MAGIC:
+        raise ValueError("not an HKV1 video blob")
+    (n,) = struct.unpack("<H", data[4:6])
+    pos = 6
+    for _ in range(n):
+        w, h, c = struct.unpack("<HHB", data[pos + 4 : pos + 9])
+        end = pos + 9 + w * h * c
+        yield data[pos:end]
+        pos = end
+
+
+def decode_real(data: bytes, kind: str):  # pragma: no cover - stub
+    """STUB: real-format decode (JPEG/PNG/WAV/...). The decode libs are
+    not available in this environment; wire them here when deploying
+    (PIL for images, soundfile for audio, av for video)."""
+    raise NotImplementedError(
+        f"real {kind} decode requires PIL/soundfile/av; only the HK"
+        " deterministic formats are available in this environment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+def sniff_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Populate the typed ``meta`` struct by sniffing blob headers.
+    JVM-side: magic check + byte slicing via built-in functions — no
+    Python for the metadata pass."""
+    data = F.col(data_col)
+    magic = F.substring(data, 1, 4).cast("string")
+    # little-endian u16/u32 from bytes via conv(reversed hex)
+    def le_int(start: int, nbytes: int):
+        parts = [
+            F.hex(F.substring(data, start + i, 1)) for i in reversed(range(nbytes))
+        ]
+        return F.conv(F.concat(*parts), 16, 10).cast("int")
+
+    meta = (
+        F.when(
+            magic == "HKI1",
+            F.struct(
+                F.lit("hki1").alias("format"),
+                le_int(5, 2).alias("width"),
+                le_int(7, 2).alias("height"),
+                le_int(9, 1).alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+            ),
+        )
+        .when(
+            magic == "HKA1",
+            F.struct(
+                F.lit("hka1").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("channels"),
+                le_int(5, 4).alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ),
+        )
+        .when(
+            magic == "HKV1",
+            F.struct(
+                F.lit("hkv1").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                le_int(5, 2).alias("n_frames"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit("unknown").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            )
+        )
+    )
+    return df.withColumn("meta", meta)
+
+
+_IMG_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data", hist_bins: int = 8
+) -> DataFrame:
+    """Decode + feature-extract images: per-channel means + an
+    ``hist_bins``-bucket grayscale histogram -> array<double>.
+    mapInPandas; one output row per input image; undecodable blobs
+    yield null features (drop-and-continue policy, A8 analog)."""
+    spark = df.sparkSession
+    ensure_package_on_executors(spark)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    arr = mm.decode_image_bytes(bytes(blob))
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None))
+                    continue
+                h, w, c = arr.shape
+                means = arr.reshape(-1, c).mean(axis=0)
+                gray = arr.mean(axis=2)
+                hist, _ = np.histogram(gray, bins=hist_bins, range=(0, 255))
+                feats = [*(float(m) for m in means), *(float(x) for x in hist / gray.size)]
+                rows.append((int(mid), w, h, c, feats))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "features"]
+            )
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(run, _IMG_FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Nearest-neighbor resize to (width, height); re-encoded HKI1."""
+    ensure_package_on_executors(df.sparkSession)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    arr = mm.decode_image_bytes(bytes(blob))
+                except ValueError:
+                    rows.append((int(mid), None))
+                    continue
+                h, w, _ = arr.shape
+                yi = (np.arange(height) * h // height).clip(0, h - 1)
+                xi = (np.arange(width) * w // width).clip(0, w - 1)
+                rows.append((int(mid), mm.encode_image(arr[yi][:, xi])))
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every: int = 2, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Explode videos into every ``every``-th frame (HKI1 blobs) —
+    one-to-many mapInPandas, the A12-explode analog for media."""
+    ensure_package_on_executors(df.sparkSession)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    for i, frame in enumerate(mm.iter_video_frames(bytes(blob))):
+                        if i % every == 0:
+                            rows.append((int(mid), i, frame))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(run, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Audio decode + RMS / zero-crossing-rate features."""
+    ensure_package_on_executors(df.sparkSession)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    samples, sr = mm.decode_audio_bytes(bytes(blob))
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                x = samples.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                    if len(x) > 1
+                    else 0.0
+                )
+                rows.append(
+                    (int(mid), sr, len(x), len(x) * 1000.0 / sr, rms, zcr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(run, _AUDIO_SCHEMA)

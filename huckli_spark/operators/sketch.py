@@ -37,17 +37,22 @@ def _perm_params(k: int) -> tuple[int, int]:
     return (2 * k + 3, 7_919 * k + 1)
 
 
-def minhash_signature(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles."""
-    sh = shingles(df, id_col, text_col, n=n)
-    hashed = sh.select(F.col(id_col), (h60(F.col("shingle")) % MINHASH_P).alias("h"))
+def _signature_from_hashes(hashed: DataFrame, id_col: str) -> DataFrame:
     aggs = []
     for k in range(MINHASH_K):
         a, b = _perm_params(k)
         aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{k}"))
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles."""
+    sh = shingles(df, id_col, text_col, n=n)
+    return _signature_from_hashes(
+        sh.select(F.col(id_col), (h60(F.col("shingle")) % MINHASH_P).alias("h")), id_col
+    )
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -68,11 +73,7 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
-def minhash_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct candidate pairs (d1 < d2) sharing any LSH band bucket."""
-    bands = minhash_bands(minhash_signature(df, id_col, text_col, n), id_col)
+def _candidates_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
     a = bands.select(F.col(id_col).alias("d1"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("d2"), "band", "band_sig")
     return (
@@ -81,6 +82,14 @@ def minhash_candidates(
         .select("d1", "d2")
         .distinct()
     )
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (d1 < d2) sharing any LSH band bucket."""
+    bands = minhash_bands(minhash_signature(df, id_col, text_col, n), id_col)
+    return _candidates_from_bands(bands, id_col)
 
 
 def minhash_dedup_pairs(
@@ -93,17 +102,28 @@ def minhash_dedup_pairs(
     """MinHash-LSH near-dup pipeline: candidates from band buckets,
     then exact-Jaccard verification restricted to candidates.
     Returns (d1, d2, jaccard) with jaccard >= threshold."""
-    cand = minhash_candidates(df, id_col, text_col, n)
-    sh = shingles(df, id_col, text_col, n=n)
+    # one shared shingle relation for signature, sizes, and verification
+    # (persisted: three consumers, one scan+explode+distinct)
+    sh = shingles(df, id_col, text_col, n=n).persist()
+    # signature is one narrow row per doc and feeds 4 band projections
+    sig = _signature_from_hashes(
+        sh.select(F.col(id_col), (h60(F.col("shingle")) % MINHASH_P).alias("h")), id_col
+    ).persist()
+    cand = _candidates_from_bands(minhash_bands(sig, id_col), id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    # verification: restrict both shingle sides to candidate docs first
+    # (at scale the candidate set is a tiny fraction of the corpus, so
+    # the verify self-join touches almost nothing)
+    cand_ids = cand.select(F.col("d1").alias(id_col)).union(
+        cand.select(F.col("d2").alias(id_col))
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("d1") < F.col("d2"))
-        # verification only for LSH candidates — at scale this
-        # semi-join keeps the pair space tiny
         .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_common"))
@@ -158,7 +178,7 @@ def simhash_pairs(
     pigeonhole banding: 4 chunks of 4 bits — any pair with <= 3
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches)."""
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col).persist()  # 4 chunk projections
     n_chunks = 4
     chunk_bits = SIMHASH_BITS // n_chunks
     parts = []

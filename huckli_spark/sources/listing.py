@@ -58,16 +58,23 @@ def list_local(
     """Local-FS listing with the same bound semantics as the S3 path:
     ``after`` is strict (start_after excludes the bound key itself),
     ``before`` is inclusive-upper via ``timestamp <= before``."""
-    lower = start_after_key(prefix, after) if after else None
+    # The radio_usage_stats v1 prefix carries a trailing '.' to keep the
+    # S3 listing from matching v2 keys (usage.rs:8-12). Filenames parse
+    # to the dotless prefix, so normalize for the equality check while
+    # keeping the dotted form for the startswith (S3-prefix-semantics)
+    # match.
+    match_prefix = prefix if prefix.endswith(".") else prefix + "."
+    bare_prefix = prefix.rstrip(".")
+    lower = start_after_key(bare_prefix, after) if after else None
     out = []
     for name in sorted(os.listdir(directory)):
-        if not name.startswith(prefix + "."):
+        if not name.startswith(match_prefix):
             continue
         try:
             info = FileInfo.from_key(os.path.join(directory, name))
         except ValueError:
             continue
-        if info.prefix != prefix:
+        if info.prefix != bare_prefix:
             continue
         if lower is not None and name <= lower:
             continue

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing tests: schema, metadata sniffing,
+decode/feature/resize/frame-sample batch shapes, error tolerance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from huckli_spark.operators import multimodal as mm
+
+
+def _img(seed: int, w: int = 16, h: int = 12, c: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.fixture
+def media_df(spark):
+    imgs = [(i, "image", mm.encode_image(_img(i))) for i in range(4)]
+    rng = np.random.default_rng(7)
+    audio = [
+        (10, "audio", mm.encode_audio((rng.standard_normal(8000) * 1000), 16000))
+    ]
+    video = [(20, "video", mm.encode_video([_img(s) for s in range(5)]))]
+    junk = [(99, "image", b"\x00\x01\x02 not media")]
+    return spark.createDataFrame(
+        imgs + audio + video + junk, "media_id: long, kind: string, data: binary"
+    )
+
+
+class TestMetadata:
+    def test_sniff(self, media_df):
+        meta = {r.media_id: r.meta for r in mm.sniff_metadata(media_df).collect()}
+        assert meta[0].format == "hki1"
+        assert (meta[0].width, meta[0].height, meta[0].channels) == (16, 12, 3)
+        assert meta[10].format == "hka1"
+        assert meta[10].sample_rate == 16000
+        assert meta[20].format == "hkv1"
+        assert meta[20].n_frames == 5
+        assert meta[99].format == "unknown"
+
+
+class TestImages:
+    def test_features(self, media_df):
+        rows = {
+            r.media_id: r
+            for r in mm.image_features(media_df.where("kind = 'image'")).collect()
+        }
+        r0 = rows[0]
+        arr = _img(0)
+        assert (r0.width, r0.height, r0.channels) == (16, 12, 3)
+        assert len(r0.features) == 3 + 8  # channel means + 8 hist bins
+        np.testing.assert_allclose(
+            r0.features[:3], arr.reshape(-1, 3).mean(axis=0), rtol=1e-12
+        )
+        assert abs(sum(r0.features[3:]) - 1.0) < 1e-9  # histogram normalized
+        # junk blob -> null features, not a task failure (A8 policy)
+        assert rows[99].features is None
+
+    def test_resize(self, spark, media_df):
+        out = mm.resize_images(media_df.where("media_id = 0"), 8, 6).collect()[0]
+        arr = mm.decode_image_bytes(bytes(out.data))
+        assert arr.shape == (6, 8, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        src_px = set(map(tuple, _img(0).reshape(-1, 3)))
+        assert set(map(tuple, arr.reshape(-1, 3))) <= src_px
+
+
+class TestVideoAudio:
+    def test_frame_sampling(self, media_df):
+        frames = mm.sample_frames(media_df.where("kind = 'video'"), every=2).collect()
+        assert [f.frame_idx for f in frames] == [0, 2, 4]
+        first = mm.decode_image_bytes(bytes(frames[0].frame))
+        np.testing.assert_array_equal(first, _img(0))
+
+    def test_audio_features(self, media_df):
+        r = mm.audio_features(media_df.where("kind = 'audio'")).collect()[0]
+        assert r.sample_rate == 16000
+        assert r.n_samples == 8000
+        assert r.duration_ms == 500.0
+        assert r.rms > 0
+        assert 0 < r.zero_crossing_rate < 1
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm.decode_real(b"\xff\xd8\xff", "image")
+
+
+class TestPipelineComposition:
+    def test_features_feed_simsearch(self, spark, media_df):
+        """Image features flow into the cosine similarity operators."""
+        from huckli_spark.operators.simsearch import cosine_pairs
+
+        feats = (
+            mm.image_features(media_df.where("kind = 'image'"))
+            .where("features IS NOT NULL")
+            .selectExpr("media_id AS vec_id", "features AS embedding")
+        )
+        pairs = cosine_pairs(feats, threshold=-1.0)
+        assert pairs.count() == 6  # C(4,2)
