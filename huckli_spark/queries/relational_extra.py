@@ -1,0 +1,291 @@
+"""Extended relational parity queries (SURVEY §2.B rows not covered by
+``tpch_parity``): CUBE / GROUPING SETS, INTERSECT, as-of join, range
+(band) join, approximate distinct, and the LSH-bucketed ANN scale path.
+
+The reference delegates all of these to embedded DuckDB
+(/root/reference/Cargo.toml:15); here each gets a Spark-first plan and
+a DuckDB oracle. The as-of join is the composition SURVEY §2.B calls
+out ("as-of join = window/last() over union"): one shuffle on the
+partition key, no per-row range probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.operators import simsearch
+from huckli_spark.queries import query
+from huckli_spark.session import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all 4 grouping sets over two dims
+# ---------------------------------------------------------------------------
+@query(
+    "q_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {sql_fround('sum(l_quantity)')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets ((),(a),(b),(a,b)).",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Scale: Expand multiplies input 4x BEFORE the shuffle, but partial
+    # aggregation collapses each grouping set map-side, so the shuffle
+    # still carries ~|groups| rows per task.
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), fround(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {sql_fround('sum(l_extendedprice)')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS list (neither rollup nor cube).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count("*").alias("n"), fround(F.sum("l_extendedprice")).alias("sum_price"))
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT — set intersection (completes union/except coverage)
+# ---------------------------------------------------------------------------
+@query(
+    "q_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT set operation.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# As-of join — for every purchase, the most recent click at-or-before
+# its timestamp per user. Spark has no ASOF keyword; the scalable
+# composition is union + last(ignoreNulls) over an ordered window:
+# ONE shuffle on user_id, O(n log n) per user, no range probe per row.
+# DuckDB expresses the same thing natively (ASOF LEFT JOIN).
+# ---------------------------------------------------------------------------
+@query(
+    "q_asof_join",
+    f"""
+    SELECT p.user_id, p.event_id,
+           {sql_fround('(epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0')} AS gap_s
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: latest click at-or-before each purchase, per user.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # clicks sort BEFORE purchases at equal ts (is_purchase asc) =>
+    # inclusive at-or-before semantics, matching ASOF's p.ts >= c.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_purchase") == 1).select(
+        "user_id",
+        "event_id",
+        fround(
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")) / 1_000_000.0
+        ).alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join — non-equi join of a fact column into value bands.
+# ---------------------------------------------------------------------------
+_BANDS = [
+    ("small", 0.0, 50_000.0),
+    ("medium", 50_000.0, 150_000.0),
+    ("large", 150_000.0, 300_000.0),
+    ("jumbo", 300_000.0, 1e12),
+]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@query(
+    "q_range_join",
+    f"""
+    SELECT band, count(*) AS n, {sql_fround('sum(o_totalprice)')} AS total
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="range/band non-equi join (broadcast nested loop on a tiny band table).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(
+        _BANDS,
+        T.StructType(
+            [
+                T.StructField("band", T.StringType(), False),
+                T.StructField("lo", T.DoubleType(), False),
+                T.StructField("hi", T.DoubleType(), False),
+            ]
+        ),
+    )
+    # Scale: the band table is tiny and broadcast, so the non-equi
+    # condition runs as BroadcastNestedLoopJoin — each fact row tests
+    # |bands| predicates map-side, no shuffle of the fact side.
+    joined = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), fround(F.sum("o_totalprice")).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — the 100 TB cardinality path. HLL sketches are
+# engine-specific (Spark's HLL++ vs DuckDB's HLL give different
+# estimates), so this is a rows-only check by design; exact
+# count_distinct parity is covered by q_group_distinct.
+# ---------------------------------------------------------------------------
+@query(
+    "q_approx_distinct",
+    None,
+    doc="approx_count_distinct (HLL++, rsd=0.01) — estimates are "
+    "engine-specific so no SQL oracle; rows-only check.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Scale: HLL sketch merges are constant-size per group — the
+    # shuffle carries one ~kB sketch per (group, task), independent of
+    # key cardinality. This is the q_group_distinct replacement at
+    # 100 TB.
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path for q_ann_bruteforce: candidates
+# are restricted to equal random-hyperplane signatures, replacing the
+# O(n*q) cross product with a bucket equi-join. The oracle re-derives
+# the identical signatures in SQL from the same md5-seeded plane
+# constants, so both engines bucket identically.
+# ---------------------------------------------------------------------------
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _lsh_sig_sql(col: str) -> str:
+    terms = []
+    for p in range(_LSH_PLANES):
+        consts = ", ".join(
+            repr(simsearch._md5_unit("huckli", p, i)) for i in range(_LSH_DIM)
+        )
+        terms.append(
+            f"CASE WHEN list_dot_product({col}, [{consts}]) > 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_COS = (
+    "list_dot_product(qv, nv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@query(
+    "q_ann_lsh",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_lsh_sig_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, v AS nv, bucket FROM sig
+    ), sims AS (
+      SELECT query_id, neighbor_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM q JOIN c USING (bucket)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+    doc="LSH-bucketed approximate top-5 neighbors (8 hyperplanes): "
+    "bucket equi-join replaces the cross product.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sigs = simsearch.lsh_assign(em, n_planes=_LSH_PLANES, dim=_LSH_DIM)
+    q = sigs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "bucket"
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"), "bucket"
+    )
+    # Scale: the corpus side shuffles on bucket (or stays put with a
+    # broadcast query side); candidate count per query ~ n / 2^planes.
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(simsearch.cosine("__qv", "__nv"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
