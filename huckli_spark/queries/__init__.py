@@ -44,5 +44,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import embeddings  # noqa: F401
     from huckli_spark.queries import dedup_sketch  # noqa: F401
     from huckli_spark.queries import relational_extra  # noqa: F401
+    from huckli_spark.queries import streaming_parity  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,110 @@
+"""Event-time windowed aggregation with watermarks.
+
+The batch engine buckets time with ``date_trunc`` (q_time_bucket); the
+streaming twin uses ``F.window`` over an event-time column with a
+watermark bounding state. On a drained backlog (availableNow trigger,
+complete output) the result is exactly the batch aggregate, which is
+what the differential oracle checks.
+
+Scale: state per live window is one row per (window, key); the
+watermark evicts windows older than the lateness bound, so state size
+is O(keys x windows-in-horizon), independent of stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from huckli_spark.functions.portable import fround
+
+# Physical schema of events.parquet with nanosAsLong (the fixture's ts
+# is TIMESTAMP(NANOS) — see huckli_spark.session.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stage_table_stream(sf_dir: str, table: str) -> str:
+    """Copy a fixture table file into a fresh directory usable as a
+    file-stream source (file sources tail directories, not files)."""
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    shutil.copy(os.path.join(sf_dir, f"{table}.parquet"), d)
+    return d
+
+
+def events_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """Streaming events with a proper microsecond ``ts`` timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_key: str | None = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window count + value sum.
+
+    Output carries the window start as a formatted string (portable
+    hashing across engines, like q_time_bucket's bucket column).
+    """
+    keys: list[Column] = [F.window("ts", width).alias("win")]
+    if extra_key:
+        keys.append(F.col(extra_key))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"), fround(F.sum("value")).alias("total_value"))
+    )
+    out = [
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n"),
+        F.col("total_value"),
+    ]
+    if extra_key:
+        out.insert(1, F.col(extra_key))
+    return agg.select(*out)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame (availableNow) into a memory sink and
+    return the result as a batch DataFrame.
+
+    Memory sink is driver-resident — correct for aggregates (small by
+    construction), never for raw streams at scale; the production sink
+    is parquet/Delta via ``writeStream`` (see streaming.ingest).
+    """
+    spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)

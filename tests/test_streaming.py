@@ -1,0 +1,186 @@
+"""Structured Streaming tests: streaming ingest end-to-end (with
+restart/exactly-once file tracking), and the stateful sessionization
+operator differentially against its batch form.
+
+The watermarked tumbling-window aggregate is covered by the parity
+gate (q_stream_time_bucket hash-matches the DuckDB batch oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from huckli_spark.ingest.warehouse import Warehouse
+from huckli_spark.sources.framing import write_framed_gzip
+from huckli_spark.streaming.ingest import stream_ingest
+from huckli_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+from tests.test_ingest import T0_MS, _speedtest_payloads
+
+
+class TestStreamIngest:
+    def test_backlog_restart_and_tail(self, spark, tmp_path):
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        for i in range(2):
+            ms = T0_MS + i * 3_600_000
+            write_framed_gzip(
+                str(raw / f"verified_speedtest.{ms}.gz"),
+                _speedtest_payloads(10, base_ms=ms),
+            )
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        ckpt = str(tmp_path / "ckpt")
+
+        q = stream_ingest(spark, "verified-speedtest", str(raw), wh, ckpt)
+        assert q.awaitTermination(180)
+        assert wh.table("verified_speedtest_report").count() == 20
+        assert wh.table("files_processed").count() == 2
+
+        # restart on the same checkpoint: nothing re-ingested (the
+        # stream's file log subsumes the reference's files_processed
+        # lower-bound scan — and closes its at-least-once gap)
+        q = stream_ingest(spark, "verified-speedtest", str(raw), wh, ckpt)
+        assert q.awaitTermination(180)
+        assert wh.table("verified_speedtest_report").count() == 20
+        assert wh.table("files_processed").count() == 2
+
+        # a new file lands; only it is processed on the next run
+        ms = T0_MS + 2 * 3_600_000
+        write_framed_gzip(
+            str(raw / f"verified_speedtest.{ms}.gz"),
+            _speedtest_payloads(5, base_ms=ms),
+        )
+        q = stream_ingest(spark, "verified-speedtest", str(raw), wh, ckpt)
+        assert q.awaitTermination(180)
+        assert wh.table("verified_speedtest_report").count() == 25
+        assert wh.table("files_processed").count() == 3
+        # provenance rows from the new file only
+        new_rows = (
+            wh.table("verified_speedtest_report")
+            .where(F.col("file_source") == f"verified_speedtest.{ms}.gz")
+            .count()
+        )
+        assert new_rows == 5
+
+
+_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+_T0 = 1_700_000_000_000_000  # epoch micros
+
+
+def _ts(minutes: float):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(
+        (_T0 + int(minutes * 60 * 1_000_000)) / 1e6, tz=timezone.utc
+    )
+
+
+class TestSessionize:
+    def _stage(self, spark, tmp_path, rows_batches):
+        """Write each batch as one parquet file into the stream dir with
+        increasing mtimes so the file source replays them in order."""
+        stream_dir = tmp_path / "stream"
+        stream_dir.mkdir()
+        for i, rows in enumerate(rows_batches):
+            df = spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1)
+            part_dir = tmp_path / f"part{i}"
+            df.write.mode("overwrite").parquet(str(part_dir))
+            src = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = stream_dir / f"batch{i}.parquet"
+            shutil.copy(part_dir / src, dst)
+            base = time.time() - 1000
+            os.utime(dst, (base + i * 10, base + i * 10))
+        return str(stream_dir)
+
+    def test_stream_matches_batch_closed_sessions(self, spark, tmp_path):
+        # user 1: [0m, 10m] gap> [180m, 185m]; user 2: [60m, 90m] gap> [600m]
+        batch1 = [
+            (1, 1, _ts(0)),
+            (1, 2, _ts(10)),
+            (2, 3, _ts(60)),
+            (2, 4, _ts(90)),
+        ]
+        batch2 = [(1, 5, _ts(180)), (1, 6, _ts(185)), (2, 7, _ts(600))]
+        stream_dir = self._stage(spark, tmp_path, [batch1, batch2])
+
+        stream = (
+            spark.readStream.schema(_EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        sess = sessionize_stream(stream, gap_minutes=60, watermark="0 seconds")
+        name = "sess_test_sink"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        emitted = {
+            (r.user_id, r.n_events, r.start_us, r.end_us)
+            for r in spark.table(name).collect()
+        }
+
+        all_events = spark.createDataFrame(batch1 + batch2, _EV_SCHEMA)
+        batch = sessionize_batch(all_events, gap_minutes=60)
+        by_key = {
+            (r.user_id, r.session_id): (
+                r.user_id,
+                r.n_events,
+                r.start_us,
+                int(r.start_us + r.duration_s * 1_000_000),
+            )
+            for r in batch.collect()
+        }
+        closed_by_data = {by_key[(1, 1)], by_key[(2, 1)]}
+        # sessions the watermark could additionally have flushed via
+        # timeout (final watermark = last event = 600m; u1 session 2
+        # timed out at 185m+60m < 600m; u2 session 2 never can)
+        timeout_eligible = {by_key[(1, 2)]}
+
+        assert closed_by_data <= emitted
+        assert emitted <= closed_by_data | timeout_eligible
+        # every emission is a genuine batch session (no corruption)
+        assert emitted <= set(by_key.values())
+
+    def test_single_batch_all_in_order(self, spark, tmp_path):
+        rows = [
+            (7, i, _ts(m))
+            for i, m in enumerate([0, 5, 10, 200, 210, 500])
+        ]
+        stream_dir = self._stage(spark, tmp_path, [rows])
+        stream = spark.readStream.schema(_EV_SCHEMA).parquet(stream_dir)
+        sess = sessionize_stream(stream, gap_minutes=60, watermark="0 seconds")
+        name = "sess_test_sink2"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        emitted = {
+            (r.user_id, r.n_events) for r in spark.table(name).collect()
+        }
+        # sessions [0,5,10] and [200,210] close in-batch; [500] stays open
+        assert {(7, 3), (7, 2)} <= emitted
+        assert (7, 1) not in emitted
