@@ -5,12 +5,15 @@ hash is the 60-bit md5 prefix (functions.portable.h60), so the DuckDB
 oracles in queries/dedup_sketch.py compute bit-identical signatures.
 
 Scale design (100 TB):
-- Signatures are one map stage + one groupBy(doc) — the only wide op.
-- Candidate generation joins on (band, signature) buckets, never on
-  raw content: shuffle volume is O(#docs × #bands), independent of
-  document size.
-- MinHash verification re-computes exact Jaccard for candidates only
-  (semi-join pushdown on the shingle table).
+- Signatures are DOCUMENT-LOCAL: shingle/word arrays, their hashes,
+  and all K min-hash permutations (resp. all SimHash bit sums) are
+  higher-order array expressions inside the row — the signature stage
+  shuffles NOTHING.
+- Candidate generation groups ids per (band, signature) bucket and
+  explodes pairs from the sorted posting list — one shuffled side,
+  shuffle volume O(#docs x #bands), independent of document size.
+- MinHash verification re-computes exact Jaccard for candidate docs
+  only (semi-join pushdown on the shingle relation).
 - SimHash banding is exact, not probabilistic: splitting a 16-bit
   signature into 4 chunks guarantees (pigeonhole) that any pair within
   Hamming distance 3 shares a chunk — banded output == brute force.
@@ -18,17 +21,21 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from huckli_spark.functions.portable import fround, h60
-from huckli_spark.operators.dedup import shingles
+from huckli_spark.functions.portable import fround
+from huckli_spark.operators.dedup import shingle_array
 
 # MinHash parameters — mirrored verbatim in the SQL oracle.
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4  # K = BANDS * ROWS
+
+# SQL fragment: portable 60-bit hash of a lambda variable (h60 twin,
+# usable inside higher-order functions).
+_H60 = "cast(conv(substr(md5({v}), 1, 15), 16, 10) AS bigint)"
 
 
 def _perm_params(k: int) -> tuple[int, int]:
@@ -37,43 +44,53 @@ def _perm_params(k: int) -> tuple[int, int]:
     return (2 * k + 3, 7_919 * k + 1)
 
 
-def _signature_from_hashes(hashed: DataFrame, id_col: str) -> DataFrame:
-    aggs = []
-    for k in range(MINHASH_K):
-        a, b = _perm_params(k)
-        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{k}"))
-    return hashed.groupBy(id_col).agg(*aggs)
+def _with_signature_cols(docs: DataFrame) -> DataFrame:
+    """Append mh0..mh{K-1} to a (id, sh_arr) DataFrame — document-local:
+    hash each shingle once, then take K permuted minima over the array."""
+    hashed = docs.withColumn(
+        "__hs",
+        F.expr(f"transform(sh_arr, s -> {_H60.format(v='s')} % {MINHASH_P})"),
+    )
+    mins = [
+        F.expr(f"array_min(transform(__hs, h -> (h * {a} + {b}) % {MINHASH_P}))").alias(
+            f"mh{k}"
+        )
+        for k, (a, b) in ((k, _perm_params(k)) for k in range(MINHASH_K))
+    ]
+    return hashed.select("*", *mins).drop("__hs")
 
 
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles."""
-    sh = shingles(df, id_col, text_col, n=n)
-    return _signature_from_hashes(
-        sh.select(F.col(id_col), (h60(F.col("shingle")) % MINHASH_P).alias("h")), id_col
-    )
+    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles.
+    Pure map stage — no shuffle."""
+    docs = shingle_array(df, id_col, text_col, n=n)
+    return _with_signature_cols(docs).drop("sh_arr")
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, band_sig) — md5 over each band's row values."""
-    parts = []
+    """(id, band, band_sig) — md5 over each band's row values; all
+    bands emitted in one pass via an array explode (no self-union)."""
+    entries = []
     for band in range(MINHASH_BANDS):
         cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        parts.append(
-            sig.select(
-                F.col(id_col),
+        entries.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("b")
+    ).select(id_col, "b.band", "b.band_sig")
 
 
 def _candidates_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct pairs sharing any band bucket, via the bucket equi-join
+    (singleton-dominated buckets make a collect_list inverted index
+    slower — see operators.dedup module notes)."""
+    bands = bands.persist()  # both join sides read it
     a = bands.select(F.col(id_col).alias("d1"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("d2"), "band", "band_sig")
     return (
@@ -102,23 +119,22 @@ def minhash_dedup_pairs(
     """MinHash-LSH near-dup pipeline: candidates from band buckets,
     then exact-Jaccard verification restricted to candidates.
     Returns (d1, d2, jaccard) with jaccard >= threshold."""
-    # one shared shingle relation for signature, sizes, and verification
-    # (persisted: three consumers, one scan+explode+distinct)
-    sh = shingles(df, id_col, text_col, n=n).persist()
-    # signature is one narrow row per doc and feeds 4 band projections
-    sig = _signature_from_hashes(
-        sh.select(F.col(id_col), (h60(F.col("shingle")) % MINHASH_P).alias("h")), id_col
-    ).persist()
+    # one shared (id, shingle-array) relation: signatures, sizes, and
+    # verification all derive from it document-locally
+    docs = shingle_array(df, id_col, text_col, n=n).persist()
+    sig = _with_signature_cols(docs).drop("sh_arr")
     cand = _candidates_from_bands(minhash_bands(sig, id_col), id_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
 
-    # verification: restrict both shingle sides to candidate docs first
-    # (at scale the candidate set is a tiny fraction of the corpus, so
-    # the verify self-join touches almost nothing)
+    # verification: restrict the shingle relation to candidate docs
+    # first (at scale the candidate set is a tiny fraction of the
+    # corpus, so the intersect stage touches almost nothing)
     cand_ids = cand.select(F.col("d1").alias(id_col)).union(
         cand.select(F.col("d2").alias(id_col))
     ).distinct()
-    sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_c = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
+    ).persist()
     a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
     b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
     inter = (
@@ -149,23 +165,31 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, simhash) — 16-bit SimHash over distinct lowercase words.
-    Bit j is set iff sum over words of (2*bit_j(h60(word)) - 1) > 0."""
-    w = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w")
+    Bit j is set iff sum over words of (2*bit_j(h60(word)) - 1) > 0.
+    Document-local: word hashes and all 16 bit sums are array folds
+    inside the row — no shuffle at all."""
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array_distinct(split({text_col}, ' ')),"
+            f" w -> {_H60.format(v='w')})"
+        ).alias("__hs"),
     )
-    hashed = w.select(F.col(id_col), h60(F.col("w")).alias("h"))
-    aggs = [
-        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
+    sums = [
+        F.expr(
+            f"aggregate(__hs, cast(0 AS bigint),"
+            f" (acc, h) -> acc + (((h div {1 << j}) % 2) * 2 - 1))"
+        ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = hashed.groupBy(id_col).agg(*aggs)
+    with_sums = hashed.select(F.col(id_col), *sums)
     sig = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    return with_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -178,23 +202,28 @@ def simhash_pairs(
     pigeonhole banding: 4 chunks of 4 bits — any pair with <= 3
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches)."""
-    sig = simhash(df, id_col, text_col).persist()  # 4 chunk projections
+    sig = simhash(df, id_col, text_col)
     n_chunks = 4
     chunk_bits = SIMHASH_BITS // n_chunks
-    parts = []
-    for c in range(n_chunks):
-        chunk = F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
-            (1 << chunk_bits) - 1
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND((1 << chunk_bits) - 1)
+            .alias("chunk"),
         )
-        parts.append(
-            sig.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk_id"), chunk.alias("chunk"))
-        )
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionByName(p)
-    a = bands.select(F.col(id_col).alias("d1"), F.col("simhash").alias("h1"), "chunk_id", "chunk")
-    b = bands.select(F.col(id_col).alias("d2"), F.col("simhash").alias("h2"), "chunk_id", "chunk")
-    cand = (
+        for c in range(n_chunks)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("b")
+    ).select(id_col, "simhash", "b.chunk_id", "b.chunk")
+    a = bands.select(
+        F.col(id_col).alias("d1"), F.col("simhash").alias("h1"), "chunk_id", "chunk"
+    )
+    b = bands.select(
+        F.col(id_col).alias("d2"), F.col("simhash").alias("h2"), "chunk_id", "chunk"
+    )
+    pairs = (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "h1", "h2")
@@ -202,7 +231,7 @@ def simhash_pairs(
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
-        cand.withColumn("hamming", ham.cast("long"))
+        pairs.withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
