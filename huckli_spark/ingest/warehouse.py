@@ -129,9 +129,12 @@ class Warehouse:
         try:
             out: dict[str, int] = {}
             for name, df in spec.project(decoded).items():
-                before = self.table(name).count() if self.has_table(name) else 0
+                # count the batch, not the table: a full-table scan per
+                # append is O(warehouse) and would dominate at scale
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                out[name] = df.count()
                 self.append(name, df)
-                out[name] = self.table(name).count() - before
+                df.unpersist()
             # checkpoint AFTER data commit, per file (A16; at-least-once)
             for info in files:
                 self.save_file_processed(info)
