@@ -66,16 +66,16 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A2/A3 lower+upper time-bound filter then aggregate.",
 )
 def q_filter_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    from huckli_spark.session import load_events_timebound
+
     # Scale: on a date-partitioned warehouse this is partition pruning;
-    # here the range predicate pushes to parquet row groups.
-    return (
-        ev.where(
-            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
-        )
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), fround(F.sum("value")).alias("total_value"))
+    # here the range bound is translated into the ts column's PHYSICAL
+    # domain (nanos long) so it pushes to the parquet row groups.
+    ev = load_events_timebound(
+        spark, sf_dir, "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), fround(F.sum("value")).alias("total_value")
     )
 
 

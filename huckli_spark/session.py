@@ -78,6 +78,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def load_events_timebound(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str):
+    """events scan with [lo, hi) pushed down on the PHYSICAL ts column.
+
+    The fixture's ts is TIMESTAMP(NANOS), surfaced as a nanosecond
+    long; filtering after the timestamp conversion leaves the range
+    predicate above the scan (only IsNotNull pushes). Translating the
+    bound into the column's physical domain makes it a parquet
+    row-group filter again — the difference between scanning a day and
+    scanning a year at warehouse scale.
+    """
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+
+    def _ns(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000) * 1_000
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.where((F.col("ts") >= _ns(lo_iso)) & (F.col("ts") < _ns(hi_iso)))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.where(
+        (F.col("ts") >= F.lit(lo_iso).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi_iso).cast("timestamp"))
+    )
+
+
 TPCH_TABLES = (
     "region",
     "nation",

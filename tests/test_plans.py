@@ -1,0 +1,81 @@
+"""Physical-plan regression tests (scale discipline).
+
+Correctness says the query returns the right rows; these assert it
+returns them with the right PLAN — filters and projections reach the
+parquet scan, small dimensions broadcast, top-k never global-sorts,
+non-equi banding stays a broadcast nested loop. A regression here is
+invisible at fixture scale and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from huckli_spark.queries import all_queries
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].build(spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+EXPECTATIONS = {
+    # predicate + column pushdown reach the scan
+    "q_scan_project": [
+        r"PushedFilters: \[IsNotNull\(l_quantity\), GreaterThan\(l_quantity",
+        r"ReadSchema: .*l_orderkey",
+    ],
+    # time-range predicates push down in the ts column's physical
+    # domain — nanos long (partition-pruning analog, A2/A3)
+    "q_filter_timerange": [r"PushedFilters: .*GreaterThanOrEqual\(ts,\d+"],
+    # small dim side broadcasts; the fact side must not shuffle for it
+    "q_broadcast_dim_join": [r"BroadcastHashJoin"],
+    "q_window_rank": [r"BroadcastHashJoin", r"Window"],
+    # semi/anti joins plan as such (not inner + dedup)
+    "q_semi_anti_join": [r"LeftSemi", r"LeftAnti"],
+    # top-k is a per-partition heap + driver merge, not a global sort
+    "q_topk": [r"TakeOrderedAndProject"],
+    # band join: tiny band table broadcast, non-equi as nested loop
+    "q_range_join": [r"BroadcastNestedLoopJoin"],
+    # partial (map-side) aggregation before the exchange
+    "q_group_sum": [r"HashAggregate"],
+    # LSH ANN: bucket join is an equi-join (hash/broadcast), and the
+    # tiny query side broadcasts — no cross product anywhere
+    "q_ann_lsh": [r"Broadcast(Hash|NestedLoop)Join"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_shape(spark, name):
+    plan = _plan(spark, name)
+    for pat in EXPECTATIONS[name]:
+        assert re.search(pat, plan), f"{name}: expected /{pat}/ in plan:\n{plan}"
+
+
+def test_topk_has_no_global_sort(spark):
+    # TakeOrderedAndProject subsumes the sort; a Sort + Exchange pair
+    # would mean a full cluster-wide sort for 10 rows
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort\b.*global=true", plan)
+
+
+def test_group_sum_single_shuffle(spark):
+    # TPC-H Q1 shape: exactly one shuffle (partial agg -> exchange ->
+    # final agg); a second exchange means partial aggregation was lost
+    plan = _plan(spark, "q_group_sum")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + window composition: one hash exchange on user_id; a
+    # range-probe join here would be a nested loop over events
+    plan = _plan(spark, "q_asof_join")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # union sides
+    assert "NestedLoop" not in plan
