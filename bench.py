@@ -28,10 +28,16 @@ HEADLINE = [
     "q_time_bucket",
     "q_topk",
     "q_json_extract",
+    "q_cube",
+    "q_asof_join",
+    "q_range_join",
+    "q_sessionize",
     "q_ngram_jaccard",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_token_count",
     "q_ann_bruteforce",
+    "q_ann_lsh",
 ]
 
 

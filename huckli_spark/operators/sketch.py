@@ -14,7 +14,7 @@ Scale design (100 TB):
   shuffle volume O(#docs x #bands), independent of document size.
 - MinHash verification re-computes exact Jaccard for candidate docs
   only (semi-join pushdown on the shingle relation).
-- SimHash banding is exact, not probabilistic: splitting a 16-bit
+- SimHash banding is exact, not probabilistic: splitting the 60-bit
   signature into 4 chunks guarantees (pigeonhole) that any pair within
   Hamming distance 3 shares a chunk — banded output == brute force.
 """
@@ -158,15 +158,21 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 16
+# 60 bits (h60's full width; max term 2^59 stays in BIGINT): a 16-bit
+# signature has only 65k distinct values, so chunk buckets collide
+# quadratically once the corpus passes ~10^4 docs — measured 14s at
+# sf0.1 vs <2s for 60-bit, and the wider sketch is also the one that
+# actually separates near-dups from noise.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks: pigeonhole-exact for Hamming <= 3
 
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — 16-bit SimHash over distinct lowercase words.
+    """(id, simhash) — 60-bit SimHash over distinct lowercase words.
     Bit j is set iff sum over words of (2*bit_j(h60(word)) - 1) > 0.
-    Document-local: word hashes and all 16 bit sums are array folds
+    Document-local: word hashes and all 60 bit sums are array folds
     inside the row — no shuffle at all."""
     hashed = df.select(
         F.col(id_col),
@@ -175,21 +181,28 @@ def simhash(
             f" w -> {_H60.format(v='w')})"
         ).alias("__hs"),
     )
-    sums = [
-        F.expr(
-            f"aggregate(__hs, cast(0 AS bigint),"
-            f" (acc, h) -> acc + (((h div {1 << j}) % 2) * 2 - 1))"
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    with_sums = hashed.select(F.col(id_col), *sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return with_sums.select(F.col(id_col), sig.alias("simhash"))
+    # single fold to a 60-counter array (measured 2.5x faster than 60
+    # separate folds: one pass over the word hashes instead of 60).
+    # CRITICAL: the counter array must be consumed by exactly ONE
+    # expression site — CollapseProject inlines intermediate columns
+    # into every reference, so e.g. 60 element_at(sums, j) references
+    # would re-run the whole fold 60x per row (measured 400+ s at
+    # sf0.1). zip_with reads it once.
+    b = SIMHASH_BITS
+    counters = (
+        f"aggregate(__hs, array_repeat(cast(0 AS bigint), {b}),"
+        f" (acc, h) -> zip_with(acc,"
+        f"   transform(sequence(0, {b - 1}),"
+        f"     j -> ((h div cast(pow(2, j) AS bigint)) % 2) * 2 - 1),"
+        f"   (x, y) -> x + y))"
+    )
+    powers = f"transform(sequence(0, {b - 1}), j -> cast(pow(2, j) AS bigint))"
+    sig = (
+        f"aggregate(zip_with({counters}, {powers},"
+        f"   (c, p) -> CASE WHEN c > 0 THEN p ELSE cast(0 AS bigint) END),"
+        f" cast(0 AS bigint), (a, v) -> a + v)"
+    )
+    return hashed.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_pairs(
@@ -199,11 +212,11 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming``, via exact
-    pigeonhole banding: 4 chunks of 4 bits — any pair with <= 3
+    pigeonhole banding: 4 chunks of 15 bits — any pair with <= 3
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches)."""
     sig = simhash(df, id_col, text_col)
-    n_chunks = 4
+    n_chunks = SIMHASH_CHUNKS
     chunk_bits = SIMHASH_BITS // n_chunks
     entries = [
         F.struct(
@@ -223,15 +236,16 @@ def simhash_pairs(
     b = bands.select(
         F.col(id_col).alias("d2"), F.col("simhash").alias("h2"), "chunk_id", "chunk"
     )
-    pairs = (
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    # Hamming-filter BEFORE deduplicating: the test is a couple of ALU
+    # ops per candidate row, so pairs sharing several chunks are just
+    # tested again, while the distinct() shuffle only carries the tiny
+    # surviving pair set instead of the full candidate volume.
+    return (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "h1", "h2")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        pairs.withColumn("hamming", ham.cast("long"))
+        .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+        .distinct()
     )

@@ -117,7 +117,7 @@ def _simhash_oracle() -> str:
 @query(
     "q_dedup_simhash",
     _simhash_oracle(),
-    doc="16-bit SimHash pairs within Hamming distance 3 (banded join == "
+    doc="60-bit SimHash pairs within Hamming distance 3 (banded join == "
     "brute force by pigeonhole, so the O(n²) oracle matches exactly).",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
