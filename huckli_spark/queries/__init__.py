@@ -45,5 +45,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import dedup_sketch  # noqa: F401
     from huckli_spark.queries import relational_extra  # noqa: F401
     from huckli_spark.queries import streaming_parity  # noqa: F401
+    from huckli_spark.queries import multimodal_parity  # noqa: F401
 
     return dict(_REGISTRY)
