@@ -49,11 +49,21 @@ FILES_PROCESSED_SCHEMA = T.StructType(
 
 
 class Warehouse:
-    """A directory of parquet tables + the files_processed checkpoint."""
+    """A directory of parquet tables + the files_processed checkpoint.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``idempotent=True`` partitions every data table by ``file_source``
+    and writes with dynamic partition overwrite: re-ingesting a file
+    REPLACES its rows instead of duplicating them — the Delta
+    ``replaceWhere file_source = key`` upgrade from SURVEY §7 M6,
+    closing the reference's at-least-once append-then-checkpoint gap
+    (§3.1 step 8). Default ``False`` preserves reference parity
+    (at-least-once, duplicates possible on crash-retry).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, idempotent: bool = False):
         self.spark = spark
         self.path = path
+        self.idempotent = idempotent
         os.makedirs(path, exist_ok=True)
 
     # -- table access -------------------------------------------------------
@@ -70,6 +80,17 @@ class Warehouse:
         return self.spark.read.parquet(self.table_path(name))
 
     def append(self, name: str, df: DataFrame) -> None:
+        if self.idempotent and name != "files_processed" and "file_source" in df.columns:
+            # dynamic overwrite touches only the partitions present in
+            # df — other files' data is untouched; a retried file's
+            # partition is atomically replaced, never doubled
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            df.write.mode("overwrite").partitionBy("file_source").parquet(
+                self.table_path(name)
+            )
+            return
         df.write.mode("append").parquet(self.table_path(name))
 
     def sql(self, query: str, tables: Optional[list[str]] = None) -> DataFrame:

@@ -257,3 +257,36 @@ class TestCoverageOneof:
         locs = wh.table("coverage_location").collect()
         assert all(l.uuid == str(UUID1) for l in locs)
         assert {l.signal_level for l in locs} == {"HIGH", "LOW"}
+
+
+class TestIdempotentReingest:
+    """SURVEY §7 M6: re-ingesting the same file must not duplicate rows
+    when the warehouse runs in idempotent mode, and must duplicate them
+    in default mode (documented reference parity, §3.1 step 8)."""
+
+    def _one_file(self, tmp_path, n=8):
+        raw = tmp_path / "raw"
+        raw.mkdir(exist_ok=True)
+        path = raw / f"verified_speedtest.{T0_MS}.gz"
+        write_framed_gzip(str(path), _speedtest_payloads(n))
+        return str(raw)
+
+    def test_idempotent_replaces(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh"), idempotent=True)
+        raw = self._one_file(tmp_path)
+        wh.ingest("verified-speedtest", raw)
+        # crash-retry: the same file ingested again
+        wh.ingest("verified-speedtest", raw)
+        df = wh.table("verified_speedtest_report")
+        assert df.count() == 8
+        # partition column round-trips as the provenance column
+        assert df.where(
+            df.file_source == f"verified_speedtest.{T0_MS}.gz"
+        ).count() == 8
+
+    def test_default_mode_is_at_least_once(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh2"))
+        raw = self._one_file(tmp_path)
+        wh.ingest("verified-speedtest", raw)
+        wh.ingest("verified-speedtest", raw)
+        assert wh.table("verified_speedtest_report").count() == 16
