@@ -1,0 +1,65 @@
+"""Skew-handling operators: salting patterns for hot keys.
+
+What Spark already covers (do NOT hand-roll these):
+- algebraic aggregates (sum/count/min/max/avg): map-side partial
+  aggregation collapses hot keys before the shuffle;
+- skewed sort-merge joins: AQE splits oversized partitions
+  (``spark.sql.adaptive.skewJoin.enabled``, on in session.get_spark).
+
+What still needs explicit salting at 100 TB and is provided here:
+- holistic aggregates over hot keys (exact count-distinct,
+  collect_list-style) — ``two_phase_distinct_count``: shuffle on
+  (key, value) first so a hot key spreads across the cluster, then
+  count per key;
+- joins where BOTH sides are too big to broadcast and one has hot
+  keys — ``salted_join``: the big side gets a deterministic per-row
+  salt, the small(er) side is replicated across all salts, the join
+  key becomes (key, salt) so one hot key fans out over ``n_salts``
+  partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_row_salt(df: DataFrame, n_salts: int, out_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): hash of the whole
+    row, so re-runs and stage retries salt identically (a rand() salt
+    breaks exactly-once semantics under retry)."""
+    return df.withColumn(
+        out_col, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salts)).cast("int")
+    )
+
+
+def two_phase_distinct_count(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact count-distinct that survives hot keys: phase 1 shuffles on
+    (keys..., value) — a hot key's rows spread over the whole cluster
+    because the value participates in partitioning — phase 2 counts the
+    deduped rows per key (tiny)."""
+    deduped = df.select(*keys, value_col).dropDuplicates([*keys, value_col])
+    return deduped.groupBy(*keys).agg(F.count("*").alias(out_col))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key salt pattern: big side salted per
+    row, small side replicated n_salts times, join on (key, salt).
+    Shuffle volume: big unchanged, small x n_salts — use only when the
+    small side is too large to broadcast but n_salts copies still fit.
+    """
+    salted_big = with_row_salt(big, n_salts)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt")
+    replicated = small.select("*", salts)
+    out = salted_big.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")
