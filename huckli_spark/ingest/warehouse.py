@@ -114,6 +114,32 @@ class Warehouse:
             .saveAsTable(name)
         )
 
+    def compact(
+        self, name: str, sort_cols: list[str], target_partitions: Optional[int] = None
+    ) -> None:
+        """Rewrite a table range-partitioned and sorted on
+        ``sort_cols`` — the OPTIMIZE ZORDER analog for plain parquet.
+
+        Append-heavy ingest leaves many small files with overlapping
+        value ranges, so min/max row-group skipping never prunes.
+        After compaction each file owns a disjoint range of
+        ``sort_cols[0]`` (and is sorted within), so a selective filter
+        touches one file instead of all of them. Run it out-of-band,
+        like the reference user would run VACUUM/OPTIMIZE.
+        """
+        import shutil
+
+        df = self.table(name)
+        n = target_partitions or df.rdd.getNumPartitions()
+        compacted = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        tmp = self.table_path(f"__compact_{name}")
+        compacted.write.mode("overwrite").parquet(tmp)
+        final = self.table_path(name)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+
     def bucketed_table(self, name: str) -> DataFrame:
         """Read a bucketed table WITH its bucket spec (the plain
         path-based reader sees only parquet files and loses it)."""

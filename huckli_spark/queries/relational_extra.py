@@ -79,6 +79,66 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s)
 
 
+@query(
+    "q_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag semantics: min multiplicity per key).",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "q_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT ALL (bag semantics: left multiplicity minus right).",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+# ---------------------------------------------------------------------------
+# Pivot — wide per-key columns from a tag column. The oracle spells it
+# as conditional aggregation (the relational meaning of pivot), so the
+# comparison nails Spark's pivot() semantics exactly.
+# ---------------------------------------------------------------------------
+_PIVOT_TYPES = ["click", "view", "purchase", "signup"]
+
+
+@query(
+    "q_pivot",
+    f"""
+    SELECT user_id % 10 AS user_mod,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _PIVOT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+    doc="pivot event_type into per-type count columns.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Scale: explicit value list keeps pivot a single pass (no distinct
+    # pre-query for the column set) and bounds the output width.
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_mod"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join — for every purchase, the most recent click at-or-before
 # its timestamp per user. Spark has no ASOF keyword; the scalable
