@@ -57,12 +57,17 @@ def decoded_schema(msg: Msg) -> T.StructType:
     )
 
 
-def decode_frames(frames: DataFrame, msg: Msg) -> DataFrame:
+def decode_frames(frames: DataFrame, msg: Msg, dropped_acc=None) -> DataFrame:
     """(file_source, frame_index, payload) -> typed columns.
 
     u64 caveat (SURVEY §1.2): proto uint64 lands in LongType; Helium
     amounts are « 2^63 so the narrowing is safe — values that would
     wrap raise, surfacing the overflow instead of corrupting it.
+
+    ``dropped_acc``: optional Spark accumulator incremented per dropped
+    frame — the observable form of the reference's log-and-skip policy
+    (A8); at scale "how many records did we silently drop" must be a
+    metric, not a grep over executor stderr.
     """
     import pandas as pd
 
@@ -93,6 +98,8 @@ def decode_frames(frames: DataFrame, msg: Msg) -> DataFrame:
                             )
                 except protowire.WireError as e:
                     dropped += 1
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
                     print(f"dropped frame {src}[{idx}]: {e}")  # -> executor stderr
                     continue
                 vals["file_source"] = src

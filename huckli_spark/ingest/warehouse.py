@@ -64,6 +64,8 @@ class Warehouse:
         self.spark = spark
         self.path = path
         self.idempotent = idempotent
+        # observable drop counter for the A8 log-and-skip policy
+        self.dropped_frames = spark.sparkContext.accumulator(0)
         os.makedirs(path, exist_ok=True)
 
     # -- table access -------------------------------------------------------
@@ -194,7 +196,7 @@ class Warehouse:
             return {}
         file_paths = [paths[f.key] if paths else f.key for f in files]
         frames = frames_df(self.spark, file_paths)
-        decoded = decode_frames(frames, spec.msg)
+        decoded = decode_frames(frames, spec.msg, dropped_acc=self.dropped_frames)
         multi_table = len(spec.tables) > 1
         if multi_table:
             # single-pass demux: decode once, serve N projections

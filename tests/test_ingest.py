@@ -98,8 +98,10 @@ class TestSpeedtestSlice:
         payloads.insert(2, b"\x0a\xff\x01")
         write_framed_gzip(str(raw / f"verified_speedtest.{T0_MS}.gz"), payloads)
         counts = wh.ingest("verified-speedtest", str(raw))
-        # A8: bad record dropped, rest survive
+        # A8: bad record dropped, rest survive — and the drop is an
+        # observable metric, not just an executor-stderr line
         assert counts == {"verified_speedtest_report": 4}
+        assert wh.dropped_frames.value == 1
 
 
 class TestCheckpoint:
