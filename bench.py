@@ -56,10 +56,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = specs[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two runs halves scheduler/JIT noise in the recorded
+        # number; the cache is cleared per run so queries that persist
+        # intermediates internally still pay their full compute (the
+        # CacheManager would otherwise serve run 2 from run 1's plan)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = specs[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
