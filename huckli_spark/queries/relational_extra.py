@@ -109,6 +109,52 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.exceptAll(s)
 
 
+@query(
+    "q_percentile",
+    f"""
+    SELECT source,
+           {sql_fround('quantile_cont(n_chars, 0.5)')} AS median_chars,
+           {sql_fround('quantile_cont(n_chars, 0.9)')} AS p90_chars,
+           count(*) AS n
+    FROM documents
+    GROUP BY source
+    """,
+    doc="exact percentiles (holistic aggregate; Spark percentile == "
+    "DuckDB quantile_cont, both linear-interpolating).",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Scale: exact percentiles buffer per-group values — at 100 TB
+    # switch to approx_percentile (t-digest, constant memory); exact
+    # kept here because it is oracle-comparable.
+    return docs.groupBy("source").agg(
+        fround(F.expr("percentile(n_chars, 0.5)")).alias("median_chars"),
+        fround(F.expr("percentile(n_chars, 0.9)")).alias("p90_chars"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_stats_corr",
+    f"""
+    SELECT l_returnflag,
+           {sql_fround('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {sql_fround('stddev_samp(l_quantity)', 6)} AS qty_stddev,
+           {sql_fround('avg(l_discount)', 6)} AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates: Pearson correlation + sample stddev.",
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        fround(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        fround(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot — wide per-key columns from a tag column. The oracle spells it
 # as conditional aggregation (the relational meaning of pivot), so the
