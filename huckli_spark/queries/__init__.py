@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import embeddings  # noqa: F401
     from huckli_spark.queries import dedup_sketch  # noqa: F401
     from huckli_spark.queries import relational_extra  # noqa: F401
+    from huckli_spark.queries import sql_surface  # noqa: F401
     from huckli_spark.queries import streaming_parity  # noqa: F401
     from huckli_spark.queries import multimodal_parity  # noqa: F401
 

@@ -1,0 +1,315 @@
+"""Delegated-SQL-surface parity queries: subqueries, window frames,
+string/date functions, ordered aggregation, deterministic sampling.
+
+The reference hands its users full DuckDB SQL
+(/root/reference/Cargo.toml:15 — the product IS a DuckDB file), so
+capability parity includes the SQL surface beyond plain
+join/agg/window: correlated EXISTS / IN / scalar subqueries, frame
+clauses, the scalar function library, and ordered string aggregation.
+
+The subquery queries deliberately go through ``spark.sql`` on temp
+views instead of hand-lowered joins: that exercises Catalyst's
+decorrelation (RewritePredicateSubquery / RewriteCorrelatedScalar-
+Subquery), which turns them into the same semi/aggregate joins at
+plan level — verified in tests/test_plans.py.
+
+Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, sql_fround, sql_h60
+from huckli_spark.queries import query
+from huckli_spark.session import load_table as _t
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (EXISTS / IN / scalar / correlated scalar)
+# ---------------------------------------------------------------------------
+@query(
+    "q_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+    doc="correlated EXISTS; Catalyst decorrelates to a left-semi join "
+    "(shuffle on the correlation key — no per-row subquery execution).",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        )
+        """
+    )
+
+
+@query(
+    "q_in_subquery",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+    )
+    """,
+    doc="uncorrelated IN-subquery -> left-semi join; the inner side is "
+    "tiny and broadcast by AQE.",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+        )
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    f"""
+    SELECT p_partkey, p_name, {sql_fround('p_retailprice')} AS price
+    FROM part
+    WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part)
+    """,
+    doc="uncorrelated scalar subquery: one global aggregate computed "
+    "once, broadcast into the filter.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice AS price
+        FROM part
+        WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part)
+        """
+    ).withColumn("price", fround(F.col("price")))
+
+
+@query(
+    "q_correlated_scalar",
+    f"""
+    SELECT o_orderkey, o_custkey, {sql_fround('o_totalprice')} AS price
+    FROM orders o
+    WHERE o_totalprice > 2.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="correlated scalar subquery; decorrelated to a per-key "
+    "aggregate joined back on o_custkey — one shuffle, not N queries.",
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice AS price
+        FROM orders o
+        WHERE o_totalprice > 2.5 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    ).withColumn("price", fround(F.col("price")))
+
+
+# ---------------------------------------------------------------------------
+# Window frames: moving average, frame-bound first/last, ntile
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_frame",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_fround('avg(o_totalprice) OVER w4')} AS mov_avg4,
+           {sql_fround('first_value(o_totalprice) OVER wfull')} AS first_price,
+           ntile(4) OVER wfull AS quartile
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW
+      w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="explicit ROWS frame (moving average), first_value, ntile; "
+    "total order (date, key) makes every frame deterministic.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    # One shuffle on o_custkey serves all three windows (same
+    # partitioning + ordering) — Catalyst collapses them into a single
+    # Window node; check: exactly one Exchange in the plan.
+    wfull = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w4 = wfull.rowsBetween(-3, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fround(F.avg("o_totalprice").over(w4)).alias("mov_avg4"),
+        fround(F.first("o_totalprice").over(wfull)).alias("first_price"),
+        F.ntile(4).over(wfull).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-row-per-key (DISTINCT ON / argmax pattern)
+# ---------------------------------------------------------------------------
+@query(
+    "q_latest_per_key",
+    """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_custkey <= 500
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+    doc="latest order per customer (argmax): row_number over a "
+    "total-ordered window == DuckDB DISTINCT ON. Generalizes the "
+    "reference's checkpoint top-1 (huckli-db/src/lib.rs:43-56) to "
+    "per-group.",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library: strings, dates
+# ---------------------------------------------------------------------------
+@query(
+    "q_string_fns",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           substr(c_name, 1, 8) AS name_head,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS seg,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_num
+    FROM customer
+    WHERE c_name LIKE '%ustomer%' AND c_mktsegment LIKE '_U%'
+    """,
+    doc="string function battery: LIKE with _ wildcard, upper, substr, "
+    "length, replace, lpad, regexp_extract — all JVM built-ins, all "
+    "inside whole-stage codegen.",
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_name").like("%ustomer%") & F.col("c_mktsegment").like("_U%")
+    ).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias("seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_num"),
+    )
+
+
+@query(
+    "q_date_fns",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS days_since,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+    """,
+    doc="date function battery: extract, trunc, interval arithmetic, "
+    "datediff, last_day; the BETWEEN range is pushed to the scan.",
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate").between("1995-03-01", "1995-03-31")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add("o_orderdate", 90).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+@query(
+    "q_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="ordered string aggregation: collect_list is unordered in a "
+    "distributed engine, so sort the array THEN join — deterministic "
+    "regardless of task scheduling (== string_agg ... ORDER BY).",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (the scalable TABLESAMPLE)
+# ---------------------------------------------------------------------------
+@query(
+    "q_hash_sample",
+    f"""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE {sql_h60("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+    """,
+    doc="deterministic ~5% sample by key hash. Unlike TABLESAMPLE "
+    "(engine- and partitioning-dependent) a hash predicate selects the "
+    "SAME rows on any engine, any partitioning, any cluster size — the "
+    "reproducible-training-subset primitive; trivially pushes down.",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        h60(F.col("o_orderkey").cast("string")) % 100 < 5
+    ).select("o_orderkey", "o_custkey")

@@ -48,6 +48,11 @@ EXPECTATIONS = {
     # LSH ANN: bucket join is an equi-join (hash/broadcast), and the
     # tiny query side broadcasts — no cross product anywhere
     "q_ann_lsh": [r"Broadcast(Hash|NestedLoop)Join"],
+    # correlated EXISTS decorrelates to a semi join — never a per-row
+    # subquery execution
+    "q_exists_subquery": [r"LeftSemi"],
+    # correlated scalar subquery decorrelates to aggregate + join
+    "q_correlated_scalar": [r"HashAggregate"],
 }
 
 
@@ -71,6 +76,21 @@ def test_group_sum_single_shuffle(spark):
     # final agg); a second exchange means partial aggregation was lost
     plan = _plan(spark, "q_group_sum")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_window_frame_single_shuffle(spark):
+    # three window expressions over the same (partition, order) spec
+    # must collapse into one Window node fed by one Exchange; a second
+    # exchange means the specs diverged and the data shuffles twice
+    plan = _plan(spark, "q_window_frame")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_latest_per_key_no_global_sort(spark):
+    # DISTINCT ON / argmax: per-group row_number, never a global sort
+    plan = _plan(spark, "q_latest_per_key")
+    assert not re.search(r"Sort\b.*global=true", plan)
 
 
 def test_asof_join_single_shuffle(spark):
