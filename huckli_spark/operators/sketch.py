@@ -45,29 +45,32 @@ def _perm_params(k: int) -> tuple[int, int]:
     return (2 * k + 3, 7_919 * k + 1)
 
 
-def _with_signature_cols(docs: DataFrame) -> DataFrame:
-    """Append mh0..mh{K-1} to a (id, sh_arr) DataFrame — document-local:
-    hash each shingle once, then take K permuted minima over the array."""
-    hashed = docs.withColumn(
-        "__hs",
-        F.expr(f"transform(sh_arr, s -> {_H60.format(v='s')} % {MINHASH_P})"),
+def _signature_from_arrays(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh{K-1}) from a (id, sh_arr) relation: explode the
+    shingles, hash once, take K permuted minima as codegen'd MIN
+    aggregates. Measured faster than the document-local
+    array_min(transform(...)) formulation — higher-order lambdas are
+    interpreted per element, MIN aggregates stay in whole-stage
+    codegen; map-side partial agg reduces the shuffle to one
+    (K+1)-column row per doc per partition."""
+    # explode before hashing so md5 runs codegen-side per shingle row
+    h = docs.select(F.col(id_col), F.explode("sh_arr").alias("__s")).select(
+        F.col(id_col),
+        F.expr(f"{_H60.format(v='__s')} % {MINHASH_P}").alias("h"),
     )
     mins = [
-        F.expr(f"array_min(transform(__hs, h -> (h * {a} + {b}) % {MINHASH_P}))").alias(
-            f"mh{k}"
-        )
+        F.min(F.expr(f"(h * {a} + {b}) % {MINHASH_P}")).alias(f"mh{k}")
         for k, (a, b) in ((k, _perm_params(k)) for k in range(MINHASH_K))
     ]
-    return hashed.select("*", *mins).drop("__hs")
+    return h.groupBy(id_col).agg(*mins)
 
 
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles.
-    Pure map stage — no shuffle."""
+    """(id, mh0..mh{K-1}) MinHash signature over word-n-gram shingles."""
     docs = shingle_array(df, id_col, text_col, n=n)
-    return _with_signature_cols(docs).drop("sh_arr")
+    return _signature_from_arrays(docs, id_col)
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -123,7 +126,7 @@ def minhash_dedup_pairs(
     # one shared (id, shingle-array) relation: signatures, sizes, and
     # verification all derive from it document-locally
     docs = shingle_array(df, id_col, text_col, n=n).persist()
-    sig = _with_signature_cols(docs).drop("sh_arr")
+    sig = _signature_from_arrays(docs, id_col)
     cand = _candidates_from_bands(minhash_bands(sig, id_col), id_col).persist()
     sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
 
