@@ -313,3 +313,110 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(
         h60(F.col("o_orderkey").cast("string")) % 100 < 5
     ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3 / Q5 shapes)
+# ---------------------------------------------------------------------------
+@query(
+    "q_multi_join_topk",
+    f"""
+    SELECT l_orderkey,
+           {sql_fround("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> "
+    "top-k. Catalyst pushes both date filters to the scans, broadcasts "
+    "the filtered customer side, and plans the LIMIT as "
+    "TakeOrderedAndProject (no global sort).",
+)
+def q_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(fround(F.sum(rev)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_region_revenue",
+    f"""
+    SELECT n_name,
+           {sql_fround("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM region, nation, customer, orders, lineitem
+    WHERE r_name = 'ASIA'
+      AND n_regionkey = r_regionkey
+      AND c_nationkey = n_nationkey
+      AND o_custkey = c_custkey
+      AND l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way star join. The dim chain region->nation"
+    "->customer stays broadcast end-to-end; only the orders-lineitem "
+    "fact-fact edge shuffles.",
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(fround(F.sum(rev)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array function battery
+# ---------------------------------------------------------------------------
+@query(
+    "q_array_fns",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS head3,
+           list_contains(string_split(text, ' '), 'the') AS has_the
+    FROM documents
+    WHERE doc_id <= 200
+    """,
+    doc="array function battery: split, size, distinct, slice, "
+    "array_join, membership — all document-local map expressions "
+    "(zero shuffle; the plan is scan -> project).",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("head3"),
+        F.array_contains(words, "the").alias("has_the"),
+    )

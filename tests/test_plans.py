@@ -53,6 +53,10 @@ EXPECTATIONS = {
     "q_exists_subquery": [r"LeftSemi"],
     # correlated scalar subquery decorrelates to aggregate + join
     "q_correlated_scalar": [r"HashAggregate"],
+    # TPC-H Q3 shape: filtered dim broadcasts, top-k never global-sorts
+    "q_multi_join_topk": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+    # TPC-H Q5 shape: the region->nation->customer dim chain broadcasts
+    "q_region_revenue": [r"BroadcastHashJoin"],
 }
 
 
