@@ -49,6 +49,44 @@ def q_stream_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    f"""
+    SELECT event_type, count(*) AS n, {sql_fround('sum(value)')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="streaming idempotent re-ingest: the SAME file delivered twice "
+    "into the stream, deduplicated on event_id by "
+    "dropDuplicatesWithinWatermark, must aggregate to the single-copy "
+    "batch oracle. Models (and fixes, stream-side) the reference's "
+    "at-least-once duplicate window (huckli-import/src/lib.rs:202-210).",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from huckli_spark.streaming.dedup import dedup_stream
+
+    stream_dir = stage_table_stream(sf_dir, "events")
+    # second delivery of the same file = the reference's crash-between-
+    # append-and-checkpoint re-import
+    shutil.copy(
+        f"{stream_dir}/events.parquet", f"{stream_dir}/events_redelivered.parquet"
+    )
+    stream = events_stream(spark, stream_dir)
+    # watermark delay far beyond the fixture's time span: within one
+    # drain the state never evicts, so the dedup is exact (production
+    # uses a horizon sized to the redelivery window)
+    deduped = dedup_stream(stream, ["event_id"], delay="87600 hours")
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "cast(floor(sum(value) * 100.0 + 0.5) / 100.0 AS double)"
+        ).alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
     "q_sessionize",
     sessionize_batch_oracle(gap_minutes=60),
     doc="gap-based sessionization (60 min), batch form of the stateful "
