@@ -38,6 +38,10 @@ HEADLINE = [
     "q_token_count",
     "q_ann_bruteforce",
     "q_ann_lsh",
+    "q_multi_join_topk",
+    "q_region_revenue",
+    "q_correlated_scalar",
+    "q_window_frame",
 ]
 
 
