@@ -132,3 +132,129 @@ def _md5_unit(seed: str, plane: int, coord: int) -> float:
 
     h = hashlib.md5(f"{seed}:{plane}:{coord}".encode()).hexdigest()
     return int(h[:15], 16) / float(16**15) * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) partitioned search
+# ---------------------------------------------------------------------------
+# Coarse quantizer -> per-cluster posting lists -> probe nprobe nearest
+# clusters per query -> exact rank within the probed candidates. The
+# classic ANN scale structure: the corpus is range-partitioned by
+# cluster id, a query touches nprobe/k of the data instead of all of
+# it, and the per-cluster scan is an equi-join on cid (no cross
+# product). Centroids here are deterministic seed vectors (lowest ids)
+# so the SQL oracle re-derives the identical structure; production
+# swaps in k-means centroids — every downstream step is unchanged.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` vectors with
+    the lowest ids. The bounded driver-side collect (k rows) is the
+    same pattern as broadcasting k-means centroids."""
+    rows = (
+        df.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _centroid_sim_entries(
+    vec_col: str, norm_col: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """SQL array<struct<sim,cid>> of portably-rounded cosine sims to
+    each centroid. Centroid values and norms are baked in as literals
+    (centroid side never shuffles, never even joins); the row's own
+    norm is computed once and shared by all k dot-product folds."""
+    import math
+
+    entries = []
+    for cid, vec in centroids:
+        arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in vec) + ")"
+        cnorm = math.sqrt(sum(v * v for v in vec))
+        dot_e = (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x AS double) * y),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        sim = f"({dot_e} / ({norm_col} * cast({cnorm!r} AS double)))"
+        rounded = f"cast(floor({sim} * 1000000.0 + 0.5) / 1000000.0 AS double)"
+        entries.append(f"named_struct('sim', {rounded}, 'cid', {cid})")
+    # sort best-first: sim DESC, cid ASC (rounded sims make the
+    # comparator engine-portable)
+    return (
+        "array_sort(array(" + ", ".join(entries) + "),"
+        " (l, r) -> CASE WHEN l.sim > r.sim THEN -1"
+        " WHEN l.sim < r.sim THEN 1"
+        " WHEN l.cid < r.cid THEN -1 ELSE 1 END)"
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, vec, cid) with each vector's ``nprobe`` nearest clusters
+    (nprobe=1 = storage assignment). Pure map stage: all k sims are
+    array expressions inside the row — zero shuffle at any scale."""
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__norm")
+    )
+    sims = _centroid_sim_entries(vec_col, "__norm", centroids)
+    return (
+        with_norm.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.expr(f"slice({sims}, 1, {nprobe})")).alias("__c"),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("__c.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF search: exact cosine top-k within the ``nprobe`` probed
+    clusters per query. Returns (query_id, neighbor_id, cos_sim, rank).
+
+    Scale shape: corpus assignment is map-only; the probe join is an
+    equi-join on cid (queries broadcast); each query scans ~nprobe/k
+    of the corpus instead of all of it.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    posting = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"), "cid"
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cid"
+    )
+    sims = (
+        posting.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine("__qv", "__nv"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -56,6 +56,51 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8
+    ), corpus_sims AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround("list_dot_product(v.e, cent.c) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))", 6)} DESC,
+                        cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, e AS nv, cid FROM corpus_sims WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qv, cid
+      FROM corpus_sims WHERE vec_id < 10 AND rn <= 2
+    ), sims AS (
+      SELECT query_id, neighbor_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM probes JOIN posting USING (cid)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+    doc="IVF partitioned ANN: deterministic coarse quantizer (8 seed "
+    "centroids), map-only cluster assignment, nprobe=2 probe join, "
+    "exact top-5 within probed clusters. The oracle re-derives the "
+    "identical inverted file, so the probabilistic structure itself "
+    "is hash-gated.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    return simsearch.ivf_topk(
+        em, em.where(F.col("vec_id") < 10), n_centroids=8, nprobe=2, k=5
+    )
+
+
+@query(
     "q_dedup_embed_cosine",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

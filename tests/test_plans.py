@@ -53,6 +53,9 @@ EXPECTATIONS = {
     "q_exists_subquery": [r"LeftSemi"],
     # correlated scalar subquery decorrelates to aggregate + join
     "q_correlated_scalar": [r"HashAggregate"],
+    # IVF ANN: probe side broadcasts onto the posting lists (equi-join
+    # on cid) — assignment itself is map-only, no cross product
+    "q_ann_ivf": [r"BroadcastHashJoin"],
     # TPC-H Q3 shape: filtered dim broadcasts, top-k never global-sorts
     "q_multi_join_topk": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
     # TPC-H Q5 shape: the region->nation->customer dim chain broadcasts
