@@ -61,15 +61,21 @@ def shingle_array(
     shingling is a pure map stage — zero shuffle regardless of corpus
     size (the old explode+distinct paid a full shuffle of every
     (doc, shingle) row)."""
+    # Two-step projection: split once into __words, then shingle over
+    # the concrete column. CollapseProject keeps the alias (multi-
+    # reference, non-cheap), so split never re-evaluates inside the
+    # lambda. The fan_out shuffle carries the raw text (smaller than
+    # the split array); splitting happens post-exchange.
     sh = F.expr(
-        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
+        f"array_distinct(transform(sequence(0, size(__words) - {n}),"
+        f" i -> concat_ws(' ', slice(__words, i + 1, {n}))))"
     )
     # fan_out: shingling is the CPU-heaviest map kernel in the engine;
     # single-row-group inputs must not pin it to one core.
     return (
         fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .where(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
+        .where(F.size(F.col("__words")) >= n)
         .select(F.col(id_col), sh.alias(out_col))
     )
 
