@@ -40,6 +40,7 @@ HEADLINE = [
     "q_ann_lsh",
     "q_multi_join_topk",
     "q_region_revenue",
+    "q_corpus_prep",
     "q_correlated_scalar",
     "q_window_frame",
 ]

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.functions.portable import fround, sql_fround, sql_h60
 from huckli_spark.operators import textstats
 from huckli_spark.operators.dedup import exact_dup_stats, jaccard_pairs, bow_fingerprint
 from huckli_spark.queries import query
@@ -206,4 +206,68 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_words"),
         F.count_distinct("w").alias("vocab"),
         fround(F.count_distinct("w") / F.count("*"), 6).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-prep pipeline (the flagship training-data workflow)
+# ---------------------------------------------------------------------------
+@query(
+    "q_corpus_prep",
+    f"""
+    WITH filtered AS (
+      SELECT doc_id, text, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE lang = 'en'
+        AND n_chars BETWEEN 100 AND 20000
+        AND len(string_split(text, ' ')) >= 20
+    ), deduped AS (
+      SELECT doc_id, source, n_chars, n_tokens FROM (
+        SELECT doc_id, source, n_chars, n_tokens,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           {sql_fround('avg(n_chars)', 2)} AS avg_chars
+    FROM deduped
+    WHERE {sql_h60("CAST(doc_id AS VARCHAR)")} % 100 < 50
+    GROUP BY source
+    """,
+    doc="composed training-data prep: language filter -> length/token "
+    "quality gate -> exact dedup (keep lowest id per content hash) -> "
+    "deterministic 50% hash sample -> per-source accounting. Scale "
+    "shape: filters are scan-pushed, dedup shuffles only "
+    "(digest, id, metadata) — never text — and the sample predicate "
+    "is map-side.",
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+    from huckli_spark.operators.dedup import dedup_exact
+
+    d = _docs(spark, sf_dir)
+    filtered = (
+        d.where(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(100, 20000)
+            & (F.size(F.split("text", " ")) >= 20)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5("text").alias("__digest"),
+        )
+    )
+    deduped = dedup_exact(filtered, ["__digest"], order_col="doc_id")
+    sampled = deduped.where(h60(F.col("doc_id").cast("string")) % 100 < 50)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        fround(F.avg("n_chars"), 2).alias("avg_chars"),
     )
