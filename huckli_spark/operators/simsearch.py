@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
+from huckli_spark.operators.parallel import fan_out
 
 
 def _as_double(col) -> Column:
@@ -60,8 +61,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    # fan_out: |corpus| x |queries| dot products must not run in one
+    # task when the corpus arrives as a single row group
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -89,7 +92,7 @@ def cosine_pairs(
     """All pairs (d1 < d2) with cosine >= threshold — the exact
     embedding near-dup baseline. O(n²): use ``lsh_assign`` buckets to
     prefilter at scale."""
-    a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"))
+    a = fan_out(df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a")))
     b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"))
     return (
         a.crossJoin(b)
