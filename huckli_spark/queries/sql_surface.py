@@ -420,3 +420,40 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(words, 1, 3), " ").alias("head3"),
         F.array_contains(words, "the").alias("has_the"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map functions
+# ---------------------------------------------------------------------------
+@query(
+    "q_map_fns",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           count(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="map construction + lookup: per-flag status->count map built "
+    "with map_from_entries(collect_list(struct)), probed with "
+    "element_at, sized with map_keys. The oracle states the same "
+    "values relationally (conditional aggregation) — the map is the "
+    "Spark-side representation under test, like q_pivot.",
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt")
+    )
+    mapped = counts.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linestatus", "cnt"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "l_returnflag",
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_filled"),
+        F.size(F.map_keys("m")).cast("long").alias("n_statuses"),
+    )
