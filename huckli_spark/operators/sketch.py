@@ -217,6 +217,17 @@ def simhash_pairs(
     # the materialization Spark recomputes the whole word-hash fold per
     # side (measured: doubled the signature cost at sf0.1).
     sig = simhash(df, id_col, text_col).persist()
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Banded pair generation over a (id, simhash) relation. Exactness
+    contract (property-tested in tests/test_sketch_properties.py
+    against a brute-force cross join): output == all pairs with
+    Hamming <= max_hamming, each EXACTLY once — the first-matching-
+    chunk filter dedups emission without a shuffle."""
     n_chunks = SIMHASH_CHUNKS
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1

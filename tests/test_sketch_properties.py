@@ -1,0 +1,82 @@
+"""Property tests for the SimHash banding exactness contract.
+
+The pigeonhole claim (4 chunks of 15 bits catch every pair at
+Hamming <= 3) and the first-matching-chunk emission filter (each pair
+exactly once, no distinct) are subtle enough to deserve adversarial
+inputs: random signatures, near-collisions built by flipping exactly
+k bits, and duplicate signatures.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.sketch import (
+    SIMHASH_BITS,
+    simhash_pairs_from_signatures,
+)
+
+
+def _brute_force(sigs: list[int], max_hamming: int) -> set[tuple[int, int, int]]:
+    out = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= max_hamming:
+                out.add((i, j, h))
+    return out
+
+
+def _check(spark, sigs: list[int], max_hamming: int = 3) -> None:
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = [
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs_from_signatures(df, max_hamming=max_hamming).collect()
+    ]
+    # exactly once each: no duplicates even when a pair shares several chunks
+    assert len(got) == len(set(got))
+    assert set(got) == _brute_force(sigs, max_hamming)
+
+
+def test_random_signatures(spark):
+    rng = random.Random(42)
+    sigs = [rng.getrandbits(SIMHASH_BITS) for _ in range(80)]
+    _check(spark, sigs)
+
+
+def test_engineered_near_collisions(spark):
+    # base signatures plus variants at Hamming 1..4 (4 must be excluded),
+    # including flips concentrated inside a single chunk and spread
+    # across chunks (exercises every first-match branch)
+    rng = random.Random(7)
+    sigs: list[int] = []
+    for _ in range(12):
+        base = rng.getrandbits(SIMHASH_BITS)
+        sigs.append(base)
+        for k in (1, 2, 3, 4):
+            flipped = base
+            for bit in rng.sample(range(SIMHASH_BITS), k):
+                flipped ^= 1 << bit
+            sigs.append(flipped)
+    _check(spark, sigs)
+
+
+def test_exact_duplicates(spark):
+    # identical signatures match in ALL four chunks — the strongest
+    # test of single-emission (hamming 0, first chunk must win)
+    rng = random.Random(3)
+    base = [rng.getrandbits(SIMHASH_BITS) for _ in range(5)]
+    sigs = base * 4  # every signature appears 4 times
+    _check(spark, sigs)
+
+
+def test_zero_and_boundary_signatures(spark):
+    # all-zeros, all-ones, single-chunk-only values: masks/shifts at
+    # the 15-bit boundaries
+    full = (1 << SIMHASH_BITS) - 1
+    sigs = [0, 1, full, full ^ 1, 0x7FFF, 0x7FFF << 15, 0x7FFF << 30, 0x7FFF << 45]
+    _check(spark, sigs)
