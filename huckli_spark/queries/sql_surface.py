@@ -457,3 +457,51 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_filled"),
         F.size(F.map_keys("m")).cast("long").alias("n_statuses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics battery
+# ---------------------------------------------------------------------------
+@query(
+    "q_null_semantics",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT coalesce(seg, 'SUPPRESSED') AS seg_filled,
+           count(*) AS n_rows,
+           count(bal) AS n_bal,
+           count(*) - count(bal) AS n_null_bal,
+           sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
+           sum(CASE WHEN (seg IS NOT DISTINCT FROM NULL) THEN 1 ELSE 0 END)
+             AS n_nullsafe
+    FROM t
+    GROUP BY 1
+    """,
+    doc="NULL semantics: nullif, coalesce, count(col) vs count(*) "
+    "(null-skipping aggregation), IS NULL vs null-safe equality "
+    "(IS NOT DISTINCT FROM / <=>). Fixture columns are all NOT NULL "
+    "(mirroring the reference's DDL), so NULLs are manufactured with "
+    "nullif/CASE.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    return t.groupBy(
+        F.coalesce(F.col("seg"), F.lit("SUPPRESSED")).alias("seg_filled")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("bal").alias("n_bal"),
+        (F.count("*") - F.count("bal")).alias("n_null_bal"),
+        F.sum(F.when(F.col("seg").isNull(), 1).otherwise(0)).alias("n_null_seg"),
+        F.sum(F.when(F.col("seg").eqNullSafe(F.lit(None)), 1).otherwise(0)).alias(
+            "n_nullsafe"
+        ),
+    )
