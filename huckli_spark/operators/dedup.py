@@ -147,6 +147,66 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    id_out: str = "doc_id",
+    comp_out: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label becomes the minimum of
+    its own and its neighbors' labels until fixpoint. Component id =
+    smallest member id (a deterministic, join-stable cluster key).
+
+    This is the step that turns near-dup PAIRS into a dedup DECISION
+    (one keeper per transitive cluster). Scale: convergence takes
+    O(cluster diameter) rounds — near-dup clusters are shallow (dups
+    of a common source), so a handful of label joins, each a single
+    shuffle on node id; ``localCheckpoint`` truncates the growing
+    plan lineage every round. Raises if ``max_iter`` rounds don't
+    converge rather than returning partial labels.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select(F.col("node"), F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["b"] == labels["node"]).select(
+            edges["a"].alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("node").alias(id_out), F.col("label").alias(comp_out)
+            )
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
 def bow_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -46,10 +46,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
-@query(
-    "q_ngram_jaccard",
-    f"""
-    WITH words AS (
+# Shared CTE chain: word-3-gram shingles -> sizes -> pairwise
+# intersection counts (used by the pair query and the cluster query).
+_JACCARD_CTES = """words AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w
@@ -65,7 +64,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
-    )
+    ), jpairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    )"""
+
+
+@query(
+    "q_ngram_jaccard",
+    f"""
+    WITH {_JACCARD_CTES}
     SELECT d1, d2,
            {sql_fround('n_common * 1.0 / (s1.n + s2.n - n_common)', 4)} AS jaccard
     FROM inter
@@ -270,4 +281,44 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         fround(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (transitive closure over jaccard pairs)
+# ---------------------------------------------------------------------------
+@query(
+    "q_dup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jpairs
+      UNION
+      SELECT d2, d1 FROM jpairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id,
+           CAST(node = min(r) AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    doc="transitive near-dup clusters: connected components over the "
+    "jaccard>=0.8 pair graph via iterative min-label propagation "
+    "(Spark) == recursive-CTE closure (oracle). cluster_id = smallest "
+    "member; keeper = that member — the step that turns pair lists "
+    "into a one-per-cluster dedup decision.",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )

@@ -23,3 +23,24 @@ def test_fan_out_noop_on_wide_input(spark):
 def test_fan_out_explicit_minimum(spark):
     df = spark.range(100).coalesce(1)
     assert fan_out(df, min_partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from huckli_spark.operators.dedup import connected_components
+
+    # a 6-node chain (diameter forces several propagation rounds),
+    # a 3-clique, and an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20), (21, 20)
+    }
+    assert got == want
