@@ -154,19 +154,24 @@ def connected_components(
     id_out: str = "doc_id",
     comp_out: str = "cluster_id",
     max_iter: int = 25,
+    small_graph_max: int = 5_000_000,
 ) -> DataFrame:
-    """Connected components over an undirected pair list by iterative
-    min-label propagation: every node's label becomes the minimum of
-    its own and its neighbors' labels until fixpoint. Component id =
-    smallest member id (a deterministic, join-stable cluster key).
+    """Connected components over an undirected pair list. Component
+    id = smallest member id (a deterministic, join-stable cluster
+    key). This is the step that turns near-dup PAIRS into a dedup
+    DECISION (one keeper per transitive cluster).
 
-    This is the step that turns near-dup PAIRS into a dedup DECISION
-    (one keeper per transitive cluster). Scale: convergence takes
-    O(cluster diameter) rounds — near-dup clusters are shallow (dups
-    of a common source), so a handful of label joins, each a single
-    shuffle on node id; ``localCheckpoint`` truncates the growing
-    plan lineage every round. Raises if ``max_iter`` rounds don't
-    converge rather than returning partial labels.
+    Hybrid execution: the pair graph is orders of magnitude smaller
+    than the corpus (only duplicates appear in it), so up to
+    ``small_graph_max`` edges it is collected and solved with
+    union-find on the driver — one job, no iteration latency. Larger
+    graphs run iterative min-label propagation: every node's label
+    becomes the minimum of its own and its neighbors' labels until
+    fixpoint, O(cluster diameter) rounds (near-dup clusters are
+    shallow), one label-join shuffle per round, ``localCheckpoint``
+    truncating lineage. Raises if ``max_iter`` rounds don't converge
+    rather than returning partial labels. Both paths produce
+    identical output (unit-tested).
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -174,12 +179,40 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if edges.count() <= small_graph_max:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for node in list(parent):
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        out = [(node, comp_min[find(node)]) for node in parent]
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            out, f"{id_out} long, {comp_out} long"
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select(F.col("node"), F.col("node").alias("label"))
         .persist()
     )
+    # Convergence check: per-node labels only ever DECREASE (min of
+    # self + neighbors), so the label sum strictly decreases until the
+    # fixpoint — one cheap aggregate per round instead of a diff join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), F.col("label")
@@ -190,20 +223,15 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             edges.unpersist()
             return labels.select(
                 F.col("node").alias(id_out), F.col("label").alias(comp_out)
             )
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 

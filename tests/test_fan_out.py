@@ -36,11 +36,14 @@ def test_connected_components_chain_and_cliques(spark):
          (20, 21)],
         "d1 long, d2 long",
     )
-    got = {
-        (r.doc_id, r.cluster_id)
-        for r in connected_components(pairs).collect()
-    }
     want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)} | {
         (20, 20), (21, 20)
     }
-    assert got == want
+    # union-find fast path and distributed label propagation must agree
+    fast = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, small_graph_max=0).collect()
+    }
+    assert fast == want
+    assert dist == want
