@@ -74,34 +74,58 @@ def minhash_signature(
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, band_sig) — md5 over each band's row values; all
-    bands emitted in one pass via an array explode (no self-union)."""
-    entries = []
+    """(id, band, band_sig, bs0..bs{B-1}) — 60-bit integer hash over
+    each band's row values; all bands emitted in one pass via an array
+    explode (no self-union). Integer sigs keep the band-join shuffle
+    rows at 8 bytes per sig instead of a 32-char md5 string, and every
+    row carries ALL band sigs so the candidate join can dedup
+    emissions with a column filter (see _candidates_from_bands)."""
+    bs_cols = []
     for band in range(MINHASH_BANDS):
         cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        entries.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
-            )
-        )
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("b")
-    ).select(id_col, "b.band", "b.band_sig")
+        concat = "concat_ws(',', " + ", ".join(cols) + ")"
+        bs_cols.append(F.expr(_H60.format(v=concat)).alias(f"bs{band}"))
+    with_sigs = sig.select(F.col(id_col), *bs_cols)
+    entries = [
+        F.struct(F.lit(b).alias("band"), F.col(f"bs{b}").alias("band_sig"))
+        for b in range(MINHASH_BANDS)
+    ]
+    return with_sigs.select(
+        F.col(id_col),
+        *[f"bs{b}" for b in range(MINHASH_BANDS)],
+        F.explode(F.array(*entries)).alias("b"),
+    ).select(
+        id_col, "b.band", "b.band_sig", *[f"bs{b}" for b in range(MINHASH_BANDS)]
+    )
 
 
 def _candidates_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
-    """Distinct pairs sharing any band bucket, via the bucket equi-join
-    (singleton-dominated buckets make a collect_list inverted index
-    slower — see operators.dedup module notes)."""
+    """Pairs sharing any band bucket, each emitted exactly once, via
+    the bucket equi-join (singleton-dominated buckets make a
+    collect_list inverted index slower — see operators.dedup module
+    notes). Each row carries all four band sigs (bs0..bs3) so a pair
+    joined under band b is kept only when every band below b differs
+    — a pure column filter that replaces the distinct() shuffle of
+    the candidate set (same trick as the SimHash first-matching-chunk
+    filter, property-tested there)."""
     bands = bands.persist()  # both join sides read it
-    a = bands.select(F.col(id_col).alias("d1"), "band", "band_sig")
-    b = bands.select(F.col(id_col).alias("d2"), "band", "band_sig")
+    keep = ["band", "band_sig"] + [f"bs{i}" for i in range(MINHASH_BANDS)]
+    a = bands.select(F.col(id_col).alias("d1"), *keep)
+    b_side = bands.select(
+        F.col(id_col).alias("d2"),
+        F.col("band"),
+        F.col("band_sig"),
+        *[F.col(f"bs{i}").alias(f"_b{i}") for i in range(MINHASH_BANDS)],
+    )
+    fm = F.when(F.col("bs0") == F.col("_b0"), F.lit(0))
+    for i in range(1, MINHASH_BANDS - 1):
+        fm = fm.when(F.col(f"bs{i}") == F.col(f"_b{i}"), F.lit(i))
+    first_match = F.col("band") == fm.otherwise(F.lit(MINHASH_BANDS - 1))
     return (
-        a.join(b, ["band", "band_sig"])
+        a.join(b_side, ["band", "band_sig"])
         .where(F.col("d1") < F.col("d2"))
+        .where(first_match)
         .select("d1", "d2")
-        .distinct()
     )
 
 

@@ -28,12 +28,14 @@ def _minhash_oracle() -> str:
         f"min((h * {2 * k + 3} + {7919 * k + 1}) % {p}) AS mh{k}"
         for k in range(sketch.MINHASH_K)
     )
+    from huckli_spark.functions.portable import sql_h60
+
     band_selects = []
     for band in range(sketch.MINHASH_BANDS):
         cols = [f"mh{band * sketch.MINHASH_ROWS + r}" for r in range(sketch.MINHASH_ROWS)]
         concat = " || ',' || ".join(cols)
         band_selects.append(
-            f"SELECT doc_id, {band} AS band, md5({concat}) AS band_sig FROM sig"
+            f"SELECT doc_id, {band} AS band, {sql_h60(concat)} AS band_sig FROM sig"
         )
     bands = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
