@@ -33,10 +33,13 @@ def _words(text_col: str) -> Column:
 def token_count_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
     """Token/char totals per group. One map-side-combined shuffle."""
     n_tokens = F.size(_words(text_col))
+    # avg() accumulates in engine-specific order/precision; exact integer
+    # sum ÷ exact integer count is a single IEEE division — bit-identical
+    # across Spark and DuckDB, so the oracle hash matches.
     agg = [
         F.count("*").alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),
-        fround(F.avg(n_tokens), 4).alias("avg_tokens"),
+        fround(F.sum(n_tokens) * F.lit(1.0) / F.count("*"), 4).alias("avg_tokens"),
     ]
     if "n_chars" in df.columns:
         agg.append(F.sum("n_chars").alias("total_chars"))

@@ -124,7 +124,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            sum(len(string_split(text, ' '))) AS total_tokens,
-           {sql_fround("avg(len(string_split(text, ' ')))", 4)} AS avg_tokens,
+           {sql_fround("sum(len(string_split(text, ' '))) * 1.0 / count(*)", 4)} AS avg_tokens,
            sum(n_chars) AS total_chars
     FROM documents
     GROUP BY lang
@@ -244,7 +244,7 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            sum(n_tokens) AS total_tokens,
-           {sql_fround('avg(n_chars)', 2)} AS avg_chars
+           {sql_fround('sum(n_chars) * 1.0 / count(*)', 2)} AS avg_chars
     FROM deduped
     WHERE {sql_h60("CAST(doc_id AS VARCHAR)")} % 100 < 50
     GROUP BY source
@@ -280,7 +280,9 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        fround(F.avg("n_chars"), 2).alias("avg_chars"),
+        # exact int sum ÷ exact int count — bit-identical to the oracle
+        # (avg() accumulator order differs between engines).
+        fround(F.sum("n_chars") * F.lit(1.0) / F.count("*"), 2).alias("avg_chars"),
     )
 
 

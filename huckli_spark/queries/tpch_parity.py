@@ -293,7 +293,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_lag",
     f"""
     SELECT user_id, count(*) AS n_gaps,
-           {sql_fround('avg(gap_us) / 1000000.0')} AS avg_gap_s
+           {sql_fround('(sum(gap_us) * 1.0 / count(*)) / 1000000.0')} AS avg_gap_s
     FROM (
       SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -315,7 +315,11 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        fround(F.avg("gap_us") / 1_000_000.0).alias("avg_gap_s"),
+        # exact int sum ÷ exact int count, then one division — the same
+        # IEEE ops in both engines (avg() accumulation order is not).
+        fround((F.sum("gap_us") * F.lit(1.0) / F.count("*")) / F.lit(1_000_000.0)).alias(
+            "avg_gap_s"
+        ),
     )
 
 
