@@ -42,6 +42,13 @@ _SCALAR_WIRE = {
     "message": LEN,
 }
 
+# Numeric scalars that proto3 (and prost) pack into a single LEN record
+# when repeated — e.g. BoostedHex.multipliers. Decoders must accept both
+# packed and unpacked forms per the spec.
+_PACKABLE = frozenset(
+    ("uint64", "int64", "uint32", "int32", "bool", "enum", "double", "float")
+)
+
 
 @dataclass(frozen=True)
 class Field:
@@ -86,29 +93,48 @@ def _enc_tag(num: int, wire: int) -> bytes:
     return _enc_varint((num << 3) | wire)
 
 
+def _enc_scalar(f: Field, v: Any) -> bytes:
+    """Raw (tag-less) scalar payload bytes for one value."""
+    if f.ptype in ("uint64", "int64", "uint32", "int32"):
+        return _enc_varint(int(v))
+    if f.ptype == "bool":
+        return _enc_varint(1 if v else 0)
+    if f.ptype == "enum":
+        if isinstance(v, str):
+            rev = {n: k for k, n in (f.enum_names or {}).items()}
+            v = rev[v]
+        return _enc_varint(int(v))
+    if f.ptype == "double":
+        return struct.pack("<d", float(v))
+    if f.ptype == "float":
+        return struct.pack("<f", float(v))
+    raise WireError(f"unsupported scalar ptype {f.ptype}")  # pragma: no cover
+
+
 def encode(msg: Msg, values: dict[str, Any]) -> bytes:
-    """Encode a dict of python values per the schema (test fixtures)."""
+    """Encode a dict of python values per the schema (test fixtures).
+
+    Repeated numeric scalars are emitted PACKED (one LEN record), the
+    proto3/prost default — so fixtures exercise the same wire shape as
+    real prost-encoded Helium data (reference reads e.g.
+    BoostedHex.multipliers via prost: huckli-import/src/lib.rs:215-238).
+    """
     out = bytearray()
     for f in msg.fields:
         if f.name not in values or values[f.name] is None:
             continue
         vals = values[f.name] if f.repeated else [values[f.name]]
+        if f.repeated and f.ptype in _PACKABLE:
+            if not vals:
+                continue
+            payload = b"".join(_enc_scalar(f, v) for v in vals)
+            out += _enc_tag(f.num, LEN) + _enc_varint(len(payload)) + payload
+            continue
         for v in vals:
             wire = _SCALAR_WIRE[f.ptype]
             out += _enc_tag(f.num, wire)
-            if f.ptype in ("uint64", "int64", "uint32", "int32"):
-                out += _enc_varint(int(v))
-            elif f.ptype == "bool":
-                out += _enc_varint(1 if v else 0)
-            elif f.ptype == "enum":
-                if isinstance(v, str):
-                    rev = {n: k for k, n in (f.enum_names or {}).items()}
-                    v = rev[v]
-                out += _enc_varint(int(v))
-            elif f.ptype == "double":
-                out += struct.pack("<d", float(v))
-            elif f.ptype == "float":
-                out += struct.pack("<f", float(v))
+            if f.ptype in _PACKABLE:
+                out += _enc_scalar(f, v)
             elif f.ptype == "string":
                 b = v.encode("utf-8")
                 out += _enc_varint(len(b)) + b
@@ -177,6 +203,18 @@ def decode(msg: Msg, data: bytes) -> dict[str, Any]:
             raise WireError(f"unsupported wire type {wire}")
         if f is None:
             continue  # unknown field: skip
+        expected = _SCALAR_WIRE[f.ptype]
+        if wire == LEN and expected != LEN:
+            # Packed repeated numerics (proto3/prost default encoding):
+            # one LEN record holding back-to-back scalar payloads.
+            if not (f.repeated and f.ptype in _PACKABLE):
+                raise WireError(f"{msg.name}.{f.name}: LEN payload for scalar {f.ptype}")
+            out.setdefault(f.name, []).extend(_dec_packed(f, val))
+            continue
+        if wire != expected:
+            raise WireError(
+                f"{msg.name}.{f.name}: wire type {wire}, expected {expected} for {f.ptype}"
+            )
         val = _convert(f, val, wire)
         if f.repeated:
             out.setdefault(f.name, []).append(val)
@@ -187,6 +225,30 @@ def decode(msg: Msg, data: bytes) -> dict[str, Any]:
         if f.name not in out:
             out[f.name] = _default(f)
     return out
+
+
+def _dec_packed(f: Field, payload: bytes) -> list:
+    """Decode a packed-repeated LEN payload into a list of scalars."""
+    swire = _SCALAR_WIRE[f.ptype]
+    vals = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if swire == VARINT:
+            raw: Any
+            raw, pos = _dec_varint(payload, pos)
+        elif swire == I64:
+            if pos + 8 > n:
+                raise WireError(f"truncated packed i64 in {f.name}")
+            raw = payload[pos : pos + 8]
+            pos += 8
+        else:  # I32
+            if pos + 4 > n:
+                raise WireError(f"truncated packed i32 in {f.name}")
+            raw = payload[pos : pos + 4]
+            pos += 4
+        vals.append(_convert(f, raw, swire))
+    return vals
 
 
 def _convert(f: Field, val: Any, wire: int) -> Any:
