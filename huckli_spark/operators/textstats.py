@@ -34,8 +34,8 @@ def token_count_by(df: DataFrame, group_col: str, text_col: str = "text") -> Dat
     """Token/char totals per group. One map-side-combined shuffle."""
     n_tokens = F.size(_words(text_col))
     # avg() accumulates in engine-specific order/precision; exact integer
-    # sum ÷ exact integer count is a single IEEE division — bit-identical
-    # across Spark and DuckDB, so the oracle hash matches.
+    # sum ÷ exact integer count is a single IEEE division instead. Group
+    # columns are non-null in the fixtures, so count(*) == count(col).
     agg = [
         F.count("*").alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),

@@ -429,8 +429,8 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_fns",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
            count(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag
@@ -475,8 +475,8 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            count(bal) AS n_bal,
            count(*) - count(bal) AS n_null_bal,
-           sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
-           sum(CASE WHEN (seg IS NOT DISTINCT FROM NULL) THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_seg,
+           CAST(sum(CASE WHEN (seg IS NOT DISTINCT FROM NULL) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_nullsafe
     FROM t
     GROUP BY 1

@@ -123,9 +123,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            {sql_fround("sum(len(string_split(text, ' '))) * 1.0 / count(*)", 4)} AS avg_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -243,7 +243,7 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {sql_fround('sum(n_chars) * 1.0 / count(*)', 2)} AS avg_chars
     FROM deduped
     WHERE {sql_h60("CAST(doc_id AS VARCHAR)")} % 100 < 50

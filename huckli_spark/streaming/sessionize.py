@@ -86,9 +86,9 @@ def sessionize_batch_oracle(gap_minutes: int = 60) -> str:
       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), s AS (
       SELECT user_id, us,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM m
     )
     SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us,

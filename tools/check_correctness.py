@@ -1,14 +1,26 @@
 #!/usr/bin/env python
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — strict fetch path.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet dir, then compares row count, sorted
-column names, and an order-insensitive value hash (values rounded to
-6 significant-ish decimals for floats, like a tolerant judge would).
+column names, an order-insensitive value hash, and — stricter than
+round 1/2 — the per-column *type kind* of the oracle's Arrow fetch
+against Spark's schema.
+
+Why Arrow instead of ``fetchall()``: DuckDB promotes ``sum(BIGINT)``
+to HUGEINT (int128). ``fetchall()`` renders it as a Python int (hiding
+the promotion), but pandas/Arrow fetch — the driver's path — renders
+it as float64 / Decimal, which hash-mismatches Spark's plain bigint.
+Two rounds of red ``q_token_count``/``q_corpus_prep`` rows came from
+exactly this gap (VERDICT r02 "What's wrong #1"). The kind check makes
+any such representation divergence a loud local failure regardless of
+how the driver normalizes values.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import hashlib
 import math
 import os
@@ -31,9 +43,17 @@ def norm_cell(v):
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        # Flagged separately by the kind check; normalize for the hash
+        # so the failure message points at the type, not the value.
+        return norm_cell(float(v)) if v != v.to_integral_value() else str(int(v))
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
@@ -46,6 +66,51 @@ def hash_rows(cols, rows):
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def spark_kind(dtype: str) -> str:
+    d = dtype.split("(")[0].split("<")[0]
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float",
+        "decimal": "decimal",
+        "boolean": "bool",
+        "string": "str", "varchar": "str", "char": "str",
+        "binary": "binary",
+        "timestamp": "ts", "timestamp_ntz": "ts",
+        "date": "date",
+        "array": "array", "map": "map", "struct": "struct",
+    }.get(d, d)
+
+
+def arrow_kind(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_timestamp(t):
+        return "ts"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "array"
+    if pt.is_map(t):
+        return "map"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_null(t):
+        return "null"
+    return str(t)
 
 
 def main():
@@ -74,6 +139,7 @@ def main():
             df = qs[name](spark, sf_dir)
             srows = df.collect()
             scols = df.columns
+            skinds = {c: spark_kind(d) for c, d in df.dtypes}
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             fails.append(name)
@@ -82,9 +148,14 @@ def main():
             print(f"ok?  {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
-            rel = con.execute(os_[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            # Arrow fetch = the driver-like path (NOT fetchall; see module doc)
+            tbl = con.execute(os_[name]).arrow()
+            ocols = tbl.column_names
+            okinds = {f.name: arrow_kind(f.type) for f in tbl.schema}
+            cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            orows = list(zip(*cols_data)) if cols_data else []
+            if tbl.num_rows and not orows:
+                orows = [() for _ in range(tbl.num_rows)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             fails.append(name)
@@ -94,6 +165,16 @@ def main():
             problems.append(f"rows {len(srows)}!={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)}!={sorted(ocols)}")
+        else:
+            # fetch-representation hazard check: an oracle column whose
+            # Arrow kind differs from Spark's (e.g. decimal vs int) will
+            # hash-mismatch on the driver even when values are equal.
+            for c in scols:
+                sk, ok = skinds[c], okinds[c]
+                if ok == "null":  # all-NULL oracle column — kind unknowable
+                    continue
+                if sk != ok:
+                    problems.append(f"kind[{c}] spark={sk} oracle={ok}")
         if not problems:
             sh, oh = hash_rows(scols, srows), hash_rows(ocols, orows)
             if sh != oh:
