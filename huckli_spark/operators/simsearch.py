@@ -204,6 +204,112 @@ def _md5_unit(seed: str, plane: int, coord: int) -> float:
     return int(h[:15], 16) / float(16**15) * 2.0 - 1.0
 
 
+# Banded near-dup parameters — mirrored verbatim in the SQL oracle
+# (queries/embeddings.py::q_dedup_embed_lsh). Bands trade recall for
+# candidate volume: P(candidate) = 1 - (1 - p^planes)^bands with
+# p = 1 - angle/pi. Production configs at tighter thresholds use more
+# bands (e.g. 16 x 8); the composition below is parameter-agnostic.
+LSH_PAIR_BANDS = 4
+LSH_PAIR_PLANES_PER_BAND = 6
+
+
+def lsh_band_sigs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = LSH_PAIR_BANDS,
+    planes_per_band: int = LSH_PAIR_PLANES_PER_BAND,
+    dim: int = 64,
+    seed: str = "huckli",
+) -> DataFrame:
+    """(id, bs0..bs{B-1}) — one small-int signature per band, each from
+    ``planes_per_band`` deterministic md5-seeded hyperplanes (global
+    plane index = band * planes_per_band + j). Pure map stage: every
+    dot product is a JVM fold inside the row — zero shuffle."""
+    cols = []
+    for band in range(n_bands):
+        terms = []
+        for j in range(planes_per_band):
+            p = band * planes_per_band + j
+            plane = [_md5_unit(seed, p, i) for i in range(dim)]
+            arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in plane) + ")"
+            d = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x AS double) * y),"
+                f" cast(0.0 AS double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+        cols.append(F.expr(" + ".join(terms)).cast("long").alias(f"bs{band}"))
+    return df.select(F.col(id_col), *cols)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = LSH_PAIR_BANDS,
+    planes_per_band: int = LSH_PAIR_PLANES_PER_BAND,
+    dim: int = 64,
+    seed: str = "huckli",
+) -> DataFrame:
+    """Scale path for :func:`cosine_pairs`: banded random-hyperplane
+    LSH candidates, then exact cosine verification restricted to the
+    candidate pairs. Returns (d1, d2, cos_sim) with d1 < d2 and
+    cos_sim >= threshold — the composition VERDICT r02 asked to gate.
+
+    Scale shape (100 TB): signatures are map-side; the candidate join
+    shuffles O(#vecs x #bands) 8-byte sigs (never the vectors); a pair
+    sharing k bands is emitted once via the first-matching-band column
+    filter (same trick as minhash/simhash banding — no distinct()
+    shuffle); exact cosine runs only on candidates, with the two
+    vector lookups joining a candidate set that is ≪ corpus.
+    Approximate by design: recall follows the banding probability
+    (see LSH_PAIR_BANDS note); the oracle re-derives identical planes
+    so the probabilistic structure itself is hash-gated.
+    """
+    sig = lsh_band_sigs(df, id_col, vec_col, n_bands, planes_per_band, dim, seed)
+    entries = [
+        F.struct(F.lit(b).alias("band"), F.col(f"bs{b}").alias("band_sig"))
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col),
+        *[F.col(f"bs{b}") for b in range(n_bands)],
+        F.explode(F.array(*entries)).alias("b"),
+    ).select(id_col, "b.band", "b.band_sig", *[f"bs{b}" for b in range(n_bands)])
+    a = bands.select(
+        F.col(id_col).alias("d1"),
+        "band",
+        "band_sig",
+        *[F.col(f"bs{i}") for i in range(n_bands)],
+    )
+    b_side = bands.select(
+        F.col(id_col).alias("d2"),
+        F.col("band"),
+        F.col("band_sig"),
+        *[F.col(f"bs{i}").alias(f"_b{i}") for i in range(n_bands)],
+    )
+    fm = F.when(F.col("bs0") == F.col("_b0"), F.lit(0))
+    for i in range(1, n_bands - 1):
+        fm = fm.when(F.col(f"bs{i}") == F.col(f"_b{i}"), F.lit(i))
+    first_match = F.col("band") == fm.otherwise(F.lit(n_bands - 1))
+    cand = (
+        a.join(b_side, ["band", "band_sig"])
+        .where(F.col("d1") < F.col("d2"))
+        .where(first_match)
+        .select("d1", "d2")
+    )
+    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"))
+    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cos_sim", fround(cosine("__a", "__b"), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) partitioned search
 # ---------------------------------------------------------------------------

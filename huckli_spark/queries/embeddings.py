@@ -119,6 +119,69 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+def _band_sig_sql(col: str, band: int) -> str:
+    """DuckDB twin of simsearch.lsh_band_sigs for one band: identical
+    md5-seeded plane constants, identical bit weights."""
+    ppb = simsearch.LSH_PAIR_PLANES_PER_BAND
+    terms = []
+    for j in range(ppb):
+        p = band * ppb + j
+        consts = ", ".join(repr(simsearch._md5_unit("huckli", p, i)) for i in range(64))
+        terms.append(
+            f"CASE WHEN list_dot_product({col}, [{consts}]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_PAIR_COS = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@query(
+    "q_dedup_embed_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             {_band_sig_sql('e', 0)} AS bs0,
+             {_band_sig_sql('e', 1)} AS bs1,
+             {_band_sig_sql('e', 2)} AS bs2,
+             {_band_sig_sql('e', 3)} AS bs3
+      FROM v
+    ), cand AS (
+      SELECT x.vec_id AS d1, y.vec_id AS d2
+      FROM sig x JOIN sig y ON x.bs0 = y.bs0 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM sig x JOIN sig y ON x.bs1 = y.bs1 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM sig x JOIN sig y ON x.bs2 = y.bs2 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM sig x JOIN sig y ON x.bs3 = y.bs3 AND x.vec_id < y.vec_id
+    )
+    SELECT d1, d2, {sql_fround(_PAIR_COS, 6)} AS cos_sim
+    FROM cand
+    JOIN v a ON a.vec_id = cand.d1
+    JOIN v b ON b.vec_id = cand.d2
+    WHERE {_PAIR_COS} >= 0.45
+    """,
+    doc="scale path for embedding near-dup: banded random-hyperplane "
+    "LSH candidates (4 bands x 6 planes) -> exact cosine verify on "
+    "candidates only — replaces q_dedup_embed_cosine's O(n^2) cross "
+    "join. The oracle re-derives the identical deterministic planes, "
+    "so the banding structure itself is hash-gated (Spark dedups "
+    "candidate emission with the first-matching-band column filter; "
+    "the oracle's UNION states the same pair set declaratively).",
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+
+
 @query(
     "q_embed_norms",
     f"""

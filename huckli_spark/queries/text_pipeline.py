@@ -92,6 +92,67 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Guarded variant: the stop-shingle skew guard (max_doc_freq) is the
+# mandatory 100-TB setting (operators/dedup.py module notes) — an
+# ultra-common shingle otherwise makes the inverted-index self-join
+# quadratic in its posting-list length. The oracle mirrors the guard
+# exactly (doc-freq filter BEFORE sizes and intersections). At the
+# gate's sf0.01 the max shingle doc-freq is 7, so max_doc_freq=8 also
+# proves the guard is result-neutral below its threshold: this output
+# == q_ngram_jaccard's.
+_GUARD_DF = 8
+
+_JACCARD_GUARDED_CTES = f"""words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), freq AS (
+      SELECT shingle, count(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle
+      FROM sh0 JOIN freq USING (shingle) WHERE f <= {_GUARD_DF}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "q_ngram_jaccard_guarded",
+    f"""
+    WITH {_JACCARD_GUARDED_CTES}
+    SELECT d1, d2,
+           {sql_fround('n_common * 1.0 / (s1.n + s2.n - n_common)', 4)} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    """,
+    doc="q_ngram_jaccard with the stop-shingle skew guard engaged "
+    "(max_doc_freq=8): shingles in more than 8 docs are dropped before "
+    "sizes and intersections on BOTH engines. The 100-TB-safe form of "
+    "the operator, hash-gated.",
+)
+def q_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.8,
+        max_doc_freq=_GUARD_DF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (bag-of-words content signature)
 # ---------------------------------------------------------------------------

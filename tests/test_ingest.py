@@ -292,3 +292,27 @@ class TestIdempotentReingest:
         wh.ingest("verified-speedtest", raw)
         wh.ingest("verified-speedtest", raw)
         assert wh.table("verified_speedtest_report").count() == 16
+
+    def test_idempotent_tables_visible_to_sql(self, spark, tmp_path):
+        # has_table must see partitioned layouts (parquet only in
+        # file_source=... subdirs) or Warehouse.sql silently registers
+        # no data tables and every query fails table-not-found
+        wh = Warehouse(spark, str(tmp_path / "wh3"), idempotent=True)
+        raw = self._one_file(tmp_path)
+        wh.ingest("verified-speedtest", raw)
+        wh.ingest("verified-speedtest", raw)  # re-ingest: counts stable
+        assert wh.has_table("verified_speedtest_report")
+        n = wh.sql(
+            "SELECT count(*) AS n FROM verified_speedtest_report"
+        ).collect()[0].n
+        assert n == 8
+
+    def test_idempotent_write_does_not_mutate_session_conf(self, spark, tmp_path):
+        # the dynamic overwrite mode must be scoped to the writer —
+        # leaking it into the session flips overwrite semantics for
+        # every other writer on the shared session
+        key = "spark.sql.sources.partitionOverwriteMode"
+        before = spark.conf.get(key, None)
+        wh = Warehouse(spark, str(tmp_path / "wh4"), idempotent=True)
+        wh.ingest("verified-speedtest", self._one_file(tmp_path))
+        assert spark.conf.get(key, None) == before

@@ -62,6 +62,17 @@ EXPECTATIONS = {
     "q_region_revenue": [r"BroadcastHashJoin"],
 }
 
+# queries whose scale contract is the ABSENCE of a cross product —
+# the LSH candidate generation must stay an equi-join on (band, sig)
+NO_CARTESIAN = ["q_dedup_embed_lsh", "q_ngram_jaccard_guarded"]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
 def test_plan_shape(spark, name):
