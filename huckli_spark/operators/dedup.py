@@ -98,6 +98,8 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: Optional[int] = None,
+    materialize: bool = True,
+    scope=None,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold.
 
@@ -107,17 +109,26 @@ def jaccard_pairs(
     for oracle parity on the small fixtures).
 
     Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded portably.
+    Cache lifecycle (operators.cache): default = compute eagerly and
+    release internal caches before returning; pass ``scope`` (a
+    persist_scope) for a lazy result with caller-controlled release;
+    ``materialize=False`` without a scope builds a cache-free lazy
+    plan (recompute semantics — also what plan tests inspect).
     """
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    s = scope if scope is not None else (persist_scope() if materialize else None)
+    reg = s.persist if s is not None else (lambda d: d)
     # the array relation feeds sizes + both intersection join sides —
     # persist so split/transform/array_distinct runs once per doc
-    docs = shingle_array(df, id_col, text_col, n=n).persist()
+    docs = reg(shingle_array(df, id_col, text_col, n=n))
     sh = docs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         sh = sh.join(
             freq.where(F.col("__df") <= max_doc_freq), "shingle", "inner"
         ).drop("__df")
-        sh = sh.persist()  # feeds sizes + both join sides below
+        sh = reg(sh)  # feeds sizes + both join sides below
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
         # per-doc shingle count is document-local: no shuffle
@@ -139,12 +150,18 @@ def jaccard_pairs(
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
+    out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .where(jac >= threshold)
         .select("d1", "d2", fround(jac, 4).alias("jaccard"))
     )
+    if scope is not None or not materialize:
+        return out
+    try:
+        return eager_release(out)
+    finally:
+        s.release()
 
 
 def connected_components(
@@ -180,9 +197,9 @@ def connected_components(
         .persist()
     )
     if edges.count() <= small_graph_max:
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent.setdefault(r, r) != r:
                 r = parent[r]
@@ -194,15 +211,26 @@ def connected_components(
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        comp_min: dict[int, int] = {}
+        comp_min: dict = {}
         for node in list(parent):
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
         out = [(node, comp_min[find(node)]) for node in parent]
         edges.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            out, f"{id_out} long, {comp_out} long"
+        # id type follows the input schema (string doc ids sort the
+        # same in Python as in Spark: UTF-8 byte order == code points)
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_out, id_type, False),
+                T.StructField(comp_out, id_type, False),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(out, schema)
+    from pyspark.sql import types as T
+
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -210,9 +238,14 @@ def connected_components(
         .persist()
     )
     # Convergence check: per-node labels only ever DECREASE (min of
-    # self + neighbors), so the label sum strictly decreases until the
-    # fixpoint — one cheap aggregate per round instead of a diff join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # self + neighbors). Numeric ids: the label sum strictly decreases
+    # until the fixpoint — one cheap aggregate per round. Non-numeric
+    # ids (strings/digests) can't sum soundly, so count changed rows
+    # via a node-equi-join of consecutive label sets instead (the
+    # label relation is O(nodes-in-pair-graph), ≪ corpus).
+    numeric = isinstance(pairs.schema[src].dataType, T.NumericType)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0] if numeric else None
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), F.col("label")
@@ -223,15 +256,26 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        if numeric:
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             edges.unpersist()
             return labels.select(
                 F.col("node").alias(id_out), F.col("label").alias(comp_out)
             )
-        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 

@@ -86,6 +86,7 @@ def _media_df(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame:
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators import multimodal as mm
+    from huckli_spark.operators.cache import eager_release
 
     media = mm.sniff_metadata(_media_df(spark, sf_dir)).persist()
     images = media.where(F.col("kind") == "image")
@@ -109,9 +110,11 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("metric"))
         .select(F.lit("video").alias("kind"), "metric")
     )
-    return (
+    out = (
         img_stats.unionByName(aud_stats)
         .unionByName(vid_stats)
         .groupBy("kind")
         .agg(F.count("*").alias("n"), fround(F.avg("metric"), 4).alias("avg_metric"))
     )
+    # 3-row aggregate: materialize eagerly and release the media cache
+    return eager_release(out, media)

@@ -47,3 +47,25 @@ def test_connected_components_chain_and_cliques(spark):
     }
     assert fast == want
     assert dist == want
+
+
+def test_connected_components_string_ids(spark):
+    # the fast path must not assume long ids (VERDICT r02 #7): string
+    # doc ids (content digests, uuids) go through both paths identically
+    from huckli_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC"), ("docX", "docY")],
+        "d1 string, d2 string",
+    )
+    want = {
+        ("docA", "docA"), ("docB", "docA"), ("docC", "docA"),
+        ("docX", "docX"), ("docY", "docX"),
+    }
+    fast = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, small_graph_max=0).collect()
+    }
+    assert fast == want
+    assert dist == want

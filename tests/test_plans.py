@@ -64,14 +64,32 @@ EXPECTATIONS = {
 
 # queries whose scale contract is the ABSENCE of a cross product —
 # the LSH candidate generation must stay an equi-join on (band, sig)
-NO_CARTESIAN = ["q_dedup_embed_lsh", "q_ngram_jaccard_guarded"]
 
 
-@pytest.mark.parametrize("name", NO_CARTESIAN)
-def test_no_cartesian(spark, name):
-    plan = _plan(spark, name)
+def _assert_no_cartesian(plan: str):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embed_lsh_no_cartesian(spark):
+    _assert_no_cartesian(_plan(spark, "q_dedup_embed_lsh"))
+
+
+def test_guarded_jaccard_no_cartesian(spark):
+    # build the LAZY form: the gated query materializes eagerly
+    # (localCheckpoint), which would hide the join plan behind an
+    # ExistingRDD scan
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from huckli_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    df = jaccard_pairs(docs, max_doc_freq=8, materialize=False)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    _assert_no_cartesian(df._jdf.queryExecution().explainString(mode))
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
