@@ -59,20 +59,32 @@ def main() -> None:
     # measure execution, not first-touch JIT
     specs["q_topk"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    N_RUNS = 3
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
-        # min of two runs halves scheduler/JIT noise in the recorded
-        # number; the cache is cleared per run so queries that persist
-        # intermediates internally still pay their full compute (the
-        # CacheManager would otherwise serve run 2 from run 1's plan)
-        best = float("inf")
-        for _ in range(2):
+        # median of three full runs (VERDICT r02 item 10): single-run
+        # samples made 1.5x run-to-run variance look like plan
+        # regressions. The timer wraps BUILD + write because the
+        # dedup-family operators now materialize eagerly inside
+        # build() — timing only the write would skip their compute.
+        # clearCache per run so nothing is served from a prior run.
+        # One untimed warmup first: each query JITs its own codegen
+        # paths, and a cold first sample skews a 3-run median.
+        spark.catalog.clearCache()
+        specs[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ts = []
+        for _ in range(N_RUNS):
             spark.catalog.clearCache()
-            df = specs[name].build(spark, sf_dir)
             t0 = time.perf_counter()
+            df = specs[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        timings[name] = round(ts[N_RUNS // 2], 3)
+        mins[name] = round(ts[0], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -87,6 +99,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": N_RUNS,
+                "stat": "median",
+                "queries_min": mins,
             }
         )
     )
