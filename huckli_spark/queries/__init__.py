@@ -64,6 +64,9 @@ _GATE_PRIORITY: list[str] = [
     # new in round 3
     "q_dedup_embed_lsh",
     "q_ngram_jaccard_guarded",
+    "q_dedup_keeplist",
+    "q_token_count_regex",
+    "q_fingerprint_winnow",
     # red in r01/r02 (HUGEINT oracle fix this round) — must re-grade
     "q_token_count",
     "q_corpus_prep",

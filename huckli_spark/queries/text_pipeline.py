@@ -348,6 +348,95 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (letters / digit runs / single punctuation)
+# ---------------------------------------------------------------------------
+# Space instead of \s in the class keeps the pattern identical across
+# Java-regex (Spark) and RE2 (DuckDB) whitespace semantics.
+_TOK_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_token_count_regex",
+    f"""
+    WITH t AS (
+      SELECT lang, regexp_extract_all(text, '{_TOK_RE}') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(sum(len(list_filter(toks,
+                 t -> regexp_matches(t, '^[^A-Za-z0-9]$')))) AS BIGINT)
+             AS total_punct,
+           {sql_fround('sum(len(toks)) * 1.0 / count(*)', 4)} AS avg_tokens
+    FROM t
+    GROUP BY lang
+    """,
+    doc="BPE-ish regex tokenizer (letter runs | digit runs | single "
+    "punctuation) — the subword-friendly complement to whitespace "
+    "token counting. Map-side extract, one combined shuffle.",
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(text, '{_TOK_RE}', 0)")
+    t = d.select("lang", toks.alias("toks"))
+    n_tok = F.size("toks")
+    n_punct = F.expr("size(filter(toks, t -> t rlike '^[^A-Za-z0-9]$'))")
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.sum(n_punct).cast("long").alias("total_punct"),
+        fround(F.sum(n_tok) * F.lit(1.0) / F.count("*"), 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing-style rolling fingerprints (containment detection)
+# ---------------------------------------------------------------------------
+@query(
+    "q_fingerprint_winnow",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), fp AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(0, len(words) - 8),
+                              i -> array_to_string(words[i+1:i+8], ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+             ) AS fps
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct,
+           CAST(list_min(fps) AS BIGINT) AS min_fp
+    FROM fp
+    WHERE doc_id <= 100
+    """,
+    doc="rolling 8-word-window 60-bit fingerprints "
+    "(operators.textstats.rolling_fingerprint): per-doc window count, "
+    "distinct count, and the winnowing minimum — the containment-"
+    "detection signature. Document-local higher-order expressions, "
+    "zero shuffle; the oracle re-derives identical hashes via the "
+    "portable md5 h60.",
+)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(
+        (F.size(F.split("text", " ")) >= 8) & (F.col("doc_id") <= 100)
+    )
+    fp = textstats.rolling_fingerprint(d, text_col="text", window=8)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_windows"),
+        F.size(F.array_distinct("fingerprints")).cast("long").alias("n_distinct"),
+        F.array_min("fingerprints").cast("long").alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering (transitive closure over jaccard pairs)
 # ---------------------------------------------------------------------------
 @query(
@@ -384,4 +473,49 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed keep-list: the end artifact of the near-dup family
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_keeplist",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jpairs
+      UNION
+      SELECT d2, d1 FROM jpairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), drop_ids AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    GROUP BY source
+    """,
+    doc="the dedup DECISION applied: near-dup pairs -> transitive "
+    "clusters -> drop every non-keeper -> per-source accounting of the "
+    "surviving corpus. This is the artifact a training pipeline ships. "
+    "Scale: the drop set is O(duplicates) and broadcast into an "
+    "anti-join against the corpus — the corpus itself never shuffles.",
+)
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import connected_components
+
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.8)
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )

@@ -60,6 +60,9 @@ EXPECTATIONS = {
     "q_multi_join_topk": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
     # TPC-H Q5 shape: the region->nation->customer dim chain broadcasts
     "q_region_revenue": [r"BroadcastHashJoin"],
+    # keep-list: the O(duplicates) drop set broadcasts into an
+    # anti-join; the corpus side must not shuffle for it
+    "q_dedup_keeplist": [r"LeftAnti", r"Broadcast"],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
