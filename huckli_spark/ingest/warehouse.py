@@ -60,10 +60,22 @@ class Warehouse:
     (at-least-once, duplicates possible on crash-retry).
     """
 
-    def __init__(self, spark: SparkSession, path: str, idempotent: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        idempotent: bool = False,
+        acid: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self.idempotent = idempotent
+        # acid=True: every append/overwrite goes through the
+        # write-audit-publish transaction log (ingest/txlog.py) — the
+        # Delta/Iceberg-shaped commit protocol. Readers resolve the
+        # live file set from the log, so partial writes and crash
+        # orphans are invisible and commits are atomic per table.
+        self.acid = acid
         # observable drop counter for the A8 log-and-skip policy
         self.dropped_frames = spark.sparkContext.accumulator(0)
         os.makedirs(path, exist_ok=True)
@@ -71,6 +83,11 @@ class Warehouse:
     # -- table access -------------------------------------------------------
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
+
+    def _log(self, name: str):
+        from huckli_spark.ingest.txlog import TransactionLog
+
+        return TransactionLog(self.table_path(name))
 
     def has_table(self, name: str) -> bool:
         """True if the table directory holds parquet data at any depth.
@@ -80,6 +97,8 @@ class Warehouse:
         top-level ``*.parquet``, so a flat listdir misses every data
         table (VERDICT r02 "What's wrong #3"). Walk with early exit.
         """
+        if self.acid:
+            return self._log(name).exists()
         p = self.table_path(name)
         if not os.path.isdir(p):
             return False
@@ -89,9 +108,22 @@ class Warehouse:
         return False
 
     def table(self, name: str) -> DataFrame:
+        if self.acid:
+            base = self.table_path(name)
+            files = [os.path.join(base, f) for f in self._log(name).live_files()]
+            if not files:
+                raise FileNotFoundError(f"acid table has no committed data: {name}")
+            # explicit snapshot file list: readers never list the data
+            # dir, so staged/orphan files cannot leak into a scan.
+            # basePath keeps partition-column inference for
+            # file_source=... layouts.
+            return self.spark.read.option("basePath", base).parquet(*files)
         return self.spark.read.parquet(self.table_path(name))
 
     def append(self, name: str, df: DataFrame) -> None:
+        if self.acid:
+            self._acid_append(name, df)
+            return
         if self.idempotent and name != "files_processed" and "file_source" in df.columns:
             # dynamic overwrite touches only the partitions present in
             # df — other files' data is untouched; a retried file's
@@ -107,6 +139,31 @@ class Warehouse:
             )
             return
         df.write.mode("append").parquet(self.table_path(name))
+
+    def _acid_append(self, name: str, df: DataFrame) -> None:
+        """Write-audit-publish: stage part-files, then one atomic log
+        commit. With ``idempotent`` set and a provenance column, the
+        commit replaces the staged files' file_source partitions —
+        the replaceWhere analog, making re-ingest exactly-once."""
+        log = self._log(name)
+        staging = log.staging_dir()
+        partitioned = (
+            self.idempotent
+            and name != "files_processed"
+            and "file_source" in df.columns
+        )
+        writer = df.write.mode("overwrite")
+        if partitioned:
+            writer = writer.partitionBy("file_source")
+        writer.parquet(staging)
+        replace = None
+        if partitioned:
+            replace = [
+                d
+                for d in os.listdir(staging)
+                if d.startswith("file_source=") and os.path.isdir(os.path.join(staging, d))
+            ]
+        log.publish(staging, replace_partitions=replace)
 
     def save_bucketed(
         self, name: str, df: DataFrame, key: str, buckets: int = 32
@@ -149,6 +206,15 @@ class Warehouse:
         compacted = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
+        if self.acid:
+            # snapshot-replace commit: readers see the old snapshot
+            # until the log entry lands; old files become vacuumable
+            # orphans (OPTIMIZE semantics)
+            log = self._log(name)
+            staging = log.staging_dir()
+            compacted.write.mode("overwrite").parquet(staging)
+            log.publish(staging, replace_all=True)
+            return
         tmp = self.table_path(f"__compact_{name}")
         compacted.write.mode("overwrite").parquet(tmp)
         final = self.table_path(name)

@@ -1,0 +1,127 @@
+"""ACID warehouse mode: write-audit-publish transaction log.
+
+The production sink target is Delta/Iceberg (BASELINE north star);
+ingest/txlog.py provides the essential mechanism — atomic commits,
+snapshot isolation from partial writes, idempotent partition replace,
+orphan vacuum — over plain parquet. These tests exercise the crash
+matrix the log exists for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from huckli_spark.ingest.txlog import TransactionLog
+from huckli_spark.ingest.warehouse import Warehouse
+from tests.test_ingest import T0_MS, _speedtest_payloads
+from huckli_spark.sources.framing import write_framed_gzip
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"), idempotent=True, acid=True)
+
+
+def _one_file(tmp_path, n=8, ms=T0_MS):
+    raw = tmp_path / "raw"
+    raw.mkdir(exist_ok=True)
+    write_framed_gzip(
+        str(raw / f"verified_speedtest.{ms}.gz"), _speedtest_payloads(n, base_ms=ms)
+    )
+    return str(raw)
+
+
+def test_commit_then_read(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path))
+    assert wh.has_table("verified_speedtest_report")
+    assert wh.table("verified_speedtest_report").count() == 8
+    # sql() registration works through the log-resolved reader
+    n = wh.sql("SELECT count(*) AS n FROM verified_speedtest_report").collect()[0].n
+    assert n == 8
+
+
+def test_reingest_is_exactly_once(spark, wh, tmp_path):
+    raw = _one_file(tmp_path)
+    wh.ingest("verified-speedtest", raw)
+    wh.ingest("verified-speedtest", raw)  # crash-retry replay
+    df = wh.table("verified_speedtest_report")
+    assert df.count() == 8  # partition replaced, not doubled
+    # the log records the replace action
+    log = TransactionLog(wh.table_path("verified_speedtest_report"))
+    assert any("replace" in e for e in log.entries())
+
+
+def test_uncommitted_staging_is_invisible(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path))
+    # simulate a crash BEFORE publish: stage files, never commit
+    log = TransactionLog(wh.table_path("verified_speedtest_report"))
+    staging = log.staging_dir()
+    wh.table("verified_speedtest_report").limit(3).write.parquet(staging)
+    assert wh.table("verified_speedtest_report").count() == 8  # unchanged
+    removed = log.vacuum()
+    assert removed  # the orphaned staging dir was swept
+    assert wh.table("verified_speedtest_report").count() == 8
+
+
+def test_orphan_data_files_are_invisible_and_vacuumable(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path))
+    base = wh.table_path("verified_speedtest_report")
+    # simulate a crash AFTER file moves but BEFORE the log entry:
+    # a parquet file in the table dir that no commit references
+    part = os.path.join(base, "file_source=verified_speedtest.999.gz")
+    wh.table("verified_speedtest_report").limit(2).drop("file_source").write.mode(
+        "overwrite"
+    ).parquet(part)
+    assert wh.table("verified_speedtest_report").count() == 8  # not visible
+    removed = TransactionLog(base).vacuum()
+    assert any("999" in r for r in removed)
+    assert wh.table("verified_speedtest_report").count() == 8
+
+
+def test_two_files_accumulate(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS))
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=4, ms=T0_MS + 60_000))
+    df = wh.table("verified_speedtest_report")
+    assert df.count() == 12
+    assert df.select("file_source").distinct().count() == 2
+
+
+def test_compact_is_snapshot_replace(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path))
+    base = wh.table_path("verified_speedtest_report")
+    before = wh.table("verified_speedtest_report").count()
+    wh.compact("verified_speedtest_report", ["hotspot_key"], target_partitions=1)
+    assert wh.table("verified_speedtest_report").count() == before
+    log = TransactionLog(base)
+    assert any(e.get("replace_all") for e in log.entries())
+    # old snapshot's files became orphans; vacuum sweeps them, data intact
+    log.vacuum()
+    assert wh.table("verified_speedtest_report").count() == before
+
+
+def test_version_conflict_detection(tmp_path):
+    base = str(tmp_path / "t")
+    os.makedirs(base)
+    log = TransactionLog(base)
+    s1 = log.staging_dir()
+    os.makedirs(s1)
+    with open(os.path.join(s1, "a.parquet"), "w") as fh:
+        fh.write("x")
+    v1 = log.publish(s1)
+    s2 = log.staging_dir()
+    os.makedirs(s2)
+    with open(os.path.join(s2, "b.parquet"), "w") as fh:
+        fh.write("y")
+    v2 = log.publish(s2)
+    assert (v1, v2) == (0, 1)
+    assert log.live_files() == ["a.parquet", "b.parquet"]
+
+
+def test_checkpoint_table_also_logged(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path))
+    assert wh.has_table("files_processed")
+    assert wh.table("files_processed").count() == 1
+    ts = wh.latest_file_processed_timestamp("verified_speedtest")
+    assert ts is not None
