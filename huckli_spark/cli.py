@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="streaming checkpoint dir (default: <db>/_stream_checkpoints/<type>)",
     )
+    p.add_argument(
+        "--idempotent",
+        action="store_true",
+        help="re-ingesting a file replaces its rows (partition overwrite)",
+    )
+    p.add_argument(
+        "--acid",
+        action="store_true",
+        help="transaction-log commits: atomic, crash-safe, exactly-once "
+        "re-ingest when combined with --idempotent",
+    )
     return p
 
 
@@ -66,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     from huckli_spark.sources.listing import FileSelection
 
     spark = get_spark(app_name=f"huckli_import_{args.file_type}")
-    wh = Warehouse(spark, args.db)
+    wh = Warehouse(spark, args.db, idempotent=args.idempotent, acid=args.acid)
     if args.stream:
         import os
 

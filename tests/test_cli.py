@@ -42,3 +42,14 @@ def test_parse_ts_preserves_explicit_offset():
     assert dt.astimezone(timezone.utc) == datetime(
         2024, 1, 1, 3, 0, 0, tzinfo=timezone.utc
     )
+
+
+def test_parser_warehouse_mode_flags():
+    p = build_parser()
+    a = p.parse_args(
+        ["--db", "wh", "--file-type", "verified-speedtest", "--dir", "raw",
+         "--idempotent", "--acid"]
+    )
+    assert a.idempotent and a.acid
+    d = p.parse_args(["--db", "wh", "--file-type", "verified-speedtest", "--dir", "raw"])
+    assert not d.idempotent and not d.acid  # reference-parity default
