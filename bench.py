@@ -46,6 +46,69 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, n_records: int = 60_000, n_files: int = 8) -> dict:
+    """End-to-end ingest throughput: framed-gzip protobuf files ->
+    frame split -> wire decode -> projection -> parquet append +
+    checkpoint (the reference's core function). Fixture generation is
+    excluded from the timing."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from huckli_spark.ingest.filetypes import REGISTRY
+    from huckli_spark.ingest.warehouse import Warehouse
+    from huckli_spark.sources.framing import write_framed_gzip
+    from huckli_spark.sources.protowire import encode
+
+    msg = REGISTRY["verified-speedtest"].msg
+    key = bytes(range(1, 34))
+    t0_ms = 1_700_000_000_000
+    per_file = n_records // n_files
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        raw = os.path.join(tmp, "raw")
+        os.makedirs(raw)
+        gz_bytes = 0
+        for f in range(n_files):
+            base = t0_ms + f * 3_600_000
+            payloads = [
+                encode(
+                    msg,
+                    {
+                        "report": {
+                            "pub_key": key,
+                            "serial": f"sn-{f}-{i}",
+                            "timestamp": (base + i * 1000) // 1000,
+                            "upload_speed": 100 + i,
+                            "download_speed": 1000 + i,
+                            "latency": 10 + i % 90,
+                            "received_timestamp": base + i * 1000,
+                        },
+                        "timestamp": base + i * 1000 + 500,
+                        "result": "SPEEDTEST_AVG_VALID",
+                    },
+                )
+                for i in range(per_file)
+            ]
+            path = os.path.join(raw, f"verified_speedtest.{base}.gz")
+            write_framed_gzip(path, payloads)
+            gz_bytes += os.path.getsize(path)
+        wh = Warehouse(spark, os.path.join(tmp, "wh"))
+        t0 = _time.perf_counter()
+        out = wh.ingest("verified-speedtest", raw)
+        sec = _time.perf_counter() - t0
+        rows = out.get("verified_speedtest_report", 0)
+        return {
+            "records": rows,
+            "files": n_files,
+            "gz_mb": round(gz_bytes / 1e6, 2),
+            "sec": round(sec, 3),
+            "records_per_sec": round(rows / sec),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from huckli_spark.queries import all_queries
@@ -102,6 +165,7 @@ def main() -> None:
                 "runs": N_RUNS,
                 "stat": "median",
                 "queries_min": mins,
+                "ingest": bench_ingest(spark),
             }
         )
     )

@@ -239,9 +239,23 @@ class Warehouse:
 
     # -- checkpoint (A16-A17) ----------------------------------------------
     def save_file_processed(self, info: FileInfo) -> None:
+        self.save_files_processed([info])
+
+    def save_files_processed(self, infos: list[FileInfo]) -> None:
+        """One checkpoint append for a batch of files. The reference
+        commits per file inside its sequential loop (lib.rs:202-210);
+        our batch model processes all files in one job, so a single
+        post-commit append preserves the same semantics (checkpoint
+        strictly after data) while avoiding one 1-row Spark write per
+        file — measured ~0.2s each, dominating small-batch ingest."""
+        if not infos:
+            return
         now = datetime.now(timezone.utc)
         df = self.spark.createDataFrame(
-            [(os.path.basename(info.key), info.prefix, info.timestamp, now)],
+            [
+                (os.path.basename(i.key), i.prefix, i.timestamp, now)
+                for i in infos
+            ],
             FILES_PROCESSED_SCHEMA,
         )
         self.append("files_processed", df)
@@ -289,9 +303,8 @@ class Warehouse:
                 out[name] = df.count()
                 self.append(name, df)
                 df.unpersist()
-            # checkpoint AFTER data commit, per file (A16; at-least-once)
-            for info in files:
-                self.save_file_processed(info)
+            # checkpoint AFTER data commit (A16; at-least-once)
+            self.save_files_processed(list(files))
             return out
         finally:
             if multi_table:
