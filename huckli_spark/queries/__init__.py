@@ -67,6 +67,8 @@ _GATE_PRIORITY: list[str] = [
     "q_dedup_keeplist",
     "q_token_count_regex",
     "q_fingerprint_winnow",
+    "q_stratified_sample",
+    "q_embed_centroids",
     # red in r01/r02 (HUGEINT oracle fix this round) — must re-grade
     "q_token_count",
     "q_corpus_prep",

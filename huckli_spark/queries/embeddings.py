@@ -183,6 +183,39 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_centroids",
+    f"""
+    SELECT label,
+           CAST(pos - 1 AS BIGINT) AS dim,
+           {sql_fround('avg(v)', 6)} AS avg_v
+    FROM (
+      SELECT label,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding::DOUBLE[], 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="per-label mean embedding (class centroids), flattened to "
+    "(label, dim, avg component) for engine-portable comparison. The "
+    "posexplode shuffles (label, dim) keyed rows with map-side "
+    "partial aggregation — O(labels x dims) result regardless of "
+    "corpus size; this is the k-means-update / class-prototype "
+    "primitive for embedding pipelines.",
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    return (
+        em.select(
+            "label", F.posexplode(simsearch._as_double("embedding")).alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(fround(F.avg("v"), 6).alias("avg_v"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "avg_v")
+    )
+
+
+@query(
     "q_embed_norms",
     f"""
     SELECT label, count(*) AS n,

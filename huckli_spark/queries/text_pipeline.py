@@ -348,6 +348,49 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stratified hash sampling (per-source rates, reproducible on any engine)
+# ---------------------------------------------------------------------------
+@query(
+    "q_stratified_sample",
+    f"""
+    WITH s AS (
+      SELECT source, doc_id,
+             {sql_h60('source')} % 60 + 20 AS rate_pct,
+             {sql_h60("source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(min(rate_pct) AS BIGINT) AS rate_pct,
+           count(*) AS n_kept
+    FROM s
+    WHERE h < rate_pct
+    GROUP BY source
+    """,
+    doc="stratified sampling with per-source rates, both the rate and "
+    "the keep decision derived from portable hashes — the same rows "
+    "survive on any engine, partitioning, or cluster size (the "
+    "data-mixture primitive: upsample rare sources, downsample "
+    "dominant ones, reproducibly). Pure map predicate + one "
+    "combined-agg shuffle.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+
+    d = _docs(spark, sf_dir)
+    rate = h60(F.col("source")) % 60 + 20
+    h = h60(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.select("source", rate.alias("rate_pct"), h.alias("h"))
+        .where(F.col("h") < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(
+            F.min("rate_pct").cast("long").alias("rate_pct"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish regex tokenization (letters / digit runs / single punctuation)
 # ---------------------------------------------------------------------------
 # Space instead of \s in the class keeps the pattern identical across
