@@ -94,3 +94,66 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=60)
+
+
+@query(
+    "q_stream_interval_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           count(*) AS n_pairs,
+           count(DISTINCT p.event_id) AS n_purchases
+    FROM p
+    JOIN c ON c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY p.user_id
+    """,
+    doc="stream-stream interval join (purchase <- clicks of the same "
+    "user within the preceding hour — the attribution join), run as a "
+    "REAL watermarked Structured Streaming join with a time-range "
+    "condition; the emitted pair stream is drained (availableNow) and "
+    "aggregated, hash-matched against the batch SQL join. Scale: the "
+    "time bound lets the watermark evict join state beyond the "
+    "interval horizon — state is O(events per hour), not O(stream).",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "inner",
+    )
+    # append-mode pair stream -> memory sink; the aggregate runs on the
+    # drained batch (chaining a second stateful operator is possible in
+    # Spark 3.5+, but batch-side aggregation keeps the gate focused on
+    # the JOIN semantics)
+    drained = run_to_memory(pairs.select("p_user", "p_id"), output_mode="append")
+    return drained.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("p_id").alias("n_purchases"),
+    )
