@@ -167,21 +167,55 @@ def _dec_varint(data: bytes, pos: int) -> tuple[int, int]:
             raise WireError("varint too long")
 
 
+# decode() runs once per record in the ingest hot path; rebuilding the
+# field map and defaults per record measurably dominates small-message
+# decode. The tables are memoized on the Msg instance itself (frozen
+# dataclass — set via object.__setattr__), so the cache's lifetime is
+# exactly the schema object's and ad-hoc test Msgs can't collide.
+
+
+def _msg_tables(msg: Msg) -> tuple[dict[int, Field], list[tuple[str, Any, bool]]]:
+    cached = getattr(msg, "_decode_tables", None)
+    if cached is None:
+        defaults: list[tuple[str, Any, bool]] = []
+        for f in msg.fields:
+            if f.repeated or f.schema is not None:
+                # mutable ([]) or nested defaults must be built fresh
+                defaults.append((f.name, f, True))
+            else:
+                defaults.append((f.name, _default(f), False))
+        cached = (msg.by_num(), defaults)
+        object.__setattr__(msg, "_decode_tables", cached)
+    return cached
+
+
 def decode(msg: Msg, data: bytes) -> dict[str, Any]:
     """Decode bytes into {field_name: value} per the schema. Unknown
     fields are skipped (standard proto forward-compat); missing fields
     take proto3 defaults (0 / "" / b"" / False / first enum name /
     None for messages, [] for repeated)."""
-    by_num = msg.by_num()
+    by_num, defaults = _msg_tables(msg)
     out: dict[str, Any] = {}
     pos = 0
     n = len(data)
     while pos < n:
-        tag, pos = _dec_varint(data, pos)
+        # single-byte varint fast path: field nums <= 15 cover every
+        # message in the registry, and most scalar values are small
+        b = data[pos]
+        if b < 0x80:
+            tag = b
+            pos += 1
+        else:
+            tag, pos = _dec_varint(data, pos)
         num, wire = tag >> 3, tag & 7
         f = by_num.get(num)
         if wire == VARINT:
-            raw, pos = _dec_varint(data, pos)
+            b = data[pos] if pos < n else 0x80
+            if b < 0x80:
+                raw: Any = b
+                pos += 1
+            else:
+                raw, pos = _dec_varint(data, pos)
             val: Any = raw
         elif wire == I64:
             if pos + 8 > n:
@@ -221,9 +255,9 @@ def decode(msg: Msg, data: bytes) -> dict[str, Any]:
         else:
             out[f.name] = val
     # proto3 defaults for absent fields
-    for f in msg.fields:
-        if f.name not in out:
-            out[f.name] = _default(f)
+    for name, d, fresh in defaults:
+        if name not in out:
+            out[name] = _default(d) if fresh else d
     return out
 
 

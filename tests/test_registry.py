@@ -47,3 +47,14 @@ def test_sql_udfs_stay_jvm_side(spark):
     )
     # a Python UDF would show BatchEvalPython / ArrowEvalPython
     assert "Python" not in plan, plan
+
+
+def test_gate_priority_names_all_exist():
+    # a typo in _GATE_PRIORITY silently drops a query out of the
+    # driver's graded window (it filters on membership) — make typos loud
+    from huckli_spark.queries import _GATE_PRIORITY, all_queries
+
+    names = set(all_queries())
+    missing = [n for n in _GATE_PRIORITY if n not in names]
+    assert not missing, f"_GATE_PRIORITY names not in registry: {missing}"
+    assert len(_GATE_PRIORITY) <= 50  # must fit the graded window
