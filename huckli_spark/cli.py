@@ -36,9 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--db", required=True, help="warehouse directory")
     p.add_argument(
-        "--file-type", required=True, choices=sorted(REGISTRY), dest="file_type"
+        "--file-type", choices=sorted(REGISTRY), dest="file_type", default=None
     )
-    p.add_argument("--dir", required=True, help="directory of raw .gz files")
+    p.add_argument("--dir", default=None, help="directory of raw .gz files")
     p.add_argument("--after", type=_parse_ts, default=None)
     p.add_argument("--before", type=_parse_ts, default=None)
     p.add_argument(
@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="transaction-log commits: atomic, crash-safe, exactly-once "
         "re-ingest when combined with --idempotent",
     )
+    p.add_argument(
+        "--query",
+        default=None,
+        metavar="SQL",
+        help="skip ingest and run SQL over the warehouse tables (the "
+        "post-ingest surface — the reference's 'open the DuckDB file' "
+        "step); prints one JSON row per line",
+    )
     return p
 
 
@@ -76,8 +84,16 @@ def main(argv: list[str] | None = None) -> int:
     from huckli_spark.session import get_spark
     from huckli_spark.sources.listing import FileSelection
 
-    spark = get_spark(app_name=f"huckli_import_{args.file_type}")
+    if args.query is None and (args.file_type is None or args.dir is None):
+        print("error: --file-type and --dir are required to ingest", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"huckli_{args.file_type or 'sql'}")
     wh = Warehouse(spark, args.db, idempotent=args.idempotent, acid=args.acid)
+    if args.query is not None:
+        for row in wh.sql(args.query).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
     if args.stream:
         import os
 

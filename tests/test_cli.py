@@ -44,6 +44,38 @@ def test_parse_ts_preserves_explicit_offset():
     )
 
 
+def test_query_mode_runs_sql_over_warehouse(spark, tmp_path, capsys):
+    # end-to-end: ingest a file, then query it back through the CLI's
+    # post-ingest SQL surface (the reference's open-the-db-and-SQL step)
+    import json
+
+    from huckli_spark.cli import main
+    from tests.test_ingest import T0_MS, _speedtest_payloads
+    from huckli_spark.sources.framing import write_framed_gzip
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    write_framed_gzip(
+        str(raw / f"verified_speedtest.{T0_MS}.gz"), _speedtest_payloads(6)
+    )
+    db = str(tmp_path / "wh")
+    assert main(["--db", db, "--file-type", "verified-speedtest", "--dir", str(raw)]) == 0
+    capsys.readouterr()
+    rc = main(
+        ["--db", db, "--query",
+         "SELECT count(*) AS n FROM verified_speedtest_report"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1]) == {"n": 6}
+
+
+def test_ingest_mode_requires_file_type_and_dir(capsys):
+    from huckli_spark.cli import main
+
+    assert main(["--db", "wh"]) == 2
+
+
 def test_parser_warehouse_mode_flags():
     p = build_parser()
     a = p.parse_args(
