@@ -1,4 +1,4 @@
-"""Persist lifecycle regression tests (VERDICT r02 "What's wrong #6").
+"""Persist lifecycle regression tests.
 
 The sketch/dedup operators persist intermediates (shingle relations,
 band tables, signatures). Round 1/2 never unpersisted them, so a
