@@ -93,6 +93,15 @@ def bench_ingest(spark, n_records: int = 60_000, n_files: int = 8) -> dict:
             path = os.path.join(raw, f"verified_speedtest.{base}.gz")
             write_framed_gzip(path, payloads)
             gz_bytes += os.path.getsize(path)
+        # untimed warmup batch: the decode path's Python workers and
+        # Arrow codepaths JIT on first touch, like the query warmups
+        warm_raw = os.path.join(tmp, "warm")
+        os.makedirs(warm_raw)
+        wpath = os.path.join(warm_raw, f"verified_speedtest.{t0_ms - 1000}.gz")
+        write_framed_gzip(wpath, [encode(msg, {"timestamp": t0_ms})] * 500)
+        Warehouse(spark, os.path.join(tmp, "warmwh")).ingest(
+            "verified-speedtest", warm_raw
+        )
         wh = Warehouse(spark, os.path.join(tmp, "wh"))
         t0 = _time.perf_counter()
         out = wh.ingest("verified-speedtest", raw)
