@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         "post-ingest surface — the reference's 'open the DuckDB file' "
         "step); prints one JSON row per line",
     )
+    p.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="sweep crash orphans from every acid table's transaction "
+        "log, then exit (maintenance; implies --acid)",
+    )
     return p
 
 
@@ -83,6 +89,19 @@ def main(argv: list[str] | None = None) -> int:
     from huckli_spark.ingest.warehouse import Warehouse
     from huckli_spark.session import get_spark
     from huckli_spark.sources.listing import FileSelection
+
+    if args.vacuum:
+        import os
+
+        from huckli_spark.ingest.txlog import TransactionLog
+
+        swept: dict[str, int] = {}
+        for name in sorted(os.listdir(args.db)):
+            log = TransactionLog(os.path.join(args.db, name))
+            if log.exists():
+                swept[name] = len(log.vacuum())
+        print(json.dumps({"mode": "vacuum", "swept": swept}))
+        return 0
 
     if args.query is None and (args.file_type is None or args.dir is None):
         print("error: --file-type and --dir are required to ingest", file=sys.stderr)

@@ -76,6 +76,34 @@ def test_ingest_mode_requires_file_type_and_dir(capsys):
     assert main(["--db", "wh"]) == 2
 
 
+def test_vacuum_mode_sweeps_acid_orphans(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from huckli_spark.cli import main
+    from huckli_spark.ingest.warehouse import Warehouse
+    from huckli_spark.ingest.txlog import TransactionLog
+    from tests.test_ingest import T0_MS, _speedtest_payloads
+    from huckli_spark.sources.framing import write_framed_gzip
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    write_framed_gzip(
+        str(raw / f"verified_speedtest.{T0_MS}.gz"), _speedtest_payloads(4)
+    )
+    db = str(tmp_path / "wh")
+    wh = Warehouse(spark, db, idempotent=True, acid=True)
+    wh.ingest("verified-speedtest", raw)
+    # plant an uncommitted staging dir (crash-before-publish)
+    log = TransactionLog(wh.table_path("verified_speedtest_report"))
+    os.makedirs(os.path.join(log.staging_dir()))
+    assert main(["--db", db, "--vacuum"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "vacuum"
+    assert "verified_speedtest_report" in out["swept"]
+    assert wh.table("verified_speedtest_report").count() == 4
+
+
 def test_parser_warehouse_mode_flags():
     p = build_parser()
     a = p.parse_args(
