@@ -115,6 +115,7 @@ def jaccard_pairs(
     ``materialize=False`` without a scope builds a cache-free lazy
     plan (recompute semantics — also what plan tests inspect).
     """
+    from huckli_spark.functions.portable import h60
     from huckli_spark.operators.cache import eager_release, persist_scope
 
     s = scope if scope is not None else (persist_scope() if materialize else None)
@@ -122,7 +123,13 @@ def jaccard_pairs(
     # the array relation feeds sizes + both intersection join sides —
     # persist so split/transform/array_distinct runs once per doc
     docs = reg(shingle_array(df, id_col, text_col, n=n))
-    sh = docs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    # join on the 60-bit shingle hash, not the string: 8-byte shuffle
+    # keys instead of ~20-byte text, cheaper comparisons, identical
+    # results — the oracle hashes with the same portable h60, so the
+    # (astronomically unlikely, ~n²/2^61) collisions are shared too
+    sh = docs.select(F.col(id_col), F.explode("sh_arr").alias("__s")).select(
+        F.col(id_col), h60(F.col("__s")).alias("shingle")
+    )
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         sh = sh.join(

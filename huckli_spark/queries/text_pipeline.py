@@ -48,16 +48,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shared CTE chain: word-3-gram shingles -> sizes -> pairwise
 # intersection counts (used by the pair query and the cluster query).
-_JACCARD_CTES = """words AS (
+# The intersection joins on the portable 60-bit shingle hash, exactly
+# like the Spark operator — same hash, same (negligible) collisions,
+# identical results, 8-byte join keys on both engines.
+_JACCARD_CTES = f"""words AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w
       FROM documents
     ), sh AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-      FROM words a
-      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      SELECT doc_id, {sql_h60("shingle_str")} AS shingle
+      FROM (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle_str
+        FROM words a
+        JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -108,10 +114,13 @@ _JACCARD_GUARDED_CTES = f"""words AS (
              unnest(string_split(text, ' ')) AS w
       FROM documents
     ), sh0 AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-      FROM words a
-      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      SELECT doc_id, {sql_h60("shingle_str")} AS shingle
+      FROM (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle_str
+        FROM words a
+        JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      )
     ), freq AS (
       SELECT shingle, count(*) AS f FROM sh0 GROUP BY shingle
     ), sh AS (
