@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="sweep crash orphans from every acid table's transaction "
         "log, then exit (maintenance; implies --acid)",
     )
+    p.add_argument(
+        "--vacuum-grace",
+        type=float,
+        default=3600.0,
+        metavar="SECONDS",
+        help="vacuum retention window: candidates younger than this "
+        "are kept so an in-flight publish is never swept (default 1h; "
+        "use 0 only when no writer can be active)",
+    )
     return p
 
 
@@ -95,11 +104,17 @@ def main(argv: list[str] | None = None) -> int:
 
         from huckli_spark.ingest.txlog import TransactionLog
 
+        if not os.path.isdir(args.db):
+            print(f"error: no such warehouse: {args.db}", file=sys.stderr)
+            return 2
+        if args.query is not None:
+            print("error: --vacuum and --query are exclusive", file=sys.stderr)
+            return 2
         swept: dict[str, int] = {}
         for name in sorted(os.listdir(args.db)):
             log = TransactionLog(os.path.join(args.db, name))
             if log.exists():
-                swept[name] = len(log.vacuum())
+                swept[name] = len(log.vacuum(grace_seconds=args.vacuum_grace))
         print(json.dumps({"mode": "vacuum", "swept": swept}))
         return 0
 

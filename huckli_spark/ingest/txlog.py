@@ -20,8 +20,9 @@ plain parquet, structured like a miniature Delta log:
   staging files and crash orphans are invisible — a reader never
   lists the data directory.
 - A crash BEFORE the log entry leaves only invisible orphans (swept
-  by ``vacuum``); a crash AFTER is a completed commit. There is no
-  torn state.
+  by ``vacuum`` after its retention grace); a crash AFTER is a
+  completed commit (the entry file AND its directory entry are
+  fsynced). There is no torn state.
 
 Reference tie-in: huckli appends row-at-a-time into DuckDB with no
 transaction around data+checkpoint (huckli-import/src/lib.rs:202-210,
@@ -93,6 +94,10 @@ class TransactionLog:
                 # taken by a concurrent committer -> retry with next
                 os.link(tmp, final)
                 os.unlink(tmp)
+                # the entry's DIRECTORY ENTRY must also be durable, or
+                # a power loss after return could roll the commit back
+                # while the data files survive as vacuumable orphans
+                _fsync_dir(self.log_path)
                 return version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race; re-read latest and retry
@@ -136,14 +141,34 @@ class TransactionLog:
         return self._latest_version() >= 0
 
     # -- maintenance --------------------------------------------------------
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
         """Remove crash orphans: staged dirs and data files not in the
-        current snapshot. Safe because readers only see live_files()."""
+        current snapshot.
+
+        ``grace_seconds`` is the retention window (Delta-style): any
+        candidate younger than it is kept, because a publish moves its
+        part-files into the table BEFORE the commit entry lands — a
+        zero-grace vacuum racing an in-flight publish would delete
+        files that are about to be committed. With a grace period
+        longer than any plausible publish duration, concurrent
+        vacuum/writer operation is safe; pass 0 only when no writer
+        can be active."""
+        import time
+
         removed: list[str] = []
+        cutoff = time.time() - grace_seconds
         live = set(self.live_files())
+
+        def _old(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= cutoff
+            except OSError:
+                return False  # vanished underneath us — leave it be
+
         for name in os.listdir(self.table_path):
-            if name.startswith(_STAGING_PREFIX):
-                _rmtree(os.path.join(self.table_path, name))
+            p = os.path.join(self.table_path, name)
+            if name.startswith(_STAGING_PREFIX) and _old(p):
+                _rmtree(p)
                 removed.append(name)
         for root, _dirs, files in os.walk(self.table_path):
             if os.path.basename(root) == LOG_DIR or _STAGING_PREFIX in root:
@@ -151,9 +176,10 @@ class TransactionLog:
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(os.path.join(root, f), self.table_path)
-                if rel not in live:
-                    os.unlink(os.path.join(root, f))
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.table_path)
+                if rel not in live and _old(full):
+                    os.unlink(full)
                     removed.append(rel)
         return removed
 
@@ -162,3 +188,11 @@ def _rmtree(path: str) -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)

@@ -97,8 +97,13 @@ class Warehouse:
         top-level ``*.parquet``, so a flat listdir misses every data
         table (VERDICT r02 "What's wrong #3"). Walk with early exit.
         """
-        if self.acid:
-            return self._log(name).exists()
+        # a table WITH a transaction log is read through it no matter
+        # how this Warehouse was constructed — otherwise a non-acid
+        # reader of an acid table would scan replaced-partition
+        # orphans and uncommitted files and silently return duplicates
+        log = self._log(name)
+        if self.acid or log.exists():
+            return log.exists()
         p = self.table_path(name)
         if not os.path.isdir(p):
             return False
@@ -108,9 +113,10 @@ class Warehouse:
         return False
 
     def table(self, name: str) -> DataFrame:
-        if self.acid:
-            base = self.table_path(name)
-            files = [os.path.join(base, f) for f in self._log(name).live_files()]
+        base = self.table_path(name)
+        log = self._log(name)
+        if self.acid or log.exists():  # acid-ness is a table property
+            files = [os.path.join(base, f) for f in log.live_files()]
             if not files:
                 raise FileNotFoundError(f"acid table has no committed data: {name}")
             # explicit snapshot file list: readers never list the data
@@ -118,10 +124,13 @@ class Warehouse:
             # basePath keeps partition-column inference for
             # file_source=... layouts.
             return self.spark.read.option("basePath", base).parquet(*files)
-        return self.spark.read.parquet(self.table_path(name))
+        return self.spark.read.parquet(base)
 
     def append(self, name: str, df: DataFrame) -> None:
-        if self.acid:
+        # once a table has a log it stays logged: a plain append would
+        # write files no commit references — invisible to readers and
+        # swept by the next vacuum
+        if self.acid or self._log(name).exists():
             self._acid_append(name, df)
             return
         if self.idempotent and name != "files_processed" and "file_source" in df.columns:
@@ -147,17 +156,18 @@ class Warehouse:
         the replaceWhere analog, making re-ingest exactly-once."""
         log = self._log(name)
         staging = log.staging_dir()
-        partitioned = (
-            self.idempotent
-            and name != "files_processed"
-            and "file_source" in df.columns
-        )
+        # ALWAYS partition by provenance when present: mixing
+        # partition-dir files and flat files in one table makes
+        # Spark's scan silently ignore the flat ones. The replace
+        # action (idempotent exactly-once) is the only thing gated on
+        # the mode; layout is uniform regardless.
+        partitioned = name != "files_processed" and "file_source" in df.columns
         writer = df.write.mode("overwrite")
         if partitioned:
             writer = writer.partitionBy("file_source")
         writer.parquet(staging)
         replace = None
-        if partitioned:
+        if partitioned and self.idempotent:
             replace = [
                 d
                 for d in os.listdir(staging)

@@ -251,6 +251,8 @@ def cosine_pairs_lsh(
     planes_per_band: int = LSH_PAIR_PLANES_PER_BAND,
     dim: int = 64,
     seed: str = "huckli",
+    materialize: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Scale path for :func:`cosine_pairs`: banded random-hyperplane
     LSH candidates, then exact cosine verification restricted to the
@@ -266,8 +268,18 @@ def cosine_pairs_lsh(
     Approximate by design: recall follows the banding probability
     (see LSH_PAIR_BANDS note); the oracle re-derives identical planes
     so the probabilistic structure itself is hash-gated.
+    Cache lifecycle as in operators.cache: both self-join sides read
+    the signature relation, so it is persisted and released (eager by
+    default; pass scope for a lazy plan, materialize=False for a
+    cache-free plan).
     """
-    sig = lsh_band_sigs(df, id_col, vec_col, n_bands, planes_per_band, dim, seed)
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    s = scope if scope is not None else (persist_scope() if materialize else None)
+    reg = s.persist if s is not None else (lambda d: d)
+    sig = reg(
+        lsh_band_sigs(df, id_col, vec_col, n_bands, planes_per_band, dim, seed)
+    )
     entries = [
         F.struct(F.lit(b).alias("band"), F.col(f"bs{b}").alias("band_sig"))
         for b in range(n_bands)
@@ -301,13 +313,19 @@ def cosine_pairs_lsh(
     )
     v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"))
     v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"))
-    return (
+    out = (
         cand.join(v1, "d1")
         .join(v2, "d2")
         .withColumn("cos_sim", fround(cosine("__a", "__b"), 6))
         .where(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )
+    if scope is not None or not materialize:
+        return out
+    try:
+        return eager_release(out)
+    finally:
+        s.release()
 
 
 # ---------------------------------------------------------------------------

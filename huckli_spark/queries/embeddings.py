@@ -164,11 +164,13 @@ _PAIR_COS = (
       SELECT x.vec_id, y.vec_id
       FROM sig x JOIN sig y ON x.bs3 = y.bs3 AND x.vec_id < y.vec_id
     )
-    SELECT d1, d2, {sql_fround(_PAIR_COS, 6)} AS cos_sim
-    FROM cand
-    JOIN v a ON a.vec_id = cand.d1
-    JOIN v b ON b.vec_id = cand.d2
-    WHERE {_PAIR_COS} >= 0.45
+    SELECT d1, d2, cos_sim FROM (
+      SELECT d1, d2, {sql_fround(_PAIR_COS, 6)} AS cos_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.d1
+      JOIN v b ON b.vec_id = cand.d2
+    )
+    WHERE cos_sim >= 0.45
     """,
     doc="scale path for embedding near-dup: banded random-hyperplane "
     "LSH candidates (4 bands x 6 planes) -> exact cosine verify on "
@@ -201,7 +203,10 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode shuffles (label, dim) keyed rows with map-side "
     "partial aggregation — O(labels x dims) result regardless of "
     "corpus size; this is the k-means-update / class-prototype "
-    "primitive for embedding pipelines.",
+    "primitive for embedding pipelines. Known hazard (accepted, like "
+    "q_embed_norms): double summation order is engine-dependent, so a "
+    "mean sitting within ~1ulp of a 1e-6 rounding boundary could "
+    "round apart — probability ~1e-12 per cell on this data.",
 )
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _emb(spark, sf_dir)

@@ -97,7 +97,7 @@ def test_vacuum_mode_sweeps_acid_orphans(spark, tmp_path, capsys):
     # plant an uncommitted staging dir (crash-before-publish)
     log = TransactionLog(wh.table_path("verified_speedtest_report"))
     os.makedirs(os.path.join(log.staging_dir()))
-    assert main(["--db", db, "--vacuum"]) == 0
+    assert main(["--db", db, "--vacuum", "--vacuum-grace", "0"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "vacuum"
     assert "verified_speedtest_report" in out["swept"]

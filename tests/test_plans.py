@@ -74,25 +74,33 @@ def _assert_no_cartesian(plan: str):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def _lazy_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_embed_lsh_no_cartesian(spark):
-    _assert_no_cartesian(_plan(spark, "q_dedup_embed_lsh"))
+    # build the LAZY form: the gated query materializes eagerly, which
+    # would hide the join plan behind an ExistingRDD scan
+    import os
+
+    from huckli_spark.operators.simsearch import cosine_pairs_lsh
+
+    em = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    df = cosine_pairs_lsh(em, threshold=0.45, materialize=False)
+    _assert_no_cartesian(_lazy_plan(spark, df))
 
 
 def test_guarded_jaccard_no_cartesian(spark):
-    # build the LAZY form: the gated query materializes eagerly
-    # (localCheckpoint), which would hide the join plan behind an
-    # ExistingRDD scan
     import os
 
-    from pyspark.sql import functions as F  # noqa: F401
     from huckli_spark.operators.dedup import jaccard_pairs
 
     docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
     df = jaccard_pairs(docs, max_doc_freq=8, materialize=False)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    _assert_no_cartesian(df._jdf.queryExecution().explainString(mode))
+    _assert_no_cartesian(_lazy_plan(spark, df))
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))

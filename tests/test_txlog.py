@@ -60,7 +60,7 @@ def test_uncommitted_staging_is_invisible(spark, wh, tmp_path):
     staging = log.staging_dir()
     wh.table("verified_speedtest_report").limit(3).write.parquet(staging)
     assert wh.table("verified_speedtest_report").count() == 8  # unchanged
-    removed = log.vacuum()
+    removed = log.vacuum(grace_seconds=0)
     assert removed  # the orphaned staging dir was swept
     assert wh.table("verified_speedtest_report").count() == 8
 
@@ -75,7 +75,7 @@ def test_orphan_data_files_are_invisible_and_vacuumable(spark, wh, tmp_path):
         "overwrite"
     ).parquet(part)
     assert wh.table("verified_speedtest_report").count() == 8  # not visible
-    removed = TransactionLog(base).vacuum()
+    removed = TransactionLog(base).vacuum(grace_seconds=0)
     assert any("999" in r for r in removed)
     assert wh.table("verified_speedtest_report").count() == 8
 
@@ -97,7 +97,7 @@ def test_compact_is_snapshot_replace(spark, wh, tmp_path):
     log = TransactionLog(base)
     assert any(e.get("replace_all") for e in log.entries())
     # old snapshot's files became orphans; vacuum sweeps them, data intact
-    log.vacuum()
+    log.vacuum(grace_seconds=0)
     assert wh.table("verified_speedtest_report").count() == before
 
 
@@ -125,3 +125,25 @@ def test_checkpoint_table_also_logged(spark, wh, tmp_path):
     assert wh.table("files_processed").count() == 1
     ts = wh.latest_file_processed_timestamp("verified_speedtest")
     assert ts is not None
+
+
+def test_acid_is_a_table_property_not_a_reader_flag(spark, wh, tmp_path):
+    # re-ingest leaves replaced-partition orphans on disk; a reader
+    # constructed WITHOUT acid=True must still resolve through the log
+    # (a directory scan would return doubled rows with no error)
+    raw = _one_file(tmp_path)
+    wh.ingest("verified-speedtest", raw)
+    wh.ingest("verified-speedtest", raw)
+    plain = Warehouse(spark, wh.path)  # no acid flag
+    assert plain.has_table("verified_speedtest_report")
+    assert plain.table("verified_speedtest_report").count() == 8
+    n = plain.sql(
+        "SELECT count(*) AS n FROM verified_speedtest_report"
+    ).collect()[0].n
+    assert n == 8
+    # and a plain append to a logged table must go through the log too
+    # (an unlogged file would be invisible and vacuumable)
+    extra = wh.table("verified_speedtest_report").limit(2)
+    plain.append("verified_speedtest_report", extra)
+    assert plain.table("verified_speedtest_report").count() == 10
+    assert wh.table("verified_speedtest_report").count() == 10
