@@ -171,6 +171,80 @@ def jaccard_pairs(
         s.release()
 
 
+def jaccard_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
+    materialize: bool = True,
+    scope=None,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs (new_id, corpus_id,
+    jaccard >= threshold) between a NEW batch and the EXISTING corpus —
+    the production flow where each ingest batch is screened against
+    what's already stored before admission.
+
+    Scale shape (100 TB corpus, small daily batch): the batch side's
+    shingle relation is tiny and broadcasts into the inverted-index
+    join, so the corpus side never shuffles; in production the corpus
+    shingle relation is a materialized index table (written once,
+    appended per admitted batch), not recomputed — this function
+    recomputes it for self-contained use at fixture scale. The
+    ``max_doc_freq`` guard applies to corpus-side doc frequency (the
+    skewed side).
+    """
+    from huckli_spark.functions.portable import h60
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    s = scope if scope is not None else (persist_scope() if materialize else None)
+    reg = s.persist if s is not None else (lambda d: d)
+    new_docs = reg(shingle_array(new_df, id_col, text_col, n=n))
+    corp_docs = reg(shingle_array(corpus_df, id_col, text_col, n=n))
+
+    def _sh(docs: DataFrame, alias: str) -> DataFrame:
+        return docs.select(
+            F.col(id_col).alias(alias), F.explode("sh_arr").alias("__s")
+        ).select(F.col(alias), h60(F.col("__s")).alias("shingle"))
+
+    new_sh = _sh(new_docs, "d_new")
+    corp_sh = _sh(corp_docs, "d_corpus")
+    if max_doc_freq is not None:
+        freq = corp_sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        stop = freq.where(F.col("__df") > max_doc_freq).select("shingle")
+        corp_sh = corp_sh.join(F.broadcast(stop), "shingle", "left_anti")
+        new_sh = new_sh.join(F.broadcast(stop), "shingle", "left_anti")
+        corp_sizes = corp_sh.groupBy("d_corpus").agg(F.count("*").alias("n2"))
+        new_sizes = new_sh.groupBy("d_new").agg(F.count("*").alias("n1"))
+    else:
+        new_sizes = new_docs.select(
+            F.col(id_col).alias("d_new"), F.size("sh_arr").alias("n1")
+        )
+        corp_sizes = corp_docs.select(
+            F.col(id_col).alias("d_corpus"), F.size("sh_arr").alias("n2")
+        )
+    inter = (
+        corp_sh.join(F.broadcast(new_sh), "shingle")
+        .groupBy("d_new", "d_corpus")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    out = (
+        inter.join(F.broadcast(new_sizes), "d_new")
+        .join(corp_sizes, "d_corpus")
+        .where(jac >= threshold)
+        .select("d_new", "d_corpus", fround(jac, 4).alias("jaccard"))
+    )
+    if scope is not None or not materialize:
+        return out
+    try:
+        return eager_release(out)
+    finally:
+        s.release()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",

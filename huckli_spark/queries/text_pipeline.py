@@ -357,6 +357,58 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: a new batch screened against the existing corpus
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_incremental",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {sql_h60("shingle_str")} AS shingle
+      FROM (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle_str
+        FROM words a
+        JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d_new, y.doc_id AS d_corpus, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle
+      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT d_new, d_corpus,
+           {sql_fround('n_common * 1.0 / (s1.n + s2.n - n_common)', 4)} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d_new
+    JOIN sizes s2 ON s2.doc_id = d_corpus
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    """,
+    doc="incremental dedup: the 'new batch' (doc_id % 10 = 0 stands in "
+    "for today's ingest) screened against the existing corpus for "
+    "near-duplicates before admission — the production daily flow. "
+    "Scale: the batch side's shingles broadcast into the inverted-"
+    "index join; the corpus side (in production a materialized "
+    "shingle-index table) never shuffles.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import jaccard_pairs_cross
+
+    d = _docs(spark, sf_dir)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return jaccard_pairs_cross(
+        new, corpus, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
 # stratified hash sampling (per-source rates, reproducible on any engine)
 # ---------------------------------------------------------------------------
 @query(

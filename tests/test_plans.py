@@ -103,6 +103,25 @@ def test_guarded_jaccard_no_cartesian(spark):
     _assert_no_cartesian(_lazy_plan(spark, df))
 
 
+def test_incremental_dedup_broadcasts_the_batch_side(spark):
+    # the new-batch shingles must broadcast into the inverted-index
+    # join — the corpus side never shuffles for the screen
+    import os
+
+    from pyspark.sql import functions as F
+    from huckli_spark.operators.dedup import jaccard_pairs_cross
+
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    df = jaccard_pairs_cross(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        materialize=False,
+    )
+    plan = _lazy_plan(spark, df)
+    _assert_no_cartesian(plan)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
 def test_plan_shape(spark, name):
     plan = _plan(spark, name)
