@@ -395,3 +395,38 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# salted join — skew pattern proven result-neutral against a plain join
+# ---------------------------------------------------------------------------
+@query(
+    "q_salted_join",
+    f"""
+    WITH ua AS (
+      SELECT user_id, {sql_fround('avg(value)', 6)} AS user_avg
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           {sql_fround('sum(e.value * ua.user_avg)', 2)} AS weighted
+    FROM events e JOIN ua USING (user_id)
+    GROUP BY e.event_type
+    """,
+    doc="hot-key salted join (operators.skew.salted_join, 8 salts: big "
+    "side salted per row, small side replicated, join on (key, salt)) "
+    "hash-matched against the ORACLE'S PLAIN JOIN — the gate proves "
+    "salting is result-neutral, which is the whole point of the "
+    "pattern. Use when both sides are too big to broadcast and one "
+    "has hot keys; AQE's skew split covers the sort-merge case.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    ua = ev.groupBy("user_id").agg(fround(F.avg("value"), 6).alias("user_avg"))
+    joined = salted_join(ev, ua, on="user_id", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        fround(F.sum(F.col("value") * F.col("user_avg")), 2).alias("weighted"),
+    )
