@@ -215,6 +215,92 @@ def minhash_dedup_pairs(
         s.release()
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    materialize: bool = True,
+    scope=None,
+) -> DataFrame:
+    """Estimated AND exact Jaccard for every LSH candidate pair:
+    (d1, d2, est_jaccard, jaccard). The estimate is the classic
+    MinHash statistic — the fraction of the K signature components
+    that agree — whose expectation is the true Jaccard; emitting both
+    per pair makes the estimator's quality itself a gated, engine-
+    portable result (both engines derive identical signatures).
+
+    Scale: identical to minhash_dedup_pairs minus the threshold — the
+    estimate join touches only (candidate, K-component) rows."""
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    s = scope if scope is not None else (persist_scope() if materialize else None)
+    reg = s.persist if s is not None else (lambda d: d)
+    docs = reg(shingle_array(df, id_col, text_col, n=n))
+    sig = reg(_signature_from_arrays(docs, id_col))
+    bands = reg(minhash_bands(sig, id_col))
+    cand = reg(_candidates_from_bands(bands, id_col))
+
+    agree = sum(
+        F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    s1 = sig.select(
+        F.col(id_col).alias("d1"), *[F.col(f"mh{k}").alias(f"__a{k}") for k in range(MINHASH_K)]
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("d2"), *[F.col(f"mh{k}").alias(f"__b{k}") for k in range(MINHASH_K)]
+    )
+    est = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", fround(agree / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"))
+    )
+
+    sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
+    cand_ids = cand.select(F.col("d1").alias(id_col)).union(
+        cand.select(F.col("d2").alias(id_col))
+    ).distinct()
+    sh_c = reg(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+            F.col(id_col), F.explode("sh_arr").alias("shingle")
+        )
+    )
+    a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .join(cand, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    exact = (
+        inter.join(sz1, "d1").join(sz2, "d2").select(
+            "d1", "d2", fround(jac, 4).alias("jaccard")
+        )
+    )
+    # candidates with zero shingle overlap (band collision) get 0.0
+    out = (
+        est.join(exact, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    if scope is not None or not materialize:
+        return out
+    try:
+        return eager_release(out)
+    finally:
+        s.release()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
