@@ -126,16 +126,24 @@ class TransactionLog:
                 out.append(json.load(fh))
         return out
 
-    def live_files(self) -> list[str]:
-        """Replay the log: the current snapshot's relative file paths."""
+    def live_files(self, as_of: Optional[int] = None) -> list[str]:
+        """Replay the log: the snapshot's relative file paths — current
+        by default, or as of a past ``version`` (time travel; valid as
+        long as the superseded files haven't been vacuumed)."""
         live: list[str] = []
-        for entry in self.entries():
+        for version, entry in enumerate(self.entries()):
+            if as_of is not None and version > as_of:
+                break
             if entry.get("replace_all"):
                 live = []
             for part in entry.get("replace", []):
                 live = [f for f in live if not f.startswith(part + os.sep)]
             live.extend(entry.get("add", []))
         return live
+
+    def latest_version(self) -> int:
+        """Highest committed version, -1 if none."""
+        return self._latest_version()
 
     def exists(self) -> bool:
         return self._latest_version() >= 0

@@ -112,11 +112,14 @@ class Warehouse:
                 return True
         return False
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, as_of: Optional[int] = None) -> DataFrame:
+        """Read a table; ``as_of`` reads a past commit version of an
+        acid table (time travel — valid until vacuum sweeps the
+        superseded files)."""
         base = self.table_path(name)
         log = self._log(name)
         if self.acid or log.exists():  # acid-ness is a table property
-            files = [os.path.join(base, f) for f in log.live_files()]
+            files = [os.path.join(base, f) for f in log.live_files(as_of=as_of)]
             if not files:
                 raise FileNotFoundError(f"acid table has no committed data: {name}")
             # explicit snapshot file list: readers never list the data
@@ -124,6 +127,8 @@ class Warehouse:
             # basePath keeps partition-column inference for
             # file_source=... layouts.
             return self.spark.read.option("basePath", base).parquet(*files)
+        if as_of is not None:
+            raise ValueError(f"as_of requires a transaction log: {name}")
         return self.spark.read.parquet(base)
 
     def append(self, name: str, df: DataFrame) -> None:

@@ -127,6 +127,24 @@ def test_checkpoint_table_also_logged(spark, wh, tmp_path):
     assert ts is not None
 
 
+def test_time_travel_reads_past_versions(spark, wh, tmp_path):
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS))
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=4, ms=T0_MS + 60_000))
+    name = "verified_speedtest_report"
+    log = TransactionLog(wh.table_path(name))
+    assert log.latest_version() == 1
+    assert wh.table(name, as_of=0).count() == 8
+    assert wh.table(name).count() == 12
+    # replace commit: current changes, the past snapshot is unchanged
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS))
+    assert wh.table(name).count() == 12
+    assert wh.table(name, as_of=0).count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Warehouse(spark, str(tmp_path / "plainwh")).table("nope", as_of=0)
+
+
 def test_acid_is_a_table_property_not_a_reader_flag(spark, wh, tmp_path):
     # re-ingest leaves replaced-partition orphans on disk; a reader
     # constructed WITHOUT acid=True must still resolve through the log
