@@ -96,6 +96,21 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
     return out.drop("__w", *[f"__hits_{lang}" for lang in langs])
 
 
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm") -> DataFrame:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    strip sentence punctuation, collapse runs of spaces, trim. Pure
+    JVM expressions (map stage); the SQL twin in
+    queries/text_pipeline.py::q_text_normalize mirrors each step (note
+    DuckDB's regexp_replace needs the 'g' flag for global behavior,
+    which Spark applies by default)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), PUNCT_CLASS, ""), " +", " "
+        )
+    )
+    return df.withColumn(out_col, norm)
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "fingerprints"
 ) -> DataFrame:

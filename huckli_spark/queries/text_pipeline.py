@@ -357,6 +357,47 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text normalization (lowercase / strip punct / collapse whitespace)
+# ---------------------------------------------------------------------------
+@query(
+    "q_text_normalize",
+    f"""
+    WITH n AS (
+      SELECT lang, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           {sql_fround('sum(length(norm)) * 1.0 / sum(length(text))', 4)}
+             AS len_ratio
+    FROM n
+    GROUP BY lang
+    """,
+    doc="canonical normalization (lower, strip punctuation, collapse "
+    "spaces, trim) with per-language change accounting — the step "
+    "before exact/near dedup in a training pipeline. Map stage + one "
+    "combined-agg shuffle; len_ratio is an exact integer-sum ratio "
+    "(one IEEE division, engine-portable).",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textstats.normalize_text(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("norm") != F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        fround(
+            F.sum(F.length("norm")) * F.lit(1.0) / F.sum(F.length("text")), 4
+        ).alias("len_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: a new batch screened against the existing corpus
 # ---------------------------------------------------------------------------
 @query(
