@@ -129,7 +129,14 @@ class TransactionLog:
     def live_files(self, as_of: Optional[int] = None) -> list[str]:
         """Replay the log: the snapshot's relative file paths — current
         by default, or as of a past ``version`` (time travel; valid as
-        long as the superseded files haven't been vacuumed)."""
+        long as the superseded files haven't been vacuumed). An
+        out-of-range ``as_of`` raises — silently serving the current
+        snapshot under a stale version number would be a wrong-data
+        read."""
+        if as_of is not None and not (0 <= as_of <= self._latest_version()):
+            raise ValueError(
+                f"version {as_of} not in [0, {self._latest_version()}]"
+            )
         live: list[str] = []
         for version, entry in enumerate(self.entries()):
             if as_of is not None and version > as_of:

@@ -213,9 +213,10 @@ def jaccard_pairs_cross(
     corp_sh = _sh(corp_docs, "d_corpus")
     if max_doc_freq is not None:
         freq = corp_sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        stop = freq.where(F.col("__df") > max_doc_freq).select("shingle")
-        corp_sh = corp_sh.join(F.broadcast(stop), "shingle", "left_anti")
-        new_sh = new_sh.join(F.broadcast(stop), "shingle", "left_anti")
+        stop = reg(freq.where(F.col("__df") > max_doc_freq).select("shingle"))
+        # filtered relations feed sizes AND the intersection join
+        corp_sh = reg(corp_sh.join(F.broadcast(stop), "shingle", "left_anti"))
+        new_sh = reg(new_sh.join(F.broadcast(stop), "shingle", "left_anti"))
         corp_sizes = corp_sh.groupBy("d_corpus").agg(F.count("*").alias("n2"))
         new_sizes = new_sh.groupBy("d_new").agg(F.count("*").alias("n1"))
     else:
@@ -231,9 +232,12 @@ def jaccard_pairs_cross(
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    # annotate the (tiny) candidate set and BROADCAST it into the
+    # corpus-sizes join — joining the other way round would shuffle
+    # one row per corpus document to serve a handful of candidates
+    cand_n1 = inter.join(F.broadcast(new_sizes), "d_new")
     out = (
-        inter.join(F.broadcast(new_sizes), "d_new")
-        .join(corp_sizes, "d_corpus")
+        corp_sizes.join(F.broadcast(cand_n1), "d_corpus")
         .where(jac >= threshold)
         .select("d_new", "d_corpus", fround(jac, 4).alias("jaccard"))
     )

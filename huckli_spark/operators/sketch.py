@@ -153,6 +153,49 @@ def minhash_candidates(
         s.release()
 
 
+def _exact_jaccard_for_candidates(
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    reg,
+    threshold: float = None,
+) -> DataFrame:
+    """(d1, d2, jaccard) — exact Jaccard for candidate pairs only,
+    with the shingle relation semi-join-restricted to candidate docs
+    first (at scale the candidate set is a tiny fraction of the
+    corpus, so the intersect stage touches almost nothing). Pairs with
+    zero overlap don't appear (callers coalesce if needed).
+    ``threshold`` filters on the RAW ratio, before portable rounding —
+    matching the oracles' WHERE placement. Shared by the dedup
+    pipeline and the estimator query — one implementation, one place
+    to fix."""
+    sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
+    cand_ids = cand.select(F.col("d1").alias(id_col)).union(
+        cand.select(F.col("d2").alias(id_col))
+    ).distinct()
+    sh_c = reg(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+            F.col(id_col), F.explode("sh_arr").alias("shingle")
+        )
+    )
+    a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .join(cand, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    joined = inter.join(s1, "d1").join(s2, "d2")
+    if threshold is not None:
+        joined = joined.where(jac >= threshold)
+    return joined.select("d1", "d2", fround(jac, 4).alias("jaccard"))
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,37 +219,7 @@ def minhash_dedup_pairs(
     sig = _signature_from_arrays(docs, id_col)
     bands = reg(minhash_bands(sig, id_col))
     cand = reg(_candidates_from_bands(bands, id_col))
-    sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
-
-    # verification: restrict the shingle relation to candidate docs
-    # first (at scale the candidate set is a tiny fraction of the
-    # corpus, so the intersect stage touches almost nothing)
-    cand_ids = cand.select(F.col("d1").alias(id_col)).union(
-        cand.select(F.col("d2").alias(id_col))
-    ).distinct()
-    sh_c = reg(
-        docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-            F.col(id_col), F.explode("sh_arr").alias("shingle")
-        )
-    )
-    a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("d1") < F.col("d2"))
-        .join(cand, ["d1", "d2"], "left_semi")
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    out = (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .where(jac >= threshold)
-        .select("d1", "d2", fround(jac, 4).alias("jaccard"))
-    )
+    out = _exact_jaccard_for_candidates(docs, cand, id_col, reg, threshold=threshold)
     if scope is not None or not materialize:
         return out
     try:
@@ -256,33 +269,7 @@ def minhash_estimate_pairs(
         .join(s2, "d2")
         .select("d1", "d2", fround(agree / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"))
     )
-
-    sizes = docs.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
-    cand_ids = cand.select(F.col("d1").alias(id_col)).union(
-        cand.select(F.col("d2").alias(id_col))
-    ).distinct()
-    sh_c = reg(
-        docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-            F.col(id_col), F.explode("sh_arr").alias("shingle")
-        )
-    )
-    a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh_c.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("d1") < F.col("d2"))
-        .join(cand, ["d1", "d2"], "left_semi")
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
-    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    exact = (
-        inter.join(sz1, "d1").join(sz2, "d2").select(
-            "d1", "d2", fround(jac, 4).alias("jaccard")
-        )
-    )
+    exact = _exact_jaccard_for_candidates(docs, cand, id_col, reg)
     # candidates with zero shingle overlap (band collision) get 0.0
     out = (
         est.join(exact, ["d1", "d2"], "left")

@@ -22,14 +22,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_common_ctes() -> str:
+    """Shared WITH-clause body: shingles -> hashes -> K-permutation
+    signatures -> band sigs -> LSH candidates -> sizes/intersections.
+    One source of truth for MINHASH_P/K/BANDS/ROWS and the permutation
+    formula — both minhash oracles append their own SELECT tail."""
     p = sketch.MINHASH_P
     mins = ",\n             ".join(
         f"min((h * {2 * k + 3} + {7919 * k + 1}) % {p}) AS mh{k}"
         for k in range(sketch.MINHASH_K)
     )
-    from huckli_spark.functions.portable import sql_h60
-
     band_selects = []
     for band in range(sketch.MINHASH_BANDS):
         cols = [f"mh{band * sketch.MINHASH_ROWS + r}" for r in range(sketch.MINHASH_ROWS)]
@@ -38,8 +40,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {band} AS band, {sql_h60(concat)} AS band_sig FROM sig"
         )
     bands = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w
@@ -67,7 +68,12 @@ def _minhash_oracle() -> str:
       SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_common_ctes()}
     SELECT c.d1, c.d2,
            {sql_fround('i.n_common * 1.0 / (s1.n_sh + s2.n_sh - i.n_common)', 4)}
              AS jaccard
@@ -89,58 +95,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_estimate_oracle() -> str:
-    p = sketch.MINHASH_P
-    mins = ",\n             ".join(
-        f"min((h * {2 * k + 3} + {7919 * k + 1}) % {p}) AS mh{k}"
-        for k in range(sketch.MINHASH_K)
-    )
-    band_selects = []
-    for band in range(sketch.MINHASH_BANDS):
-        cols = [f"mh{band * sketch.MINHASH_ROWS + r}" for r in range(sketch.MINHASH_ROWS)]
-        concat = " || ',' || ".join(cols)
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band, {sql_h60(concat)} AS band_sig FROM sig"
-        )
-    bands = "\n      UNION ALL\n      ".join(band_selects)
     agree = " + ".join(
         f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)"
         for k in range(sketch.MINHASH_K)
     )
     return f"""
-    WITH words AS (
-      SELECT doc_id,
-             generate_subscripts(string_split(text, ' '), 1) AS pos,
-             unnest(string_split(text, ' ')) AS w
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-      FROM words a
-      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-    ), h AS (
-      SELECT doc_id, {sql_h60('shingle')} % {p} AS h FROM sh
-    ), sig AS (
-      SELECT doc_id, {mins}
-      FROM h GROUP BY doc_id
-    ), bands AS (
-      {bands}
-    ), cand AS (
-      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-      FROM bands x
-      JOIN bands y ON x.band = y.band AND x.band_sig = y.band_sig
-                   AND x.doc_id < y.doc_id
-    ), est AS (
+    WITH {_minhash_common_ctes()},
+    est AS (
       SELECT c.d1, c.d2,
              {sql_fround(f'({agree}) / {float(sketch.MINHASH_K)}', 4)} AS est_jaccard
       FROM cand c
       JOIN sig a ON a.doc_id = c.d1
       JOIN sig b ON b.doc_id = c.d2
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
     )
     SELECT e.d1, e.d2, e.est_jaccard,
            coalesce(

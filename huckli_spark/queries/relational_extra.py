@@ -404,7 +404,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_join",
     f"""
     WITH ua AS (
-      SELECT user_id, {sql_fround('avg(value)', 6)} AS user_avg
+      SELECT user_id,
+             {sql_fround('sum(value) * 1.0 / count(*)', 6)} AS user_avg
       FROM events GROUP BY user_id
     )
     SELECT e.event_type,
@@ -424,7 +425,11 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.skew import salted_join
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    ua = ev.groupBy("user_id").agg(fround(F.avg("value"), 6).alias("user_avg"))
+    # exact sum/count division, not avg(): the repo's standard shape
+    # for cross-engine float parity (see q_token_count)
+    ua = ev.groupBy("user_id").agg(
+        fround(F.sum("value") * F.lit(1.0) / F.count("*"), 6).alias("user_avg")
+    )
     joined = salted_join(ev, ua, on="user_id", n_salts=8)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),

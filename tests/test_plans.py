@@ -120,6 +120,9 @@ def test_incremental_dedup_broadcasts_the_batch_side(spark):
     plan = _lazy_plan(spark, df)
     _assert_no_cartesian(plan)
     assert "BroadcastHashJoin" in plan, plan
+    # every join must broadcast the small side — a sort-merge join
+    # here means the corpus shuffles to serve a tiny candidate set
+    assert "SortMergeJoin" not in plan, plan
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))

@@ -135,12 +135,16 @@ def test_time_travel_reads_past_versions(spark, wh, tmp_path):
     assert log.latest_version() == 1
     assert wh.table(name, as_of=0).count() == 8
     assert wh.table(name).count() == 12
-    # replace commit: current changes, the past snapshot is unchanged
-    wh.ingest("verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS))
-    assert wh.table(name).count() == 12
+    # replace commit with a DIFFERENT row count: current changes,
+    # both past snapshots are unchanged
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=5, ms=T0_MS))
+    assert wh.table(name).count() == 9  # 5 replaced + 4
     assert wh.table(name, as_of=0).count() == 8
+    assert wh.table(name, as_of=1).count() == 12
     import pytest as _pytest
 
+    with _pytest.raises(ValueError):
+        wh.table(name, as_of=7)  # out of range: loud, not wrong-data
     with _pytest.raises(ValueError):
         Warehouse(spark, str(tmp_path / "plainwh")).table("nope", as_of=0)
 
