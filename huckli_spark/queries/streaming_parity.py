@@ -149,11 +149,65 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     # append-mode pair stream -> memory sink; the aggregate runs on the
-    # drained batch (chaining a second stateful operator is possible in
-    # Spark 3.5+, but batch-side aggregation keeps the gate focused on
-    # the JOIN semantics)
+    # drained batch (q_stream_join_window gates the CHAINED in-stream
+    # aggregation; here the gate stays focused on the JOIN semantics)
     drained = run_to_memory(pairs.select("p_user", "p_id"), output_mode="append")
     return drained.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("p_id").alias("n_purchases"),
     )
+
+
+@query(
+    "q_stream_join_window",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.ts AS p_ts FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT strftime(date_trunc('day', p_ts), '%Y-%m-%d') AS day,
+           count(*) AS n_pairs
+    FROM pairs, wm
+    WHERE date_trunc('day', p_ts) + INTERVAL 1 DAY <= w
+    GROUP BY 1
+    """,
+    doc="CHAINED stateful streaming (Spark 3.5+ multiple stateful "
+    "operators): the watermarked interval join feeds a daily tumbling "
+    "aggregation IN-STREAM, append mode — two state stores in one "
+    "continuous query. Append emission bounds the output at the "
+    "watermark frontier; the oracle reproduces the frontier exactly "
+    "(min of both inputs' max event time, minus the delay), so the "
+    "late-data semantics themselves are hash-gated, not just the "
+    "values.",
+)
+def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    )
+    agg = pairs.groupBy(F.window("p_ts", "1 day").alias("win")).agg(
+        F.count("*").alias("n_pairs")
+    )
+    out = agg.select(
+        F.date_format("win.start", "yyyy-MM-dd").alias("day"), "n_pairs"
+    )
+    return run_to_memory(out, output_mode="append")
