@@ -67,6 +67,33 @@ class TestStreamIngest:
         )
         assert new_rows == 5
 
+    def test_stream_into_acid_warehouse_is_exactly_once(self, spark, tmp_path):
+        # streaming ingest composed with the transaction log: a file
+        # redelivered under a FRESH checkpoint (the stream's own file
+        # log wiped — the crash-and-lose-checkpoint scenario) must
+        # REPLACE its partition, not double it
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        write_framed_gzip(
+            str(raw / f"verified_speedtest.{T0_MS}.gz"),
+            _speedtest_payloads(10),
+        )
+        wh = Warehouse(
+            spark, str(tmp_path / "wh"), idempotent=True, acid=True
+        )
+        q = stream_ingest(
+            spark, "verified-speedtest", str(raw), wh, str(tmp_path / "ck1")
+        )
+        assert q.awaitTermination(180)
+        assert wh.table("verified_speedtest_report").count() == 10
+        # fresh checkpoint = the stream forgets what it processed;
+        # the warehouse's replace commit absorbs the redelivery
+        q = stream_ingest(
+            spark, "verified-speedtest", str(raw), wh, str(tmp_path / "ck2")
+        )
+        assert q.awaitTermination(180)
+        assert wh.table("verified_speedtest_report").count() == 10
+
 
 _EV_SCHEMA = T.StructType(
     [
