@@ -398,6 +398,59 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UDTF surface: context-window chunking (Python table function)
+# ---------------------------------------------------------------------------
+_CHUNK = 32  # words per training-window chunk
+
+
+@query(
+    "q_udtf_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id <= 100
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, (len(words) + {_CHUNK - 1}) // {_CHUNK} - 1)) AS i
+      FROM w
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           CAST(len(words[(i * {_CHUNK} + 1):((i + 1) * {_CHUNK})]) AS BIGINT) AS n_words,
+           CAST(length(array_to_string(words[(i * {_CHUNK} + 1):((i + 1) * {_CHUNK})], ' ')) AS BIGINT)
+             AS n_chars
+    FROM idx
+    """,
+    doc="document chunking into fixed training windows (32 words) via "
+    "a PYTHON UDTF in a LATERAL join — the PySpark table-function "
+    "surface, exercised on the canonical LLM-pipeline op. The UDTF "
+    "runs row-parallel (one doc in, ceil(words/32) rows out, no "
+    "shuffle); the oracle re-derives the chunks with list slicing.",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # no type hints on eval: postponed annotations break inference
+    @udtf(returnType="chunk_idx bigint, n_words bigint, n_chars bigint")
+    class ChunkDoc:
+        def eval(self, text):
+            words = text.split(" ")
+            for i in range(0, len(words), _CHUNK):
+                chunk = words[i : i + _CHUNK]
+                yield i // _CHUNK, len(chunk), len(" ".join(chunk))
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    _docs(spark, sf_dir).createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_words, c.n_chars
+        FROM __docs_udtf, LATERAL chunk_doc(text) c
+        WHERE doc_id <= 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: a new batch screened against the existing corpus
 # ---------------------------------------------------------------------------
 @query(
