@@ -528,22 +528,10 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compose with the skew toolkit or switch to approx_percentile.",
 )
 def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # no type hints: the module's `from __future__ import annotations`
-    # stringifies them, which pandas_udf's signature inference rejects
-    # — the explicit GROUPED_AGG functionType carries the contract
-    def _median_disc(v):
-        s = v.sort_values(ignore_index=True)
-        return float(s.iloc[(len(s) - 1) // 2])
-
-    median_disc = pandas_udf(_median_disc, "double", PandasUDFType.GROUPED_AGG)
-    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg() —
-    # the count rides the same Arrow batch as a second UDF
-    n_vals = pandas_udf(lambda v: len(v), "long", PandasUDFType.GROUPED_AGG)
+    from huckli_spark.functions.udafs import median_disc, n_values
 
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        n_vals("l_quantity").alias("n"),
+        n_values("l_quantity").alias("n"),
         median_disc("l_quantity").alias("median_qty"),
     )
