@@ -158,7 +158,7 @@ def _exact_jaccard_for_candidates(
     cand: DataFrame,
     id_col: str,
     reg,
-    threshold: float = None,
+    threshold: "float | None" = None,
 ) -> DataFrame:
     """(d1, d2, jaccard) — exact Jaccard for candidate pairs only,
     with the shingle relation semi-join-restricted to candidate docs

@@ -174,17 +174,19 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', p_ts), '%Y-%m-%d') AS day,
            count(*) AS n_pairs
     FROM pairs, wm
-    WHERE date_trunc('day', p_ts) + INTERVAL 1 DAY <= w
+    WHERE date_trunc('day', p_ts) + INTERVAL 1 DAY < w - INTERVAL 1 HOUR
     GROUP BY 1
     """,
     doc="CHAINED stateful streaming (Spark 3.5+ multiple stateful "
     "operators): the watermarked interval join feeds a daily tumbling "
     "aggregation IN-STREAM, append mode — two state stores in one "
     "continuous query. Append emission bounds the output at the "
-    "watermark frontier; the oracle reproduces the frontier exactly "
-    "(min of both inputs' max event time, minus the delay), so the "
-    "late-data semantics themselves are hash-gated, not just the "
-    "values.",
+    "watermark frontier, which the oracle reproduces: min of both "
+    "inputs' max event time, minus the 2h delay, minus the JOIN's "
+    "OWN 1h output-watermark delay (the interval bound propagates "
+    "into the downstream operator's watermark; strict <, verified "
+    "empirically at the boundary). The late-data semantics are "
+    "hash-gated, not just the values.",
 )
 def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = stage_table_stream(sf_dir, "events")

@@ -434,6 +434,8 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx bigint, n_words bigint, n_chars bigint")
     class ChunkDoc:
         def eval(self, text):
+            if text is None:  # match the oracle: null text -> no rows
+                return
             words = text.split(" ")
             for i in range(0, len(words), _CHUNK):
                 chunk = words[i : i + _CHUNK]
