@@ -149,6 +149,26 @@ def test_time_travel_reads_past_versions(spark, wh, tmp_path):
         Warehouse(spark, str(tmp_path / "plainwh")).table("nope", as_of=0)
 
 
+def test_pipeline_operators_compose_with_warehouse_tables(spark, wh, tmp_path):
+    # the two halves of the engine in one flow: reference-shaped acid
+    # ingest produces tables, and the training-pipeline operators run
+    # directly on them (keep-first dedup over re-observed serials)
+    from huckli_spark.operators.dedup import dedup_exact
+
+    wh.ingest("verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS))
+    wh.ingest(
+        "verified-speedtest", _one_file(tmp_path, n=8, ms=T0_MS + 60_000)
+    )
+    t = wh.table("verified_speedtest_report")
+    assert t.count() == 16  # same serials observed in both files
+    deduped = dedup_exact(t, ["serial"], order_col="timestamp")
+    assert deduped.count() == 8
+    # keep-first: every surviving row is the earliest observation
+    firsts = {r.serial: r.timestamp for r in deduped.collect()}
+    for r in t.collect():
+        assert firsts[r.serial] <= r.timestamp
+
+
 def test_acid_is_a_table_property_not_a_reader_flag(spark, wh, tmp_path):
     # re-ingest leaves replaced-partition orphans on disk; a reader
     # constructed WITHOUT acid=True must still resolve through the log
