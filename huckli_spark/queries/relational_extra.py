@@ -435,3 +435,28 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         fround(F.sum(F.col("value") * F.col("user_avg")), 2).alias("weighted"),
     )
+
+
+@query(
+    "q_two_phase_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="hot-key-safe exact count-distinct "
+    "(operators.skew.two_phase_distinct_count: shuffle on "
+    "(key, value) first so a hot key spreads across the cluster, "
+    "then count deduped rows per key) hash-matched against the "
+    "oracle's plain COUNT(DISTINCT) — result-neutrality of the "
+    "two-phase rewrite is the gated claim. This is the holistic-"
+    "aggregate analog of q_salted_join's join-side guarantee.",
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.skew import two_phase_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    return two_phase_distinct_count(
+        li, ["l_returnflag"], "l_partkey", out_col="n_parts"
+    )
