@@ -78,6 +78,7 @@ _GATE_PRIORITY: list[str] = [
     "q_udaf_median",
     "q_udtf_chunks",
     "q_two_phase_distinct",
+    "q_tfidf_terms",
     # red in r01/r02 (HUGEINT oracle fix this round) — must re-grade
     "q_token_count",
     "q_corpus_prep",

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround, sql_fround, sql_h60
@@ -394,6 +394,64 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(
             F.sum(F.length("norm")) * F.lit(1.0) / F.sum(F.length("text")), 4
         ).alias("len_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: distinctive terms per source
+# ---------------------------------------------------------------------------
+@query(
+    "q_tfidf_terms",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT source, w, count(*) AS tf FROM w GROUP BY source, w
+    ), df AS (
+      SELECT w, count(DISTINCT source) AS df FROM w GROUP BY w
+    ), n AS (
+      SELECT count(DISTINCT source) AS n FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.w,
+             {sql_fround('tf * ln((n + 1.0) / (df + 1.0))', 6)} AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT source, w, tfidf, rnk FROM (
+      SELECT source, w, tfidf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, w) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF distinctive terms (top 3 per source): term frequency "
+    "per source x inverse source frequency, the classic corpus-"
+    "characterization statistic. Scale: two combined-agg shuffles "
+    "(term counts, source frequencies) + a broadcastable df join — "
+    "nothing holds a full vocabulary in one task; ranking is "
+    "per-source top-k over the scored relation.",
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    tf = w.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    df_rel = w.groupBy("w").agg(F.count_distinct("source").alias("df"))
+    n = d.select(F.count_distinct("source").alias("n"))
+    scored = (
+        tf.join(df_rel, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "w",
+            fround(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 3)
+        .select("source", "w", "tfidf", "rnk")
     )
 
 
