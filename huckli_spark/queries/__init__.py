@@ -79,6 +79,8 @@ _GATE_PRIORITY: list[str] = [
     "q_udtf_chunks",
     "q_two_phase_distinct",
     "q_tfidf_terms",
+    "q_embed_normalize",
+    "q_length_histogram",
     # red in r01/r02 (HUGEINT oracle fix this round) — must re-grade
     "q_token_count",
     "q_corpus_prep",

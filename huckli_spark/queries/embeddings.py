@@ -221,6 +221,41 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_normalize",
+    f"""
+    SELECT vec_id,
+           CAST(pos - 1 AS BIGINT) AS dim,
+           {sql_fround('v / sqrt(list_dot_product(e, e))', 6)} AS unit_v
+    FROM (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding::DOUBLE[], 1) AS pos
+      FROM embeddings WHERE vec_id < 20
+    )
+    """,
+    doc="unit-length normalization (the standard preprocessing before "
+    "cosine retrieval/dedup), flattened to (vec_id, dim, component) "
+    "for portable comparison. Document-local: norm and division are "
+    "in-row expressions — a pure map stage at any scale.",
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir).where(F.col("vec_id") < 20)
+    norm = simsearch.l2_norm("embedding")
+    return (
+        em.select(
+            "vec_id",
+            norm.alias("__n"),
+            F.posexplode(simsearch._as_double("embedding")).alias("dim", "v"),
+        )
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            fround(F.col("v") / F.col("__n"), 6).alias("unit_v"),
+        )
+    )
+
+
+@query(
     "q_embed_norms",
     f"""
     SELECT label, count(*) AS n,

@@ -398,6 +398,35 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# length histogram (data-quality distribution snapshot)
+# ---------------------------------------------------------------------------
+@query(
+    "q_length_histogram",
+    """
+    SELECT lang,
+           CAST(n_chars // 2000 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+    doc="document-length histogram per language (2000-char buckets) — "
+    "the distribution snapshot a data-quality dashboard starts from. "
+    "One combined-agg shuffle on (lang, bucket): O(langs x buckets) "
+    "output at any corpus size.",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars") / 2000).cast("long")
+    return d.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF: distinctive terms per source
 # ---------------------------------------------------------------------------
 @query(
