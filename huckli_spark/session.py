@@ -59,11 +59,18 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table, normalizing physical quirks.
 
-    events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    to read natively — we read it as a nanosecond long (legacy conf,
-    runtime-settable so it works inside the driver's session too) and
-    floor-convert to a microsecond timestamp, matching DuckDB's
-    epoch_us() truncation of the same column.
+    The fixture generator has shipped events.parquet with two different
+    physical types for ``ts`` across rounds, so we branch on the ACTUAL
+    schema rather than assuming either:
+
+    - TIMESTAMP(NANOS): Spark 4 refuses to read it natively; with
+      ``nanosAsLong`` it surfaces as a nanosecond long, which we
+      floor-convert to a microsecond timestamp (matching DuckDB's
+      epoch_us() truncation).
+    - timestamp[us] (no tz): Spark 4 surfaces TIMESTAMP_NTZ, which
+      breaks ``unix_micros``/tz-aware functions. The session timezone
+      is pinned UTC (see get_spark), so NTZ wall-clock values are
+      identical to LTZ instants here — a plain cast is lossless.
     """
     import os as _os
 
@@ -73,8 +80,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     path = _os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -103,9 +114,19 @@ def load_events_timebound(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso:
         dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
         return int(dt.timestamp() * 1_000_000) * 1_000
 
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.where((F.col("ts") >= _ns(lo_iso)) & (F.col("ts") < _ns(hi_iso)))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Filter in the column's own (NTZ) domain so the range predicate
+        # stays a parquet row-group filter, THEN normalize the type.
+        # Session tz is UTC, so NTZ wall-clock == the UTC instant.
+        df = df.where(
+            (F.col("ts") >= F.lit(lo_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi_iso).cast("timestamp_ntz"))
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.where(
         (F.col("ts") >= F.lit(lo_iso).cast("timestamp"))
         & (F.col("ts") < F.lit(hi_iso).cast("timestamp"))

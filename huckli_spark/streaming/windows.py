@@ -24,18 +24,37 @@ from pyspark.sql import types as T
 
 from huckli_spark.functions.portable import fround
 
-# Physical schema of events.parquet with nanosAsLong (the fixture's ts
-# is TIMESTAMP(NANOS) — see huckli_spark.session.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# Physical schema of events.parquet. The fixture's ts physical type has
+# drifted across rounds (TIMESTAMP(NANOS) vs timestamp[us]/NTZ), so the
+# stream reader sniffs the footer once and picks the matching schema —
+# see huckli_spark.session.load_table for the batch twin.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Back-compat alias (nanos-as-long variant) for existing imports.
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
+
+
+def _sniff_ts_unit(stream_dir: str) -> str:
+    """Inspect the first parquet file's footer: 'ns' (TIMESTAMP(NANOS),
+    read as long under nanosAsLong) or 'us' (timestamp[us] → NTZ)."""
+    import pyarrow.parquet as pq
+
+    for fn in sorted(os.listdir(stream_dir)):
+        if fn.endswith(".parquet"):
+            t = pq.ParquetFile(os.path.join(stream_dir, fn)).schema_arrow.field("ts").type
+            return getattr(t, "unit", "us")
+    return "us"
 
 
 def stage_table_stream(sf_dir: str, table: str) -> str:
@@ -47,10 +66,19 @@ def stage_table_stream(sf_dir: str, table: str) -> str:
 
 
 def events_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
-    """Streaming events with a proper microsecond ``ts`` timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Streaming events with a proper microsecond ``ts`` timestamp.
+
+    Schema-adaptive on the fixture's physical ts type (footer-sniffed
+    once on the driver): nanos-as-long → div 1000 + timestamp_micros;
+    timestamp[us]/NTZ → plain cast (session tz pinned UTC, lossless).
+    """
+    unit = _sniff_ts_unit(stream_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_events_raw_schema(T.LongType())).parquet(stream_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_events_raw_schema(T.TimestampNTZType())).parquet(stream_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(
