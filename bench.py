@@ -76,13 +76,15 @@ def bench_ingest(spark, n_records: int = 60_000, n_files: int = 8) -> dict:
                     msg,
                     {
                         "report": {
-                            "pub_key": key,
-                            "serial": f"sn-{f}-{i}",
-                            "timestamp": (base + i * 1000) // 1000,
-                            "upload_speed": 100 + i,
-                            "download_speed": 1000 + i,
-                            "latency": 10 + i % 90,
                             "received_timestamp": base + i * 1000,
+                            "report": {
+                                "pub_key": key,
+                                "serial": f"sn-{f}-{i}",
+                                "timestamp": (base + i * 1000) // 1000,
+                                "upload_speed": 100 + i,
+                                "download_speed": 1000 + i,
+                                "latency": 10 + i % 90,
+                            },
                         },
                         "timestamp": base + i * 1000 + 500,
                         "result": "SPEEDTEST_AVG_VALID",

@@ -6,11 +6,19 @@ twenty ``impl From<Proto>`` modules: each ``FileTypeSpec`` carries the
 wire schema, the S3 bucket/prefix binding, and a Catalyst projection
 from the decoded struct DataFrame to one or more typed tables.
 
-Proto field numbering note: helium-proto descriptors aren't vendored in
-this environment, so the ``Msg`` schemas here are this engine's own
-frozen descriptors, shaped 1:1 after the reference's table projections
-(FIXTURES.md §2, derived from the cited reference modules). The
-*behaviors* are parity-faithful:
+Proto field numbering note: the mobile-rewards, coverage-object,
+verified-speedtest, and mobile-reward-manifest descriptors carry field
+numbers and wire structure TRANSCRIBED from the public
+github.com/helium/proto definitions (the reference pins rev 3dbaedf,
+Cargo.lock), including the structurally-certain facts grounded in the
+reference decode code: nested ``helium.Decimal{value}`` messages, the
+nested ``speedtest_avg``, the double-nested verified_speedtest report,
+and the coverage ``oneof key_type`` arms. Hand-built raw wire vectors
+(tests/test_wire_vectors.py) pin those layouts independently of this
+repo's own encoder; re-verify against the pinned rev before pointing
+at a production bucket. The remaining file types keep engine-frozen
+descriptors shaped 1:1 after the reference's table projections
+(FIXTURES.md §2). The *behaviors* are parity-faithful throughout:
 
 - keys -> base58check(0x00‖key)    (S1, huckli-import/src/lib.rs:139-156)
 - epoch -> sec/ms heuristic @1e12  (S4, lib.rs:165-175; subsumes the
@@ -177,6 +185,13 @@ _register(
 # ---------------------------------------------------------------------------
 # 2. coverage_object + coverage_location (coverage.rs:43-111)
 # ---------------------------------------------------------------------------
+# Wire numbering provenance: transcribed from the public helium/proto
+# poc_mobile.proto (coverage_object_req_v1). Grounded in the reference
+# decode (coverage.rs:58-67): the radio key is a true
+# ``oneof key_type { string cbsd_id; bytes hotspot_key }`` — pub_key
+# (field 1) is the oracle signer, NOT the radio key — and
+# radio_hex_signal_level.location crosses the wire as an h3 STRING
+# (coverage.rs:85 clones it into a String column directly).
 _COVERAGE_MSG = Msg(
     "CoverageObjectV1",
     (
@@ -187,42 +202,46 @@ _COVERAGE_MSG = Msg(
             schema=Msg(
                 "CoverageObjectReq",
                 (
-                    Field(1, "pub_key", "bytes"),  # oneof key_type (S10)
-                    Field(2, "cbsd_id", "string"),
-                    Field(3, "uuid", "bytes"),
-                    Field(4, "coverage_claim_time", "uint64"),
-                    Field(5, "indoor", "bool"),
+                    Field(1, "pub_key", "bytes"),  # oracle signer key
+                    Field(2, "uuid", "bytes"),
+                    Field(3, "coverage_claim_time", "uint64"),
+                    Field(4, "indoor", "bool"),
                     Field(
-                        6,
+                        5,
                         "coverage",
                         "message",
                         repeated=True,
                         schema=Msg(
                             "RadioHexSignalLevel",
                             (
-                                Field(1, "location", "uint64"),
+                                Field(1, "location", "string"),
                                 Field(2, "signal_level", "enum", enum_names=E_SIGNAL_LEVEL),
                                 Field(3, "signal_power", "int32"),
                             ),
                         ),
                     ),
+                    Field(6, "signature", "bytes"),
+                    # oneof key_type (S10)
+                    Field(7, "cbsd_id", "string"),
+                    Field(8, "hotspot_key", "bytes"),
                 ),
             ),
         ),
+        Field(2, "validity", "enum", enum_names=E_VALIDITY),
     ),
 )
 
 
 def _coverage_project(df: DataFrame) -> dict[str, DataFrame]:
     co = df.select("file_source", F.col("coverage_object").alias("o"))
-    # S10 oneof key dispatch: pub_key set -> (b58 key, 'wifi') else
-    # (cbsd_id, 'cbrs') — lowercase radio_type is the one lowercase
-    # enum exception (coverage.rs:58-67)
-    has_key = (F.col("o.pub_key").isNotNull()) & (F.length("o.pub_key") > 0)
+    # S10 oneof key dispatch: hotspot_key arm -> (b58 key, 'wifi'),
+    # cbsd_id arm -> (cbsd_id, 'cbrs') — lowercase radio_type is the
+    # one lowercase enum exception (coverage.rs:58-67)
+    has_key = (F.col("o.hotspot_key").isNotNull()) & (F.length("o.hotspot_key") > 0)
     parent = co.select(
         *_fs(
             [
-                F.when(has_key, helium_pubkey_udf(F.col("o.pub_key")))
+                F.when(has_key, helium_pubkey_udf(F.col("o.hotspot_key")))
                 .otherwise(F.col("o.cbsd_id"))
                 .alias("radio_key"),
                 F.when(has_key, F.lit("wifi")).otherwise(F.lit("cbrs")).alias("radio_type"),
@@ -243,7 +262,7 @@ def _coverage_project(df: DataFrame) -> dict[str, DataFrame]:
             *_fs(
                 [
                     F.col("uuid"),
-                    F.col("c.location").cast("string").alias("location"),
+                    F.col("c.location").alias("location"),
                     F.col("c.signal_level").alias("signal_level"),
                     F.col("c.signal_power").alias("signal_power"),
                 ]
@@ -663,29 +682,62 @@ _register(
 # ---------------------------------------------------------------------------
 # 10. mobile rewards — oneof demux to 6 tables + 3 exploded children
 # (mobile_rewards.rs:12-165, radio_reward.rs:16-247)
+#
+# Wire numbering provenance: transcribed from the PUBLIC helium/proto
+# repo (github.com/helium/proto, src/service/poc_mobile.proto; the
+# reference pins rev 3dbaedf in Cargo.lock). Three structural facts are
+# grounded directly in the reference decode code, independent of
+# numbering: (a) decimals cross the wire as a nested
+# ``helium.Decimal { string value = 1 }`` message, NOT a bare string
+# (lib.rs:307 takes Option<&helium_proto::Decimal> and reads .value);
+# (b) the radio reward's speedtest average is a nested
+# ``speedtest_avg`` message (radio_reward.rs:142-151 reads
+# reward.speedtest_average.upload_speed_bps); (c) MobileRewardShare's
+# reward is a true oneof whose deprecated first arm (radio_reward v1)
+# the reference maps to Deprecated/skip (mobile_rewards.rs:27-48).
+# Field numbers are best-effort transcriptions from the public .proto
+# at knowledge cutoff — re-verify against the pinned rev before
+# pointing at a production bucket (tools/proto_manifest.py freezes
+# whatever is declared here, so a correction is a two-line diff).
 # ---------------------------------------------------------------------------
+_DECIMAL = Msg("Decimal", (Field(1, "value", "string"),))
+
+
+def _dec(num: int, name: str) -> Field:
+    """helium.Decimal field: nested message carrying a decimal string
+    (decode projects ``.value`` through proto_decimal -> f64, S5)."""
+    return Field(num, name, "message", schema=_DECIMAL)
+
+
+_SPEEDTEST_AVG = Msg(
+    "SpeedtestAvg",
+    (
+        Field(1, "upload_speed_bps", "uint64"),
+        Field(2, "download_speed_bps", "uint64"),
+        Field(3, "latency_ms", "uint32"),
+        Field(4, "timestamp", "uint64"),
+    ),
+)
+
 _RADIO_REWARD_V2 = Msg(
     "RadioRewardV2",
     (
         Field(1, "hotspot_key", "bytes"),
-        Field(2, "base_coverage_points_sum", "string"),  # proto Decimal (S5)
-        Field(3, "boosted_coverage_points_sum", "string"),
-        Field(4, "base_reward_shares", "string"),
-        Field(5, "boosted_reward_shares", "string"),
-        Field(6, "base_poc_reward", "uint64"),
-        Field(7, "boosted_poc_reward", "uint64"),
-        Field(8, "seniority_timestamp", "uint64"),
-        Field(9, "coverage_object", "bytes"),
-        Field(10, "location_trust_score_multiplier", "string"),
-        Field(11, "speedtest_multiplier", "string"),
-        Field(12, "sp_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
-        Field(13, "oracle_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
-        Field(14, "speedtest_avg_upload", "uint64"),
-        Field(15, "speedtest_avg_download", "uint64"),
-        Field(16, "speedtest_avg_latency_ms", "uint32"),
-        Field(17, "speedtest_avg_timestamp", "uint64"),
+        Field(2, "cbsd_id", "string"),  # deprecated cbrs arm, decoded+ignored
+        _dec(3, "base_coverage_points_sum"),
+        _dec(4, "boosted_coverage_points_sum"),
+        _dec(5, "base_reward_shares"),
+        _dec(6, "boosted_reward_shares"),
+        Field(7, "base_poc_reward", "uint64"),
+        Field(8, "boosted_poc_reward", "uint64"),
+        Field(9, "seniority_timestamp", "uint64"),
+        Field(10, "coverage_object", "bytes"),
+        _dec(11, "location_trust_score_multiplier"),
+        _dec(12, "speedtest_multiplier"),
+        Field(13, "sp_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
+        Field(14, "oracle_boosted_hex_status", "enum", enum_names=E_HEX_STATUS),
         Field(
-            18,
+            15,
             "location_trust_scores",
             "message",
             repeated=True,
@@ -693,27 +745,27 @@ _RADIO_REWARD_V2 = Msg(
                 "LocationTrustScore",
                 (
                     Field(1, "meters_to_asserted", "uint64"),
-                    Field(2, "trust_score", "string"),
+                    _dec(2, "trust_score"),
                 ),
             ),
         ),
         Field(
-            19,
+            16,
             "speedtests",
             "message",
             repeated=True,
             schema=Msg(
                 "Speedtest",
                 (
-                    Field(1, "upload", "uint64"),
-                    Field(2, "download", "uint64"),
+                    Field(1, "upload_speed_bps", "uint64"),
+                    Field(2, "download_speed_bps", "uint64"),
                     Field(3, "latency_ms", "uint32"),
                     Field(4, "timestamp", "uint64"),
                 ),
             ),
         ),
         Field(
-            20,
+            17,
             "covered_hexes",
             "message",
             repeated=True,
@@ -721,29 +773,34 @@ _RADIO_REWARD_V2 = Msg(
                 "CoveredHex",
                 (
                     Field(1, "location", "uint64"),
-                    Field(2, "base_coverage_points", "string"),
-                    Field(3, "boosted_coverage_points", "string"),
+                    _dec(2, "base_coverage_points"),
+                    _dec(3, "boosted_coverage_points"),
                     Field(4, "urbanized", "enum", enum_names=E_URBANIZED),
                     Field(5, "footfall", "enum", enum_names=E_FOOTFALL),
                     Field(6, "landtype", "enum", enum_names=E_LANDTYPE),
-                    Field(7, "assignment_multiplier", "string"),
+                    _dec(7, "assignment_multiplier"),
                     Field(8, "rank", "uint32"),
-                    Field(9, "rank_multiplier", "string"),
+                    _dec(9, "rank_multiplier"),
                     Field(10, "boosted_multiplier", "uint32"),
                     Field(11, "service_provider_override", "bool"),
                 ),
             ),
         ),
+        Field(18, "speedtest_average", "message", schema=_SPEEDTEST_AVG),
     ),
 )
 
+# oneof reward: field 3 is the deprecated radio_reward (v1) arm — the
+# reference maps it to MobileReward::Deprecated and persists nothing
+# (mobile_rewards.rs:46-47), so we omit its descriptor; unknown-field
+# skipping drops it on the wire, which IS the reference behavior.
 _MOBILE_MSG = Msg(
     "MobileRewardShare",
     (
         Field(1, "start_period", "uint64"),
         Field(2, "end_period", "uint64"),
         Field(
-            3,
+            4,
             "gateway_reward",
             "message",
             schema=Msg(
@@ -757,7 +814,7 @@ _MOBILE_MSG = Msg(
             ),
         ),
         Field(
-            4,
+            5,
             "subscriber_reward",
             "message",
             schema=Msg(
@@ -771,20 +828,22 @@ _MOBILE_MSG = Msg(
             ),
         ),
         Field(
-            5,
+            6,
             "service_provider_reward",
             "message",
             schema=Msg(
                 "ServiceProviderReward",
                 (
-                    Field(1, "service_provider", "enum", enum_names=E_SERVICE_PROVIDER),
+                    # proto field name is service_provider_id
+                    # (mobile_rewards.rs:203 calls service_provider_id())
+                    Field(1, "service_provider_id", "enum", enum_names=E_SERVICE_PROVIDER),
                     Field(2, "amount", "uint64"),
                     Field(3, "rewardable_entity_key", "string"),
                 ),
             ),
         ),
         Field(
-            6,
+            7,
             "unallocated_reward",
             "message",
             schema=Msg(
@@ -795,8 +854,9 @@ _MOBILE_MSG = Msg(
                 ),
             ),
         ),
+        Field(8, "radio_reward_v2", "message", schema=_RADIO_REWARD_V2),
         Field(
-            7,
+            9,
             "promotion_reward",
             "message",
             schema=Msg(
@@ -808,7 +868,6 @@ _MOBILE_MSG = Msg(
                 ),
             ),
         ),
-        Field(8, "radio_reward_v2", "message", schema=_RADIO_REWARD_V2),
     ),
 )
 
@@ -850,7 +909,7 @@ def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
         *_fs(
             [
                 *periods,
-                F.col("service_provider_reward.service_provider").alias("service_provider"),
+                F.col("service_provider_reward.service_provider_id").alias("service_provider"),
                 F.col("service_provider_reward.amount").alias("amount"),
                 F.col("service_provider_reward.rewardable_entity_key").alias(
                     "rewardable_entity_key"
@@ -895,34 +954,43 @@ def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
                 F.col("start_period"),
                 F.col("end_period"),
                 helium_pubkey_udf(F.col("r.hotspot_key")).alias("hotspot_key"),
-                proto_decimal(F.col("r.base_coverage_points_sum")).alias(
+                proto_decimal(F.col("r.base_coverage_points_sum.value")).alias(
                     "base_coverage_points_sum"
                 ),
-                proto_decimal(F.col("r.boosted_coverage_points_sum")).alias(
+                proto_decimal(F.col("r.boosted_coverage_points_sum.value")).alias(
                     "boosted_coverage_points_sum"
                 ),
-                proto_decimal(F.col("r.base_reward_shares")).alias("base_reward_shares"),
-                proto_decimal(F.col("r.boosted_reward_shares")).alias(
+                proto_decimal(F.col("r.base_reward_shares.value")).alias(
+                    "base_reward_shares"
+                ),
+                proto_decimal(F.col("r.boosted_reward_shares.value")).alias(
                     "boosted_reward_shares"
                 ),
                 F.col("r.base_poc_reward").alias("base_poc_reward"),
                 F.col("r.boosted_poc_reward").alias("boosted_poc_reward"),
                 _ts(F.col("r.seniority_timestamp")).alias("seniority_timestamp"),
                 uuid16(F.col("r.coverage_object")).alias("coverage_object"),
-                proto_decimal(F.col("r.location_trust_score_multiplier")).alias(
+                proto_decimal(F.col("r.location_trust_score_multiplier.value")).alias(
                     "location_trust_score_multiplier"
                 ),
-                proto_decimal(F.col("r.speedtest_multiplier")).alias(
+                proto_decimal(F.col("r.speedtest_multiplier.value")).alias(
                     "speedtest_multiplier"
                 ),
                 F.col("r.sp_boosted_hex_status").alias("sp_boosted_hex_status"),
                 F.col("r.oracle_boosted_hex_status").alias("oracle_boosted_hex_status"),
-                F.col("r.speedtest_avg_upload").alias("speedtest_avg_upload"),
-                F.col("r.speedtest_avg_download").alias("speedtest_avg_download"),
-                F.col("r.speedtest_avg_latency_ms").cast("int").alias(
+                # nested speedtest_avg message (radio_reward.rs:142-151)
+                F.col("r.speedtest_average.upload_speed_bps").alias(
+                    "speedtest_avg_upload"
+                ),
+                F.col("r.speedtest_average.download_speed_bps").alias(
+                    "speedtest_avg_download"
+                ),
+                F.col("r.speedtest_average.latency_ms").cast("int").alias(
                     "speedtest_avg_latency_ms"
                 ),
-                _ts(F.col("r.speedtest_avg_timestamp")).alias("speedtest_avg_timestamp"),
+                _ts(F.col("r.speedtest_average.timestamp")).alias(
+                    "speedtest_avg_timestamp"
+                ),
             ]
         )
     )
@@ -933,7 +1001,7 @@ def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
                 [
                     F.col("id"),
                     F.col("t.meters_to_asserted").alias("meters_to_asserted"),
-                    proto_decimal(F.col("t.trust_score")).alias("trust_score"),
+                    proto_decimal(F.col("t.trust_score.value")).alias("trust_score"),
                 ]
             )
         )
@@ -944,8 +1012,8 @@ def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
             *_fs(
                 [
                     F.col("id"),
-                    F.col("s.upload").alias("upload"),
-                    F.col("s.download").alias("download"),
+                    F.col("s.upload_speed_bps").alias("upload"),
+                    F.col("s.download_speed_bps").alias("download"),
                     F.col("s.latency_ms").cast("int").alias("latency_ms"),
                     _ts(F.col("s.timestamp")).alias("timestamp"),
                 ]
@@ -959,20 +1027,20 @@ def _mobile_project(df: DataFrame) -> dict[str, DataFrame]:
                 [
                     F.col("id"),
                     F.col("h.location").alias("location"),
-                    proto_decimal(F.col("h.base_coverage_points")).alias(
+                    proto_decimal(F.col("h.base_coverage_points.value")).alias(
                         "base_coverage_points"
                     ),
-                    proto_decimal(F.col("h.boosted_coverage_points")).alias(
+                    proto_decimal(F.col("h.boosted_coverage_points.value")).alias(
                         "boosted_coverage_points"
                     ),
                     F.col("h.urbanized").alias("urbanized"),
                     F.col("h.footfall").alias("footfall"),
                     F.col("h.landtype").alias("landtype"),
-                    proto_decimal(F.col("h.assignment_multiplier")).alias(
+                    proto_decimal(F.col("h.assignment_multiplier.value")).alias(
                         "assignment_multiplier"
                     ),
                     F.col("h.rank").cast("int").alias("rank"),
-                    proto_decimal(F.col("h.rank_multiplier")).alias("rank_multiplier"),
+                    proto_decimal(F.col("h.rank_multiplier.value")).alias("rank_multiplier"),
                     F.col("h.boosted_multiplier").cast("int").alias("boosted_multiplier"),
                     F.col("h.service_provider_override").alias("service_provider_override"),
                 ]
@@ -1021,14 +1089,18 @@ _register(
         name="mobile-reward-manifest",
         bucket="helium-mainnet-mobile-verified",
         prefix="network_reward_manifest_v1",
+        # Wire numbering provenance: public helium/proto
+        # reward_manifest.proto — fields 4/5 are the oneof reward_data
+        # arms (mobile/iot reward metadata) the reference never reads,
+        # so epoch/price sit at 6/7; unknown-field skipping drops 4/5.
         msg=Msg(
             "RewardManifest",
             (
                 Field(1, "written_files", "string", repeated=True),
                 Field(2, "start_timestamp", "uint64"),
                 Field(3, "end_timestamp", "uint64"),
-                Field(4, "epoch", "uint64"),
-                Field(5, "price", "uint64"),
+                Field(6, "epoch", "uint64"),
+                Field(7, "price", "uint64"),
             ),
         ),
         tables=("mobile_reward_manifest",),
@@ -1531,6 +1603,12 @@ _register(
         name="verified-speedtest",
         bucket="helium-mainnet-mobile-verified",
         prefix="verified_speedtest",
+        # Wire numbering provenance: public helium/proto poc_mobile.proto.
+        # The report is DOUBLE-nested on the real wire —
+        # verified_speedtest.report is a speedtest_ingest_report_v1
+        # { received_timestamp = 1; speedtest_req_v1 report = 2 } —
+        # grounded in the reference's two-level unwrap
+        # (verified_speedtest.rs:33-34: value.report ... ingest.report).
         msg=Msg(
             "VerifiedSpeedtest",
             (
@@ -1539,20 +1617,31 @@ _register(
                     "report",
                     "message",
                     schema=Msg(
-                        "Speedtest",
+                        "SpeedtestIngestReportV1",
                         (
-                            Field(1, "pub_key", "bytes"),
-                            Field(2, "serial", "string"),
-                            Field(3, "timestamp", "uint64"),
-                            Field(4, "upload_speed", "uint64"),
-                            Field(5, "download_speed", "uint64"),
-                            Field(6, "latency", "uint32"),
-                            Field(7, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
+                            Field(
+                                2,
+                                "report",
+                                "message",
+                                schema=Msg(
+                                    "SpeedtestReqV1",
+                                    (
+                                        Field(1, "pub_key", "bytes"),
+                                        Field(2, "serial", "string"),
+                                        Field(3, "timestamp", "uint64"),
+                                        Field(4, "upload_speed", "uint64"),
+                                        Field(5, "download_speed", "uint64"),
+                                        Field(6, "latency", "uint32"),
+                                        Field(7, "signature", "bytes"),
+                                    ),
+                                ),
+                            ),
                         ),
                     ),
                 ),
-                Field(2, "timestamp", "uint64"),
-                Field(3, "result", "enum", enum_names=E_RESULT),
+                Field(2, "result", "enum", enum_names=E_RESULT),
+                Field(3, "timestamp", "uint64"),
             ),
         ),
         tables=("verified_speedtest_report",),
@@ -1561,13 +1650,17 @@ _register(
             lambda df: df.select(
                 *_fs(
                     [
-                        helium_pubkey_udf(F.col("report.pub_key")).alias("hotspot_key"),
-                        F.col("report.serial").alias("serial"),
-                        _ts(F.col("report.timestamp")).alias("timestamp"),
-                        F.col("report.upload_speed").alias("upload_speed"),
-                        F.col("report.download_speed").alias("download_speed"),
-                        F.col("report.latency").cast("int").alias("latency"),
-                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        helium_pubkey_udf(F.col("report.report.pub_key")).alias(
+                            "hotspot_key"
+                        ),
+                        F.col("report.report.serial").alias("serial"),
+                        _ts(F.col("report.report.timestamp")).alias("timestamp"),
+                        F.col("report.report.upload_speed").alias("upload_speed"),
+                        F.col("report.report.download_speed").alias("download_speed"),
+                        F.col("report.report.latency").cast("int").alias("latency"),
+                        _ts(F.col("report.received_timestamp")).alias(
+                            "received_timestamp"
+                        ),
                         _ts("timestamp").alias("verified_timestamp"),
                         F.col("result"),
                     ]

@@ -39,7 +39,13 @@ def synth_value(f: Field, i: int) -> Any:
     if f.ptype == "float":
         return 0.5
     if f.ptype == "string":
-        if "multiplier" in f.name or "score" in f.name or "shares" in f.name or "points" in f.name:
+        if (
+            "multiplier" in f.name
+            or "score" in f.name
+            or "shares" in f.name
+            or "points" in f.name
+            or f.name == "value"  # helium.Decimal payload
+        ):
             return f"{i}.25"  # decimal-as-string fields parse
         return f"{f.name}-{i}"
     if f.ptype == "bytes":

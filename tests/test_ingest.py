@@ -36,14 +36,18 @@ def _speedtest_payloads(n: int, base_ms: int = T0_MS) -> list[bytes]:
             encode(
                 msg,
                 {
+                    # real wire shape: verified_speedtest.report is a
+                    # speedtest_ingest_report_v1 wrapping speedtest_req_v1
                     "report": {
-                        "pub_key": KEY1 if i % 2 == 0 else KEY2,
-                        "serial": f"sn-{i}",
-                        "timestamp": (base_ms + i * 1000) // 1000,  # seconds
-                        "upload_speed": 100 + i,
-                        "download_speed": 1000 + i,
-                        "latency": 10 + i,
                         "received_timestamp": base_ms + i * 1000,  # millis
+                        "report": {
+                            "pub_key": KEY1 if i % 2 == 0 else KEY2,
+                            "serial": f"sn-{i}",
+                            "timestamp": (base_ms + i * 1000) // 1000,  # seconds
+                            "upload_speed": 100 + i,
+                            "download_speed": 1000 + i,
+                            "latency": 10 + i,
+                        },
                     },
                     "timestamp": base_ms + i * 1000 + 500,
                     "result": "SPEEDTEST_AVG_VALID" if i % 3 else "SPEEDTEST_AVG_FAIL",
@@ -152,7 +156,7 @@ class TestMobileDemuxExplode:
                 "subscriber_id": UUID1.bytes, "discovery_location_amount": 7,
                 "verification_mapping_amount": 3, "reward_override_entity_key": "k"}}),
             encode(msg, {**periods, "service_provider_reward": {
-                "service_provider": "HELIUM_MOBILE", "amount": 99,
+                "service_provider_id": "HELIUM_MOBILE", "amount": 99,
                 "rewardable_entity_key": "e"}}),
             encode(msg, {**periods, "unallocated_reward": {
                 "reward_type": "POC", "amount": 1}}),
@@ -160,42 +164,48 @@ class TestMobileDemuxExplode:
                 "entity": "promo", "service_provider_amount": 2, "matched_amount": 2}}),
             encode(msg, {**periods, "radio_reward_v2": {
                 "hotspot_key": KEY2,
-                "base_coverage_points_sum": "12.5",
-                "boosted_coverage_points_sum": "not-a-number",  # S5 -> 0.0
-                "base_reward_shares": "1.25",
-                "boosted_reward_shares": "0",
+                # decimals cross the wire as helium.Decimal{value} messages
+                "base_coverage_points_sum": {"value": "12.5"},
+                "boosted_coverage_points_sum": {"value": "not-a-number"},  # S5 -> 0.0
+                "base_reward_shares": {"value": "1.25"},
+                "boosted_reward_shares": {"value": "0"},
                 "base_poc_reward": 1000,
                 "boosted_poc_reward": 0,
                 "seniority_timestamp": T0_MS // 1000,
                 "coverage_object": UUID1.bytes,
-                "location_trust_score_multiplier": "1.0",
-                "speedtest_multiplier": "0.75",
+                "location_trust_score_multiplier": {"value": "1.0"},
+                "speedtest_multiplier": {"value": "0.75"},
                 "sp_boosted_hex_status": "ELIGIBLE",
                 "oracle_boosted_hex_status": "ELIGIBLE",
-                "speedtest_avg_upload": 5,
-                "speedtest_avg_download": 50,
-                "speedtest_avg_latency_ms": 30,
-                "speedtest_avg_timestamp": T0_MS // 1000,
+                "speedtest_average": {
+                    "upload_speed_bps": 5,
+                    "download_speed_bps": 50,
+                    "latency_ms": 30,
+                    "timestamp": T0_MS // 1000,
+                },
                 "location_trust_scores": [
-                    {"meters_to_asserted": 10, "trust_score": "0.9"},
-                    {"meters_to_asserted": 20, "trust_score": "0.5"},
+                    {"meters_to_asserted": 10, "trust_score": {"value": "0.9"}},
+                    {"meters_to_asserted": 20, "trust_score": {"value": "0.5"}},
                 ],
                 "speedtests": [
-                    {"upload": 1, "download": 2, "latency_ms": 3,
+                    {"upload_speed_bps": 1, "download_speed_bps": 2, "latency_ms": 3,
                      "timestamp": T0_MS // 1000},
                 ],
                 "covered_hexes": [
                     {"location": 631_236_437_021_704_191 % (1 << 60),
-                     "base_coverage_points": "4", "boosted_coverage_points": "8",
+                     "base_coverage_points": {"value": "4"},
+                     "boosted_coverage_points": {"value": "8"},
                      "urbanized": "URBANIZED", "footfall": "FOOTFALL_A",
-                     "landtype": "BUILT", "assignment_multiplier": "1",
-                     "rank": 1, "rank_multiplier": "1", "boosted_multiplier": 2,
+                     "landtype": "BUILT", "assignment_multiplier": {"value": "1"},
+                     "rank": 1, "rank_multiplier": {"value": "1"},
+                     "boosted_multiplier": 2,
                      "service_provider_override": False},
-                    {"location": 7, "base_coverage_points": "2",
-                     "boosted_coverage_points": "0", "urbanized": "OUTSIDE_US",
+                    {"location": 7, "base_coverage_points": {"value": "2"},
+                     "boosted_coverage_points": {"value": "0"},
+                     "urbanized": "OUTSIDE_US",
                      "footfall": "FOOTFALL_C", "landtype": "WATER",
-                     "assignment_multiplier": "0.5", "rank": 2,
-                     "rank_multiplier": "0.3", "boosted_multiplier": 0,
+                     "assignment_multiplier": {"value": "0.5"}, "rank": 2,
+                     "rank_multiplier": {"value": "0.3"}, "boosted_multiplier": 0,
                      "service_provider_override": True},
                 ],
             }}),
@@ -238,11 +248,13 @@ class TestCoverageOneof:
         msg = REGISTRY["coverage-object"].msg
         payloads = [
             encode(msg, {"coverage_object": {
-                "pub_key": KEY1, "uuid": UUID1.bytes,
+                "hotspot_key": KEY1, "uuid": UUID1.bytes,
                 "coverage_claim_time": T0_MS // 1000, "indoor": True,
                 "coverage": [
-                    {"location": 123, "signal_level": "HIGH", "signal_power": -70},
-                    {"location": 456, "signal_level": "LOW", "signal_power": -100},
+                    {"location": "8c2681a3064d9ff", "signal_level": "HIGH",
+                     "signal_power": -70},
+                    {"location": "8c2681a3064dbff", "signal_level": "LOW",
+                     "signal_power": -100},
                 ]}}),
             encode(msg, {"coverage_object": {
                 "cbsd_id": "CBSD-9", "uuid": uuidlib.uuid5(UUID1, "x").bytes,
@@ -253,7 +265,7 @@ class TestCoverageOneof:
         counts = wh.ingest("coverage-object", str(raw))
         assert counts == {"coverage_object": 2, "coverage_location": 2}
         parents = {r.radio_type: r for r in wh.table("coverage_object").collect()}
-        # S10: pub_key set -> wifi + b58; absent -> cbrs + cbsd_id
+        # S10: oneof hotspot_key arm -> wifi + b58; cbsd_id arm -> cbrs
         assert parents["wifi"].radio_key == helium_pubkey(KEY1)
         assert parents["cbrs"].radio_key == "CBSD-9"
         locs = wh.table("coverage_location").collect()
