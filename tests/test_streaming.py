@@ -211,3 +211,76 @@ class TestSessionize:
         # sessions [0,5,10] and [200,210] close in-batch; [500] stays open
         assert {(7, 3), (7, 2)} <= emitted
         assert (7, 1) not in emitted
+
+
+class TestChainedJoinWindowBoundary:
+    """Off-by-one probe for q_stream_join_window's emission frontier
+    (VERDICT r03 item 9). The oracle claims append-mode emits a day
+    window iff window_end < min(max p_ts, max c_ts) - 2h (watermark
+    delay) - 1h (the interval join's own output-watermark delay),
+    STRICTLY. Two fixtures pin the boundary on the timestamp[us]/NTZ
+    physical type: one where the frontier lands exactly ON a window end
+    (must NOT emit), and one shifted +1s past it (must emit)."""
+
+    DAY = "2024-01-01"
+
+    def _write_events(self, path, frontier_shift_s: int):
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01 12:00:00")
+        # the frontier-setting tail: latest purchase AND click at T =
+        # day+1 03:00(+shift); frontier = T - 3h = day+1 00:00(+shift)
+        tail = pd.Timestamp("2024-01-02 03:00:00") + pd.Timedelta(seconds=frontier_shift_s)
+        rows = [
+            # day-1 pairs: purchase at 12:00, clicks 20/40 min before
+            (1, base, 10, "purchase", 1.0, "{}"),
+            (2, base - pd.Timedelta(minutes=20), 10, "click", 1.0, "{}"),
+            (3, base - pd.Timedelta(minutes=40), 10, "click", 1.0, "{}"),
+            # tail events on a different user, paired (same instant)
+            (4, tail, 99, "purchase", 1.0, "{}"),
+            (5, tail, 99, "click", 1.0, "{}"),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # current fixture type
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        pdf.to_parquet(os.path.join(path, "events.parquet"), index=False)
+
+    def _run(self, spark, sf_dir):
+        from huckli_spark.queries import all_queries
+
+        spec = all_queries()["q_stream_join_window"]
+        return {r.day: r.n_pairs for r in spec.build(spark, sf_dir).collect()}
+
+    def _oracle(self, sf_dir):
+        import os
+
+        import duckdb
+
+        from huckli_spark.queries import all_queries
+
+        con = duckdb.connect()
+        con.sql("SET TimeZone = 'UTC'")
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}'"
+        )
+        spec = all_queries()["q_stream_join_window"]
+        return {d: n for d, n in con.sql(spec.oracle).fetchall()}
+
+    def test_frontier_exactly_on_window_end_does_not_emit(self, spark, tmp_path):
+        sf = str(tmp_path / "sf_boundary")
+        self._write_events(sf, frontier_shift_s=0)
+        got = self._run(spark, sf)
+        assert self.DAY not in got, got  # strict <: boundary day withheld
+        assert got == self._oracle(sf)
+
+    def test_frontier_one_second_past_emits(self, spark, tmp_path):
+        sf = str(tmp_path / "sf_shifted")
+        self._write_events(sf, frontier_shift_s=1)
+        got = self._run(spark, sf)
+        assert got.get(self.DAY) == 2, got  # 1 purchase x 2 clicks
+        assert got == self._oracle(sf)
