@@ -378,3 +378,49 @@ def bow_fingerprint(
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def contamination(
+    candidates: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: per candidate document, how
+    many of its distinct word-``n``-gram shingles also occur anywhere
+    in the ``holdout`` corpus (the eval/benchmark set), and the
+    containment ratio shared/total.
+
+    Scale shape: the holdout's distinct shingle hashes are broadcast
+    (benchmark sets are small by definition — a few MB of 8-byte
+    hashes covers every public eval suite); the candidate corpus
+    streams map-side through the broadcast semi-join and partial-aggs
+    to one row per doc. The corpus never shuffles on text, and a
+    contaminated-doc drop list composes with apply_keeplist.
+    """
+    from huckli_spark.functions.portable import h60
+
+    cand_sh = shingles(candidates, id_col, text_col, n=n).select(
+        F.col(id_col), h60(F.col("shingle")).alias("sh")
+    )
+    hold_sh = (
+        shingles(holdout, id_col, text_col, n=n)
+        .select(h60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = cand_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    shared = (
+        cand_sh.join(F.broadcast(hold_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = sizes.join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        fround(
+            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("containment"),
+    )
+    return out

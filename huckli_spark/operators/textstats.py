@@ -134,3 +134,114 @@ def rolling_fingerprint(
         .drop("__sh")
     )
     return out
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher/RefinedWeb-style quality
+    rules): word count, distinct-word ratio, top-word frequency
+    fraction, top-bigram frequency fraction.
+
+    Scale shape: bigrams are built DOCUMENT-LOCALLY (array transform —
+    no self-join on position), then both gram relations partial-agg
+    before their (id, gram) shuffle; per-doc output is one row. The
+    two shuffles carry O(docs x distinct grams), never raw text.
+    """
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        F.col(id_col),
+        F.col("__w"),
+        # guard: sequence(0, -1) DESCENDS in Spark, so short docs need
+        # an explicit empty-array branch
+        F.expr(
+            "CASE WHEN size(__w) < 2 THEN array()"
+            " ELSE transform(sequence(0, size(__w) - 2),"
+            " i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))"
+            " END"
+        ).alias("__bg"),
+    )
+    sizes = base.select(
+        F.col(id_col),
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("n_distinct"),
+    )
+    topw = (
+        base.select(F.col(id_col), F.explode("__w").alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_w"))
+    )
+    topb = (
+        base.select(F.col(id_col), F.explode("__bg").alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_b"), F.sum("count").alias("n_bg"))
+    )
+    out = sizes.join(topw, id_col, "left").join(topb, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("n_words"),
+        fround(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+        fround(F.coalesce(F.col("top_w") / F.col("n_words"), F.lit(0.0)), 4).alias(
+            "top_word_frac"
+        ),
+        fround(
+            F.when(F.col("n_bg") > 0, F.col("top_b") / F.col("n_bg")).otherwise(0.0),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: a word starts a new chunk when its
+    portable 60-bit hash is 0 mod ``boundary_mod`` (expected chunk
+    length ~= boundary_mod words), so chunk boundaries survive
+    insertions/deletions elsewhere in the document — the property that
+    makes sub-document dedup robust, unlike fixed-width windows.
+    Returns one row per (doc, chunk): (id, chunk_id, chunk_text,
+    chunk_hash). Chunk ids are 1-based in document order.
+
+    Scale shape: one shuffle on the doc id for the running boundary
+    sum (windowed cumulative sum over word position), one partial-agg
+    shuffle to assemble chunks. Chunk text never leaves the executor
+    side.
+    """
+    from pyspark.sql import Window
+
+    from huckli_spark.functions.portable import h60
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    marked = words.withColumn(
+        "b",
+        F.when((F.col("pos") == 0) | (h60(F.col("w")) % boundary_mod == 0), 1).otherwise(
+            0
+        ),
+    ).withColumn("chunk_id", F.sum("b").over(run))
+    chunks = (
+        marked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("chunk_text"),
+        h60(F.col("chunk_text")).alias("chunk_hash"),
+    )

@@ -93,16 +93,17 @@ _GATE_PRIORITY: list[str] = [
     "q_fingerprint",
     "q_quality_score",
     "q_lang_profile",
+    # --- new in round 4 (corpus-quality pipeline)
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_cdc_chunks",
     # --- SQL-surface refresh (rotating tail)
     "q_cube",
     "q_grouping_sets",
     "q_percentile",
     "q_stats_corr",
     "q_pivot",
-    "q_intersect",
     "q_except_all",
-    "q_approx_distinct",
-    "q_exists_subquery",
     "q_scalar_subquery",
 ]
 
@@ -117,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import sql_surface  # noqa: F401
     from huckli_spark.queries import streaming_parity  # noqa: F401
     from huckli_spark.queries import multimodal_parity  # noqa: F401
+    from huckli_spark.queries import corpus_quality  # noqa: F401
 
     front = [n for n in _GATE_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]

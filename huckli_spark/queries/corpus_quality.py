@@ -1,0 +1,171 @@
+"""Corpus-quality parity queries: repetition signals, benchmark
+decontamination, content-defined chunking.
+
+These are the quality/safety primitives of an LLM training-data
+pipeline beyond dedup proper: flag machine-generated repetition
+(Gopher rule 3-style), detect eval-set leakage before training, and
+segment documents into content-defined chunks so near-dup detection
+works at sub-document granularity. Every output is differentially
+gated against a DuckDB oracle computing identical arithmetic — the
+portable md5-based 60-bit hash keeps even the chunk boundaries
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import sql_fround, sql_h60
+from huckli_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# 1-based positional word relation, shared by the oracles below
+# (generate_subscripts pairs with unnest index-aligned in DuckDB).
+_WORDS_CTE = """words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )"""
+
+
+@query(
+    "q_repetition_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sizes AS (
+      SELECT doc_id,
+             array_length(w) AS n_words,
+             array_length(list_distinct(w)) AS n_distinct
+      FROM base
+    ), wc AS (
+      SELECT doc_id, unnest(w) AS g FROM base
+    ), topw AS (
+      SELECT doc_id, max(c) AS top_w FROM (
+        SELECT doc_id, g, count(*) AS c FROM wc GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM base
+    ), topb AS (
+      SELECT doc_id, max(c) AS top_b, CAST(sum(c) AS BIGINT) AS n_bg FROM (
+        SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_words,
+           {sql_fround('s.n_distinct * 1.0 / s.n_words', 4)} AS distinct_ratio,
+           {sql_fround('coalesce(t.top_w * 1.0 / s.n_words, 0.0)', 4)}
+             AS top_word_frac,
+           {sql_fround(
+               'CASE WHEN b.n_bg > 0 THEN b.top_b * 1.0 / b.n_bg ELSE 0.0 END', 4
+           )} AS top_bigram_frac
+    FROM sizes s
+    LEFT JOIN topw t ON t.doc_id = s.doc_id
+    LEFT JOIN topb b ON b.doc_id = s.doc_id
+    """,
+    doc="per-document repetition signals (distinct-word ratio, top word/"
+    "bigram frequency fractions — the Gopher-style quality rules); "
+    "bigrams built document-locally, partial-agged shuffles.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH {_WORDS_CTE}, sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), hd AS (
+      SELECT doc_id FROM documents WHERE source = 'src0'
+    ), hold AS (
+      SELECT DISTINCT {sql_h60('sh.shingle')} AS h
+      FROM sh JOIN hd ON hd.doc_id = sh.doc_id
+    ), cand AS (
+      SELECT sh.doc_id, {sql_h60('sh.shingle')} AS h
+      FROM sh WHERE sh.doc_id NOT IN (SELECT doc_id FROM hd)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id
+    ), shared AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM cand c JOIN hold ON hold.h = c.h
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+           {sql_fround('coalesce(sh2.n_shared, 0) * 1.0 / s.n_shingles', 4)}
+             AS containment
+    FROM sizes s LEFT JOIN shared sh2 ON sh2.doc_id = s.doc_id
+    """,
+    doc="benchmark decontamination: per non-holdout document, the count "
+    "and ratio of its 3-gram shingles occurring anywhere in the holdout "
+    "(source='src0') corpus; holdout hashes broadcast, corpus never "
+    "shuffles on text.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import contamination
+
+    docs = _docs(spark, sf_dir)
+    holdout = docs.where(F.col("source") == "src0")
+    candidates = docs.where(F.col("source") != "src0")
+    return contamination(candidates, holdout)
+
+
+@query(
+    "q_cdc_chunks",
+    f"""
+    WITH {_WORDS_CTE}, m AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN pos = 1 OR {sql_h60('w')} % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM words
+    ), c AS (
+      SELECT doc_id, pos, w,
+             CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chunk_id
+      FROM m
+    ), ch AS (
+      SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY pos) AS chunk_text
+      FROM c GROUP BY 1, 2
+    ), hh AS (
+      SELECT doc_id, chunk_id, {sql_h60('chunk_text')} AS h FROM ch
+    ), d AS (
+      SELECT doc_id, chunk_id, h, count(*) OVER (PARTITION BY h) AS dup FROM hh
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM d GROUP BY doc_id
+    """,
+    doc="content-defined chunking (hash-gated boundaries, ~8-word "
+    "expected chunks) + corpus-wide chunk-hash dedup counts per doc — "
+    "the sub-document dedup granularity primitive.",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.textstats import cdc_chunks
+
+    chunks = cdc_chunks(_docs(spark, sf_dir), boundary_mod=8)
+    dup = F.count("*").over(Window.partitionBy("chunk_hash"))
+    d = chunks.withColumn("dup", dup)
+    return d.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("dup") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+    )
