@@ -93,17 +93,17 @@ _GATE_PRIORITY: list[str] = [
     "q_fingerprint",
     "q_quality_score",
     "q_lang_profile",
-    # --- new in round 4 (corpus-quality pipeline)
+    # --- new in round 4 (corpus-quality pipeline + streaming)
     "q_repetition_stats",
     "q_decontaminate",
     "q_cdc_chunks",
+    "q_stream_left_join",
     # --- SQL-surface refresh (rotating tail)
     "q_cube",
     "q_grouping_sets",
     "q_percentile",
     "q_stats_corr",
     "q_pivot",
-    "q_except_all",
     "q_scalar_subquery",
 ]
 

@@ -213,3 +213,61 @@ def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("win.start", "yyyy-MM-dd").alias("day"), "n_pairs"
     )
     return run_to_memory(out, output_mode="append")
+
+
+@query(
+    "q_stream_left_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT p.event_id AS p_id, p.user_id, count(c.event_id) AS n_clicks
+    FROM p
+    LEFT JOIN c ON c.user_id = p.user_id
+               AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts, wm
+    GROUP BY p.event_id, p.user_id, p.ts, wm.w
+    HAVING count(c.event_id) > 0 OR max(p.ts) < wm.w
+    """,
+    doc="stream-stream LEFT OUTER join with watermarked state: matched "
+    "pairs emit eagerly; unmatched purchases emit null-padded only "
+    "once the global watermark (min of both inputs' max event time "
+    "minus the 2h delay) passes their event time — the oracle "
+    "reproduces exactly that frontier (strict <, pinned by boundary "
+    "probes in tests/test_streaming.py). Scale: state is bounded by "
+    "the watermark horizon on both sides, identical to the inner "
+    "interval join.",
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "left_outer",
+    )
+    drained = run_to_memory(pairs, output_mode="append")
+    return drained.groupBy(
+        F.col("p_id"), F.col("p_user").alias("user_id")
+    ).agg(F.count("c_id").alias("n_clicks"))

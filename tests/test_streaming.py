@@ -284,3 +284,68 @@ class TestChainedJoinWindowBoundary:
         got = self._run(spark, sf)
         assert got.get(self.DAY) == 2, got  # 1 purchase x 2 clicks
         assert got == self._oracle(sf)
+
+
+class TestLeftOuterJoinFrontier:
+    """Boundary probe for q_stream_left_join's null-emission frontier:
+    an unmatched purchase exactly AT the global watermark must be
+    withheld (strict <); one second older must emit null-padded."""
+
+    def _write_events(self, path, probe_shift_s: int):
+        import os
+
+        import pandas as pd
+
+        T = pd.Timestamp("2024-01-02 03:00:00")  # frontier w = T - 2h
+        probe = T - pd.Timedelta(hours=2) - pd.Timedelta(seconds=probe_shift_s)
+        rows = [
+            # frontier-setting tail on user 99 (matched pair at T)
+            (1, T, 99, "purchase", 1.0, "{}"),
+            (2, T, 99, "click", 1.0, "{}"),
+            # the probe: unmatched purchase at w - shift on user 10
+            (3, probe, 10, "purchase", 1.0, "{}"),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        os.makedirs(path, exist_ok=True)
+        pdf.to_parquet(os.path.join(path, "events.parquet"), index=False)
+
+    def _run(self, spark, sf_dir):
+        from huckli_spark.queries import all_queries
+
+        spec = all_queries()["q_stream_left_join"]
+        return {r.p_id: r.n_clicks for r in spec.build(spark, sf_dir).collect()}
+
+    def _oracle(self, sf_dir):
+        import os
+
+        import duckdb
+
+        from huckli_spark.queries import all_queries
+
+        con = duckdb.connect()
+        con.sql("SET TimeZone = 'UTC'")
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'events.parquet')}'"
+        )
+        return {
+            p: n
+            for p, _, n in con.sql(all_queries()["q_stream_left_join"].oracle).fetchall()
+        }
+
+    def test_unmatched_at_watermark_withheld(self, spark, tmp_path):
+        sf = str(tmp_path / "sf_at")
+        self._write_events(sf, probe_shift_s=0)
+        got = self._run(spark, sf)
+        assert 3 not in got, got  # strict <: exactly-at-frontier withheld
+        assert got == self._oracle(sf)
+
+    def test_unmatched_one_second_past_emits_null_padded(self, spark, tmp_path):
+        sf = str(tmp_path / "sf_past")
+        self._write_events(sf, probe_shift_s=1)
+        got = self._run(spark, sf)
+        assert got.get(3) == 0, got  # null-padded emission
+        assert got == self._oracle(sf)
