@@ -168,3 +168,40 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(spark, "q_asof_join")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # union sides
     assert "NestedLoop" not in plan
+
+
+def test_contamination_broadcasts_holdout(spark):
+    # the holdout (benchmark) shingle set must broadcast; the candidate
+    # corpus streams map-side — a sort-merge join here would shuffle
+    # the whole corpus to screen against a few MB of eval hashes
+    import os
+
+    from pyspark.sql import functions as F
+
+    from huckli_spark.operators.dedup import contamination
+
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    df = contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+    plan = _lazy_plan(spark, df)
+    _assert_no_cartesian(plan)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cdc_chunks_single_doc_shuffle(spark):
+    # the running boundary sum and the chunk assembly must share ONE
+    # exchange on the doc id (the window's partitioning feeds the
+    # groupBy) — a second full shuffle would double the cost of the
+    # heaviest stage at corpus scale
+    import os
+
+    from huckli_spark.operators.textstats import cdc_chunks
+
+    import re
+
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    plan = _lazy_plan(spark, cdc_chunks(docs))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, f"{n_exchanges} doc-key exchanges\n{plan}"
