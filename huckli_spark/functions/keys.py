@@ -68,7 +68,21 @@ def helium_pubkey(key_bytes: Optional[bytes]) -> Optional[str]:
 
 
 def _pubkey_batch(keys: pd.Series) -> pd.Series:
-    return keys.map(lambda b: helium_pubkey(b) if b is not None else None)
+    """Encode each DISTINCT key once per Arrow batch: hotspot keys
+    repeat heavily within a file (one row per report per radio), so
+    memoizing turns O(rows) bignum base58 encodes into O(radios)."""
+    memo: dict[bytes, Optional[str]] = {}
+
+    def enc(b) -> Optional[str]:
+        if b is None:
+            return None
+        kb = bytes(b)
+        got = memo.get(kb)
+        if got is None and kb not in memo:
+            got = memo[kb] = helium_pubkey(kb)
+        return got
+
+    return keys.map(enc)
 
 
 def helium_pubkey_udf(col: Column) -> Column:

@@ -312,12 +312,17 @@ class Warehouse:
         try:
             out: dict[str, int] = {}
             for name, df in spec.project(decoded).items():
-                # count the batch, not the table: a full-table scan per
-                # append is O(warehouse) and would dominate at scale
-                df = df.persist(StorageLevel.MEMORY_AND_DISK)
-                out[name] = df.count()
+                # batch row counts ride the WRITE action as an
+                # Observation metric — no separate count() pass (a
+                # second full scan of the batch, plus a second pandas-
+                # UDF round for key-bearing tables; at warehouse scale
+                # a whole redundant job per table)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
                 self.append(name, df)
-                df.unpersist()
+                out[name] = int(obs.get["n"])
             # checkpoint AFTER data commit (A16; at-least-once)
             self.save_files_processed(list(files))
             return out

@@ -127,4 +127,13 @@ def frames_df(
                         rows, columns=["file_source", "frame_index", "payload"]
                     )
 
-    return files.mapInPandas(decode_files, FRAMES_SCHEMA)
+    out = files.mapInPandas(decode_files, FRAMES_SCHEMA)
+    # Fan frames out past the file count: with fewer files than cores,
+    # the downstream wire-decode (the CPU-heaviest ingest stage) would
+    # otherwise run on len(paths) tasks. The shuffle moves only raw
+    # frame bytes — bounded by input size — and is skipped entirely at
+    # production file counts where the scan already fills the cluster.
+    par = spark.sparkContext.defaultParallelism
+    if len(paths) < par:
+        out = out.repartition(par)
+    return out
