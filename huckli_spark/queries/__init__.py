@@ -98,12 +98,12 @@ _GATE_PRIORITY: list[str] = [
     "q_decontaminate",
     "q_cdc_chunks",
     "q_stream_left_join",
+    "q_mixture_sample",
+    "q_shard_assign",
     # --- SQL-surface refresh (rotating tail)
     "q_cube",
     "q_grouping_sets",
     "q_percentile",
-    "q_stats_corr",
-    "q_pivot",
     "q_scalar_subquery",
 ]
 

@@ -169,3 +169,76 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum(F.when(F.col("dup") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
     )
+
+
+@query(
+    "q_mixture_sample",
+    f"""
+    WITH q AS (
+      SELECT source, doc_id,
+             {sql_h60('source')} % 40 + 10 AS quota,
+             {sql_h60("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, quota,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, rk
+    FROM r WHERE rk <= quota
+    """,
+    doc="exact-quota mixture sampling: per source, keep exactly "
+    "quota(source) documents chosen by deterministic hash rank — the "
+    "training-mix primitive where proportions must be EXACT, not "
+    "rate-expected (contrast q_stratified_sample). Same rows survive "
+    "on any engine or partitioning. Scale: one shuffle on source for "
+    "the ranking window; at extreme per-source cardinality swap the "
+    "full rank for an approx-quantile hash threshold refined per "
+    "stratum.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.functions.portable import h60
+
+    d = _docs(spark, sf_dir)
+    quota = h60(F.col("source")) % 40 + 10
+    h = h60(F.concat(F.lit("mix:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", quota.alias("quota"), h.alias("h")
+    ).withColumn("rk", F.row_number().over(w).cast("long"))
+    return ranked.where(F.col("rk") <= F.col("quota")).select("doc_id", "source", "rk")
+
+
+@query(
+    "q_shard_assign",
+    f"""
+    WITH s AS (
+      SELECT {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             array_length(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY shard
+    """,
+    doc="deterministic shard assignment for training-data output: "
+    "hash-mod sharding (scale-correct — no global ordering, no "
+    "single-partition window) with per-shard doc and token balance "
+    "stats; the gate verifies both the assignment and the balance "
+    "accounting bit-identically across engines.",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+
+    d = _docs(spark, sf_dir)
+    shard = h60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 16
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
