@@ -66,6 +66,12 @@ E_LOCATION_SOURCE = {0: "UNKNOWN", 1: "ASSERTED", 2: "GPS", 3: "SKYHOOK"}
 E_REWARD_TYPE = {0: "POC", 1: "DATA", 2: "MAPPING", 3: "OPERATIONAL"}
 E_SERVICE_PROVIDER = {0: "HELIUM_MOBILE", 1: "OTHER"}
 E_HEX_STATUS = {0: "ELIGIBLE", 1: "INELIGIBLE_LOCATION", 2: "INELIGIBLE_RADIO"}
+# Carrier identifier: the real wire type is an ENUM (reference calls
+# carrier_id_v2()/carrier_id().as_str_name() — usage.rs:52,
+# data_transfer.rs:49); the NAME TABLE below is engine-frozen (the
+# public enum's variant spellings aren't vendored here) — swap in the
+# real as_str_name strings when pointing at a production bucket.
+E_CARRIER = {0: "CARRIER_UNKNOWN", 1: "CARRIER_A", 2: "CARRIER_B", 3: "CARRIER_C"}
 E_URBANIZED = {0: "URBANIZED", 1: "NOT_URBANIZED", 2: "OUTSIDE_US"}
 E_FOOTFALL = {0: "FOOTFALL_A", 1: "FOOTFALL_B", 2: "FOOTFALL_C"}
 E_LANDTYPE = {0: "BUILT", 1: "GREEN", 2: "WATER"}
@@ -93,8 +99,9 @@ def _register(spec: FileTypeSpec) -> FileTypeSpec:
 
 
 # column helpers ------------------------------------------------------------
-def _key(src: str) -> Column:
-    return helium_pubkey_udf(F.col(src))
+def _key(src) -> Column:
+    col = F.col(src) if isinstance(src, str) else src
+    return helium_pubkey_udf(col)
 
 
 def _ts(src) -> Column:
@@ -153,7 +160,11 @@ _register(
                             Field(3, "end_ts", "uint64"),
                             Field(4, "period_length", "uint32"),
                             Field(5, "multipliers", "uint32", repeated=True),
-                            Field(6, "version", "uint32"),
+                            # fields 6/7 are the boost-config pubkeys
+                            # the reference never reads (skipped as
+                            # unknown); version sits at 8 in the
+                            # public boosted_hex_info_v1
+                            Field(8, "version", "uint32"),
                         ),
                     ),
                 ),
@@ -286,16 +297,22 @@ _register(
 # ---------------------------------------------------------------------------
 # 3-4. data transfer ingest + verified (data_transfer.rs:11-103)
 # ---------------------------------------------------------------------------
+# Field NAMES grounded in the reference's prost accessors
+# (data_transfer.rs:44 radio_access_technology(), :49 carrier_id_v2()):
+# the technology and carrier are wire ENUMS, not strings, and the
+# ingest wrapper follows the poc_mobile convention
+# { received_timestamp = 1; report = 2 } (same as speedtest).
 _DT_USAGE = Msg(
-    "DataTransferUsage",
+    "DataTransferEvent",
     (
         Field(1, "pub_key", "bytes"),
         Field(2, "upload_bytes", "uint64"),
         Field(3, "download_bytes", "uint64"),
-        Field(4, "technology", "enum", enum_names=E_TECHNOLOGY),
+        Field(4, "radio_access_technology", "enum", enum_names=E_TECHNOLOGY),
         Field(5, "event_id", "string"),
         Field(6, "payer", "bytes"),
         Field(7, "timestamp", "uint64"),
+        Field(8, "signature", "bytes"),
     ),
 )
 _DT_SESSION = Msg(
@@ -303,14 +320,14 @@ _DT_SESSION = Msg(
     (
         Field(1, "data_transfer_usage", "message", schema=_DT_USAGE),
         Field(2, "rewardable_bytes", "uint64"),
-        Field(3, "carrier_id", "string"),
+        Field(3, "carrier_id_v2", "enum", enum_names=E_CARRIER),
     ),
 )
 _DT_INGEST = Msg(
     "DataTransferSessionIngestReportV1",
     (
-        Field(1, "report", "message", schema=_DT_SESSION),
-        Field(2, "received_timestamp", "uint64"),
+        Field(1, "received_timestamp", "uint64"),
+        Field(2, "report", "message", schema=_DT_SESSION),
     ),
 )
 
@@ -323,7 +340,7 @@ def _dt_common(prefix: str) -> list[Column]:
         F.col(f"{u}.upload_bytes").alias("upload_bytes"),
         F.col(f"{u}.download_bytes").alias("download_bytes"),
         F.col(f"{prefix}.rewardable_bytes").alias("rewardable_bytes"),
-        F.col(f"{u}.technology").alias("technology"),
+        F.col(f"{u}.radio_access_technology").alias("technology"),
         F.col(f"{u}.event_id").alias("event_id"),
         helium_pubkey_udf(F.col(f"{u}.payer")).alias("payer"),
         _ts(F.col(f"{u}.timestamp")).alias("timestamp"),
@@ -344,7 +361,7 @@ _register(
                     [
                         *_dt_common("report"),
                         _ts("received_timestamp").alias("received_timestamp"),
-                        F.col("report.carrier_id").alias("carrier_id"),
+                        F.col("report.carrier_id_v2").alias("carrier_id"),
                     ]
                 )
             ),
@@ -376,7 +393,7 @@ _register(
                         _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
                         _ts("timestamp").alias("verified_timestamp"),
                         F.col("status").alias("status"),
-                        F.col("report.report.carrier_id").alias("carrier"),
+                        F.col("report.report.carrier_id_v2").alias("carrier"),
                     ]
                 )
             ),
@@ -436,23 +453,31 @@ _register(
         name="enabled-carriers-info",
         bucket="helium-mainnet-mobile-ingest",
         prefix="enabled_carriers_report",
+        # Structure grounded in enabled_carriers_info.rs:25-35: the
+        # report is NESTED (v.report), the carrier lists are repeated
+        # ENUMS (packed varints on the wire — .enabled_carriers() /
+        # .sampling_enabled_carriers() iterate enum values), and the
+        # key field is hotspot_pubkey.
         msg=Msg(
             "EnabledCarriersInfoReportV1",
             (
-                Field(1, "pub_key", "bytes"),
                 Field(
-                    2,
-                    "enabled_carriers",
+                    1,
+                    "report",
                     "message",
-                    repeated=True,
                     schema=Msg(
-                        "CarrierInfo",
-                        (Field(1, "carrier", "string"), Field(2, "enabled", "bool")),
+                        "EnabledCarriersInfoReqV1",
+                        (
+                            Field(1, "hotspot_pubkey", "bytes"),
+                            Field(2, "enabled_carriers", "enum", repeated=True,
+                                  enum_names=E_CARRIER),
+                            Field(3, "sampling_enabled_carriers", "enum", repeated=True,
+                                  enum_names=E_CARRIER),
+                            Field(4, "firmware_version", "string"),
+                            Field(5, "timestamp_ms", "uint64"),
+                        ),
                     ),
                 ),
-                Field(3, "sampled_carriers", "string", repeated=True),
-                Field(4, "firmware_version", "string"),
-                Field(5, "timestamp_ms", "uint64"),
             ),
         ),
         tables=("enabled_carriers_info",),
@@ -461,16 +486,20 @@ _register(
             lambda df: df.select(
                 *_fs(
                     [
-                        _key("pub_key").alias("hotspot_key"),
-                        # S11 json column
-                        F.to_json("enabled_carriers").alias("enabled_carriers"),
+                        _key(F.col("report.hotspot_pubkey")).alias("hotspot_key"),
+                        # S11 json columns of enum name arrays
+                        F.to_json(F.col("report.enabled_carriers")).alias(
+                            "enabled_carriers"
+                        ),
                         # reference quirk: TEXT by sql-attr omission
                         # (enabled_carriers_info.rs:17-19)
-                        F.to_json("sampled_carriers").alias("sampled_carriers"),
-                        F.col("firmware_version"),
+                        F.to_json(F.col("report.sampling_enabled_carriers")).alias(
+                            "sampled_carriers"
+                        ),
+                        F.col("report.firmware_version").alias("firmware_version"),
                         # quirk: stringified datetime, not timestamptz
                         F.date_format(
-                            _ts("timestamp_ms"), "yyyy-MM-dd HH:mm:ss 'UTC'"
+                            _ts(F.col("report.timestamp_ms")), "yyyy-MM-dd HH:mm:ss 'UTC'"
                         ).alias("timestamp_ms"),
                     ]
                 )
@@ -537,12 +566,13 @@ _register(
         msg=Msg(
             "WifiHeartbeatIngestReportV1",
             (
+                Field(1, "received_timestamp", "uint64"),
                 Field(
-                    1,
+                    2,
                     "report",
                     "message",
                     schema=Msg(
-                        "WifiHeartbeat",
+                        "WifiHeartbeatReqV1",
                         (
                             Field(1, "pub_key", "bytes"),
                             Field(2, "lat", "double"),
@@ -555,7 +585,6 @@ _register(
                         ),
                     ),
                 ),
-                Field(2, "received_timestamp", "uint64"),
             ),
         ),
         tables=("wifi_heartbeat_ingest_report",),
@@ -1130,19 +1159,24 @@ _register(
         name="radio-usage-stats",
         bucket="helium-mainnet-mobile-ingest",
         prefix="radio_usage_stats_ingest_report.",  # trailing '.' (usage.rs:8-12)
+        # Field NAMES grounded in usage.rs:66-75 (hotspot_pubkey,
+        # epoch_start/end_timestamp, carrier_transfer_info with an
+        # ENUM carrier_id); wrapper follows the poc_mobile ingest
+        # convention { received_timestamp = 1; report = 2 }.
         msg=Msg(
             "RadioUsageStatsIngestReportV1",
             (
+                Field(1, "received_timestamp", "uint64"),
                 Field(
-                    1,
+                    2,
                     "report",
                     "message",
                     schema=Msg(
-                        "RadioUsageStats",
+                        "RadioUsageStatsReqV1",
                         (
-                            Field(1, "hotspot_key", "bytes"),
-                            Field(2, "start_period", "uint64"),
-                            Field(3, "end_period", "uint64"),
+                            Field(1, "hotspot_pubkey", "bytes"),
+                            Field(2, "epoch_start_timestamp", "uint64"),
+                            Field(3, "epoch_end_timestamp", "uint64"),
                             Field(4, "service_provider_user_count", "uint64"),
                             Field(5, "disco_mapping_user_count", "uint64"),
                             Field(6, "offload_user_count", "uint64"),
@@ -1150,13 +1184,13 @@ _register(
                             Field(8, "offload_transfer_bytes", "uint64"),
                             Field(
                                 9,
-                                "carrier_transfer",
+                                "carrier_transfer_info",
                                 "message",
                                 repeated=True,
                                 schema=Msg(
-                                    "CarrierTransfer",
+                                    "CarrierTransferInfo",
                                     (
-                                        Field(1, "carrier_id", "string"),
+                                        Field(1, "carrier_id", "enum", enum_names=E_CARRIER),
                                         Field(2, "transfer_bytes", "uint32"),
                                         Field(3, "user_count", "uint32"),
                                     ),
@@ -1166,7 +1200,6 @@ _register(
                         ),
                     ),
                 ),
-                Field(2, "received_timestamp", "uint64"),
             ),
         ),
         tables=("radio_usage_stats",),
@@ -1175,9 +1208,9 @@ _register(
             lambda df: df.select(
                 *_fs(
                     [
-                        helium_pubkey_udf(F.col("report.hotspot_key")).alias("hotspot_key"),
-                        _ts(F.col("report.start_period")).alias("start_period"),
-                        _ts(F.col("report.end_period")).alias("end_period"),
+                        helium_pubkey_udf(F.col("report.hotspot_pubkey")).alias("hotspot_key"),
+                        _ts(F.col("report.epoch_start_timestamp")).alias("start_period"),
+                        _ts(F.col("report.epoch_end_timestamp")).alias("end_period"),
                         F.col("report.service_provider_user_count").alias(
                             "service_provider_user_count"
                         ),
@@ -1193,7 +1226,7 @@ _register(
                         ),
                         _ts(F.col("report.timestamp")).alias("timestamp"),
                         _ts("received_timestamp").alias("received_timestamp"),
-                        F.to_json(F.col("report.carrier_transfer")).alias(
+                        F.to_json(F.col("report.carrier_transfer_info")).alias(
                             "carrier_transfer"
                         ),
                     ]
@@ -1208,19 +1241,24 @@ _register(
         name="radio-usage-stats-v2",
         bucket="helium-mainnet-mobile-ingest",
         prefix="radio_usage_stats_ingest_report_v2",
+        # Field NAMES grounded in usage_v2.rs:40-107 (hotspot_pubkey,
+        # epoch_*_timestamp_ms, timestamp_ms, received_timestamp_ms,
+        # enum carrier_id, rewarded/unrewarded split in the carrier
+        # info, bytes_transferred in the sampling info).
         msg=Msg(
             "RadioUsageStatsIngestReportV2",
             (
+                Field(1, "received_timestamp_ms", "uint64"),
                 Field(
-                    1,
+                    2,
                     "report",
                     "message",
                     schema=Msg(
-                        "RadioUsageStatsV2",
+                        "RadioUsageStatsReqV2",
                         (
-                            Field(1, "hotspot_key", "bytes"),
-                            Field(2, "start_period", "uint64"),
-                            Field(3, "end_period", "uint64"),
+                            Field(1, "hotspot_pubkey", "bytes"),
+                            Field(2, "epoch_start_timestamp_ms", "uint64"),
+                            Field(3, "epoch_end_timestamp_ms", "uint64"),
                             Field(4, "carrier_pubkey", "bytes"),
                             Field(5, "user_count_total", "uint64"),
                             Field(6, "rewarded_bytes_transferred_total", "uint64"),
@@ -1233,11 +1271,12 @@ _register(
                                 "message",
                                 repeated=True,
                                 schema=Msg(
-                                    "CarrierTransferInfo",
+                                    "CarrierTransferInfoV2",
                                     (
-                                        Field(1, "carrier_id", "string"),
-                                        Field(2, "transfer_bytes", "uint64"),
-                                        Field(3, "user_count", "uint64"),
+                                        Field(1, "carrier_id", "enum", enum_names=E_CARRIER),
+                                        Field(2, "user_count", "uint64"),
+                                        Field(3, "rewarded_bytes_transferred", "uint64"),
+                                        Field(4, "unrewarded_bytes_transferred", "uint64"),
                                     ),
                                 ),
                             ),
@@ -1249,17 +1288,16 @@ _register(
                                 schema=Msg(
                                     "SamplingCarrierTransferInfo",
                                     (
-                                        Field(1, "carrier_id", "string"),
-                                        Field(2, "transfer_bytes", "uint64"),
-                                        Field(3, "user_count", "uint64"),
+                                        Field(1, "carrier_id", "enum", enum_names=E_CARRIER),
+                                        Field(2, "user_count", "uint64"),
+                                        Field(3, "bytes_transferred", "uint64"),
                                     ),
                                 ),
                             ),
-                            Field(12, "timestamp", "uint64"),
+                            Field(12, "timestamp_ms", "uint64"),
                         ),
                     ),
                 ),
-                Field(2, "received_timestamp", "uint64"),
             ),
         ),
         tables=("radio_usage_stats_v2",),
@@ -1268,11 +1306,11 @@ _register(
             lambda df: df.select(
                 *_fs(
                     [
-                        helium_pubkey_udf(F.col("report.hotspot_key")).alias("hotspot_key"),
-                        _ts(F.col("report.start_period")).alias("start_period"),
-                        _ts(F.col("report.end_period")).alias("end_period"),
-                        _ts(F.col("report.timestamp")).alias("timestamp"),
-                        _ts("received_timestamp").alias("received_timestamp"),
+                        helium_pubkey_udf(F.col("report.hotspot_pubkey")).alias("hotspot_key"),
+                        _ts(F.col("report.epoch_start_timestamp_ms")).alias("start_period"),
+                        _ts(F.col("report.epoch_end_timestamp_ms")).alias("end_period"),
+                        _ts(F.col("report.timestamp_ms")).alias("timestamp"),
+                        _ts("received_timestamp_ms").alias("received_timestamp"),
                         helium_pubkey_udf(F.col("report.carrier_pubkey")).alias(
                             "carrier_pubkey"
                         ),
@@ -1335,8 +1373,8 @@ _register(
         msg=Msg(
             "SubscriberMappingActivityIngestReportV1",
             (
-                Field(1, "report", "message", schema=_SUB_REPORT),
-                Field(2, "received_timestamp", "uint64"),
+                Field(1, "received_timestamp", "uint64"),
+                Field(2, "report", "message", schema=_SUB_REPORT),
             ),
         ),
         tables=("subscriber_mapping_activity_ingest",),
@@ -1369,8 +1407,8 @@ _register(
                     schema=Msg(
                         "SubscriberMappingActivityIngestReportV1",
                         (
-                            Field(1, "report", "message", schema=_SUB_REPORT),
-                            Field(2, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
+                            Field(2, "report", "message", schema=_SUB_REPORT),
                         ),
                     ),
                 ),
@@ -1414,13 +1452,16 @@ _register(
                         "SpBoostedRewardsBannedRadioIngestReportV1",
                         (
                             Field(
-                                1,
+                                2,
                                 "report",
                                 "message",
                                 schema=Msg(
                                     "SpBoostedRewardsBannedRadioReq",
                                     (
-                                        Field(1, "hotspot_pubkey", "bytes"),  # oneof (S10)
+                                        # oneof key_type (S10; prost
+                                        # KeyType::HotspotKey/CbsdId —
+                                        # sp_banned_radio.rs:37-39)
+                                        Field(1, "hotspot_key", "bytes"),
                                         Field(2, "cbsd_id", "string"),
                                         Field(3, "reason", "enum", enum_names=E_REASON),
                                         Field(4, "until", "uint64"),
@@ -1428,7 +1469,7 @@ _register(
                                     ),
                                 ),
                             ),
-                            Field(2, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
                         ),
                     ),
                 ),
@@ -1444,8 +1485,8 @@ _register(
                     [
                         # S10 oneof key dispatch
                         F.when(
-                            F.length(F.col("report.report.hotspot_pubkey")) > 0,
-                            helium_pubkey_udf(F.col("report.report.hotspot_pubkey")),
+                            F.length(F.col("report.report.hotspot_key")) > 0,
+                            helium_pubkey_udf(F.col("report.report.hotspot_key")),
                         )
                         .otherwise(F.col("report.report.cbsd_id"))
                         .alias("hotspot_key"),
@@ -1481,7 +1522,7 @@ _register(
                         "RadioThresholdIngestReportV1",
                         (
                             Field(
-                                1,
+                                2,
                                 "report",
                                 "message",
                                 schema=Msg(
@@ -1495,7 +1536,7 @@ _register(
                                     ),
                                 ),
                             ),
-                            Field(2, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
                         ),
                     ),
                 ),
@@ -1549,7 +1590,7 @@ _register(
                         "InvalidatedRadioThresholdIngestReportV1",
                         (
                             Field(
-                                1,
+                                2,
                                 "report",
                                 "message",
                                 schema=Msg(
@@ -1562,7 +1603,7 @@ _register(
                                     ),
                                 ),
                             ),
-                            Field(2, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
                         ),
                     ),
                 ),
@@ -1678,6 +1719,10 @@ _register(
         name="verified-unique-connections",
         bucket="helium-mainnet-mobile-verified",
         prefix="verified_unique_connections_report",
+        # Structure grounded in unique_connections.rs:31-44: DOUBLE
+        # nesting (value.report = ingest { received_timestamp, report:
+        # req }), the sent time is req.timestamp, and the verified
+        # wrapper is { report = 1; status = 2; timestamp = 3 }.
         msg=Msg(
             "VerifiedUniqueConnectionsIngestReportV1",
             (
@@ -1686,19 +1731,29 @@ _register(
                     "report",
                     "message",
                     schema=Msg(
-                        "UniqueConnectionsReq",
+                        "UniqueConnectionsIngestReportV1",
                         (
-                            Field(1, "pubkey", "bytes"),
-                            Field(2, "start_timestamp", "uint64"),
-                            Field(3, "end_timestamp", "uint64"),
-                            Field(4, "unique_connections", "uint64"),
-                            Field(5, "sent_timestamp", "uint64"),
-                            Field(6, "received_timestamp", "uint64"),
+                            Field(1, "received_timestamp", "uint64"),
+                            Field(
+                                2,
+                                "report",
+                                "message",
+                                schema=Msg(
+                                    "UniqueConnectionsReqV1",
+                                    (
+                                        Field(1, "pubkey", "bytes"),
+                                        Field(2, "start_timestamp", "uint64"),
+                                        Field(3, "end_timestamp", "uint64"),
+                                        Field(4, "unique_connections", "uint64"),
+                                        Field(5, "timestamp", "uint64"),
+                                    ),
+                                ),
+                            ),
                         ),
                     ),
                 ),
-                Field(2, "timestamp", "uint64"),
-                Field(3, "status", "enum", enum_names=E_STATUS),
+                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(3, "timestamp", "uint64"),
             ),
         ),
         tables=("verified_unique_connections",),
@@ -1707,12 +1762,20 @@ _register(
             lambda df: df.select(
                 *_fs(
                     [
-                        helium_pubkey_udf(F.col("report.pubkey")).alias("hotspot_key"),
-                        _ts(F.col("report.start_timestamp")).alias("start_timestamp"),
-                        _ts(F.col("report.end_timestamp")).alias("end_timestamp"),
-                        F.col("report.unique_connections").alias("unique_connections"),
-                        _ts(F.col("report.sent_timestamp")).alias("sent_timestamp"),
-                        _ts(F.col("report.received_timestamp")).alias("received_timestamp"),
+                        helium_pubkey_udf(F.col("report.report.pubkey")).alias(
+                            "hotspot_key"
+                        ),
+                        _ts(F.col("report.report.start_timestamp")).alias(
+                            "start_timestamp"
+                        ),
+                        _ts(F.col("report.report.end_timestamp")).alias("end_timestamp"),
+                        F.col("report.report.unique_connections").alias(
+                            "unique_connections"
+                        ),
+                        _ts(F.col("report.report.timestamp")).alias("sent_timestamp"),
+                        _ts(F.col("report.received_timestamp")).alias(
+                            "received_timestamp"
+                        ),
                         _ts("timestamp").alias("verified_timestamp"),
                         F.col("status"),
                     ]

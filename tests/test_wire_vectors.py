@@ -205,3 +205,82 @@ class TestRewardManifestWire:
         assert out["written_files"] == ["f1.gz", "f2.gz"]
         assert out["epoch"] == 555
         assert out["price"] == 777
+
+
+class TestIngestWrapperConventionWire:
+    def test_data_transfer_ingest_received_then_report(self):
+        # poc_mobile ingest convention: received_timestamp = 1, report = 2
+        usage = (
+            tag(1, LEN) + ld(b"\x07" * 33)   # pub_key
+            + tag(2, VARINT) + varint(1000)  # upload_bytes
+            + tag(3, VARINT) + varint(2000)  # download_bytes
+            + tag(4, VARINT) + varint(1)     # radio_access_technology WIFI
+            + tag(5, LEN) + ld(b"evt-1")
+            + tag(7, VARINT) + varint(1_700_000_000)
+        )
+        req = (
+            tag(1, LEN) + ld(usage)
+            + tag(2, VARINT) + varint(512)   # rewardable_bytes
+            + tag(3, VARINT) + varint(2)     # carrier_id_v2 (enum)
+        )
+        wire = tag(1, VARINT) + varint(1_700_000_111_000) + tag(2, LEN) + ld(req)
+        out = decode(REGISTRY["data-transfer-ingest"].msg, wire)
+        assert out["received_timestamp"] == 1_700_000_111_000
+        r = out["report"]
+        assert r["data_transfer_usage"]["radio_access_technology"] == "WIFI"
+        assert r["rewardable_bytes"] == 512
+        assert r["carrier_id_v2"] == "CARRIER_B"
+
+    def test_enabled_carriers_packed_repeated_enums(self):
+        # proto3 packs repeated enums: one LEN record of varints
+        req = (
+            tag(1, LEN) + ld(b"\x08" * 33)          # hotspot_pubkey
+            + tag(2, LEN) + ld(b"\x01\x02")          # enabled_carriers packed
+            + tag(3, LEN) + ld(b"\x03")              # sampling packed
+            + tag(4, LEN) + ld(b"fw-9.9")
+            + tag(5, VARINT) + varint(1_700_000_222_000)
+        )
+        wire = tag(1, LEN) + ld(req)
+        out = decode(REGISTRY["enabled-carriers-info"].msg, wire)
+        r = out["report"]
+        assert r["enabled_carriers"] == ["CARRIER_A", "CARRIER_B"]
+        assert r["sampling_enabled_carriers"] == ["CARRIER_C"]
+        assert r["firmware_version"] == "fw-9.9"
+
+    def test_unique_connections_double_nesting(self):
+        req = (
+            tag(1, LEN) + ld(b"\x09" * 33)
+            + tag(2, VARINT) + varint(100)
+            + tag(3, VARINT) + varint(200)
+            + tag(4, VARINT) + varint(42)   # unique_connections
+            + tag(5, VARINT) + varint(150)  # sent timestamp
+        )
+        ingest = tag(1, VARINT) + varint(160) + tag(2, LEN) + ld(req)
+        wire = (
+            tag(1, LEN) + ld(ingest)
+            + tag(2, VARINT) + varint(0)     # status
+            + tag(3, VARINT) + varint(170)   # verified timestamp
+        )
+        out = decode(REGISTRY["verified-unique-connections"].msg, wire)
+        assert out["report"]["report"]["unique_connections"] == 42
+        assert out["report"]["report"]["timestamp"] == 150
+        assert out["report"]["received_timestamp"] == 160
+        assert out["timestamp"] == 170
+
+    def test_boosted_hex_version_at_8(self):
+        hexinfo = (
+            tag(1, VARINT) + varint(123456)      # location
+            + tag(2, VARINT) + varint(100)       # start_ts
+            + tag(3, VARINT) + varint(200)       # end_ts
+            + tag(4, VARINT) + varint(30)        # period_length
+            + tag(5, LEN) + ld(b"\x02\x03")      # multipliers packed [2,3]
+            + tag(6, LEN) + ld(b"\x0a" * 33)     # boosted_hex_pubkey (skipped)
+            + tag(7, LEN) + ld(b"\x0b" * 33)     # boost_config_pubkey (skipped)
+            + varint((8 << 3) | VARINT) + varint(4)  # version = 4 at field 8
+        )
+        wire = tag(1, VARINT) + varint(999) + tag(2, LEN) + ld(hexinfo)
+        out = decode(REGISTRY["boosted-hex-update"].msg, wire)
+        u = out["update"]
+        assert u["multipliers"] == [2, 3]
+        assert u["version"] == 4
+        assert u["location"] == 123456
