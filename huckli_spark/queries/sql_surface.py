@@ -535,3 +535,106 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_values("l_quantity").alias("n"),
         median_disc("l_quantity").alias("median_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt, extended window functions, bitwise aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "q_unpivot",
+    """
+    SELECT n_name, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT n.n_name,
+             count(DISTINCT s.s_suppkey) AS n_suppliers,
+             count(DISTINCT c.c_custkey) AS n_customers
+      FROM nation n
+      LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    UNPIVOT (val FOR metric IN (n_suppliers, n_customers))
+    """,
+    doc="UNPIVOT/melt: wide per-nation metrics into (nation, metric, "
+    "value) long form — Spark's unpivot() vs DuckDB's UNPIVOT clause. "
+    "Map-only reshape over an aggregated input; no extra shuffle.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    wide = (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_suppliers", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q_window_misc",
+    f"""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           {sql_fround('percent_rank() OVER w', 6)} AS pr,
+           {sql_fround('cume_dist() OVER w', 6)} AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_custkey < 50
+    """,
+    doc="extended window-function surface: ntile, percent_rank, "
+    "cume_dist over a per-customer price ordering (unique tiebreak), "
+    "restricted to a stable key slice; one shuffle on the partition "
+    "key shared by all three functions.",
+)
+def q_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pr"),
+        fround(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_bitwise",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey % 4096) AS BIGINT) AS flags_and,
+           CAST(bit_or(l_orderkey % 4096) AS BIGINT) AS flags_or,
+           CAST(bit_xor(l_orderkey % 4096) AS BIGINT) AS flags_xor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="bitwise aggregate surface (bit_and/bit_or/bit_xor) over a "
+    "bounded bitfield domain — single partial-agged shuffle; the "
+    "bitfield pattern is how permission/flag columns aggregate at "
+    "warehouse scale.",
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = (F.col("l_orderkey") % 4096).alias("v")
+    return (
+        li.select("l_returnflag", v)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("bit_and(v)").cast("long").alias("flags_and"),
+            F.expr("bit_or(v)").cast("long").alias("flags_or"),
+            F.expr("bit_xor(v)").cast("long").alias("flags_xor"),
+            F.count("*").alias("n"),
+        )
+    )
