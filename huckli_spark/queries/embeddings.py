@@ -272,3 +272,57 @@ def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         fround(F.avg(simsearch.l2_norm("embedding")), 6).alias("avg_norm"),
     )
+
+
+@query(
+    "q_embed_quantize",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id < 100
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM b
+    )
+    SELECT vec_id,
+           CAST(array_length(e) AS BIGINT) AS n_dims,
+           {sql_fround('scale', 6)} AS scale,
+           {sql_fround('''
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_sum(list_transform(e,
+                 x -> pow(x - floor(x / scale * 127.0 + 0.5) * scale / 127.0, 2)))
+               / array_length(e)
+             END''', 8)} AS mse
+    FROM s
+    """,
+    doc="int8 scalar quantization (max-abs symmetric, the standard "
+    "vector-storage compression at warehouse scale: 4x smaller than "
+    "f32, BLAS-friendly) with per-vector reconstruction MSE. Fully "
+    "document-local — scale, quantize, dequantize, and the error fold "
+    "are in-row expressions; a pure map stage over any corpus size. "
+    "The quantize arithmetic uses the portable floor(x+0.5) form so "
+    "the DuckDB oracle reproduces every quantized level exactly.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir).where(F.col("vec_id") < 100)
+    e = simsearch._as_double("embedding")
+    out = (
+        em.select("vec_id", e.alias("e"))
+        .withColumn("scale", F.expr("array_max(transform(e, x -> abs(x)))"))
+        .withColumn(
+            "mse",
+            F.expr(
+                "CASE WHEN scale = 0.0D THEN 0.0D ELSE "
+                "aggregate(transform(e, "
+                " x -> pow(x - floor(x / scale * 127.0D + 0.5D) * scale / 127.0D, 2)), "
+                " 0.0D, (acc, x) -> acc + x) / size(e) END"
+            ),
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.size("e").cast("long").alias("n_dims"),
+        fround(F.col("scale"), 6).alias("scale"),
+        fround(F.col("mse"), 8).alias("mse"),
+    )
