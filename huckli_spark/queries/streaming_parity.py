@@ -271,3 +271,40 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy(
         F.col("p_id"), F.col("p_user").alias("user_id")
     ).agg(F.count("c_id").alias("n_clicks"))
+
+
+@query(
+    "q_stream_session_native",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, event_id, us,
+            CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 3600000000
+                 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, us,
+            sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM m)
+    SELECT user_id, min(us) AS start_us, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window operator (dynamic-gap session "
+    "aggregation inside Structured Streaming) drained and hash-matched "
+    "against a batch SQL oracle. Boundary semantics differ from the "
+    "custom sessionizer: session_window breaks when gap >= the window "
+    "duration (windows [t, t+gap) merge only on strict overlap), and "
+    "the oracle reproduces exactly that. Complements q_sessionize "
+    "(custom applyInPandasWithState) with the built-in operator.",
+)
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir)
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(F.session_window("ts", "60 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = agg.select(
+        "user_id", F.unix_micros("win.start").alias("start_us"), "n_events"
+    )
+    return run_to_memory(out, output_mode="complete")
