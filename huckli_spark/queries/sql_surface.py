@@ -638,3 +638,60 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             {sql_h60("'kmv:' || CAST(l_orderkey AS VARCHAR)")} AS hv
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+      FROM h
+    )
+    SELECT l_returnflag,
+           CAST(n_distinct AS BIGINT) AS n_exact,
+           {sql_fround(
+               'CASE WHEN n_distinct < 256 THEN n_distinct * 1.0 '
+               'ELSE 255.0 * 1152921504606846976.0 / hv END', 2
+           )} AS kmv_estimate
+    FROM r WHERE rk = least(n_distinct, 256)
+    """,
+    doc="KMV (k-minimum-values, k=256) distinct-count sketch: estimate "
+    "= (k-1) * 2^60 / h_(k) over the portable 60-bit hash. Unlike HLL "
+    "(engine-specific registers, rows-only gate), KMV over a shared "
+    "hash is DETERMINISTIC and engine-portable, so the approximate "
+    "answer itself hash-matches the DuckDB oracle. Scale: the k-min "
+    "set is tiny, mergeable across partitions/streams, and never "
+    "requires a global distinct — the gate's window form is the "
+    "fixture-scale equivalent of the map-side bounded-heap merge.",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+
+    K = 256
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        h60(F.concat(F.lit("kmv:"), F.col("l_orderkey").cast("string"))).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    wc = Window.partitionBy("l_returnflag")
+    r = h.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_distinct", F.count("*").over(wc)
+    )
+    est = F.when(
+        F.col("n_distinct") < K, F.col("n_distinct").cast("double")
+    ).otherwise(F.lit(float(K - 1)) * F.lit(float(1 << 60)) / F.col("hv"))
+    return (
+        r.where(F.col("rk") == F.least(F.col("n_distinct"), F.lit(K)))
+        .select(
+            "l_returnflag",
+            F.col("n_distinct").cast("long").alias("n_exact"),
+            fround(est, 2).alias("kmv_estimate"),
+        )
+    )
