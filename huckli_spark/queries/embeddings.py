@@ -326,3 +326,78 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("scale"), 6).alias("scale"),
         fround(F.col("mse"), 8).alias("mse"),
     )
+
+
+@query(
+    "q_ann_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {sql_fround(_COS, 6)} DESC, neighbor_id)
+                 AS rank
+        FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+      ) WHERE rank <= 5
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 8
+    ), corpus_sims AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround("list_dot_product(v.e, cent.cv) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cv, cent.cv)))", 6)} DESC,
+                        cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, e AS nv, cid FROM corpus_sims WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qv, cid
+      FROM corpus_sims WHERE vec_id < 10 AND rn <= 2
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {sql_fround(_COS, 6)} DESC, neighbor_id)
+                 AS rank
+        FROM probes JOIN posting USING (cid)
+        WHERE neighbor_id <> query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           {sql_fround('count(i.neighbor_id) * 1.0 / count(*)', 2)} AS recall
+    FROM bf b
+    LEFT JOIN ivf i ON i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="index-quality evaluation: recall@5 of the IVF index against "
+    "the brute-force ground truth, per query — the monitoring op every "
+    "production ANN deployment runs after (re)building an index. Both "
+    "result sets and the recall arithmetic are deterministic, so even "
+    "this evaluation is hash-gated. Scale: ground truth on a sampled "
+    "query set (queries broadcast twice), never a full cross join of "
+    "the corpus with itself.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    queries = em.where(F.col("vec_id") < 10)
+    bf = simsearch.cosine_topk(em, queries, k=5).select("query_id", "neighbor_id")
+    iv = simsearch.ivf_topk(em, queries, n_centroids=8, nprobe=2, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = bf.join(iv, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.count("hit").alias("n_hits"),
+        fround(F.count("hit") * 1.0 / F.count("*"), 2).alias("recall"),
+    )
