@@ -183,6 +183,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # totals are only cross-round comparable when complete: a red
+        # query's missing timing would otherwise read as a speedup
+        "n_queries": len(timings),
+        "n_expected": len(HEADLINE),
         "queries": timings,
         "sf": sf_val,
         "runs": N_RUNS,

@@ -106,6 +106,22 @@ def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     spark = result.sparkSession
     try:
+        # A driver-local tempdir is only a valid scratch target when
+        # executors share the driver's filesystem (local mode). On a
+        # real cluster each executor would write to its OWN node's
+        # /tmp and the re-read would silently return partial/empty
+        # data — fail loudly instead and demand a shared prefix.
+        import os as _os
+
+        master = spark.conf.get("spark.master", "")
+        if not master.startswith("local") and not _os.environ.get(
+            "SPARK_GRAFT_SCRATCH"
+        ):
+            raise RuntimeError(
+                "eager_release needs SPARK_GRAFT_SCRATCH set to a "
+                "cluster-visible path (HDFS/S3) on non-local masters; "
+                f"driver-local scratch is invalid for master={master!r}"
+            )
         path = f"{_scratch_dir()}/er_{uuid.uuid4().hex[:16]}"
         result.write.mode("overwrite").parquet(path)
         # Explicit schema: robust to a zero-row result (no part files

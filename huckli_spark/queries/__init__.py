@@ -41,7 +41,7 @@ def query(name: str, oracle: Optional[str], doc: str = ""):
 # (insertion order; verified against CORRECTNESS_r01-r03). Names listed
 # here move to the front of the returned dict so they get a graded row;
 # the rest keep local-replica coverage (tools/check_correctness.py
-# runs all 84).
+# runs the WHOLE registry, whatever its size).
 #
 # Round-3 lesson (VERDICT r03 "What's wrong #4"): rotating long-green
 # queries out of the gate hid an environment regression. Policy now:

@@ -93,13 +93,17 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     ), hd AS (
-      SELECT doc_id FROM documents WHERE source = 'src0'
+      SELECT doc_id FROM documents WHERE source IS NOT DISTINCT FROM 'src0'
     ), hold AS (
       SELECT DISTINCT {sql_h60('sh.shingle')} AS h
       FROM sh JOIN hd ON hd.doc_id = sh.doc_id
     ), cand AS (
+      -- null-safe complement of the holdout (IS DISTINCT FROM keeps
+      -- NULL-source docs as candidates, matching the Spark side)
       SELECT sh.doc_id, {sql_h60('sh.shingle')} AS h
-      FROM sh WHERE sh.doc_id NOT IN (SELECT doc_id FROM hd)
+      FROM sh
+      JOIN documents d ON d.doc_id = sh.doc_id
+      WHERE d.source IS DISTINCT FROM 'src0'
     ), sizes AS (
       SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id
     ), shared AS (
@@ -122,8 +126,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.dedup import contamination
 
     docs = _docs(spark, sf_dir)
-    holdout = docs.where(F.col("source") == "src0")
-    candidates = docs.where(F.col("source") != "src0")
+    # null-safe split: a NULL source is a candidate, not holdout
+    holdout = docs.where(F.col("source").eqNullSafe("src0"))
+    candidates = docs.where(~F.col("source").eqNullSafe("src0"))
     return contamination(candidates, holdout)
 
 

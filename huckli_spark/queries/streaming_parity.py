@@ -168,8 +168,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
     ),
     wm AS (
-      SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-             - INTERVAL 2 HOUR AS w
+      -- NULL (not least-ignoring-NULL) when either side is empty:
+      -- Spark's min-policy global watermark never advances if an
+      -- input has no data, so nothing is emitted
+      SELECT CASE WHEN (SELECT max(ts) FROM p) IS NULL
+                    OR (SELECT max(ts) FROM c) IS NULL THEN NULL
+             ELSE least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR END AS w
     )
     SELECT strftime(date_trunc('day', p_ts), '%Y-%m-%d') AS day,
            count(*) AS n_pairs
@@ -222,8 +227,12 @@ def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'purchase'),
     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     wm AS (
-      SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-             - INTERVAL 2 HOUR AS w
+      -- NULL when either side is empty (Spark's min-policy watermark
+      -- never advances): unmatched purchases then never emit
+      SELECT CASE WHEN (SELECT max(ts) FROM p) IS NULL
+                    OR (SELECT max(ts) FROM c) IS NULL THEN NULL
+             ELSE least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR END AS w
     )
     SELECT p.event_id AS p_id, p.user_id, count(c.event_id) AS n_clicks
     FROM p

@@ -349,3 +349,26 @@ class TestLeftOuterJoinFrontier:
         got = self._run(spark, sf)
         assert got.get(3) == 0, got  # null-padded emission
         assert got == self._oracle(sf)
+
+    def test_empty_click_side_emits_nothing(self, spark, tmp_path):
+        """With zero clicks, Spark's min-policy watermark never advances,
+        so no purchase may emit null-padded; the oracle's NULL-guarded
+        frontier must agree (a bare least() would ignore the NULL and
+        wrongly emit every old purchase)."""
+        import os
+
+        import pandas as pd
+
+        rows = [
+            (1, pd.Timestamp("2024-01-01 10:00:00"), 10, "purchase", 1.0, "{}"),
+            (2, pd.Timestamp("2024-01-03 10:00:00"), 11, "purchase", 1.0, "{}"),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        sf = str(tmp_path / "sf_noclicks")
+        os.makedirs(sf, exist_ok=True)
+        pdf.to_parquet(os.path.join(sf, "events.parquet"), index=False)
+        assert self._run(spark, sf) == {}
+        assert self._oracle(sf) == {}
