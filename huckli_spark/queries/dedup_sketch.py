@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from huckli_spark.functions.portable import sql_fround, sql_h60
+from huckli_spark.functions.portable import fround, sql_fround, sql_h60
 from huckli_spark.operators import sketch
 from huckli_spark.queries import query
 
@@ -167,3 +167,63 @@ def _simhash_oracle() -> str:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@query(
+    "q_minhash_recall",
+    f"""
+    WITH {_minhash_common_ctes()},
+    truth AS (
+      SELECT i.d1, i.d2
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.d1
+      JOIN sizes s2 ON s2.doc_id = i.d2
+      WHERE i.n_common * 1.0 / (s1.n_sh + s2.n_sh - i.n_common) >= 0.9
+    ), hits AS (
+      SELECT t.d1, t.d2 FROM truth t JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           {sql_fround(
+               'CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0 '
+               'ELSE (SELECT count(*) FROM hits) * 1.0 '
+               '/ (SELECT count(*) FROM truth) END', 4
+           )} AS recall
+    """,
+    doc="sketch-quality evaluation (the dedup twin of q_ann_recall): "
+    "recall of the MinHash-LSH candidate set against the exact-Jaccard "
+    "ground truth at threshold 0.9, plus the candidate volume that "
+    "bought it. Both sides and the recall arithmetic are deterministic "
+    "and engine-portable, so the evaluation itself is hash-gated — "
+    "the production monitoring op for tuning bands/rows against a "
+    "corpus sample.",
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from huckli_spark.operators import dedup
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    docs = _docs(spark, sf_dir)
+    with persist_scope() as s:
+        truth = dedup.jaccard_pairs(docs, threshold=0.9, scope=s).select("d1", "d2")
+        cand = sketch.minhash_candidates(docs, scope=s)
+        hits = truth.join(cand, ["d1", "d2"], "inner")
+        out = (
+            truth.agg(F.count("*").alias("n_true"))
+            .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                "n_true",
+                "n_candidates",
+                "n_hits",
+                fround(
+                    F.when(F.col("n_true") == 0, 1.0).otherwise(
+                        F.col("n_hits") * 1.0 / F.col("n_true")
+                    ),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        return eager_release(out)
