@@ -460,3 +460,57 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_distinct_count(
         li, ["l_returnflag"], "l_partkey", out_col="n_parts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance — mergeable partial-aggregate states
+# ---------------------------------------------------------------------------
+@query(
+    "q_incremental_rollup",
+    f"""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           {sql_fround('sum(value)')} AS total_value,
+           {sql_fround('sum(value) / count(*)', 6)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="incremental rollup maintenance: the Spark side materializes a "
+    "(count, sum) partial-state table from events BEFORE a cutoff, "
+    "then merges the post-cutoff batch's states into it — the "
+    "mergeable-aggregate pattern that keeps a 100 TB dashboard rollup "
+    "fresh by touching only the new batch, never rescanning history. "
+    "The oracle is the full recompute; the gate proves state merge == "
+    "recompute exactly (avg derives from merged sum/count, never "
+    "averaged averages). One shuffle per batch, state is O(groups).",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+
+    def states(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv")
+        )
+
+    # historical state table (materialized once in production)...
+    cutoff = ev.agg(F.min("ts")).first()[0]
+    import datetime as _dt
+
+    split = cutoff + _dt.timedelta(days=2)
+    hist = states(ev.where(F.col("ts") < F.lit(split)))
+    # ...merged with the new batch's states: same shape, re-agg on key
+    batch = states(ev.where(F.col("ts") >= F.lit(split)))
+    merged = (
+        hist.unionByName(batch)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        fround(F.col("sv")).alias("total_value"),
+        fround(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+    )
