@@ -514,3 +514,151 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("sv")).alias("total_value"),
         fround(F.col("sv") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: ordered funnel, cohort retention
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), v AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v_us
+      FROM e GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.us) AS c_us
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND v.v_us IS NOT NULL
+        AND e.us > v.v_us AND e.us <= v.v_us + 604800000000
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.us) AS p_us
+      FROM e JOIN c ON c.user_id = e.user_id
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.us > c.c_us AND e.us <= v.v_us + 604800000000
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+                     WHEN c.c_us IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    WHERE v.v_us IS NOT NULL
+    """,
+    doc="ordered funnel (view -> click -> purchase within 7 days of "
+    "first view): per-user furthest stage reached, with strict event "
+    "ordering — the sequential-pattern workload. Three grouped "
+    "aggregations + broadcast-size joins on user_id; one shuffle key "
+    "throughout, no window over raw events.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    HORIZON = 604_800_000_000  # 7 days in micros
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v_us")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & F.col("v_us").isNotNull()
+            & (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + HORIZON)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .join(v, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("v_us") + HORIZON)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.where(F.col("v_us").isNotNull())
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_us").isNotNull(), 3)
+            .when(F.col("c_us").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
+@query(
+    "q_retention",
+    f"""
+    WITH s AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), m AS (
+      SELECT s.cohort_day, datediff('day', s.cohort_day, act.d) AS offset_days,
+             act.user_id
+      FROM s JOIN act ON act.user_id = s.user_id
+      WHERE datediff('day', s.cohort_day, act.d) BETWEEN 0 AND 7
+    ), cohorts AS (
+      SELECT cohort_day, count(*) AS n_cohort FROM s GROUP BY cohort_day
+    )
+    SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(m.offset_days AS BIGINT) AS offset_days,
+           count(DISTINCT m.user_id) AS n_active,
+           CAST(min(c.n_cohort) AS BIGINT) AS n_cohort,
+           {sql_fround('count(DISTINCT m.user_id) * 1.0 / min(c.n_cohort)', 4)}
+             AS retention
+    FROM m JOIN cohorts c ON c.cohort_day = m.cohort_day
+    GROUP BY m.cohort_day, m.offset_days
+    """,
+    doc="cohort retention matrix: users cohorted by signup day, "
+    "fraction active on each of the next 7 days — the classic "
+    "warehouse engagement workload. Distinct daily actives partial-agg "
+    "before the cohort join; shuffle keys are user_id then "
+    "(cohort, offset).",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    act = ev.select("user_id", day.alias("d")).distinct()
+    m = (
+        s.join(act, "user_id")
+        .withColumn("offset_days", F.datediff(F.col("d"), F.col("cohort_day")))
+        .where(F.col("offset_days").between(0, 7))
+    )
+    cohorts = s.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    return (
+        m.join(cohorts, "cohort_day")
+        .groupBy("cohort_day", "offset_days")
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.min("n_cohort").alias("n_cohort"),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("offset_days").cast("long").alias("offset_days"),
+            "n_active",
+            "n_cohort",
+            fround(F.col("n_active") * 1.0 / F.col("n_cohort"), 4).alias("retention"),
+        )
+    )
