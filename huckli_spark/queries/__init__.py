@@ -100,11 +100,11 @@ _GATE_PRIORITY: list[str] = [
     "q_stream_left_join",
     "q_mixture_sample",
     "q_shard_assign",
-    # --- SQL-surface refresh (rotating tail)
+    # --- rotating tail: r3-ungraded SQL surface + round-4 evaluation gates
     "q_cube",
     "q_grouping_sets",
-    "q_percentile",
-    "q_scalar_subquery",
+    "q_minhash_recall",
+    "q_funnel",
 ]
 
 
