@@ -71,16 +71,17 @@ def _pubkey_batch(keys: pd.Series) -> pd.Series:
     """Encode each DISTINCT key once per Arrow batch: hotspot keys
     repeat heavily within a file (one row per report per radio), so
     memoizing turns O(rows) bignum base58 encodes into O(radios)."""
-    memo: dict[bytes, Optional[str]] = {}
+    memo: dict[bytes, str] = {}
 
     def enc(b) -> Optional[str]:
         if b is None:
             return None
         kb = bytes(b)
-        got = memo.get(kb)
-        if got is None and kb not in memo:
-            got = memo[kb] = helium_pubkey(kb)
-        return got
+        try:
+            return memo[kb]
+        except KeyError:
+            out = memo[kb] = helium_pubkey(kb)
+            return out
 
     return keys.map(enc)
 

@@ -28,7 +28,7 @@ import os
 from datetime import datetime, timezone
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -317,8 +317,6 @@ class Warehouse:
                 # second full scan of the batch, plus a second pandas-
                 # UDF round for key-bearing tables; at warehouse scale
                 # a whole redundant job per table)
-                from pyspark.sql import Observation
-
                 obs = Observation()
                 df = df.observe(obs, F.count(F.lit(1)).alias("n"))
                 self.append(name, df)

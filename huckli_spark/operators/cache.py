@@ -101,6 +101,14 @@ def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     schema/rows), has no lineage into the caches, and holds no
     executor storage. All caches are released even if materialization
     fails.
+
+    Preconditions/lifecycle: the result schema must be
+    parquet-writable (an untyped NULL column — VoidType — is not;
+    cast such columns before materializing). Each call leaves its
+    ``er_<uuid>`` spill until process exit (local tempdir is removed
+    atexit; the returned DataFrame pins the files, so eager deletion
+    is unsafe in general) — a production ``SPARK_GRAFT_SCRATCH``
+    prefix needs a TTL/lifecycle rule, as SCALE.md documents.
     """
     import uuid
 

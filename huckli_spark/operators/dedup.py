@@ -408,19 +408,20 @@ def contamination(
         shingles(holdout, id_col, text_col, n=n)
         .select(h60(F.col("shingle")).alias("sh"))
         .distinct()
+        .withColumn("m", F.lit(1))
     )
-    sizes = cand_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    shared = (
-        cand_sh.join(F.broadcast(hold_sh), "sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared"))
+    # ONE pass over the candidate corpus: the broadcast LEFT join marks
+    # holdout membership per shingle, and a single aggregation counts
+    # both totals and matches — re-shingling 100 TB twice (separate
+    # sizes/shared scans) was the alternative.
+    marked = cand_sh.join(F.broadcast(hold_sh), "sh", "left")
+    out = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("m").alias("n_shared"),
     )
-    out = sizes.join(shared, id_col, "left").select(
+    return out.select(
         F.col(id_col),
         F.col("n_shingles"),
-        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-        fround(
-            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 4
-        ).alias("containment"),
+        F.col("n_shared"),
+        fround(F.col("n_shared") / F.col("n_shingles"), 4).alias("containment"),
     )
-    return out

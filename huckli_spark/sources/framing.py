@@ -133,7 +133,10 @@ def frames_df(
     # otherwise run on len(paths) tasks. The shuffle moves only raw
     # frame bytes — bounded by input size — and is skipped entirely at
     # production file counts where the scan already fills the cluster.
-    par = spark.sparkContext.defaultParallelism
+    # An explicit ``tasks`` cap is honored: callers throttling decode
+    # parallelism (memory-bound decode, deterministic single-task
+    # runs) must not be silently overridden.
+    par = tasks or spark.sparkContext.defaultParallelism
     if len(paths) < par:
         out = out.repartition(par)
     return out
