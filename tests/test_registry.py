@@ -58,3 +58,43 @@ def test_gate_priority_names_all_exist():
     missing = [n for n in _GATE_PRIORITY if n not in names]
     assert not missing, f"_GATE_PRIORITY names not in registry: {missing}"
     assert len(_GATE_PRIORITY) <= 50  # must fit the graded window
+
+
+# SURVEY §2.B named parity set — the round-3 lesson (VERDICT r03
+# "What's wrong #4"): these 20 must NEVER rotate out of the driver's
+# graded window.
+_PINNED_2B = [
+    "q_scan_project",
+    "q_filter_timerange",
+    "q_parent_child_join",
+    "q_semi_anti_join",
+    "q_broadcast_dim_join",
+    "q_group_sum",
+    "q_group_distinct",
+    "q_rollup",
+    "q_window_rank",
+    "q_window_lag",
+    "q_topk",
+    "q_union_dedup",
+    "q_except",
+    "q_json_extract",
+    "q_time_bucket",
+    "q_checkpoint_max",
+    "q_explode",
+    "q_demux_counts",
+    "q_decimal_default",
+    "q_ts_heuristic",
+]
+
+
+def test_survey_2b_set_is_pinned_in_graded_window():
+    from huckli_spark.queries import _GATE_PRIORITY, all_queries
+
+    assert _GATE_PRIORITY[:20] == _PINNED_2B, (
+        "the SURVEY §2.B named set must occupy the first 20 graded "
+        "slots — rotating it out hid a regression in round 3"
+    )
+    assert len(_GATE_PRIORITY) == 50  # exactly fill the graded window
+    # and the window is what the driver will actually see: the first
+    # 50 names of the returned registry, in order
+    assert list(all_queries())[:50] == _GATE_PRIORITY
