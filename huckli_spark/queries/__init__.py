@@ -79,19 +79,11 @@ _GATE_PRIORITY: list[str] = [
     # --- events-dependent, ungraded r3 (fixture drift risk)
     "q_asof_join",
     "q_range_join",
-    # --- LLM-pipeline headliners ungraded since r2
-    "q_dedup_exact",
+    # --- LLM-pipeline headliners (flagships kept graded; the rest of the
+    # family went green in r4 and rotated out for round 5 — VERDICT r04
+    # directive #2: every registry query must be driver-graded at least once)
     "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ngram_jaccard",
-    "q_dup_clusters",
-    "q_ann_bruteforce",
     "q_ann_ivf",
-    "q_ann_lsh",
-    "q_dedup_embed_cosine",
-    "q_embed_norms",
-    "q_fingerprint",
-    "q_quality_score",
     "q_lang_profile",
     # --- new in round 4 (corpus-quality pipeline + streaming)
     "q_repetition_stats",
@@ -100,7 +92,18 @@ _GATE_PRIORITY: list[str] = [
     "q_stream_left_join",
     "q_mixture_sample",
     "q_shard_assign",
-    # --- rotating tail: r3-ungraded SQL surface + round-4 evaluation gates
+    # --- rotating tail r5: the 10 never-driver-graded queries
+    "q_ann_recall",
+    "q_bitwise",
+    "q_embed_quantize",
+    "q_incremental_rollup",
+    "q_kmv_distinct",
+    "q_multimodal_features",
+    "q_retention",
+    "q_stream_session_native",
+    "q_unpivot",
+    "q_window_misc",
+    # --- r4-graded evaluation gates kept in the window
     "q_cube",
     "q_grouping_sets",
     "q_minhash_recall",
