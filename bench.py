@@ -125,6 +125,7 @@ def main() -> None:
     from huckli_spark.queries import all_queries
     from huckli_spark.session import get_spark
 
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="huckli_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
@@ -170,6 +171,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
+    # Load context (VERDICT r04 item 4): cross-round totals carry ~1.5x
+    # co-tenant noise on this shared box, so record the 1-min loadavg at
+    # start+end and a `loaded` flag — comparisons are only meaningful
+    # between runs with similar load.
+    load_end = os.getloadavg()[0]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -193,6 +199,12 @@ def main() -> None:
         "stat": "median",
         "queries_min": mins,
         "ingest": ingest,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
+        # start-of-run load is the co-tenant signal (the bench itself
+        # hasn't created load yet); >4 on this box means a neighbor is
+        # actively burning CPU and totals will read ~1.5x high
+        "loaded": load_start > 4.0,
     }
     if errors:
         payload["errors"] = errors
