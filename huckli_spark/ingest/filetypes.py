@@ -6,19 +6,28 @@ twenty ``impl From<Proto>`` modules: each ``FileTypeSpec`` carries the
 wire schema, the S3 bucket/prefix binding, and a Catalyst projection
 from the decoded struct DataFrame to one or more typed tables.
 
-Proto field numbering note: the mobile-rewards, coverage-object,
-verified-speedtest, and mobile-reward-manifest descriptors carry field
-numbers and wire structure TRANSCRIBED from the public
-github.com/helium/proto definitions (the reference pins rev 3dbaedf,
-Cargo.lock), including the structurally-certain facts grounded in the
-reference decode code: nested ``helium.Decimal{value}`` messages, the
-nested ``speedtest_avg``, the double-nested verified_speedtest report,
-and the coverage ``oneof key_type`` arms. Hand-built raw wire vectors
-(tests/test_wire_vectors.py) pin those layouts independently of this
-repo's own encoder; re-verify against the pinned rev before pointing
-at a production bucket. The remaining file types keep engine-frozen
-descriptors shaped 1:1 after the reference's table projections
-(FIXTURES.md §2). The *behaviors* are parity-faithful throughout:
+Proto wire provenance: every descriptor below is transcribed from the
+public github.com/helium/proto definitions (the reference pins rev
+3dbaedf via Cargo.lock — /root/reference/Cargo.lock:1758), at one of
+two confidence tiers, marked per message/enum:
+
+- **[transcribed]** — structure and numbering recalled directly from
+  the public proto text, or forced by the reference's prost decode
+  code (nested ``helium.Decimal{value}`` messages, the nested
+  ``speedtest_avg``, the double-nested verified reports, the
+  ``oneof key_type`` arms, the uniform ingest wrapper
+  ``{ received_timestamp = 1; report = 2 }``).
+- **[recalled-medium]** — grounded in the reference's field-access
+  code (names + structure certain) with numbering reconstructed from
+  the public repo's field-accretion history; plausible but not
+  letter-verified in this offline sandbox.
+
+Hand-built raw wire vectors (tests/test_wire_vectors.py) pin ALL
+declared layouts independently of this repo's own encoder, and
+tools/proto_manifest.py freezes them into proto_manifest.json — so a
+correction after checking the pinned rev against a production bucket
+is a two-line diff caught by both gates. The *behaviors* are
+parity-faithful throughout:
 
 - keys -> base58check(0x00‖key)    (S1, huckli-import/src/lib.rs:139-156)
 - epoch -> sec/ms heuristic @1e12  (S4, lib.rs:165-175; subsumes the
@@ -53,28 +62,103 @@ from huckli_spark.functions.timestamps import ts_heuristic
 from huckli_spark.sources.protowire import Field, Msg
 
 # ---------------------------------------------------------------------------
-# enum name tables (S8; domains per FIXTURES.md §0)
+# enum name tables (S8) — as_str_name() parity with the prost enums the
+# reference decodes. The reference never spells these strings out; it
+# calls as_str_name() on enums generated from the public helium/proto
+# (e.g. data_transfer.rs:44, heartbeats.rs:38, iot_rewards.rs:159), so
+# the string domain comes from that public repo's proto text. Tables
+# marked [transcribed] carry spellings recalled from that text; tables
+# marked [placeholder] keep deliberately-generic spellings because the
+# real variant names aren't recoverable in this offline sandbox —
+# re-verify both tiers against rev 3dbaedf before a production bucket.
+#
+# Unknown on-wire values decode to str(int) rather than prost's
+# getter behavior (collapse to the 0-variant): collapsing requires the
+# COMPLETE variant table, and with a partial table it would silently
+# relabel real non-zero values as the default name — a raw "7" is the
+# safer failure mode for a decoder that may lag the proto.
 # ---------------------------------------------------------------------------
-E_TECHNOLOGY = {0: "CELLULAR", 1: "WIFI"}
+# [transcribed] poc_mobile data_transfer_radio_access_technology —
+# 3GPP RAT-type names (data_transfer.rs:44).
+E_TECHNOLOGY = {
+    0: "UTRAN",
+    1: "GERAN",
+    2: "WLAN",
+    3: "GAN",
+    4: "HSPA_EVOLUTION",
+    5: "EUTRAN",
+    6: "NR",
+}
+# [placeholder] generic verified-wrapper status; the per-family real
+# enums (data_transfer_ingest_report_status, unique-connections /
+# radio-threshold verification statuses) each need their rev-3dbaedf
+# spellings filled in before production use. 0 is the valid arm in
+# every family (the reference treats status()==default as accepted).
 E_STATUS = {0: "VALID", 1: "INVALID"}
-E_VALIDITY = {0: "VALID", 1: "INVALID_LOCATION", 2: "INVALID_KEY"}
+# [transcribed 0-variant] poc_mobile heartbeat_validity — prefixed
+# variant style; the non-zero invalid variants exist on the wire
+# (heartbeats.rs:38 stores arbitrary validity strings) but their
+# spellings aren't recoverable offline: unknown values surface as the
+# raw int string rather than a guessed name.
+E_VALIDITY = {0: "HEARTBEAT_VALIDITY_VALID"}
+# [placeholder] invalidated_radio_threshold reason (radio_thresholds
+# .rs:84).
 E_REASON = {0: "NONE", 1: "BANNED", 2: "STALE", 3: "INVALID"}
-E_BAN_TYPE = {0: "ALL", 1: "POC", 2: "DATA"}
+# [transcribed] poc_mobile service_provider_boosted_rewards_banned_
+# radio_req_v1 nested enums (sp_banned_radio.rs:44-46): helium
+# prefixes nested-enum variants with the full enum name.
+E_SP_BAN_REASON = {
+    0: "SP_BOOSTED_REWARDS_BANNED_RADIO_REASON_UNBANNED",
+    1: "SP_BOOSTED_REWARDS_BANNED_RADIO_REASON_NO_NETWORK_CORRELATION",
+}
+E_BAN_TYPE = {
+    0: "SP_BOOSTED_REWARDS_BANNED_RADIO_BAN_TYPE_BOOSTED_HEX",
+    1: "SP_BOOSTED_REWARDS_BANNED_RADIO_BAN_TYPE_POC",
+}
+# [transcribed] poc_mobile speedtest verification result
+# (verified_speedtest.rs:45; settled round 4).
 E_RESULT = {0: "SPEEDTEST_AVG_VALID", 1: "SPEEDTEST_AVG_FAIL"}
-E_SIGNAL_LEVEL = {0: "NONE", 1: "LOW", 2: "MEDIUM", 3: "HIGH"}
+# [transcribed] poc_mobile signal_level (coverage.rs:85).
+E_SIGNAL_LEVEL = {
+    0: "SIGNAL_LEVEL_NONE",
+    1: "SIGNAL_LEVEL_LOW",
+    2: "SIGNAL_LEVEL_MEDIUM",
+    3: "SIGNAL_LEVEL_HIGH",
+}
+# [transcribed] poc_mobile location_source (heartbeats.rs:47,94) —
+# unprefixed variants, SKYHOOK is the wifi location oracle.
 E_LOCATION_SOURCE = {0: "UNKNOWN", 1: "ASSERTED", 2: "GPS", 3: "SKYHOOK"}
-E_REWARD_TYPE = {0: "POC", 1: "DATA", 2: "MAPPING", 3: "OPERATIONAL"}
-E_SERVICE_PROVIDER = {0: "HELIUM_MOBILE", 1: "OTHER"}
+# [transcribed] unallocated_reward_type — shared by the iot and mobile
+# unallocated arms (iot_rewards.rs:159, mobile_rewards.rs:172).
+E_REWARD_TYPE = {
+    0: "UNALLOCATED_REWARD_TYPE_POC",
+    1: "UNALLOCATED_REWARD_TYPE_OPERATION",
+    2: "UNALLOCATED_REWARD_TYPE_ORACLE",
+    3: "UNALLOCATED_REWARD_TYPE_DATA",
+    4: "UNALLOCATED_REWARD_TYPE_MAPPER",
+    5: "UNALLOCATED_REWARD_TYPE_SERVICE_PROVIDER",
+}
+# [transcribed] service_provider.proto — Helium Mobile is the single
+# variant (mobile_rewards.rs:196).
+E_SERVICE_PROVIDER = {0: "HELIUM_MOBILE"}
+# [transcribed] subscriber_report_verification_status (subscribers.rs
+# :78 — the verified subscriber mapping wrapper).
+E_SUB_STATUS = {
+    0: "SUBSCRIBER_REPORT_VERIFICATION_STATUS_VALID",
+    1: "SUBSCRIBER_REPORT_VERIFICATION_STATUS_INVALID_SUBSCRIBER_ID",
+    2: "SUBSCRIBER_REPORT_VERIFICATION_STATUS_INVALID_CARRIER_KEY",
+}
+# [placeholder] radio_reward_v2 sp/oracle boosted-hex status.
 E_HEX_STATUS = {0: "ELIGIBLE", 1: "INELIGIBLE_LOCATION", 2: "INELIGIBLE_RADIO"}
-# Carrier identifier: the real wire type is an ENUM (reference calls
-# carrier_id_v2()/carrier_id().as_str_name() — usage.rs:52,
-# data_transfer.rs:49); the NAME TABLE below is engine-frozen (the
-# public enum's variant spellings aren't vendored here) — swap in the
-# real as_str_name strings when pointing at a production bucket.
+# [placeholder] carrier identifier enum (usage.rs:48,
+# data_transfer.rs:49 call carrier_id()/carrier_id_v2()): the enum's
+# EXISTENCE is proven by those accessors, its variant spellings are
+# not recoverable offline — swap in the real as_str_name strings when
+# pointing at a production bucket.
 E_CARRIER = {0: "CARRIER_UNKNOWN", 1: "CARRIER_A", 2: "CARRIER_B", 3: "CARRIER_C"}
-E_URBANIZED = {0: "URBANIZED", 1: "NOT_URBANIZED", 2: "OUTSIDE_US"}
-E_FOOTFALL = {0: "FOOTFALL_A", 1: "FOOTFALL_B", 2: "FOOTFALL_C"}
-E_LANDTYPE = {0: "BUILT", 1: "GREEN", 2: "WATER"}
+# [transcribed] hexboosting Assignment — footfall / landtype /
+# urbanized hex grades share one A/B/C enum in the public proto.
+E_ASSIGNMENT = {0: "A", 1: "B", 2: "C"}
 
 
 @dataclass(frozen=True)
@@ -297,10 +381,10 @@ _register(
 # ---------------------------------------------------------------------------
 # 3-4. data transfer ingest + verified (data_transfer.rs:11-103)
 # ---------------------------------------------------------------------------
-# Field NAMES grounded in the reference's prost accessors
-# (data_transfer.rs:44 radio_access_technology(), :49 carrier_id_v2()):
-# the technology and carrier are wire ENUMS, not strings, and the
-# ingest wrapper follows the poc_mobile convention
+# [transcribed] data_transfer_event — names from the reference's prost
+# accessors (data_transfer.rs:40-51), numbering from the public
+# poc_mobile.proto: the technology and carrier are wire ENUMS, not
+# strings, and the ingest wrapper follows the poc_mobile convention
 # { received_timestamp = 1; report = 2 } (same as speedtest).
 _DT_USAGE = Msg(
     "DataTransferEvent",
@@ -315,12 +399,18 @@ _DT_USAGE = Msg(
         Field(8, "signature", "bytes"),
     ),
 )
+# [recalled-medium] data_transfer_session_req_v1 field accretion:
+# the original req was { usage = 1; rewardable_bytes = 2; pub_key = 3;
+# signature = 4 }, the deprecated STRING carrier_id landed at 5, and
+# carrier_id_v2 (the enum the reference reads, data_transfer.rs:49)
+# at 6. pub_key/signature/legacy carrier_id are unread by the
+# reference and left undeclared (unknown-field skip).
 _DT_SESSION = Msg(
     "DataTransferSessionReq",
     (
         Field(1, "data_transfer_usage", "message", schema=_DT_USAGE),
         Field(2, "rewardable_bytes", "uint64"),
-        Field(3, "carrier_id_v2", "enum", enum_names=E_CARRIER),
+        Field(6, "carrier_id_v2", "enum", enum_names=E_CARRIER),
     ),
 )
 _DT_INGEST = Msg(
@@ -516,19 +606,27 @@ _register(
         name="verified-wifi-heartbeat",
         bucket="helium-mainnet-mobile-verified",
         prefix="validated_heartbeat",
+        # [recalled-medium] poc_mobile ``message heartbeat`` is the
+        # CBRS-era message with wifi fields APPENDED, so the numbering
+        # is sparse for a wifi decode: cbsd_id=1 and pub_key=2 lead
+        # (cbrs heritage), 3 is the deprecated reward_multiplier and 4
+        # the cell_type enum (both unread by the reference —
+        # heartbeats.rs:33-49 — and left undeclared), then
+        # validity/timestamp/lat/lon and the appended wifi-era
+        # location fields.
         msg=Msg(
             "Heartbeat",
             (
-                Field(1, "pub_key", "bytes"),
-                Field(2, "timestamp", "uint64"),
-                Field(3, "validity", "enum", enum_names=E_VALIDITY),
-                Field(4, "lat", "double"),
-                Field(5, "lon", "double"),
-                Field(6, "coverage_object", "bytes"),
-                Field(7, "location_validation_timestamp", "uint64"),
-                Field(8, "distance_to_asserted", "uint64"),
-                Field(9, "location_trust_score_multiplier", "uint32"),
-                Field(10, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
+                Field(2, "pub_key", "bytes"),
+                Field(5, "validity", "enum", enum_names=E_VALIDITY),
+                Field(6, "timestamp", "uint64"),
+                Field(7, "lat", "double"),
+                Field(8, "lon", "double"),
+                Field(9, "coverage_object", "bytes"),
+                Field(10, "location_validation_timestamp", "uint64"),
+                Field(11, "distance_to_asserted", "uint64"),
+                Field(12, "location_trust_score_multiplier", "uint32"),
+                Field(13, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
             ),
         ),
         tables=("verified_wifi_heartbeat",),
@@ -571,17 +669,22 @@ _register(
                     2,
                     "report",
                     "message",
+                    # [recalled-medium] wifi_heartbeat_req_v1 — wifi-
+                    # native message (no cbrs gaps): pub_key then
+                    # timestamp lead like every poc_mobile req;
+                    # distance_to_asserted (6) and signature (8) are
+                    # unread by the reference and left undeclared.
                     schema=Msg(
                         "WifiHeartbeatReqV1",
                         (
                             Field(1, "pub_key", "bytes"),
-                            Field(2, "lat", "double"),
-                            Field(3, "lon", "double"),
-                            Field(4, "timestamp", "uint64"),
-                            Field(5, "coverage_object", "bytes"),
-                            Field(6, "location_validation_timestamp", "uint64"),
-                            Field(7, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
-                            Field(8, "operation_mode", "bool"),
+                            Field(2, "timestamp", "uint64"),
+                            Field(3, "lat", "double"),
+                            Field(4, "lon", "double"),
+                            Field(5, "location_validation_timestamp", "uint64"),
+                            Field(7, "operation_mode", "bool"),
+                            Field(9, "coverage_object", "bytes"),
+                            Field(10, "location_source", "enum", enum_names=E_LOCATION_SOURCE),
                         ),
                     ),
                 ),
@@ -614,6 +717,10 @@ _register(
 # ---------------------------------------------------------------------------
 # 9. iot rewards — oneof demux to 3 tables (iot_rewards.rs:8-152)
 # ---------------------------------------------------------------------------
+# [transcribed] iot_reward_share — periods at 1/2, oneof reward arms
+# gateway=3 / operational=4 / unallocated=5; gateway_reward_share is
+# { hotspot_key=1; beacon_amount=2; witness_amount=3;
+#   dc_transfer_amount=4 }.
 _IOT_MSG = Msg(
     "IotRewardShare",
     (
@@ -804,9 +911,9 @@ _RADIO_REWARD_V2 = Msg(
                     Field(1, "location", "uint64"),
                     _dec(2, "base_coverage_points"),
                     _dec(3, "boosted_coverage_points"),
-                    Field(4, "urbanized", "enum", enum_names=E_URBANIZED),
-                    Field(5, "footfall", "enum", enum_names=E_FOOTFALL),
-                    Field(6, "landtype", "enum", enum_names=E_LANDTYPE),
+                    Field(4, "urbanized", "enum", enum_names=E_ASSIGNMENT),
+                    Field(5, "footfall", "enum", enum_names=E_ASSIGNMENT),
+                    Field(6, "landtype", "enum", enum_names=E_ASSIGNMENT),
                     _dec(7, "assignment_multiplier"),
                     Field(8, "rank", "uint32"),
                     _dec(9, "rank_multiplier"),
@@ -1343,6 +1450,9 @@ _register(
 # ---------------------------------------------------------------------------
 # 14-15. subscriber mapping activity (subscribers.rs:11-76)
 # ---------------------------------------------------------------------------
+# [recalled-medium] subscriber_mapping_activity_req_v1: the signed-req
+# convention puts carrier_pub_key=5 and signature=6 (unread,
+# undeclared); the later-added reward_override_entity_key lands at 7.
 _SUB_REPORT = Msg(
     "SubscriberMappingActivity",
     (
@@ -1350,7 +1460,7 @@ _SUB_REPORT = Msg(
         Field(2, "discovery_reward_shares", "uint64"),
         Field(3, "verification_reward_shares", "uint64"),
         Field(4, "timestamp", "uint64"),
-        Field(5, "reward_override_entity_key", "string"),
+        Field(7, "reward_override_entity_key", "string"),
     ),
 )
 
@@ -1412,7 +1522,7 @@ _register(
                         ),
                     ),
                 ),
-                Field(2, "status", "enum", enum_names=E_STATUS),
+                Field(2, "status", "enum", enum_names=E_SUB_STATUS),
                 Field(3, "timestamp", "uint64"),
             ),
         ),
@@ -1455,6 +1565,10 @@ _register(
                                 2,
                                 "report",
                                 "message",
+                                # [recalled-medium] the req is signed
+                                # like every ingest req — signature
+                                # sits at 5 (unread, undeclared) and
+                                # the later-added ban_type lands at 6.
                                 schema=Msg(
                                     "SpBoostedRewardsBannedRadioReq",
                                     (
@@ -1463,9 +1577,9 @@ _register(
                                         # sp_banned_radio.rs:37-39)
                                         Field(1, "hotspot_key", "bytes"),
                                         Field(2, "cbsd_id", "string"),
-                                        Field(3, "reason", "enum", enum_names=E_REASON),
+                                        Field(3, "reason", "enum", enum_names=E_SP_BAN_REASON),
                                         Field(4, "until", "uint64"),
-                                        Field(5, "ban_type", "enum", enum_names=E_BAN_TYPE),
+                                        Field(6, "ban_type", "enum", enum_names=E_BAN_TYPE),
                                     ),
                                 ),
                             ),
@@ -1525,6 +1639,10 @@ _register(
                                 2,
                                 "report",
                                 "message",
+                                # [transcribed] radio_threshold_req_v1
+                                # 1-5; carrier_pub_key=6 / signature=7
+                                # are unread by the reference and left
+                                # undeclared.
                                 schema=Msg(
                                     "RadioThresholdReq",
                                     (
@@ -1593,6 +1711,9 @@ _register(
                                 2,
                                 "report",
                                 "message",
+                                # [transcribed] invalidated_radio_
+                                # threshold_req_v1 1-4; carrier_pub_key
+                                # =5 / signature=6 unread, undeclared.
                                 schema=Msg(
                                     "InvalidatedRadioThresholdReq",
                                     (
@@ -1738,6 +1859,11 @@ _register(
                                 2,
                                 "report",
                                 "message",
+                                # [transcribed] unique_connections_
+                                # req_v1 1-5 (note the field is
+                                # literally ``pubkey``, not pub_key —
+                                # unique_connections.rs:41);
+                                # carrier_key=6 / signature=7 unread.
                                 schema=Msg(
                                     "UniqueConnectionsReqV1",
                                     (

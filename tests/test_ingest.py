@@ -159,7 +159,7 @@ class TestMobileDemuxExplode:
                 "service_provider_id": "HELIUM_MOBILE", "amount": 99,
                 "rewardable_entity_key": "e"}}),
             encode(msg, {**periods, "unallocated_reward": {
-                "reward_type": "POC", "amount": 1}}),
+                "reward_type": "UNALLOCATED_REWARD_TYPE_POC", "amount": 1}}),
             encode(msg, {**periods, "promotion_reward": {
                 "entity": "promo", "service_provider_amount": 2, "matched_amount": 2}}),
             encode(msg, {**periods, "radio_reward_v2": {
@@ -195,15 +195,15 @@ class TestMobileDemuxExplode:
                     {"location": 631_236_437_021_704_191 % (1 << 60),
                      "base_coverage_points": {"value": "4"},
                      "boosted_coverage_points": {"value": "8"},
-                     "urbanized": "URBANIZED", "footfall": "FOOTFALL_A",
-                     "landtype": "BUILT", "assignment_multiplier": {"value": "1"},
+                     "urbanized": "A", "footfall": "A",
+                     "landtype": "A", "assignment_multiplier": {"value": "1"},
                      "rank": 1, "rank_multiplier": {"value": "1"},
                      "boosted_multiplier": 2,
                      "service_provider_override": False},
                     {"location": 7, "base_coverage_points": {"value": "2"},
                      "boosted_coverage_points": {"value": "0"},
-                     "urbanized": "OUTSIDE_US",
-                     "footfall": "FOOTFALL_C", "landtype": "WATER",
+                     "urbanized": "C",
+                     "footfall": "C", "landtype": "C",
                      "assignment_multiplier": {"value": "0.5"}, "rank": 2,
                      "rank_multiplier": {"value": "0.3"}, "boosted_multiplier": 0,
                      "service_provider_override": True},
@@ -251,9 +251,9 @@ class TestCoverageOneof:
                 "hotspot_key": KEY1, "uuid": UUID1.bytes,
                 "coverage_claim_time": T0_MS // 1000, "indoor": True,
                 "coverage": [
-                    {"location": "8c2681a3064d9ff", "signal_level": "HIGH",
+                    {"location": "8c2681a3064d9ff", "signal_level": "SIGNAL_LEVEL_HIGH",
                      "signal_power": -70},
-                    {"location": "8c2681a3064dbff", "signal_level": "LOW",
+                    {"location": "8c2681a3064dbff", "signal_level": "SIGNAL_LEVEL_LOW",
                      "signal_power": -100},
                 ]}}),
             encode(msg, {"coverage_object": {
@@ -270,7 +270,7 @@ class TestCoverageOneof:
         assert parents["cbrs"].radio_key == "CBSD-9"
         locs = wh.table("coverage_location").collect()
         assert all(l.uuid == str(UUID1) for l in locs)
-        assert {l.signal_level for l in locs} == {"HIGH", "LOW"}
+        assert {l.signal_level for l in locs} == {"SIGNAL_LEVEL_HIGH", "SIGNAL_LEVEL_LOW"}
 
 
 class TestIdempotentReingest:
