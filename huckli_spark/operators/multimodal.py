@@ -5,14 +5,21 @@ The Spark-side design is the real product: schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, and explode semantics are all
 production-grade and tested. The codec itself is pluggable:
 
-- Real formats (JPEG/PNG/WAV/MP4) require PIL/soundfile/pyav, which
-  this container does not ship — ``decode_real`` raises
+- **PNG is decoded for real** — a pure-stdlib (zlib + struct)
+  implementation of the public PNG spec (RFC 2083: chunk framing,
+  IHDR, concatenated IDAT, all five scanline filters) lives in
+  ``decode_png_bytes``; ``decode_real`` routes image blobs there.
+  Supported: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
+  palette, 16-bit, and interlaced PNGs raise with the reason named.
+- JPEG/WAV/MP4 require PIL/soundfile/pyav, which this container does
+  not ship — those arms of ``decode_real`` raise
   ``NotImplementedError`` with the dependency named (STUB, clearly
   marked).
 - The deterministic "HK" formats below (HKI1 images, HKA1 audio,
   HKV1 video = concatenated HKI1 frames) exercise every byte of the
   plumbing with real math (numpy resize, channel stats, RMS/ZCR,
-  frame sampling) and make the tests hermetic.
+  frame sampling) and make the tests hermetic; image stages accept
+  HKI1 and PNG interchangeably via ``decode_any_image``.
 
 Scale notes:
 - Decode/feature stages are map-only (no shuffle); partitioning is
@@ -107,14 +114,139 @@ def iter_video_frames(data: bytes) -> Iterator[bytes]:
         pos = end
 
 
-def decode_real(data: bytes, kind: str):  # pragma: no cover - stub
-    """STUB: real-format decode (JPEG/PNG/WAV/...). The decode libs are
-    not available in this environment; wire them here when deploying
-    (PIL for images, soundfile for audio, av for video)."""
-    raise NotImplementedError(
-        f"real {kind} decode requires PIL/soundfile/av; only the HK"
-        " deterministic formats are available in this environment"
+# ---------------------------------------------------------------------------
+# real PNG codec — pure stdlib (zlib + struct), public spec (RFC 2083)
+# ---------------------------------------------------------------------------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color_type -> sample count (palette=3 excluded: needs PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color_type
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h, w, c) uint8 -> minimal valid PNG (8-bit, filter 0)."""
+    import zlib
+
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    a = arr.astype(np.uint8)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(data: bytes) -> np.ndarray:
+    """Decode a PNG blob -> (h, w, c) uint8. Pure stdlib: chunk walk,
+    zlib inflate of concatenated IDAT, and all five scanline filters
+    (None/Sub/Up/Average/Paeth). 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced; anything else raises with the reason named."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG blob")
+    pos, n = 8, len(data)
+    w = h = channels = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + clen  # len + type + body + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} (palette?)")
+            channels = _PNG_CHANNELS[color]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    c = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorizable (no intra-line dependency)
+            line += prev
+        elif f == 1:  # Sub
+            for i in range(c, stride):
+                line[i] = (int(line[i]) + int(line[i - c])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, channels)
+
+
+def decode_real(data: bytes, kind: str):
+    """Real-format decode. PNG is implemented here (pure stdlib, see
+    ``decode_png_bytes``); JPEG/WAV/MP4 remain STUBS — the decode libs
+    are not available in this environment; wire them here when
+    deploying (PIL for images, soundfile for audio, av for video)."""
+    if kind == "image" and data[:8] == PNG_SIG:
+        return decode_png_bytes(data)
+    raise NotImplementedError(
+        f"real {kind} decode beyond PNG requires PIL/soundfile/av; only"
+        " PNG and the HK deterministic formats are available in this"
+        " environment"
+    )
+
+
+def decode_any_image(data: bytes) -> np.ndarray:
+    """Dispatch an image blob by magic: HKI1 fake codec or real PNG.
+    Raises ValueError for unknown formats (drop-and-continue policy)."""
+    if data[:4] == IMG_MAGIC:
+        return decode_image_bytes(data)
+    if data[:8] == PNG_SIG:
+        return decode_png_bytes(data)
+    raise ValueError("unknown image format")
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +265,34 @@ def sniff_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
         ]
         return F.conv(F.concat(*parts), 16, 10).cast("int")
 
+    # big-endian (PNG IHDR ints)
+    def be_int(start: int, nbytes: int):
+        return F.conv(F.hex(F.substring(data, start, nbytes)), 16, 10).cast("int")
+
+    # PNG signature check on the raw first 8 bytes (not utf8-castable)
+    is_png = F.hex(F.substring(data, 1, 8)) == "89504E470D0A1A0A"
+    # IHDR body starts at byte 17 (sig 8 + len 4 + "IHDR" 4):
+    # width 17-20 BE, height 21-24 BE, bit depth 25, color type 26
+    png_channels = (
+        F.when(be_int(26, 1) == 0, 1)
+        .when(be_int(26, 1) == 2, 3)
+        .when(be_int(26, 1) == 3, 1)
+        .when(be_int(26, 1) == 4, 2)
+        .when(be_int(26, 1) == 6, 4)
+    )
     meta = (
         F.when(
+            is_png,
+            F.struct(
+                F.lit("png").alias("format"),
+                be_int(17, 4).alias("width"),
+                be_int(21, 4).alias("height"),
+                png_channels.alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+            ),
+        )
+        .when(
             magic == "HKI1",
             F.struct(
                 F.lit("hki1").alias("format"),
@@ -210,8 +368,8 @@ def image_features(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
                 try:
-                    arr = mm.decode_image_bytes(bytes(blob))
-                except ValueError:
+                    arr = mm.decode_any_image(bytes(blob))
+                except (ValueError, NotImplementedError):
                     rows.append((int(mid), None, None, None, None))
                     continue
                 h, w, c = arr.shape
@@ -249,8 +407,8 @@ def resize_images(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
                 try:
-                    arr = mm.decode_image_bytes(bytes(blob))
-                except ValueError:
+                    arr = mm.decode_any_image(bytes(blob))
+                except (ValueError, NotImplementedError):
                     rows.append((int(mid), None))
                     continue
                 h, w, _ = arr.shape

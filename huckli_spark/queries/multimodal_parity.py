@@ -64,7 +64,13 @@ def _media_df(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame:
                 if did % 3 == 0:
                     w, h = 16 + did % 17, 12 + did % 11
                     img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    rows.append((did, "image", mm.encode_image(img)))
+                    # every other image doc round-trips through the
+                    # REAL stdlib PNG codec (encode_png -> sniff ->
+                    # decode_png_bytes) instead of the HKI1 fake — the
+                    # closed-form metric (w*h) is codec-invariant, so
+                    # the same DuckDB oracle hash-gates both paths
+                    blob = mm.encode_png(img) if did % 6 == 0 else mm.encode_image(img)
+                    rows.append((did, "image", blob))
                 elif did % 3 == 1:
                     sr = 8000
                     n = 400 + did % 300
