@@ -189,3 +189,151 @@ def test_acid_is_a_table_property_not_a_reader_flag(spark, wh, tmp_path):
     plain.append("verified_speedtest_report", extra)
     assert plain.table("verified_speedtest_report").count() == 10
     assert wh.table("verified_speedtest_report").count() == 10
+
+
+# -- concurrent committers (VERDICT r04 item 5) -----------------------------
+# Real Delta/Iceberg serialize concurrent commits; the txlog's commit
+# point is a hard-link CAS on the next version number (publish()
+# retries on FileExistsError). These tests drive MULTIPLE OS PROCESSES
+# through contended publishes and assert full serialization: a dense
+# version sequence, no lost commits, no duplicated versions.
+
+
+def _contended_writer(table_path: str, writer_id: int, n_commits: int, barrier,
+                      out_dir: str):
+    """Module-level so forked child processes can run it; results land
+    in a per-writer JSON file (synchronization primitives and return
+    values don't cross a Pool boundary, Processes + files do)."""
+    import json
+
+    from huckli_spark.ingest.txlog import TransactionLog
+
+    log = TransactionLog(table_path)
+    versions = []
+    barrier.wait()  # maximize contention: all writers start together
+    for i in range(n_commits):
+        staging = log.staging_dir()
+        os.makedirs(staging)
+        with open(os.path.join(staging, f"w{writer_id}-c{i}.parquet"), "wb") as fh:
+            fh.write(b"PAR1" + bytes([writer_id, i]))
+        versions.append(log.publish(staging))
+    with open(os.path.join(out_dir, f"writer{writer_id}.json"), "w") as fh:
+        json.dump(versions, fh)
+
+
+def _replacing_writer(table_path: str, writer_id: int, out_dir: str):
+    import json
+
+    from huckli_spark.ingest.txlog import TransactionLog
+
+    log = TransactionLog(table_path)
+    out = []
+    for i in range(3):
+        staging = log.staging_dir()
+        part = os.path.join(staging, "day=2026-01-01")
+        os.makedirs(part)
+        name = f"gen-w{writer_id}-c{i}.parquet"
+        with open(os.path.join(part, name), "wb") as fh:
+            fh.write(b"PAR1")
+        out.append(
+            (log.publish(staging, replace_partitions=["day=2026-01-01"]), name)
+        )
+    with open(os.path.join(out_dir, f"writer{writer_id}.json"), "w") as fh:
+        json.dump(out, fh)
+
+
+class TestConcurrentWriters:
+    N_WRITERS = 4
+    N_COMMITS = 6
+
+    def test_contended_commits_serialize(self, tmp_path):
+        import multiprocessing as mp
+
+        table = str(tmp_path / "table")
+        os.makedirs(table)
+        import json
+
+        out_dir = str(tmp_path / "results")
+        os.makedirs(out_dir)
+        ctx = mp.get_context("fork")
+        barrier = ctx.Barrier(self.N_WRITERS)
+        procs = [
+            ctx.Process(
+                target=_contended_writer,
+                args=(table, w, self.N_COMMITS, barrier, out_dir),
+            )
+            for w in range(self.N_WRITERS)
+        ]
+        for pr in procs:
+            pr.start()
+        for pr in procs:
+            pr.join(timeout=120)
+            assert pr.exitcode == 0
+        per_writer = {
+            w: json.load(open(os.path.join(out_dir, f"writer{w}.json")))
+            for w in range(self.N_WRITERS)
+        }
+
+        total = self.N_WRITERS * self.N_COMMITS
+        all_versions = [v for vs in per_writer.values() for v in vs]
+        # every publish landed with a distinct version, densely numbered:
+        # no lost commits, no duplicated versions, no gaps
+        assert sorted(all_versions) == list(range(total))
+        # each writer observed ITS OWN commits in increasing order
+        # (serialization: a later publish never lands behind an earlier)
+        for vs in per_writer.values():
+            assert vs == sorted(vs)
+
+        log = TransactionLog(table)
+        assert log.latest_version() == total - 1
+        live = log.live_files()
+        assert len(live) == total and len(set(live)) == total
+        # every writer's every file survived the contention
+        expected = {
+            f"w{w}-c{i}.parquet"
+            for w in range(self.N_WRITERS)
+            for i in range(self.N_COMMITS)
+        }
+        assert set(live) == expected
+        # the log itself is clean: no stray tmp files from lost races
+        assert not [
+            f for f in os.listdir(log.log_path) if not f.endswith(".json")
+        ]
+
+    def test_contended_replace_keeps_snapshot_consistent(self, tmp_path):
+        """Writers doing partition replace under contention: after all
+        commits, replaying the log yields exactly the files of the
+        LAST committed replace per partition plus all plain adds —
+        never a mix of two replace generations of one partition."""
+        import multiprocessing as mp
+
+        table = str(tmp_path / "table")
+        os.makedirs(table)
+
+        import json
+
+        out_dir = str(tmp_path / "results")
+        os.makedirs(out_dir)
+        ctx = mp.get_context("fork")
+        procs = [
+            ctx.Process(target=_replacing_writer, args=(table, w, out_dir))
+            for w in range(3)
+        ]
+        for pr in procs:
+            pr.start()
+        for pr in procs:
+            pr.join(timeout=120)
+            assert pr.exitcode == 0
+        commits = [
+            (v, name)
+            for w in range(3)
+            for v, name in json.load(open(os.path.join(out_dir, f"writer{w}.json")))
+        ]
+
+        log = TransactionLog(table)
+        versions = [v for v, _ in commits]
+        assert sorted(versions) == list(range(9))
+        live = log.live_files()
+        # snapshot holds exactly one generation: the highest version's file
+        winner = max(commits)[1]
+        assert live == [os.path.join("day=2026-01-01", winner)]
