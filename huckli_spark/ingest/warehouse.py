@@ -38,6 +38,23 @@ from huckli_spark.ingest.filetypes import REGISTRY, FileTypeSpec
 from huckli_spark.sources.framing import frames_df
 from huckli_spark.sources.listing import FileInfo, FileSelection
 
+def _with_file_date(df: DataFrame) -> DataFrame:
+    """Derive a ``file_date`` partition column from the provenance
+    filename's epoch (``{prefix}.{epoch}.gz``, A4 regex). Partitioning
+    data tables by (file_date, file_source) keeps the per-file replace
+    granularity AND gives time-range queries static partition pruning:
+    a day's scan touches that day's directories only, which at 100 TB
+    is the difference between listing thousands of per-file partitions
+    and listing one date's worth (SCALE.md §layout). Unparseable
+    filenames land in the Hive null partition rather than failing."""
+    from huckli_spark.functions.timestamps import ts_heuristic
+
+    epoch = F.regexp_extract(F.col("file_source"), r"\.(\d+)(\.gz)?$", 1).cast(
+        "long"
+    )
+    return df.withColumn("file_date", F.to_date(ts_heuristic(epoch)))
+
+
 FILES_PROCESSED_SCHEMA = T.StructType(
     [
         T.StructField("file_name", T.StringType(), False),
@@ -51,10 +68,13 @@ FILES_PROCESSED_SCHEMA = T.StructType(
 class Warehouse:
     """A directory of parquet tables + the files_processed checkpoint.
 
-    ``idempotent=True`` partitions every data table by ``file_source``
-    and writes with dynamic partition overwrite: re-ingesting a file
-    REPLACES its rows instead of duplicating them — the Delta
-    ``replaceWhere file_source = key`` upgrade from SURVEY §7 M6,
+    ``idempotent=True`` partitions every data table by
+    ``(file_date, file_source)`` — the date derived from the
+    provenance filename's epoch — and writes with dynamic partition
+    overwrite: re-ingesting a file REPLACES its rows instead of
+    duplicating them — the Delta ``replaceWhere file_source = key``
+    upgrade from SURVEY §7 M6 — while time-range queries prune whole
+    date directories statically,
     closing the reference's at-least-once append-then-checkpoint gap
     (§3.1 step 8). Default ``False`` preserves reference parity
     (at-least-once, duplicates possible on crash-retry).
@@ -146,9 +166,10 @@ class Warehouse:
             # session-level set would silently flip later overwrite
             # semantics for every other writer on the shared session.
             (
-                df.write.mode("overwrite")
+                _with_file_date(df)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("file_source")
+                .partitionBy("file_date", "file_source")
                 .parquet(self.table_path(name))
             )
             return
@@ -167,16 +188,23 @@ class Warehouse:
         # action (idempotent exactly-once) is the only thing gated on
         # the mode; layout is uniform regardless.
         partitioned = name != "files_processed" and "file_source" in df.columns
+        if partitioned:
+            df = _with_file_date(df)
         writer = df.write.mode("overwrite")
         if partitioned:
-            writer = writer.partitionBy("file_source")
+            writer = writer.partitionBy("file_date", "file_source")
         writer.parquet(staging)
         replace = None
         if partitioned and self.idempotent:
+            # nested layout: replace at the file_source leaf so a
+            # re-ingested file swaps exactly its own partition
             replace = [
-                d
-                for d in os.listdir(staging)
-                if d.startswith("file_source=") and os.path.isdir(os.path.join(staging, d))
+                os.path.join(day, fs)
+                for day in os.listdir(staging)
+                if day.startswith("file_date=")
+                and os.path.isdir(os.path.join(staging, day))
+                for fs in os.listdir(os.path.join(staging, day))
+                if fs.startswith("file_source=")
             ]
         log.publish(staging, replace_partitions=replace)
 
