@@ -1,0 +1,237 @@
+"""Empirical scaling probe for the dedup / ANN family (VERDICT r04 #3).
+
+SCALE.md's shuffle inventory is a design argument; this tool measures.
+It replicates the sf0.1 ``documents`` / ``embeddings`` fixtures at
+1x / 3x / 10x with *decorrelated* copies — every word in copy *i* is
+salted with a per-copy token, and every embedding coordinate is
+deterministically perturbed — so near-duplicate density per row stays
+constant across scales. (A naive N-way union would make every doc an
+exact dup of its N-1 clones and the pair count would grow O(N^2) for
+structural reasons, telling us nothing about the engine.)
+
+For each scale it runs the four heaviest pipelines (MinHash+LSH,
+guarded n-gram Jaccard, SimHash, IVF ANN), and records wall seconds
+plus per-run shuffle-write / input bytes scraped from the Spark UI
+REST API (the same numbers the History Server shows on a cluster).
+
+Output: one JSON blob on stdout + ``SCALE_PROBE.json`` at the repo
+root; the summarized table lives in SCALE.md.
+
+Usage: python tools/scale_probe.py [--scales 1,3,10] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from huckli_spark.session import get_spark
+from huckli_spark.operators import dedup, simsearch, sketch
+
+WORK = "/tmp/huckli_scale_probe"
+
+
+# ---------------------------------------------------------------- REST metrics
+def _rest(spark: SparkSession, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _app_id(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
+
+
+def _max_stage_id(spark: SparkSession) -> int:
+    stages = _rest(spark, f"applications/{_app_id(spark)}/stages")
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def _stage_totals(spark: SparkSession, after_stage: int) -> dict:
+    """Sum shuffle/input bytes over stages with stageId > after_stage."""
+    stages = _rest(spark, f"applications/{_app_id(spark)}/stages?status=complete")
+    tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0, "input_bytes": 0}
+    for s in stages:
+        if s["stageId"] > after_stage:
+            tot["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+            tot["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+            tot["input_bytes"] += s.get("inputBytes", 0)
+    return tot
+
+
+# ---------------------------------------------------------------- fixtures
+def _scaled_documents(spark: SparkSession, base: DataFrame, scale: int) -> str:
+    """Union `scale` decorrelated copies; returns the parquet path."""
+    path = f"{WORK}/x{scale}/documents.parquet"
+    if os.path.exists(path):
+        return path
+    parts = []
+    for i in range(scale):
+        c = base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            # salt every word with a copy token: shingles of copy i share
+            # nothing with copy j, so dup density per row is scale-invariant
+            (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1c{i}")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _scaled_embeddings(spark: SparkSession, base: DataFrame, scale: int) -> str:
+    path = f"{WORK}/x{scale}/embeddings.parquet"
+    if os.path.exists(path):
+        return path
+    parts = []
+    for i in range(scale):
+        c = base.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: x + F.lit(float(i)) * 0.01 * ((j % 7).cast("double") - 3.0),
+            ).alias("embedding"),
+            "label",
+        )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+# ---------------------------------------------------------------- pipelines
+def _run(spark: SparkSession, name: str, fn, repeats: int) -> dict:
+    best = None
+    for _ in range(repeats):
+        mark = _max_stage_id(spark)
+        t0 = time.monotonic()
+        out_rows = fn()
+        wall = time.monotonic() - t0
+        m = _stage_totals(spark, mark)
+        rec = {"wall_s": round(wall, 3), "out_rows": out_rows, **m}
+        if best is None or rec["wall_s"] < best["wall_s"]:
+            best = rec
+    return best
+
+
+def probe(scales, repeats: int) -> dict:
+    spark = get_spark(app_name="scale_probe")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    results: dict = {"sf_dir": sf_dir, "scales": {}}
+    for scale in scales:
+        dpath = _scaled_documents(spark, docs0, scale)
+        epath = _scaled_embeddings(spark, emb0, scale)
+        docs = spark.read.parquet(dpath)
+        emb = spark.read.parquet(epath)
+        n_docs, n_emb = docs.count(), emb.count()
+        queries = emb.where(F.col("vec_id") < 100)  # fixed query set, all scales
+
+        runs = {}
+        runs["minhash"] = _run(
+            spark,
+            "minhash",
+            lambda: sketch.minhash_dedup_pairs(docs, threshold=0.9).count(),
+            repeats,
+        )
+        runs["ngram_jaccard_guarded"] = _run(
+            spark,
+            "ngram_jaccard_guarded",
+            lambda: dedup.jaccard_pairs(
+                docs, threshold=0.8, max_doc_freq=max(50, n_docs // 100)
+            ).count(),
+            repeats,
+        )
+        runs["simhash"] = _run(
+            spark,
+            "simhash",
+            lambda: sketch.simhash_pairs(docs, max_hamming=3).count(),
+            repeats,
+        )
+        runs["ivf_ann"] = _run(
+            spark,
+            "ivf_ann",
+            lambda: simsearch.ivf_topk(
+                emb, queries, n_centroids=8, nprobe=2, k=5
+            ).count(),
+            repeats,
+        )
+        results["scales"][str(scale)] = {
+            "n_docs": n_docs,
+            "n_emb": n_emb,
+            "runs": runs,
+        }
+        print(f"== scale x{scale}: {json.dumps(runs)}", file=sys.stderr)
+
+    # linearity summary: wall and shuffle ratios vs the 1x run
+    base = results["scales"][str(scales[0])]["runs"]
+    summary = {}
+    for q in base:
+        summary[q] = {
+            str(s): {
+                "wall_ratio": round(
+                    results["scales"][str(s)]["runs"][q]["wall_s"]
+                    / max(base[q]["wall_s"], 1e-9),
+                    2,
+                ),
+                "shuffle_ratio": round(
+                    results["scales"][str(s)]["runs"][q]["shuffle_write_bytes"]
+                    / max(base[q]["shuffle_write_bytes"], 1),
+                    2,
+                ),
+                "rows_ratio": round(
+                    results["scales"][str(s)]["runs"][q]["out_rows"]
+                    / max(base[q]["out_rows"], 1),
+                    2,
+                ),
+            }
+            for s in scales
+        }
+    results["summary_vs_1x"] = summary
+    results["loadavg"] = os.getloadavg()
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--keep-fixtures", action="store_true")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    try:
+        res = probe(scales, args.repeats)
+    finally:
+        if not args.keep_fixtures:
+            shutil.rmtree(WORK, ignore_errors=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALE_PROBE.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res["summary_vs_1x"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
