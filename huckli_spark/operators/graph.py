@@ -1,0 +1,178 @@
+"""Graph operators: transition-edge extraction and PageRank.
+
+Training-data curation uses link-analysis scores as quality priors
+(host-level PageRank over a web graph is a standard corpus-quality
+signal). The fixtures have no hyperlinks, so the parity query builds
+the *behavioral* graph — event-type transition edges per user — but
+the operators are generic over any (src, dst, weight) edge relation.
+
+Portability: PageRank is iterative float math, and float SUMs are
+partition-order dependent. Ranks here are fixed-point MICRO units
+(BIGINT). Each edge contribution floors to an integer, per-node
+accumulation is exact integer summation (decimal(38) on Spark,
+HUGEINT on DuckDB), and the damping update floors back to micro — so
+every iteration is bit-identical on any engine and any partitioning.
+The oracle unrolls the same iterations in SQL.
+
+Scale shape: each iteration is one shuffle (groupBy dst) plus a
+broadcast of the rank vector (nodes << edges in web graphs; for
+billion-node graphs swap the broadcast for a shuffle join — the
+arithmetic is unchanged). Edge extraction is a per-user window, state
+bounded by events-per-user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(src, dst, weight): counts of consecutive state transitions per
+    user, ordered deterministically (ties broken by event_id)."""
+    w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_cols])
+    steps = events.select(
+        F.col(state_col).alias("dst"),
+        F.lag(F.col(state_col)).over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    return steps.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank in micro fixed-point. Returns
+    (node, rank_micro) with sum(rank_micro) ~= MICRO.
+
+    Dangling nodes (no out-edges) redistribute their mass evenly —
+    the full classic formulation, kept integer-exact.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("n"))
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+
+    # init: floor(MICRO / n + 0.5) each
+    r = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.floor(F.lit(float(MICRO)) / F.col("n") + F.lit(0.5))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+
+    for _ in range(iterations):
+        ranked_edges = edges.join(F.broadcast(r), edges["src"] == r["node"]).join(
+            F.broadcast(out_w), "src"
+        )
+        # per-edge integer contribution: floor(r * w / out_w + 0.5)
+        contrib = ranked_edges.select(
+            F.col("dst").alias("node"),
+            F.floor(
+                F.col("r") * F.col("weight") / F.col("out_w") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        in_sum = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("in_c")
+        )
+        # dangling mass: ranks of nodes with no out-edges (exact int sum)
+        dangling = (
+            r.join(F.broadcast(out_w), r["node"] == out_w["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("r").cast("decimal(38,0)")).cast("long"), F.lit(0)
+                ).alias("dang")
+            )
+        )
+        r = (
+            nodes.join(in_sum, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.floor(
+                        F.lit((1.0 - damping) * MICRO) / F.col("n") + F.lit(0.5)
+                    )
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("in_c"), F.lit(0))
+                        + F.lit(0.5)
+                    )
+                    + F.floor(
+                        F.lit(damping) * F.col("dang") / F.col("n") + F.lit(0.5)
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+
+    return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def sql_pagerank(
+    edge_query: str, damping: float = 0.85, iterations: int = 3
+) -> str:
+    """DuckDB oracle: the same micro fixed-point iterations unrolled.
+    ``edge_query`` must yield (src, dst, weight)."""
+    d = damping
+    parts = [
+        f"edges AS ({edge_query})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(weight) AS out_w FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST(floor({float(MICRO)} / n + 0.5) AS BIGINT)"
+        " AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iterations):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(floor({p}.r * e.weight * 1.0 / o.out_w + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS in_c
+              FROM edges e
+              JOIN {p} ON {p}.node = e.src
+              JOIN outw o ON o.src = e.src
+              GROUP BY 1
+            )"""
+        )
+        parts.append(
+            f"""d{i} AS (
+              SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+              FROM {p} WHERE node NOT IN (SELECT src FROM outw)
+            )"""
+        )
+        parts.append(
+            f"""{q} AS (
+              SELECT nodes.node,
+                     CAST(floor({(1.0 - d) * MICRO} / nn.n + 0.5) AS BIGINT)
+                     + CAST(floor({d} * coalesce(c{i}.in_c, 0) + 0.5) AS BIGINT)
+                     + CAST(floor({d} * d{i}.dang / nn.n + 0.5) AS BIGINT) AS r
+              FROM nodes
+              LEFT JOIN c{i} ON c{i}.node = nodes.node
+              CROSS JOIN nn CROSS JOIN d{i}
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_micro FROM r{iterations}"
+    )

@@ -1,0 +1,86 @@
+"""Training-sequence packing: concat-and-chunk documents into
+fixed-token-budget training rows.
+
+GPT-style pretraining packs documents back-to-back (with an EOS
+between) and slices the concatenated stream at a fixed context-window
+budget. On a cluster the stream must be built per shard — a global
+concatenation order would serialize the corpus — so the operator:
+
+1. assigns every document to a shard by portable hash (deterministic,
+   partitioning-invariant),
+2. fixes a deterministic document order *within* the shard (hash
+   rank; production pipelines often shuffle-by-hash exactly like this
+   for mixing),
+3. computes each document's exclusive running token offset with one
+   window pass, and
+4. derives the training-sequence (bin) index and intra-bin offset by
+   integer division — a document straddling a boundary belongs to the
+   bin where it starts, exactly like the chunked token stream.
+
+All arithmetic is integer, so a DuckDB oracle reproduces every
+(shard, bin, offset) bit-identically. One shuffle (by shard for the
+window); at 100 TB shards are the parallelism unit and each holds a
+bounded token count, so no window partition is unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import h60
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """Assign every document a (shard, seq_idx, offset_in_seq).
+
+    ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separator.
+    Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq).
+    """
+    key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+    okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens)).alias("n_tokens"),
+        F.pmod(h60(key), F.lit(n_shards)).alias("shard"),
+        h60(okey).alias("__ok"),
+    )
+    w = Window.partitionBy("shard").orderBy("__ok", id_col)
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        d.withColumn("pack_rank", F.row_number().over(w))
+        .withColumn("__off", cum_before)
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            "pack_rank",
+            (F.col("__off") / budget).cast("long").alias("seq_idx"),
+            (F.col("__off") % budget).alias("offset_in_seq"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-(shard, seq) fill accounting from pack_sequences output.
+
+    ``n_starting`` documents start in the sequence; ``tokens_started``
+    is their total token mass (spills into later sequences when a doc
+    straddles). The packer's efficiency metric is the fraction of
+    sequences whose started mass covers the budget.
+    """
+    return packed.groupBy("shard", "seq_idx").agg(
+        F.count("*").alias("n_starting"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.min("offset_in_seq").alias("first_offset"),
+    )

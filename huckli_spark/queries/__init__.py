@@ -103,11 +103,13 @@ _GATE_PRIORITY: list[str] = [
     "q_stream_session_native",
     "q_unpivot",
     "q_window_misc",
-    # --- r4-graded evaluation gates kept in the window
-    "q_cube",
-    "q_grouping_sets",
-    "q_minhash_recall",
-    "q_funnel",
+    # --- new in round 5: governance + training-prep (q_cube,
+    # q_grouping_sets, q_minhash_recall, q_funnel rotated out — all
+    # driver-graded green in r4; local replica still covers them)
+    "q_pii_redact",
+    "q_bloom_decontaminate",
+    "q_sequence_pack",
+    "q_unigram_logprob",
 ]
 
 
@@ -122,6 +124,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import streaming_parity  # noqa: F401
     from huckli_spark.queries import multimodal_parity  # noqa: F401
     from huckli_spark.queries import corpus_quality  # noqa: F401
+    from huckli_spark.queries import governance  # noqa: F401
+    from huckli_spark.queries import analytics_extras  # noqa: F401
 
     front = [n for n in _GATE_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]

@@ -1,0 +1,225 @@
+"""Round-5 analytics additions: count-min heavy hitters, weighted
+priority sampling, and fixed-point z-score outlier detection.
+
+Portability notes (the driver hashes every value):
+- count-min is pure integer arithmetic over h60 — bit-identical.
+- the weighted sampler ranks on a ROUNDED key (fround 9) with an id
+  tiebreak, the same discipline q_tfidf_terms uses for its ln-derived
+  score — engines agree unless an ulp lands exactly on a rounding
+  boundary (~1e-12 per value).
+- z-scores need mean/stddev, but summing doubles is partition-order
+  dependent; instead values become fixed-point micro units (BIGINT),
+  summed exactly (decimal(38) on Spark, HUGEINT on DuckDB), and only
+  the final moments convert to double — identical IEEE arithmetic on
+  identical exact integers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, h60, sql_fround, sql_h60
+from huckli_spark.operators import freq
+from huckli_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value/user_id/event_type only — no timestamp handling needed
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ------------------------------------------------------------- count-min
+@query(
+    "q_countmin_topk",
+    f"""
+    WITH sketch AS (
+      {freq.sql_cms_build_cte(
+          "SELECT unnest(string_split(text, ' ')) AS key FROM documents")}
+    ), truth AS (
+      SELECT w AS key, count(*) AS true_cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ), probes AS (
+      SELECT key, true_cnt, unnest([{", ".join(
+          f"{{'row': {r}, 'bucket': {freq.sql_cms_bucket('key', r, freq.CMS_W)}}}"
+          for r in range(freq.CMS_D))}]) AS c
+      FROM truth
+    ), est AS (
+      SELECT p.key, p.true_cnt, min(coalesce(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s
+        ON s.row = c.row AND s.bucket = c.bucket
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT key, est, true_cnt, est - true_cnt AS overestimate,
+             row_number() OVER (ORDER BY est DESC, key) AS rnk
+      FROM est
+    )
+    SELECT key, est, true_cnt, overestimate, rnk FROM ranked WHERE rnk <= 20
+    """,
+    doc="count-min sketch heavy hitters over the corpus token stream: "
+    "a 4x256 counter matrix (fixed size regardless of cardinality, "
+    "cell-wise mergeable), min-over-rows estimates, exact counts "
+    "alongside so the gate hashes the overestimation error itself. "
+    "est >= true_cnt is structural. Sketch broadcastable; top-k is "
+    "TakeOrderedAndProject, no global sort.",
+)
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return freq.cms_heavy_hitters(words, "w", k=20).withColumnRenamed("w", "key")
+
+
+# ------------------------------------------------- weighted priority sample
+_WS_K = 100
+
+
+@query(
+    "q_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ({sql_h60("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+               / 1000001.0 AS u
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             {sql_fround('-ln(u) / n_chars', 9)} AS priority
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, priority,
+           row_number() OVER (ORDER BY priority, doc_id) AS rnk
+    FROM scored
+    ORDER BY priority, doc_id
+    LIMIT {_WS_K}
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES by exponential priority): u from the portable hash, key "
+    "-ln(u)/weight, keep the k smallest — inclusion probability "
+    "proportional to n_chars. Deterministic, retry-safe, and "
+    "partitioning-invariant; top-k by rounded key compiles to "
+    "TakeOrderedAndProject. The training-mix primitive when strata "
+    "weights are continuous rather than categorical.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    u = (
+        F.pmod(h60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))),
+               F.lit(1000000))
+        + 1
+    ) / F.lit(1000001.0)
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        fround(-F.log(u) / F.col("n_chars"), 9).alias("priority"),
+    )
+    top = scored.orderBy("priority", "doc_id").limit(_WS_K)
+    rk = F.row_number().over(Window.orderBy("priority", "doc_id"))
+    return top.withColumn("rnk", rk)
+
+
+# ----------------------------------------------------------------- pagerank
+_EDGE_SQL = """
+  SELECT src, dst, count(*) AS weight FROM (
+    SELECT event_type AS dst,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src
+    FROM events
+  ) WHERE src IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from huckli_spark.operators.graph import sql_pagerank
+
+    return sql_pagerank(_EDGE_SQL, damping=0.85, iterations=3)
+
+
+@query(
+    "q_pagerank",
+    _pagerank_oracle(),  # generated unrolled-iteration oracle
+    doc="PageRank over the per-user event-type transition graph "
+    "(link-analysis quality prior; generic over any (src,dst,weight) "
+    "edges — for web corpora the edges are host hyperlinks). Ranks "
+    "are micro fixed-point BIGINTs: per-edge contributions floor to "
+    "integers and per-node accumulation is exact integer summation, "
+    "so all 3 damped iterations (with dangling-mass redistribution) "
+    "are bit-identical on any engine/partitioning. One shuffle per "
+    "iteration + broadcast rank vector; edge extraction is a per-user "
+    "window.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.graph import pagerank, transition_edges
+    from huckli_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    edges = transition_edges(events)
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
+# --------------------------------------------------------- z-score outliers
+@query(
+    "q_zscore_outliers",
+    f"""
+    WITH m AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(vm) AS DOUBLE) AS s1,
+             CAST(sum(vm * vm) AS DOUBLE) AS s2
+      FROM m GROUP BY 1
+    ), z AS (
+      SELECT m.event_id, m.event_type,
+             {sql_fround('m.vm / 1000000.0', 4)} AS value_r,
+             {sql_fround(
+                 '(m.vm - s.s1 / s.n)'
+                 ' / sqrt((s.s2 - s.s1 * s.s1 / s.n) / s.n)', 4)} AS z
+      FROM m JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value_r, z
+    FROM z WHERE abs(z) > 2
+    """,
+    doc="per-group z-score outlier detection with ORDER-INDEPENDENT "
+    "moments: values become fixed-point micro ints, the two sums are "
+    "exact integer aggregation (decimal(38) / HUGEINT), and only the "
+    "final mean/std/z computation runs in double — so the result is "
+    "partition-count-invariant AND engine-portable, which naive "
+    "sum(double) is not. One shuffle on event_type (map-combined); "
+    "the stats relation broadcasts back onto the row stream.",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_raw(spark, sf_dir)
+    m = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    stats = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z_expr = (F.col("vm") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    )
+    z = m.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        fround(F.col("vm") / 1000000.0, 4).alias("value_r"),
+        fround(z_expr, 4).alias("z"),
+    )
+    return z.where(F.abs(F.col("z")) > 2)

@@ -1,0 +1,271 @@
+"""Data-governance + training-prep parity queries (round 5):
+PII audit/redaction, Bloom-prefiltered membership, training-sequence
+packing, and a corpus-LM quality score.
+
+Every query is differentially gated against a DuckDB oracle. The PII
+patterns live in the common Java-regex/RE2 subset; the Bloom filter
+and the packer are pure integer arithmetic over the portable h60
+hash; the unigram log-prob sums *fixed-point micro-nats* (BIGINT) so
+the aggregate is order-independent and bit-identical across engines —
+summing raw doubles would depend on partition order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, h60, sql_fround, sql_h60
+from huckli_spark.operators import bloom as bl
+from huckli_spark.operators import privacy
+from huckli_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --------------------------------------------------------------------- PII
+# The synthetic corpus carries no organic PII, so the query plants
+# deterministic PII derived from doc_id on a subset of documents (both
+# engines plant identically), then audits + redacts. The operator
+# (operators/privacy.py) is what a real pipeline would run unchanged.
+_SQL_PLANT = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' +1 555-123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _plant_pii(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" u"), did.cast("string"), F.lit("@ex"),
+                 (did % 7).cast("string"), F.lit(".com")),
+    ).otherwise("")
+    ip = F.when(
+        did % 4 == 0,
+        F.concat(F.lit(" 10."), (did % 256).cast("string"), F.lit(".0."),
+                 (did % 100).cast("string")),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" +1 555-123-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise("")
+    return d.withColumn("text", F.concat(F.col("text"), email, ip, phone))
+
+
+@query(
+    "q_pii_redact",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {_SQL_PLANT} AS text FROM documents
+    )
+    SELECT doc_id,
+           {privacy.sql_pii_count('text', 'email')} AS n_email,
+           {privacy.sql_pii_count('text', 'ipv4')} AS n_ipv4,
+           {privacy.sql_pii_count('text', 'phone')} AS n_phone,
+           {privacy.sql_pii_count('text', 'email')}
+             + {privacy.sql_pii_count('text', 'ipv4')}
+             + {privacy.sql_pii_count('text', 'phone')} AS n_pii,
+           {sql_h60(privacy.sql_redact('text'))} AS redacted_h
+    FROM planted
+    """,
+    doc="PII audit + redaction: per-document email/IP/phone match "
+    "counts and the hash of the fully redacted text (so the gate "
+    "verifies the replacement bytes, not just the counts). Map-only "
+    "regexp in the Java/RE2 common subset; the operator is "
+    "operators/privacy.py pii_scrub, scale O(bytes).",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _plant_pii(_docs(spark, sf_dir).select("doc_id", "text"))
+    s = privacy.pii_scrub(d)
+    return s.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_pii",
+        h60(F.col("redacted")).alias("redacted_h"),
+    )
+
+
+# ------------------------------------------------------------------- Bloom
+_BLOOM_M_WORDS = 64
+_BLOOM_K = 4
+
+
+def _sql_bloom_probe(m_words: int, k: int) -> str:
+    m_bits = m_words * bl.BITS_PER_WORD
+    pos = ", ".join(bl.sql_bloom_position("key", i, m_bits) for i in range(k))
+    return f"""probes AS (
+      SELECT key, unnest([{pos}]) AS p FROM cand
+    ), pj AS (
+      SELECT probes.key,
+             CASE WHEN (coalesce(b.bits, 0)
+                        & (CAST(1 AS BIGINT)
+                           << CAST(p % {bl.BITS_PER_WORD} AS INTEGER))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probes LEFT JOIN bloom b
+        ON b.word_idx = CAST(p // {bl.BITS_PER_WORD} AS BIGINT)
+    ), ph AS (
+      SELECT key, sum(hit) = {k} AS bloom_hit FROM pj GROUP BY key
+    )"""
+
+
+_SQL_BIGRAMS = (
+    "SELECT DISTINCT unnest(list_transform(range(1, array_length(w)),"
+    " i -> w[i] || ' ' || w[i + 1])) AS key"
+    " FROM (SELECT string_split(text, ' ') AS w FROM documents"
+    " WHERE source IS {op} 'src0')"
+)
+
+
+@query(
+    "q_bloom_decontaminate",
+    f"""
+    WITH cand AS (
+      {_SQL_BIGRAMS.format(op='DISTINCT FROM')}
+    ), mem AS (
+      {_SQL_BIGRAMS.format(op='NOT DISTINCT FROM')}
+    ), bloom AS (
+      {bl.sql_bloom_build_cte('SELECT key FROM mem', _BLOOM_M_WORDS, _BLOOM_K)}
+    ), {_sql_bloom_probe(_BLOOM_M_WORDS, _BLOOM_K)}
+    SELECT ph.key, ph.bloom_hit,
+           (ph.bloom_hit AND mem.key IS NOT NULL) AS is_member
+    FROM ph LEFT JOIN mem ON mem.key = ph.key
+    """,
+    doc="Bloom-prefiltered membership: build a 64-word (3968-bit, k=4) "
+    "portable Bloom filter over the holdout bigram set (~900 keys at "
+    "gate scale), probe every candidate bigram map-side, exact-verify "
+    "only bloom survivors. The gate hashes per-key bloom verdicts "
+    "INCLUDING false positives — both engines derive identical bits. "
+    "This is the broadcastable decontamination pre-filter for key sets "
+    "too large to ship exactly (filter size is m/8 bytes regardless of "
+    "member count).",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bigrams = d.select(F.split("text", " ").alias("__w"), "source").select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(__w) - 2),"
+                " i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))"
+                " END"
+            )
+        ).alias("key"),
+        "source",
+    )
+    cand = (
+        bigrams.where(~F.col("source").eqNullSafe("src0")).select("key").distinct()
+    )
+    mem = (
+        bigrams.where(F.col("source").eqNullSafe("src0")).select("key").distinct()
+    )
+    out = bl.bloom_filter_keys(
+        cand, "key", mem, "key", m_words=_BLOOM_M_WORDS, k=_BLOOM_K
+    )
+    return out.select("key", "bloom_hit", "is_member")
+
+
+# ----------------------------------------------------------------- packing
+_PACK_BUDGET = 128
+_PACK_SHARDS = 8
+
+
+@query(
+    "q_sequence_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT doc_id, n_tokens, shard, pack_rank,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM w
+    """,
+    doc="training-sequence packing (concat-and-chunk): deterministic "
+    "shard assignment by hash, hash-order concatenation within shard, "
+    "one window pass for the exclusive token offset, integer division "
+    "for the context-window index. All-integer => bit-identical across "
+    "engines and partitionings. One shuffle (by shard); shards bound "
+    "window partitions at 100 TB.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+# ---------------------------------------------------------- unigram logprob
+@query(
+    "q_unigram_logprob",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM w GROUP BY w
+    ), n AS (
+      SELECT count(*) AS n FROM w
+    ), scored AS (
+      SELECT w.doc_id,
+             CAST(floor(ln(freq.c * 1.0 / n.n) * 1000000 + 0.5) AS BIGINT)
+               AS lp_micro
+      FROM w JOIN freq USING (w) CROSS JOIN n
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+           {sql_fround('sum(lp_micro) * 1.0 / count(*) / 1000000', 4)}
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="corpus unigram-LM quality score: two-pass (global word "
+    "frequencies, then per-document mean log-likelihood). Per-word "
+    "log-probs are fixed-point micro-nats (BIGINT) so the per-doc sum "
+    "is exact integer arithmetic — order-independent, hence portable; "
+    "summing raw doubles would be partition-order-dependent. The freq "
+    "join shuffles on word; low-probability docs are the filter "
+    "candidates (boilerplate/garbage detection).",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = w.groupBy("w").agg(F.count("*").alias("c"))
+    n = w.select(F.count("*").alias("n"))
+    scored = (
+        w.join(freq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.floor(F.log(F.col("c") / F.col("n")) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("lp_micro").cast("long").alias("sum_lp_micro"),
+        fround(F.sum("lp_micro") * 1.0 / F.count("*") / 1000000, 4).alias(
+            "avg_logprob"
+        ),
+    )

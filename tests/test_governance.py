@@ -1,0 +1,139 @@
+"""Unit tests for the round-5 governance / training-prep operators:
+PII scrub (operators/privacy.py), portable Bloom filter
+(operators/bloom.py), sequence packing (operators/packing.py).
+
+The differential gate (tests/test_parity.py) proves engine parity;
+these pin the operator-level semantics on crafted inputs: exact match
+counts, redaction order, the Bloom no-false-negative invariant, and
+the packer's conservation + partitioning-invariance properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huckli_spark.operators import bloom, packing, privacy
+
+
+def _pii_row(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return privacy.pii_scrub(df).collect()[0]
+
+
+class TestPIIScrub:
+    def test_email_detection_and_redaction(self, spark):
+        r = _pii_row(spark, "mail me at jane.doe+spam@sub.example.co right now")
+        assert r["n_email"] == 1 and r["n_ipv4"] == 0 and r["n_phone"] == 0
+        assert "<EMAIL>" in r["redacted"]
+        assert "jane.doe" not in r["redacted"]
+
+    def test_ipv4_detection(self, spark):
+        r = _pii_row(spark, "server 192.168.1.254 and 10.0.0.1 replied")
+        assert r["n_ipv4"] == 2
+        assert r["redacted"].count("<IP>") == 2
+
+    def test_phone_detection(self, spark):
+        r = _pii_row(spark, "call +1 555-123-4567 or (202) 555-0173 today")
+        assert r["n_phone"] == 2
+        assert r["redacted"].count("<PHONE>") == 2
+
+    def test_ip_not_eaten_by_phone(self, spark):
+        # redaction order: the dotted quad becomes <IP>, never <PHONE>
+        r = _pii_row(spark, "host 10.42.0.99 up")
+        assert r["n_ipv4"] == 1
+        assert "<IP>" in r["redacted"] and "<PHONE>" not in r["redacted"]
+
+    def test_clean_text_untouched(self, spark):
+        r = _pii_row(spark, "no personal data in this sentence")
+        assert r["n_pii"] == 0
+        assert r["redacted"] == "no personal data in this sentence"
+
+    def test_counts_sum(self, spark):
+        r = _pii_row(spark, "a@b.co and 1.2.3.4 and +44 700-900-1234")
+        assert r["n_pii"] == r["n_email"] + r["n_ipv4"] + r["n_phone"] == 3
+
+
+class TestBloomFilter:
+    def _members(self, spark, n=200):
+        return spark.range(n).select(
+            F.concat(F.lit("member"), F.col("id").cast("string")).alias("key")
+        )
+
+    def test_no_false_negatives(self, spark):
+        # THE bloom invariant: every member must hit
+        mem = self._members(spark)
+        bits = bloom.bloom_build(mem, "key")
+        probed = bloom.bloom_probe(mem, "key", bits)
+        assert probed.where(~F.col("bloom_hit")).count() == 0
+
+    def test_nonmembers_mostly_miss(self, spark):
+        mem = self._members(spark)
+        bits = bloom.bloom_build(mem, "key")
+        other = spark.range(500).select(
+            F.concat(F.lit("stranger"), F.col("id").cast("string")).alias("key")
+        )
+        hits = bloom.bloom_probe(other, "key", bits).where("bloom_hit").count()
+        # 200 keys x k=4 into 3968 bits -> fill ~18%, fp ~ 0.18^4 ~ 0.1%
+        assert hits < 25
+
+    def test_filter_keys_exactness(self, spark):
+        # is_member from the composed pipeline == exact membership
+        mem = self._members(spark, 100)
+        cand = spark.range(150).select(
+            F.concat(F.lit("member"), F.col("id").cast("string")).alias("key")
+        )  # first 100 are members, last 50 are not
+        out = bloom.bloom_filter_keys(cand, "key", mem, "key").collect()
+        for r in out:
+            expected = int(r["key"].removeprefix("member")) < 100
+            assert r["is_member"] == expected, r
+            if expected:
+                assert r["bloom_hit"]  # member => always a bloom hit
+
+    def test_build_output_bounded(self, spark):
+        # the whole point: output rows <= m_words no matter the key count
+        mem = self._members(spark, 5000)
+        assert bloom.bloom_build(mem, "key", m_words=64).count() <= 64
+
+
+class TestSequencePacking:
+    def _docs(self, spark, n=300):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w "),
+                F.repeat(F.lit("tok "), (F.col("id") % 37).cast("int")),
+                F.lit("end"),
+            ).alias("text"),
+        )
+
+    def test_offsets_are_running_sums(self, spark):
+        packed = packing.pack_sequences(self._docs(spark), budget=64, n_shards=4)
+        rows = sorted(
+            packed.collect(), key=lambda r: (r["shard"], r["pack_rank"])
+        )
+        by_shard: dict[int, int] = {}
+        for r in rows:
+            off = by_shard.get(r["shard"], 0)
+            assert r["seq_idx"] == off // 64, r
+            assert r["offset_in_seq"] == off % 64, r
+            by_shard[r["shard"]] = off + r["n_tokens"]
+
+    def test_conservation(self, spark):
+        # every doc appears exactly once; token mass is preserved
+        docs = self._docs(spark)
+        packed = packing.pack_sequences(docs, budget=64, n_shards=4)
+        assert packed.count() == docs.count()
+        assert packed.select(F.count_distinct("doc_id")).collect()[0][0] == 300
+
+    def test_partitioning_invariance(self, spark):
+        docs = self._docs(spark)
+        a = packing.pack_sequences(docs.repartition(1), budget=64, n_shards=4)
+        b = packing.pack_sequences(docs.repartition(64), budget=64, n_shards=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_stats_roll_up(self, spark):
+        packed = packing.pack_sequences(self._docs(spark), budget=64, n_shards=4)
+        stats = packing.pack_stats(packed, budget=64)
+        total = stats.agg(F.sum("n_starting"), F.sum("tokens_started")).collect()[0]
+        direct = packed.agg(F.count("*"), F.sum("n_tokens")).collect()[0]
+        assert tuple(total) == tuple(direct)

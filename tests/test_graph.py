@@ -1,0 +1,70 @@
+"""Unit tests for operators/graph.py: edge extraction semantics and
+PageRank invariants (mass conservation, dangling handling, known
+closed-form cases, partitioning invariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.graph import MICRO, pagerank, transition_edges
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight long")
+
+
+class TestTransitionEdges:
+    def test_counts_consecutive_pairs(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, 100, 10, "a"),
+                (2, 100, 20, "b"),
+                (3, 100, 30, "a"),
+                (4, 200, 10, "a"),
+                (5, 200, 20, "b"),
+            ],
+            "event_id long, user_id long, ts long, event_type string",
+        )
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in transition_edges(ev).collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+    def test_no_cross_user_edges(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 100, 10, "a"), (2, 200, 20, "b")],
+            "event_id long, user_id long, ts long, event_type string",
+        )
+        assert transition_edges(ev).count() == 0
+
+
+class TestPageRank:
+    def test_mass_conserved(self, spark):
+        e = _edges(
+            spark,
+            [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)],
+        )
+        total = pagerank(e).agg(F.sum("rank_micro")).collect()[0][0]
+        # integer flooring loses < 1 micro per node per term
+        assert abs(total - MICRO) < 50
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        # a -> b -> c -> a with equal weights: exact symmetry
+        e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+        ranks = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
+        assert len(set(ranks.values())) == 1
+
+    def test_sink_attracts_mass(self, spark):
+        # everything points at 'hub'; hub dangles (mass redistributes)
+        e = _edges(spark, [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1)])
+        ranks = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
+        assert ranks["hub"] > ranks["a"] == ranks["b"] == ranks["c"]
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(f"n{i}", f"n{(i * 7) % 23}", (i % 5) + 1) for i in range(200)]
+        e1 = _edges(spark, rows).repartition(1)
+        e2 = _edges(spark, rows).repartition(64)
+        r1 = sorted(map(tuple, pagerank(e1).collect()))
+        r2 = sorted(map(tuple, pagerank(e2).collect()))
+        assert r1 == r2
