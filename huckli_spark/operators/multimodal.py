@@ -11,10 +11,13 @@ production-grade and tested. The codec itself is pluggable:
   ``decode_png_bytes``; ``decode_real`` routes image blobs there.
   Supported: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
   palette, 16-bit, and interlaced PNGs raise with the reason named.
-- JPEG/WAV/MP4 require PIL/soundfile/pyav, which this container does
-  not ship — those arms of ``decode_real`` raise
-  ``NotImplementedError`` with the dependency named (STUB, clearly
-  marked).
+- **PCM WAV is decoded for real** too — pure-stdlib RIFF chunk walk
+  (``decode_wav_bytes``): 16-bit PCM mono/stereo (stereo mixed down),
+  canonical encoder for tests; compressed / non-16-bit WAVs raise
+  with the reason named.
+- JPEG/MP4 require PIL/pyav, which this container does not ship —
+  those arms of ``decode_real`` raise ``NotImplementedError`` with
+  the dependency named (STUB, clearly marked).
 - The deterministic "HK" formats below (HKI1 images, HKA1 audio,
   HKV1 video = concatenated HKI1 frames) exercise every byte of the
   plumbing with real math (numpy resize, channel stats, RMS/ZCR,
@@ -225,17 +228,90 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+# ---------------------------------------------------------------------------
+# real WAV codec — pure stdlib (struct), RIFF/WAVE PCM spec
+# ---------------------------------------------------------------------------
+WAV_SIG = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """(n,) or (n, ch) int16 -> canonical 44-byte-header PCM WAV."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 2:
+        n_channels = s.shape[1]
+    pcm = s.reshape(-1).tobytes()  # row-major == interleaved frames
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV blob -> (mono int16 samples, sample_rate).
+
+    Pure stdlib RIFF chunk walk. 16-bit PCM only (format tag 1);
+    multi-channel audio is mixed down to mono by per-frame mean (the
+    features downstream are channel-agnostic). Compressed or non-16-bit
+    WAVs raise NotImplementedError naming the reason — same
+    drop-or-escalate policy as the PNG arm's unsupported variants.
+    """
+    if data[:4] != WAV_SIG or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _rate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} (non-PCM) needs soundfile/ffmpeg"
+        )
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAV unsupported (16-bit PCM only)")
+    s = np.frombuffer(pcm[: (len(pcm) // (2 * n_ch)) * 2 * n_ch], dtype="<i2")
+    if n_ch > 1:
+        s = (
+            s.reshape(-1, n_ch)
+            .astype(np.int32)
+            .mean(axis=1)
+            .round()
+            .astype(np.int16)
+        )
+    return s, sr
+
+
 def decode_real(data: bytes, kind: str):
-    """Real-format decode. PNG is implemented here (pure stdlib, see
-    ``decode_png_bytes``); JPEG/WAV/MP4 remain STUBS — the decode libs
-    are not available in this environment; wire them here when
-    deploying (PIL for images, soundfile for audio, av for video)."""
+    """Real-format decode. PNG (pure stdlib zlib+struct) and PCM WAV
+    (pure stdlib RIFF walk) are implemented here; JPEG/MP4 remain
+    STUBS — their decode libs are not in this environment; wire them
+    here when deploying (PIL for images, av for video)."""
     if kind == "image" and data[:8] == PNG_SIG:
         return decode_png_bytes(data)
+    if kind == "audio" and data[:4] == WAV_SIG:
+        return decode_wav_bytes(data)
     raise NotImplementedError(
-        f"real {kind} decode beyond PNG requires PIL/soundfile/av; only"
-        " PNG and the HK deterministic formats are available in this"
-        " environment"
+        f"real {kind} decode beyond PNG/WAV requires PIL/av; only"
+        " PNG, PCM WAV and the HK deterministic formats are available"
+        " in this environment"
     )
 
 
@@ -247,6 +323,16 @@ def decode_any_image(data: bytes) -> np.ndarray:
     if data[:8] == PNG_SIG:
         return decode_png_bytes(data)
     raise ValueError("unknown image format")
+
+
+def decode_any_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch an audio blob by magic: HKA1 fake codec or real WAV.
+    Raises ValueError for unknown formats (drop-and-continue policy)."""
+    if data[:4] == AUD_MAGIC:
+        return decode_audio_bytes(data)
+    if data[:4] == WAV_SIG and data[8:12] == b"WAVE":
+        return decode_wav_bytes(data)
+    raise ValueError("unknown audio format")
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +397,21 @@ def sniff_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
                 F.lit(None).cast("int").alias("height"),
                 F.lit(None).cast("int").alias("channels"),
                 le_int(5, 4).alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ),
+        )
+        .when(
+            # canonical-layout WAV (our encoder and most tools put the
+            # fmt chunk first); the decoder walks chunks and is the
+            # authority — this JVM sniff is the cheap metadata hint
+            (magic == "RIFF")
+            & (F.substring(data, 9, 4).cast("string") == "WAVE"),
+            F.struct(
+                F.lit("wav").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("channels"),
+                le_int(25, 4).alias("sample_rate"),
                 F.lit(None).cast("int").alias("n_frames"),
             ),
         )
@@ -480,7 +581,7 @@ def audio_features(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
                 try:
-                    samples, sr = mm.decode_audio_bytes(bytes(blob))
+                    samples, sr = mm.decode_any_audio(bytes(blob))
                 except ValueError:
                     rows.append((int(mid), None, None, None, None, None))
                     continue

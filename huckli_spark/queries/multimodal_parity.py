@@ -75,7 +75,17 @@ def _media_df(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame:
                     sr = 8000
                     n = 400 + did % 300
                     samples = (rng.randn(n) * 3000).astype(np.int16)
-                    rows.append((did, "audio", mm.encode_audio(samples, sr)))
+                    # every other audio doc round-trips through the REAL
+                    # stdlib PCM-WAV codec (encode_wav -> sniff ->
+                    # decode_wav_bytes) instead of the HKA1 fake; the
+                    # closed-form metric (n/sr*1000) is codec-invariant,
+                    # so the same DuckDB oracle hash-gates both paths
+                    blob = (
+                        mm.encode_wav(samples, sr)
+                        if did % 6 == 1
+                        else mm.encode_audio(samples, sr)
+                    )
+                    rows.append((did, "audio", blob))
                 else:
                     frames = [
                         rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)

@@ -198,8 +198,15 @@ class TestPngCodec:
         # non-PNG images still stub loudly
         with pytest.raises(NotImplementedError, match="PIL"):
             mm.decode_real(b"\xff\xd8\xff", "image")
-        with pytest.raises(NotImplementedError):
+        # WAV is now a real arm (see test_wav.py): a RIFF blob routes to
+        # the decoder, so malformed RIFF is a parse error, not a stub
+        with pytest.raises(ValueError):
             mm.decode_real(b"RIFF....WAVE", "audio")
+        # non-WAV audio and all video still stub loudly
+        with pytest.raises(NotImplementedError):
+            mm.decode_real(b"\x00" * 16, "audio")
+        with pytest.raises(NotImplementedError):
+            mm.decode_real(b"\x00" * 16, "video")
 
     def test_sniff_and_features_on_png(self, spark):
         rng = np.random.RandomState(3)

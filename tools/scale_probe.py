@@ -35,7 +35,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from huckli_spark.session import get_spark
-from huckli_spark.operators import dedup, simsearch, sketch
+from huckli_spark.operators import bloom, dedup, freq, packing, privacy, simsearch, sketch
+
+
+def _bloom_pipeline(docs: DataFrame) -> int:
+    """bigram membership vs the first source as holdout (mirrors
+    q_bloom_decontaminate's shape at probe scale)."""
+    bigrams = docs.select(F.split("text", " ").alias("__w"), "source").select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(__w) - 2),"
+                " i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))"
+                " END"
+            )
+        ).alias("key"),
+        "source",
+    )
+    cand = bigrams.where("source <> 'src0'").select("key").distinct()
+    mem = bigrams.where("source = 'src0'").select("key").distinct()
+    return bloom.bloom_filter_keys(cand, "key", mem, "key").count()
 
 WORK = "/tmp/huckli_scale_probe"
 
@@ -175,6 +194,40 @@ def probe(scales, repeats: int) -> dict:
             "ivf_ann",
             lambda: simsearch.ivf_topk(
                 emb, queries, n_centroids=8, nprobe=2, k=5
+            ).count(),
+            repeats,
+        )
+        # round-5 additions: map-only scrub, bloom membership, packing,
+        # count-min — expected shapes: pii linear wall / zero shuffle;
+        # bloom + cms shuffle O(distinct keys); packing one shard window
+        runs["pii_scrub"] = _run(
+            spark,
+            "pii_scrub",
+            lambda: privacy.pii_scrub(docs).agg(F.sum("n_pii")).collect()
+            and docs.count(),
+            repeats,
+        )
+        runs["bloom_membership"] = _run(
+            spark,
+            "bloom_membership",
+            lambda: _bloom_pipeline(docs),
+            repeats,
+        )
+        runs["sequence_pack"] = _run(
+            spark,
+            "sequence_pack",
+            # aggregate over seq_idx so Catalyst cannot prune the window
+            # (a bare count() would drop the whole pack computation)
+            lambda: packing.pack_sequences(docs, budget=512, n_shards=32)
+            .agg(F.max("seq_idx"), F.count("*"))
+            .collect()[0][1],
+            repeats,
+        )
+        runs["countmin_topk"] = _run(
+            spark,
+            "countmin_topk",
+            lambda: freq.cms_heavy_hitters(
+                docs.select(F.explode(F.split("text", " ")).alias("w")), "w", k=20
             ).count(),
             repeats,
         )
