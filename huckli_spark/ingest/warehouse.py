@@ -208,6 +208,28 @@ class Warehouse:
             ]
         log.publish(staging, replace_partitions=replace)
 
+    def export_delta(self, name: str) -> str:
+        """Materialize the table's current live snapshot as an open-
+        protocol Delta log (ingest/delta_export.py) so real Delta
+        readers (delta-rs, Spark+delta, DuckDB delta) can read the
+        table directory. Partition columns are inferred from the
+        Hive layout; schemaString is the table's Spark schema."""
+        from huckli_spark.ingest.delta_export import export_delta_snapshot
+
+        df = self.table(name)
+        # partition columns = Hive k= segments present in the layout,
+        # in directory order (file_date above file_source)
+        parts: list[str] = []
+        for root, dirs, _files in os.walk(self.table_path(name)):
+            for d in sorted(dirs):
+                if "=" in d:
+                    k = d.split("=", 1)[0]
+                    if k not in parts:
+                        parts.append(k)
+        return export_delta_snapshot(
+            self.table_path(name), df.schema.json(), parts
+        )
+
     def save_bucketed(
         self, name: str, df: DataFrame, key: str, buckets: int = 32
     ) -> None:

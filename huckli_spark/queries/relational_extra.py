@@ -662,3 +662,96 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("n_active") * 1.0 / F.col("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the one join type the surface lacked
+# ---------------------------------------------------------------------------
+@query(
+    "q_full_outer_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 10
+    ), o AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             {sql_fround('sum(o_totalprice)')} AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS cust_key,
+           c.c_name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(o.total, 0.0) AS total
+    FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+    """,
+    doc="FULL OUTER join: nation-filtered customer dim vs per-customer "
+    "order aggregates — unmatched rows survive on BOTH sides "
+    "(customers with no orders, orders whose customer fell out of the "
+    "filter). Null-padding and key coalescing verified by hash. "
+    "Scale: the aggregate side partial-aggs before one shuffle; full "
+    "outer forces a shuffle join (no broadcast) — exactly what Spark "
+    "plans.",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 10)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fround(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("cust_key"),
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregation — width 60 min, slide 15 min
+# ---------------------------------------------------------------------------
+@query(
+    "q_hopping_window",
+    f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ), h AS (
+      -- width = 4 x slide, so every event lands in exactly 4 hops
+      SELECT us - (us % 900000000) - CAST(k AS BIGINT) * 900000000 AS start_us, vm
+      FROM e, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT start_us, count(*) AS n,
+           {sql_fround('CAST(sum(vm) AS DOUBLE) / 1000000', 4)} AS sum_value
+    FROM h GROUP BY 1
+    """,
+    doc="hopping/sliding event-time windows (60-min width, 15-min "
+    "slide) via the built-in window(ts, width, slide): each event "
+    "expands to width/slide=4 hops BEFORE the shuffle, partial "
+    "aggregation collapses per hop map-side. Values sum as fixed-point "
+    "micros (exact integer aggregation) for engine portability. The "
+    "batch twin of the streaming sliding windows in streaming/windows.",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    w = F.window("ts", "60 minutes", "15 minutes")
+    return (
+        e.select(w.alias("win"), vm.alias("vm"))
+        .groupBy(F.unix_micros("win.start").alias("start_us"))
+        .agg(
+            F.count("*").alias("n"),
+            fround(
+                F.sum(F.col("vm").cast("decimal(38,0)")).cast("double") / 1000000,
+                4,
+            ).alias("sum_value"),
+        )
+    )

@@ -317,3 +317,42 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("win.start").alias("start_us"), "n_events"
     )
     return run_to_memory(out, output_mode="complete")
+
+
+@query(
+    "q_stream_static_join",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+    )
+    SELECT d.tier, e.event_type, count(*) AS n,
+           CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_vm
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="stream-static (dimension) join: the unbounded event stream "
+    "joins a bounded user->tier dim that Spark re-broadcasts per "
+    "micro-batch — no state store involved (unlike stream-stream "
+    "joins), the canonical enrich-then-aggregate shape. Drained with "
+    "availableNow and hash-matched against the batch join; value sums "
+    "are fixed-point micros (exact integer aggregation).",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir)
+    static_dim = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+    vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    joined = stream.join(F.broadcast(static_dim), "user_id")
+    agg = joined.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vm.cast("decimal(38,0)")).cast("long").alias("sum_vm"),
+    )
+    return run_to_memory(agg, output_mode="complete")
