@@ -425,3 +425,59 @@ def contamination(
         F.col("n_shared"),
         fround(F.col("n_shared") / F.col("n_shingles"), 4).alias("containment"),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "name",
+    max_dist: int = 1,
+    max_variant_freq: Optional[int] = None,
+) -> DataFrame:
+    """Edit-distance-bounded pair detection (SymSpell-style): the
+    entity-resolution primitive for short strings — titles, names,
+    URLs — where shingle sketches are too coarse.
+
+    Deletion-neighborhood blocking: each string produces itself plus
+    its |s| single-character-deletion variants; two strings within
+    edit distance 1 ALWAYS share a variant (equal -> s itself;
+    substitution -> both drop the differing position; indel -> the
+    shorter string is a variant of the longer). Sharing a variant only
+    bounds the distance by 2, so candidates are verified with exact
+    ``levenshtein`` — computed on candidate pairs only, never all
+    pairs. Returns (a_id, b_id, a, b, dist), a_id < b_id.
+
+    Scale shape: variants explode x(|s|+1) but join on the 8-byte
+    ``h60`` variant hash; ``max_variant_freq`` drops hot variants
+    (stop-word guard, same policy as jaccard_pairs' max_doc_freq) —
+    at corpus scale always set it. Verification is O(candidates).
+    """
+    from huckli_spark.functions.portable import h60
+
+    s = F.col(str_col)
+    variants = F.expr(
+        f"CASE WHEN length({str_col}) = 0 THEN array({str_col}) ELSE "
+        f"array_distinct(concat(array({str_col}), "
+        f"transform(sequence(1, length({str_col})), "
+        f"i -> concat(substring({str_col}, 1, i - 1), "
+        f"substring({str_col}, i + 1, length({str_col})))))) END"
+    )
+    v = (
+        df.select(F.col(id_col), s.alias("__s"), F.explode(variants).alias("__v"))
+        .select(F.col(id_col), F.col("__s"), h60(F.col("__v")).alias("vh"))
+        .distinct()
+    )
+    if max_variant_freq is not None:
+        freq = v.groupBy("vh").agg(F.count("*").alias("__vf"))
+        v = v.join(freq.where(F.col("__vf") <= max_variant_freq), "vh").drop("__vf")
+    a = v.select(F.col(id_col).alias("a_id"), F.col("__s").alias("a"), "vh")
+    b = v.select(F.col(id_col).alias("b_id"), F.col("__s").alias("b"), "vh")
+    cand = (
+        a.join(b, "vh")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a", "b")
+        .distinct()
+    )
+    return cand.select(
+        "a_id", "b_id", "a", "b", F.levenshtein("a", "b").alias("dist")
+    ).where(F.col("dist") <= max_dist)

@@ -223,3 +223,64 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(z_expr, 4).alias("z"),
     )
     return z.where(F.abs(F.col("z")) > 2)
+
+
+# ------------------------------------------------------------- fuzzy join
+_FUZZY_PLANT = (
+    "CASE WHEN p_partkey % 7 = 0 THEN substr(p_name, 1, 2) ||"
+    " substr(p_name, 4, length(p_name))"
+    " WHEN p_partkey % 7 = 1 THEN p_name || 'x'"
+    " ELSE p_name END"
+)
+
+
+@query(
+    "q_fuzzy_join",
+    f"""
+    WITH named AS (
+      SELECT p_partkey, {_FUZZY_PLANT} AS name
+      FROM part WHERE p_partkey <= 600
+    ), v AS (
+      SELECT DISTINCT p_partkey, name,
+             {sql_h60('var')} AS vh
+      FROM (
+        SELECT p_partkey, name,
+               unnest(list_distinct(list_prepend(name,
+                 list_transform(range(1, length(name) + 1),
+                   i -> substr(name, 1, i - 1)
+                        || substr(name, i + 1, length(name)))))) AS var
+        FROM named
+      )
+    ), cand AS (
+      SELECT DISTINCT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                      a.name AS a, b.name AS b
+      FROM v a JOIN v b ON a.vh = b.vh AND a.p_partkey < b.p_partkey
+    )
+    SELECT a_id, b_id, a, b,
+           CAST(levenshtein(a, b) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(a, b) <= 1
+    """,
+    doc="fuzzy entity-resolution join (edit distance <= 1) via "
+    "SymSpell deletion-neighborhood blocking: variants join on the "
+    "8-byte portable hash, exact levenshtein verifies candidates only "
+    "— never all pairs. Typos are planted deterministically on the "
+    "part-name fixture (both engines identically) so the pair set is "
+    "non-trivial; both engines' levenshtein agree exactly. At corpus "
+    "scale the hot-variant guard (max_variant_freq) bounds the join.",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import fuzzy_pairs
+    from huckli_spark.session import load_table
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 600)
+        .select(
+            "p_partkey",
+            F.expr(_FUZZY_PLANT.replace("substr(", "substring(")).alias("name"),
+        )
+    )
+    out = fuzzy_pairs(p, id_col="p_partkey", str_col="name", max_dist=1)
+    return out.select(
+        F.col("a_id"), F.col("b_id"), "a", "b", F.col("dist").cast("int")
+    )

@@ -137,3 +137,46 @@ class TestSequencePacking:
         total = stats.agg(F.sum("n_starting"), F.sum("tokens_started")).collect()[0]
         direct = packed.agg(F.count("*"), F.sum("n_tokens")).collect()[0]
         assert tuple(total) == tuple(direct)
+
+
+class TestFuzzyPairs:
+    def _df(self, spark, names):
+        return spark.createDataFrame(
+            list(enumerate(names)), "doc_id long, name string"
+        )
+
+    def test_detects_all_ed1_relations(self, spark):
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        names = ["widget", "widgetx", "wdget", "wadget", "bolt", "bolts"]
+        got = {
+            (r["a"], r["b"])
+            for r in fuzzy_pairs(self._df(spark, names), str_col="name").collect()
+        }
+        sym = got | {(b, a) for a, b in got}
+        # insertion, deletion, substitution all found
+        assert ("widget", "widgetx") in sym
+        assert ("widget", "wdget") in sym
+        assert ("widget", "wadget") in sym
+        assert ("bolt", "bolts") in sym
+        # no cross-family false positives survive verification
+        assert not any("bolt" in a and "dget" in b for a, b in sym)
+
+    def test_exact_duplicates_pair(self, spark):
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        got = fuzzy_pairs(
+            self._df(spark, ["same", "same"]), str_col="name"
+        ).collect()
+        assert len(got) == 1 and got[0]["dist"] == 0
+
+    def test_variant_freq_guard(self, spark):
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        names = [f"a{i}" for i in range(20)]  # all share the variant "a"
+        guarded = fuzzy_pairs(
+            self._df(spark, names), str_col="name", max_variant_freq=5
+        )
+        unguarded = fuzzy_pairs(self._df(spark, names), str_col="name")
+        # the guard prunes the hot "a" block join entirely
+        assert guarded.count() < unguarded.count()
