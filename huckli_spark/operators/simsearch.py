@@ -452,3 +452,145 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): code-based vector compression + ADC search
+# ---------------------------------------------------------------------------
+# 64-dim embeddings -> PQ_M=8 subspaces x PQ_CODES=16 codes: each vector
+# stores 8 x 4-bit codes packed into ONE BIGINT (4 bytes vs 256 bytes of
+# float32 — the classic 64x memory cut that makes billion-vector indexes
+# fit in RAM). Codebooks follow the ivf_centroids convention: the
+# subvectors of the lowest-id vectors form the sampled codebook
+# (deterministic; production swaps in k-means-trained codebooks, the
+# encode/search arithmetic is unchanged).
+#
+# Portability: per-(subspace, code) squared distances round to micro
+# units (BIGINT); argmin ties break on code id; reconstruction error and
+# ADC distances are SUMS OF INTEGERS in explicit order — bit-identical
+# on any engine/partitioning, like the PageRank fixed-point discipline.
+PQ_M = 8
+PQ_CODES = 16
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """codebooks[s][c] = subvector s of the vector with id c. Bounded
+    driver collect (n_codes rows) — broadcast as baked literals."""
+    rows = (
+        df.where(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    sub = dim // m
+    return [
+        [[float(x) for x in r[1][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_entries(vec_col: str, s: int, sub: int, codebook_s) -> str:
+    """SQL array<struct<d:bigint, code:int>> of micro-rounded squared
+    distances from this row's subvector s to every code centroid,
+    sorted (d ASC, code ASC) — element 1 is the assignment."""
+    entries = []
+    for c, cv in enumerate(codebook_s):
+        arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in cv) + ")"
+        d = (
+            f"aggregate(zip_with(slice({vec_col}, {s * sub + 1}, {sub}), {arr},"
+            f" (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        dm = f"cast(floor({d} * 1000000.0 + 0.5) AS bigint)"
+        entries.append(f"named_struct('d', {dm}, 'code', {c})")
+    return (
+        "array_sort(array(" + ", ".join(entries) + "),"
+        " (l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1"
+        " WHEN l.code < r.code THEN -1 ELSE 1 END)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_word, err_micro): 4-bit codes packed little-endian into
+    one BIGINT, plus the exact-integer total reconstruction error.
+    Pure map stage — all distances are in-row expressions, zero shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    picks = [
+        f"element_at({_pq_sub_entries(vec_col, s, sub, codebooks[s])}, 1)"
+        for s in range(m)
+    ]
+    code_word = " + ".join(
+        f"shiftleft(cast({p}.code AS bigint), {4 * s})"
+        for s, p in enumerate(picks)
+    )
+    err = " + ".join(f"{p}.d" for p in picks)
+    return df.select(
+        F.col(id_col),
+        F.expr(code_word).alias("code_word"),
+        F.expr(err).alias("err_micro"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the corpus side supplies ONLY its
+    packed code word; each query row evaluates its 16-entry distance
+    table per subspace in-row and sums the looked-up entries (exact
+    integers). Queries broadcast; the corpus never moves or decodes.
+    Returns (query_id, neighbor_id, adc_micro, rank)."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "code_word")
+    pair = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    # per subspace: table lookup at the unpacked 4-bit code
+    terms = []
+    for s in range(m):
+        tab = (
+            "array("
+            + ", ".join(
+                "cast(floor(aggregate(zip_with("
+                f"slice(__qv, {s * sub + 1}, {sub}), "
+                "array("
+                + ", ".join(f"cast({v!r} AS double)" for v in codebooks[s][code])
+                + "), (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
+                " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+                " AS bigint)"
+                for code in range(len(codebooks[s]))
+            )
+            + ")"
+        )
+        code_s = f"cast((shiftright(code_word, {4 * s}) & 15) AS int)"
+        terms.append(f"element_at({tab}, {code_s} + 1)")
+    adc = " + ".join(terms)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        pair.select("query_id", "neighbor_id", F.expr(adc).alias("adc_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

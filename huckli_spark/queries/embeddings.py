@@ -401,3 +401,124 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hits"),
         fround(F.count("hit") * 1.0 / F.count("*"), 2).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + asymmetric-distance search
+# ---------------------------------------------------------------------------
+def _pq_oracle_common() -> str:
+    """CTEs shared by the PQ oracles: per-subspace micro distances of
+    every vector to the 16 sampled code centroids, the per-subspace
+    argmin picks (ties -> lowest code), and the packed encode."""
+    sub_ctes = []
+    for s in range(8):
+        off = s * 8
+        dexpr = (
+            "CAST(floor(list_sum(list_transform(range(1, 9), j -> "
+            f"(e.ev[{off} + j] - cb.cv[{off} + j])"
+            f" * (e.ev[{off} + j] - cb.cv[{off} + j])"
+            ")) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+        sub_ctes.append(
+            f"""sub{s} AS (
+              SELECT e.vec_id, cb.vec_id AS code, {dexpr} AS d
+              FROM e CROSS JOIN cb
+            ), pick{s} AS (
+              SELECT vec_id, min_d AS d, CAST(min(code) AS BIGINT) AS code
+              FROM (
+                SELECT vec_id, d, code,
+                       min(d) OVER (PARTITION BY vec_id) AS min_d
+                FROM sub{s}
+              ) WHERE d = min_d GROUP BY vec_id, min_d
+            )"""
+        )
+    joins = "\n".join(
+        f"JOIN pick{s} ON pick{s}.vec_id = e.vec_id" for s in range(8)
+    )
+    word = " + ".join(f"(pick{s}.code << {4 * s})" for s in range(8))
+    err = " + ".join(f"pick{s}.d" for s in range(8))
+    return (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),\n"
+        "cb AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings"
+        " WHERE vec_id < 16),\n"
+        + ",\n".join(sub_ctes)
+        + f""",
+        codes AS (
+          SELECT e.vec_id, CAST({word} AS BIGINT) AS code_word,
+                 CAST({err} AS BIGINT) AS err_micro
+          FROM e
+          {joins}
+        )"""
+    )
+
+
+@query(
+    "q_pq_encode",
+    f"""
+    WITH {_pq_oracle_common()}
+    SELECT vec_id, code_word, err_micro FROM codes
+    """,
+    doc="product-quantization encode: 64-dim vectors -> 8 subspaces x "
+    "16 sampled code centroids; per-subspace argmin (micro-rounded "
+    "squared distance, ties to the lowest code) packs into ONE BIGINT "
+    "of 4-bit codes — 4 bytes per vector vs 256, the 64x compression "
+    "that fits billion-vector indexes in RAM. err_micro is the exact-"
+    "integer total reconstruction error (the PQ quality metric), "
+    "hash-gated. Spark side bakes codebooks as literals (bounded "
+    "16-row collect, ivf_centroids convention) so encode is a pure "
+    "map stage; the oracle derives identical codebooks relationally.",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    cbs = simsearch.pq_codebooks(em)
+    return simsearch.pq_encode(em, cbs)
+
+
+@query(
+    "q_pq_adc",
+    f"""
+    WITH {_pq_oracle_common()},
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    {", ".join(f'''adc{s} AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST(floor(list_sum(list_transform(range(1, 9), j ->
+               (q.qv[{s * 8} + j] - cb.cv[{s * 8} + j])
+               * (q.qv[{s * 8} + j] - cb.cv[{s * 8} + j])
+             )) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM q CROSS JOIN codes
+      JOIN cb ON cb.vec_id = CAST((codes.code_word >> {4 * s}) & 15 AS BIGINT)
+      WHERE codes.vec_id <> q.query_id
+    )''' for s in range(8))},
+    summed AS (
+      SELECT query_id, neighbor_id, CAST(sum(t) AS BIGINT) AS adc_micro
+      FROM ({" UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))})
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, neighbor_id) AS rank
+      FROM summed
+    )
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="asymmetric-distance (ADC) top-k over PQ codes: the corpus "
+    "side supplies ONLY its packed 4-byte code word — never the "
+    "vector; each query evaluates its 16-entry distance table per "
+    "subspace in-row and sums exact-integer table lookups. Queries "
+    "broadcast, the corpus never moves or decodes — the memory-bound "
+    "billion-scale ANN serving shape. Rank ties break on neighbor id; "
+    "the whole result is integer, hence bit-portable.",
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    cbs = simsearch.pq_codebooks(em)
+    codes = simsearch.pq_encode(em, cbs)
+    queries = em.where(F.col("vec_id") < 20)
+    out = simsearch.pq_adc_topk(codes, queries, cbs, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "adc_micro", F.col("rank").cast("int")
+    )
