@@ -269,3 +269,50 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# ------------------------------------------------------------------- BPE
+@query(
+    "q_bpe_pairs",
+    """
+    WITH wf AS (
+      SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0 GROUP BY 1
+    ), p AS (
+      SELECT word[i:i] AS a, word[i + 1:i + 1] AS b, freq
+      FROM wf, unnest(range(1, length(word))) AS t(i)
+    ), agg AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b
+    ), ranked AS (
+      SELECT a, b, cnt,
+             row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+      FROM agg
+    )
+    SELECT a, b, cnt, rnk FROM ranked WHERE rnk <= 20
+    """,
+    doc="BPE training statistics (iteration 1): frequency-weighted "
+    "adjacent-character pair counts over the word-collapsed corpus, "
+    "top-20 by (count, pair) — the argmax relation every merge "
+    "iteration recomputes. The full distributed trainer "
+    "(operators/bpe.py bpe_train) is differentially verified against "
+    "a pure-Python reference in tests/test_bpe.py (merge tables and "
+    "tokenizations match exactly, incl. on the fixture corpus); this "
+    "gate pins the one engine-portable relation of the loop. Scale: "
+    "the corpus collapses to (word, freq) once — iterations touch "
+    "vocab-sized data only.",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.bpe import pair_counts, word_freqs
+
+    words = word_freqs(_docs(spark, sf_dir)).select(
+        "word",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+        "freq",
+    )
+    pc = pair_counts(words)
+    top = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(20)
+    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")))
+    return top.withColumn("rnk", rk)
