@@ -86,10 +86,17 @@ class Warehouse:
         path: str,
         idempotent: bool = False,
         acid: bool = False,
+        merge_schema: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.idempotent = idempotent
+        # merge_schema=True: reads union the schemas of all live files
+        # (parquet mergeSchema), so additive evolution — a new ingest
+        # version adding columns — is readable in place: old files
+        # surface the new columns as NULL. Renames/retypes still need
+        # a rewrite, as in Delta/Iceberg without column mapping.
+        self.merge_schema = merge_schema
         # acid=True: every append/overwrite goes through the
         # write-audit-publish transaction log (ingest/txlog.py) — the
         # Delta/Iceberg-shaped commit protocol. Readers resolve the
@@ -146,10 +153,16 @@ class Warehouse:
             # dir, so staged/orphan files cannot leak into a scan.
             # basePath keeps partition-column inference for
             # file_source=... layouts.
-            return self.spark.read.option("basePath", base).parquet(*files)
+            reader = self.spark.read.option("basePath", base)
+            if self.merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*files)
         if as_of is not None:
             raise ValueError(f"as_of requires a transaction log: {name}")
-        return self.spark.read.parquet(base)
+        reader = self.spark.read
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(base)
 
     def append(self, name: str, df: DataFrame) -> None:
         # once a table has a log it stays logged: a plain append would

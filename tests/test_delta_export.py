@@ -104,3 +104,39 @@ class TestDeltaExport:
             for a in adds
         ]
         assert spark.read.parquet(*files).count() == 10
+
+
+class TestSchemaEvolution:
+    def test_additive_column_readable_in_place(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        wh = Warehouse(spark, str(tmp_path), merge_schema=True)
+        v1 = spark.range(5).select(F.col("id").alias("k"))
+        v2 = spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        )
+        wh.append("evo", v1)
+        wh.append("evo", v2)
+        out = wh.table("evo")
+        assert set(out.columns) == {"k", "extra"}
+        rows = {r["k"]: r["extra"] for r in out.collect()}
+        assert rows[2] is None and rows[7] == 14
+        assert len(rows) == 10
+
+    def test_acid_table_evolves_too(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        wh = Warehouse(spark, str(tmp_path), acid=True, merge_schema=True)
+        wh.append("evo", spark.range(3).select(F.col("id").alias("k")))
+        wh.append(
+            "evo",
+            spark.range(3, 6).select(
+                F.col("id").alias("k"), F.lit("v2").alias("tag")
+            ),
+        )
+        out = wh.table("evo")
+        assert set(out.columns) == {"k", "tag"}
+        assert out.where("tag IS NULL").count() == 3
+        # time travel to v0 sees the ORIGINAL schema (old files only)
+        v0 = wh.table("evo", as_of=0)
+        assert set(v0.columns) == {"k"}

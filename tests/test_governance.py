@@ -180,3 +180,51 @@ class TestFuzzyPairs:
         unguarded = fuzzy_pairs(self._df(spark, names), str_col="name")
         # the guard prunes the hot "a" block join entirely
         assert guarded.count() < unguarded.count()
+
+
+def _ed(a: str, b: str) -> int:
+    """Tiny Levenshtein DP (test-local reference)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestFuzzyPairsProperty:
+    def test_completeness_vs_bruteforce_dense_space(self, spark):
+        # random short strings over a 2-letter alphabet: the densest
+        # possible ed-1 neighborhood structure. fuzzy_pairs must equal
+        # the brute-force all-pairs filter EXACTLY (no false negatives
+        # from blocking, no false positives past verification).
+        import itertools
+        import random
+
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        rng = random.Random(1234)
+        names = list(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(0, 5)))
+                for _ in range(60)
+            }
+        )
+        df = spark.createDataFrame(
+            list(enumerate(names)), "doc_id long, name string"
+        )
+        got = {
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in fuzzy_pairs(df, str_col="name").collect()
+        }
+        want = {
+            (i, j, _ed(names[i], names[j]))
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if _ed(names[i], names[j]) <= 1
+        }
+        assert got == want

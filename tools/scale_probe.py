@@ -38,6 +38,14 @@ from huckli_spark.session import get_spark
 from huckli_spark.operators import bloom, dedup, freq, packing, privacy, simsearch, sketch
 
 
+def _pq_adc_pipeline(emb: DataFrame) -> int:
+    """fixed 100-query ADC search over the scaled corpus' codes."""
+    cbs = simsearch.pq_codebooks(emb)
+    codes = simsearch.pq_encode(emb, cbs)
+    queries = emb.where(F.col("vec_id") < 100)
+    return simsearch.pq_adc_topk(codes, queries, cbs, k=5).count()
+
+
 def _bloom_pipeline(docs: DataFrame) -> int:
     """bigram membership vs the first source as holdout (mirrors
     q_bloom_decontaminate's shape at probe scale)."""
@@ -229,6 +237,37 @@ def probe(scales, repeats: int) -> dict:
             lambda: freq.cms_heavy_hitters(
                 docs.select(F.explode(F.split("text", " ")).alias("w")), "w", k=20
             ).count(),
+            repeats,
+        )
+        runs["fuzzy_join_guarded"] = _run(
+            spark,
+            "fuzzy_join_guarded",
+            # doc-level near-title matching: first 5 words as the "title";
+            # the variant-frequency guard is what keeps this linear
+            lambda: dedup.fuzzy_pairs(
+                docs.select(
+                    "doc_id",
+                    F.expr(
+                        "array_join(slice(split(text, ' '), 1, 5), ' ')"
+                    ).alias("name"),
+                ),
+                str_col="name",
+                max_variant_freq=max(50, n_docs // 100),
+            ).count(),
+            repeats,
+        )
+        runs["pq_encode"] = _run(
+            spark,
+            "pq_encode",
+            lambda: simsearch.pq_encode(
+                emb, simsearch.pq_codebooks(emb)
+            ).count(),
+            repeats,
+        )
+        runs["pq_adc"] = _run(
+            spark,
+            "pq_adc",
+            lambda: _pq_adc_pipeline(emb),
             repeats,
         )
         results["scales"][str(scale)] = {
