@@ -1,0 +1,186 @@
+"""Corpus-pipeline CLI — the training-data operators behind one
+command surface, so the whole prep flow runs without writing Spark
+code:
+
+    python -m huckli_spark.corpus_cli scrub    --in raw/ --format jsonl --out clean/
+    python -m huckli_spark.corpus_cli quality  --in clean/ --out scored/
+    python -m huckli_spark.corpus_cli dedup    --in clean/ --method minhash \\
+        --threshold 0.9 --out kept/
+    python -m huckli_spark.corpus_cli pack     --in kept/ --budget 2048 \\
+        --shards 64 --out packed/
+    python -m huckli_spark.corpus_cli tokenize --in kept/ --merges 32 --out tok/
+
+Inputs: a parquet dir with the canonical documents schema, or JSONL /
+CSV (``--format``) landed through sources/text.py (malformed lines
+quarantined to ``<out>/_quarantine``, never dropped silently). Every
+command writes parquet and prints ONE JSON summary line on stdout.
+
+Each subcommand is a thin driver over the tested operators —
+pii_scrub, quality_score + repetition_stats, dedup keep-lists
+(exact / minhash / simhash), pack_sequences, bpe_train/apply — so the
+CLI inherits their scale shapes unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load(spark, path: str, fmt: str, out_dir: str):
+    from pyspark.sql import functions as F
+
+    from huckli_spark.sources.text import read_csv_documents, read_jsonl_documents
+
+    if fmt == "parquet":
+        return spark.read.parquet(path), None
+    r = read_jsonl_documents(spark, path) if fmt == "jsonl" else read_csv_documents(
+        spark, path
+    )
+    return r.docs.drop("file_source"), r.quarantine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="huckli_spark.corpus_cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--in", dest="inp", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument(
+            "--format", choices=["parquet", "jsonl", "csv"], default="parquet"
+        )
+
+    s = sub.add_parser("scrub", help="PII audit + redaction")
+    common(s)
+
+    s = sub.add_parser("quality", help="quality + repetition signals")
+    common(s)
+
+    s = sub.add_parser("dedup", help="near-dup removal, keep lowest doc_id")
+    common(s)
+    s.add_argument(
+        "--method", choices=["exact", "minhash", "simhash"], default="minhash"
+    )
+    s.add_argument("--threshold", type=float, default=0.9)
+
+    s = sub.add_parser("pack", help="training-sequence packing")
+    common(s)
+    s.add_argument("--budget", type=int, default=2048)
+    s.add_argument("--shards", type=int, default=64)
+
+    s = sub.add_parser("tokenize", help="train BPE merges + tokenize")
+    common(s)
+    s.add_argument("--merges", type=int, default=32)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from huckli_spark.session import get_spark
+
+    spark = get_spark(app_name=f"corpus_{args.cmd}")
+    os.makedirs(args.out, exist_ok=True)
+    docs, quarantine = _load(spark, args.inp, args.format, args.out)
+    summary: dict = {"cmd": args.cmd, "quarantined": 0}
+
+    if args.cmd == "scrub":
+        from huckli_spark.operators.privacy import pii_scrub
+
+        out = pii_scrub(docs).drop("text").withColumnRenamed("redacted", "text")
+        out.write.mode("overwrite").parquet(args.out)
+        agg = spark.read.parquet(args.out).agg(
+            F.count("*").alias("docs"), F.sum("n_pii").alias("pii_redacted")
+        ).collect()[0]
+        summary |= {"docs": agg["docs"], "pii_redacted": int(agg["pii_redacted"])}
+
+    elif args.cmd == "quality":
+        from huckli_spark.operators.textstats import quality_score, repetition_stats
+
+        q = quality_score(docs)
+        r = repetition_stats(docs).select(
+            "doc_id", "distinct_ratio", "top_word_frac", "top_bigram_frac"
+        )
+        q.join(r, "doc_id").write.mode("overwrite").parquet(args.out)
+        summary |= {"docs": spark.read.parquet(args.out).count()}
+
+    elif args.cmd == "dedup":
+        from huckli_spark.operators import dedup as dd
+        from huckli_spark.operators import sketch
+
+        if args.method == "exact":
+            kept = dd.dedup_exact(docs, ["text"], order_col="doc_id")
+        else:
+            pairs = (
+                sketch.minhash_dedup_pairs(docs, threshold=args.threshold)
+                if args.method == "minhash"
+                else sketch.simhash_pairs(docs, max_hamming=3)
+            ).select("d1", "d2")
+            # keep-list: drop the higher id of every dup pair
+            drop = pairs.select(
+                F.greatest("d1", "d2").alias("doc_id")
+            ).distinct()
+            kept = docs.join(drop, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+        summary |= {"docs_in": n_in, "docs_kept": n_out,
+                    "removed": n_in - n_out, "method": args.method}
+
+    elif args.cmd == "pack":
+        from huckli_spark.operators.packing import pack_sequences
+
+        packed = pack_sequences(
+            docs, budget=args.budget, n_shards=args.shards
+        )
+        packed.write.mode("overwrite").parquet(args.out)
+        agg = spark.read.parquet(args.out).agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            (F.max("seq_idx") + 1).alias("max_seqs_per_shard"),
+        ).collect()[0]
+        summary |= {
+            "docs": agg["docs"],
+            "tokens": int(agg["tokens"]),
+            "budget": args.budget,
+            "shards": args.shards,
+        }
+
+    elif args.cmd == "tokenize":
+        from huckli_spark.operators.bpe import bpe_apply, bpe_train
+
+        merges, _words = bpe_train(docs, n_merges=args.merges)
+        with open(os.path.join(args.out, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        tok = bpe_apply(docs, merges).select(
+            "doc_id", F.col("__w").alias("word"), "syms"
+        )
+        tok.write.mode("overwrite").parquet(os.path.join(args.out, "tokens"))
+        agg = spark.read.parquet(os.path.join(args.out, "tokens")).agg(
+            F.count("*").alias("words"), F.sum(F.size("syms")).alias("tokens")
+        ).collect()[0]
+        summary |= {
+            "merges": len(merges),
+            "words": agg["words"],
+            "tokens": int(agg["tokens"]),
+        }
+
+    # quarantine is written LAST: the command outputs above use
+    # overwrite mode on args.out and would wipe an earlier write
+    if quarantine is not None:
+        n_bad = quarantine.count()
+        summary["quarantined"] = n_bad
+        if n_bad:
+            quarantine.write.mode("overwrite").parquet(
+                os.path.join(args.out, "_quarantine")
+            )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

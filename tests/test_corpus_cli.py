@@ -1,0 +1,93 @@
+"""corpus_cli end-to-end: each subcommand over a JSONL corpus —
+quarantine surfaced, summaries truthful, outputs feed the next stage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from huckli_spark.corpus_cli import main
+
+
+@pytest.fixture()
+def jsonl_corpus(tmp_path):
+    p = tmp_path / "raw"
+    p.mkdir()
+    docs = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+        for i, t in enumerate(
+            [
+                "the quick brown fox email me a@b.co now",
+                "the quick brown fox email me a@b.co now",  # exact dup
+                "totally different words entirely here",
+                "pack these tokens into sequences for training runs",
+            ]
+        )
+    ]
+    with open(p / "docs.jsonl", "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+        fh.write("{broken json line\n")
+    return str(p)
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+class TestCorpusCli:
+    def test_scrub(self, spark, tmp_path, jsonl_corpus, capsys):
+        out = str(tmp_path / "clean")
+        s = _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                          "--out", out])
+        assert s["docs"] == 4 and s["quarantined"] == 1
+        assert s["pii_redacted"] == 2  # one email in each dup doc
+        texts = [r["text"] for r in spark.read.parquet(out).collect()]
+        assert all("a@b.co" not in t for t in texts)
+        assert os.path.isdir(os.path.join(out, "_quarantine"))
+
+    def test_dedup_exact_then_pack_chain(self, spark, tmp_path, jsonl_corpus,
+                                         capsys):
+        clean = str(tmp_path / "clean")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        kept = str(tmp_path / "kept")
+        s = _run(capsys, ["dedup", "--in", clean, "--out", kept,
+                          "--method", "exact"])
+        assert s["docs_in"] == 4 and s["docs_kept"] == 3 and s["removed"] == 1
+        packed = str(tmp_path / "packed")
+        s = _run(capsys, ["pack", "--in", kept, "--out", packed,
+                          "--budget", "16", "--shards", "2"])
+        assert s["docs"] == 3 and s["tokens"] > 0
+
+    def test_dedup_minhash(self, spark, tmp_path, jsonl_corpus, capsys):
+        clean = str(tmp_path / "clean")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        kept = str(tmp_path / "kept_mh")
+        s = _run(capsys, ["dedup", "--in", clean, "--out", kept,
+                          "--method", "minhash", "--threshold", "0.9"])
+        assert s["docs_kept"] == 3  # the exact dup is also a minhash dup
+
+    def test_quality(self, spark, tmp_path, jsonl_corpus, capsys):
+        clean = str(tmp_path / "clean")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        scored = str(tmp_path / "scored")
+        s = _run(capsys, ["quality", "--in", clean, "--out", scored])
+        assert s["docs"] == 4
+        cols = set(spark.read.parquet(scored).columns)
+        assert {"doc_id", "distinct_ratio", "top_word_frac"} <= cols
+
+    def test_tokenize(self, spark, tmp_path, jsonl_corpus, capsys):
+        tok = str(tmp_path / "tok")
+        s = _run(capsys, ["tokenize", "--in", jsonl_corpus, "--format", "jsonl",
+                          "--out", tok, "--merges", "6"])
+        assert s["merges"] == 6 and s["words"] > 0 and s["tokens"] > 0
+        merges = json.load(open(os.path.join(tok, "merges.json")))
+        assert len(merges) == 6 and all(len(m) == 2 for m in merges)
