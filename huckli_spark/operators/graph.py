@@ -101,7 +101,7 @@ def pagerank(
             )
         )
         r = (
-            nodes.join(in_sum, "node", "left")
+            nodes.join(F.broadcast(in_sum), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .crossJoin(F.broadcast(dangling))
             .select(

