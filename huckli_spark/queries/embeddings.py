@@ -522,3 +522,109 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "adc_micro", F.col("rank").cast("int")
     )
+
+
+@query(
+    "q_pq_recall",
+    f"""
+    WITH {_pq_oracle_common()},
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor(list_sum(list_transform(range(1, 65),
+                   j -> (q.qv[j] - e.ev[j]) * (q.qv[j] - e.ev[j])
+                 )) * 1000000.0 + 0.5) AS BIGINT), e.vec_id
+               ) AS rank
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    {", ".join(f'''adc{s} AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST(floor(list_sum(list_transform(range(1, 9), j ->
+               (q.qv[{s * 8} + j] - cb.cv[{s * 8} + j])
+               * (q.qv[{s * 8} + j] - cb.cv[{s * 8} + j])
+             )) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM q CROSS JOIN codes
+      JOIN cb ON cb.vec_id = CAST((codes.code_word >> {4 * s}) & 15 AS BIGINT)
+      WHERE codes.vec_id <> q.query_id
+    )''' for s in range(8))},
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
+                 AS rank
+        FROM ({" UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))})
+        GROUP BY query_id, neighbor_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {sql_fround('coalesce(h.n_hits, 0) / 5.0', 4)} AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) e
+    LEFT JOIN (
+      SELECT exact.query_id, count(*) AS n_hits
+      FROM exact JOIN approx
+        ON approx.query_id = exact.query_id
+       AND approx.neighbor_id = exact.neighbor_id
+      GROUP BY 1
+    ) h ON h.query_id = e.query_id
+    """,
+    doc="PQ index-quality evaluation: recall@5 of ADC code-only search "
+    "vs exact micro-rounded L2 ground truth, per query — the metric "
+    "that decides codebook size/subspace count in production. "
+    "Completes the eval-gate family (q_ann_recall covers IVF/LSH, "
+    "q_minhash_recall the text sketches). Both rankings are exact-"
+    "integer with id tiebreaks, so the recall matrix itself is "
+    "bit-portable.",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    cbs = simsearch.pq_codebooks(em)
+    codes = simsearch.pq_encode(em, cbs)
+    queries = em.where(F.col("vec_id") < 20)
+    approx = simsearch.pq_adc_topk(codes, queries, cbs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    # exact ground truth: micro-rounded full-dim squared L2
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("__qv"))
+    c = em.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("__nv"))
+    d = (
+        "cast(floor(aggregate(zip_with(__qv, __nv,"
+        " (x, y) -> (cast(x AS double) - cast(y AS double))"
+        " * (cast(x AS double) - cast(y AS double))),"
+        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+        " AS bigint)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d).alias("d_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            fround(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 4).alias(
+                "recall_at_5"
+            ),
+        )
+    )
