@@ -1,0 +1,225 @@
+"""Distributed k-means in exact fixed-point arithmetic.
+
+The IVF coarse quantizer and PQ codebooks ship with deterministic
+SAMPLED centroids (lowest-id vectors); production trains them with
+k-means. This module provides that trainer with the same bit-
+portability discipline as the PageRank operator:
+
+- vectors become micro fixed-point integers ONCE
+  (``vm[j] = floor(v[j] * 1e6 + 0.5)``),
+- assignment distances are EXACT integer sums of squared integer
+  differences — no float enters the argmin at all; ties break on the
+  lowest centroid id,
+- centroid updates are exact integer per-dimension sums (decimal(38)
+  on Spark, HUGEINT on DuckDB) divided once in double and floored
+  back to micro ints.
+
+Every iteration is therefore bit-identical on any engine and any
+partitioning, and the DuckDB oracle replays the identical iterations
+relationally (generated unrolled SQL, ``sql_kmeans``).
+
+Scale shape per iteration: assignment is MAP-ONLY (centroids are k
+baked literal arrays — k*dim values — never a join side); the update
+is one map-combined groupBy over (cid, dim); the driver touches only
+k*dim centroid cells between iterations (the broadcast-k-means
+pattern). Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _vm_expr(vec_col: str) -> str:
+    return (
+        f"transform({vec_col}, x -> cast(floor(cast(x AS double)"
+        f" * {float(MICRO)} + 0.5) AS bigint))"
+    )
+
+
+def _assign_expr(cents: list[list[int]]) -> str:
+    """cid = argmin over exact integer squared L2; ties -> lowest cid."""
+    entries = []
+    for cid, c in enumerate(cents):
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+        d = (
+            f"aggregate(zip_with(__vm, {arr}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0 AS bigint), (acc, v) -> acc + v)"
+        )
+        entries.append(f"named_struct('d', {d}, 'cid', {cid})")
+    return (
+        "element_at(array_sort(array(" + ", ".join(entries) + "),"
+        " (l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1"
+        " WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1).cid"
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Train k centroids (micro fixed-point ints). Init = the k
+    lowest-id vectors (deterministic; any seeding works — production
+    would use k-means|| — the ARITHMETIC is what must be portable)."""
+    vm = df.select(F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm"))
+    vm = vm.persist()
+    init = (
+        vm.where(F.col(id_col) < k).orderBy(id_col).select("__vm").collect()
+    )
+    cents = [[int(x) for x in r[0]] for r in init]
+    try:
+        for _ in range(iterations):
+            assigned = vm.select(
+                F.expr(_assign_expr(cents)).alias("cid"),
+                F.posexplode("__vm").alias("dim", "val"),
+            )
+            cells = (
+                assigned.groupBy("cid", "dim")
+                .agg(
+                    F.sum(F.col("val").cast("decimal(38,0)"))
+                    .cast("double")
+                    .alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .select(
+                    "cid",
+                    "dim",
+                    F.floor(F.col("s") / F.col("n") + F.lit(0.5))
+                    .cast("long")
+                    .alias("c"),
+                )
+                .collect()
+            )
+            nxt = [list(c) for c in cents]  # empty clusters persist
+            for r in cells:
+                nxt[r["cid"]][r["dim"]] = int(r["c"])
+            cents = nxt
+    finally:
+        vm.unpersist()
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid): map-only exact-integer assignment."""
+    return df.select(
+        F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm")
+    ).select(F.col(id_col), F.expr(_assign_expr(cents)).alias("cid"))
+
+
+def kmeans_table(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Gate-friendly result: (cid, dim, c_micro, n_members) — the full
+    trained codebook plus cluster sizes, all exact integers."""
+    cents = kmeans_fit(df, k, iterations, id_col, vec_col)
+    sizes = (
+        kmeans_assign(df, cents, id_col, vec_col)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+    )
+    spark = df.sparkSession
+    cent_rows = [
+        (cid, dim, int(v))
+        for cid, c in enumerate(cents)
+        for dim, v in enumerate(c)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cid int, dim int, c_micro long"
+    )
+    return (
+        cent_df.join(sizes, "cid", "left")
+        .select(
+            "cid",
+            "dim",
+            "c_micro",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+                "n_members"
+            ),
+        )
+    )
+
+
+def sql_kmeans(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB oracle: identical fixed-point iterations, relational
+    (centroids as (cid, dim, c) rows instead of baked literals)."""
+    parts = [
+        f"""vm AS (
+          SELECT vec_id, dim - 1 AS dim,
+                 CAST(floor(v * {float(MICRO)} + 0.5) AS BIGINT) AS val
+          FROM (
+            SELECT vec_id,
+                   generate_subscripts(embedding::DOUBLE[], 1) AS dim,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings
+          )
+        )""",
+        f"""c0 AS (
+          SELECT vec_id AS cid, dim, val AS c FROM vm WHERE vec_id < {k}
+        )""",
+    ]
+    for i in range(iterations):
+        p, q = f"c{i}", f"c{i + 1}"
+        parts.append(
+            f"""d{i} AS (
+              SELECT vm.vec_id, {p}.cid,
+                     sum((vm.val - {p}.c) * (vm.val - {p}.c)) AS d
+              FROM vm JOIN {p} ON {p}.dim = vm.dim
+              GROUP BY 1, 2
+            ), a{i} AS (
+              SELECT vec_id, CAST(min(cid) AS INT) AS cid
+              FROM (
+                SELECT vec_id, cid, d,
+                       min(d) OVER (PARTITION BY vec_id) AS md
+                FROM d{i}
+              ) WHERE d = md GROUP BY vec_id
+            ), u{i} AS (
+              SELECT a{i}.cid, vm.dim,
+                     CAST(floor(CAST(sum(vm.val) AS DOUBLE) / count(*) + 0.5)
+                          AS BIGINT) AS c
+              FROM vm JOIN a{i} ON a{i}.vec_id = vm.vec_id
+              GROUP BY 1, 2
+            ), {q} AS (
+              -- empty clusters keep their previous centroid
+              SELECT {p}.cid, {p}.dim, coalesce(u{i}.c, {p}.c) AS c
+              FROM {p} LEFT JOIN u{i}
+                ON u{i}.cid = {p}.cid AND u{i}.dim = {p}.dim
+            )"""
+        )
+    last = f"c{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+        final_assign AS (
+          SELECT vm.vec_id, {last}.cid,
+                 sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
+          FROM vm JOIN {last} ON {last}.dim = vm.dim
+          GROUP BY 1, 2
+        ), fa AS (
+          SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+            SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+            FROM final_assign
+          ) WHERE d = md GROUP BY vec_id
+        ), sizes AS (
+          SELECT cid, count(*) AS n_members FROM fa GROUP BY cid
+        )
+        SELECT CAST({last}.cid AS INT) AS cid, CAST({last}.dim AS INT) AS dim,
+               {last}.c AS c_micro,
+               CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members
+        FROM {last} LEFT JOIN sizes ON sizes.cid = {last}.cid"""
+    )

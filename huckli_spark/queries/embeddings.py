@@ -628,3 +628,33 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook training (exact fixed-point)
+# ---------------------------------------------------------------------------
+def _kmeans_oracle() -> str:
+    from huckli_spark.operators.clustering import sql_kmeans
+
+    return sql_kmeans(k=8, iterations=3)
+
+
+@query(
+    "q_kmeans",
+    _kmeans_oracle(),
+    doc="distributed k-means (k=8, 3 iterations) in exact fixed-point "
+    "arithmetic: assignment distances are INTEGER sums of squared "
+    "integer differences (no float in the argmin; ties to lowest cid), "
+    "centroid updates exact integer sums divided once and floored back "
+    "to micro ints — every iteration bit-identical on any engine or "
+    "partitioning, PageRank-style. Output = the full trained codebook "
+    "(cid, dim, c_micro) + cluster sizes, all hash-gated against a "
+    "generated unrolled-iteration oracle. This is the trainer that "
+    "upgrades the IVF/PQ sampled codebooks in production. Scale: "
+    "assignment map-only (centroids baked as k*dim literals), update "
+    "one map-combined groupBy, driver holds only k*dim cells.",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.clustering import kmeans_table
+
+    return kmeans_table(_emb(spark, sf_dir), k=8, iterations=3)

@@ -1,0 +1,114 @@
+"""Fixed-point k-means tests: recovers planted clusters, exact-integer
+invariants, partitioning invariance, empty-cluster persistence — and
+the payoff test: k-means-trained PQ codebooks beat sampled ones on
+clustered data."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from huckli_spark.operators import clustering as km
+from huckli_spark.operators import simsearch as ss
+
+
+def _clustered(spark, n_clusters=4, per=40, dim=64, spread=0.05, seed=3):
+    """Vectors around n_clusters well-separated centers. The first
+    n_clusters ids are one vector from each cluster (so lowest-id
+    init starts near distinct clusters — Lloyd's refines from there).
+    """
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 2.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # ids 0..k-1: one seed per cluster
+        rows.append((vid, c, centers[c] + rng.randn(dim) * spread))
+        vid += 1
+    for c in range(n_clusters):
+        for _ in range(per - 1):
+            rows.append((vid, c, centers[c] + rng.randn(dim) * spread))
+            vid += 1
+    data = [
+        (int(i), int(true), [float(x) for x in v.astype("float32")])
+        for i, true, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "vec_id long, true_cluster int, embedding array<float>"
+    )
+
+
+class TestKMeans:
+    def test_recovers_planted_clusters(self, spark):
+        df = _clustered(spark)
+        cents = km.kmeans_fit(df, k=4, iterations=3)
+        got = km.kmeans_assign(df, cents)
+        joined = df.select("vec_id", "true_cluster").join(got, "vec_id")
+        # every learned cluster maps 1:1 onto one true cluster
+        purity = (
+            joined.groupBy("cid", "true_cluster").count()
+            .groupBy("cid").agg(F.max("count").alias("maj"),
+                                F.sum("count").alias("tot"))
+            .agg(F.sum("maj"), F.sum("tot")).collect()[0]
+        )
+        assert purity[0] == purity[1] == 160  # perfect separation
+
+    def test_partitioning_invariance(self, spark):
+        df = _clustered(spark, seed=9)
+        a = km.kmeans_fit(df.repartition(1), k=4, iterations=3)
+        b = km.kmeans_fit(df.repartition(64), k=4, iterations=3)
+        assert a == b
+
+    def test_centroids_are_integers_near_truth(self, spark):
+        df = _clustered(spark, spread=0.01, seed=5)
+        cents = km.kmeans_fit(df, k=4, iterations=3)
+        assert all(isinstance(v, int) for c in cents for v in c)
+        # trained centroid ~= cluster mean (within spread + rounding)
+        rows = {r["vec_id"]: (r["true_cluster"], r["embedding"])
+                for r in df.collect()}
+        got = km.kmeans_assign(df, cents).collect()
+        by_cid: dict[int, list[int]] = {}
+        for r in got:
+            by_cid.setdefault(r["cid"], []).append(r["vec_id"])
+        for cid, members in by_cid.items():
+            mean = np.mean([rows[m][1] for m in members], axis=0)
+            trained = np.array(cents[cid]) / 1e6
+            assert float(np.max(np.abs(mean - trained))) < 0.02
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        # k=3 over data with only 2 real groups and a far-away seed id
+        rows = [(0, [0.0] * 8), (1, [10.0] * 8), (2, [100.0] * 8)]
+        rows += [(i, [0.01] * 8) for i in range(3, 10)]
+        rows += [(i, [10.01] * 8) for i in range(10, 17)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = km.kmeans_fit(df, k=3, iterations=2)
+        # centroid 2 captured only its own seed at first and may go
+        # empty later; it must remain a valid integer vector
+        assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+
+    def test_trained_pq_codebooks_beat_sampled_on_clustered_data(self, spark):
+        # THE payoff: on clustered vectors, k-means codebooks cut PQ
+        # reconstruction error vs sampled ones — a single sampled
+        # vector carries its own noise; the trained centroid is the
+        # denoised cluster mean. (Recall can tie when sampling happens
+        # to pick one seed per cluster; the quantization OBJECTIVE
+        # improves regardless.)
+        df = _clustered(spark, n_clusters=8, per=25, spread=0.2, seed=11)
+        em = df.select("vec_id", "embedding")
+
+        sampled = ss.pq_codebooks(em, m=8, n_codes=8)
+        cents = km.kmeans_fit(em, k=8, iterations=3)
+        # trained codebooks: per subspace s, the k centroids' slices
+        trained = [
+            [[v / 1e6 for v in c[s * 8:(s + 1) * 8]] for c in cents]
+            for s in range(8)
+        ]
+
+        def total_err(cbs):
+            return (
+                ss.pq_encode(em, cbs)
+                .agg(F.sum("err_micro"))
+                .collect()[0][0]
+            )
+
+        e_sampled, e_trained = total_err(sampled), total_err(trained)
+        assert e_trained < 0.7 * e_sampled, (e_trained, e_sampled)
