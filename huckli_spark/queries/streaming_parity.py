@@ -356,3 +356,78 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vm.cast("decimal(38,0)")).cast("long").alias("sum_vm"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+def _cms_user_oracle() -> str:
+    from huckli_spark.operators import freq
+
+    probes = ", ".join(
+        f"{{'row': {r}, 'bucket': {freq.sql_cms_bucket('key', r, freq.CMS_W)}}}"
+        for r in range(freq.CMS_D)
+    )
+    return f"""
+    WITH sketch AS (
+      {freq.sql_cms_build_cte(
+          "SELECT CAST(user_id AS VARCHAR) AS key FROM events")}
+    ), truth AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS true_cnt
+      FROM events GROUP BY 1
+    ), probes AS (
+      SELECT key, true_cnt, unnest([{probes}]) AS c
+      FROM truth
+    ), est AS (
+      SELECT p.key, p.true_cnt, min(coalesce(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s
+        ON s.row = c.row AND s.bucket = c.bucket
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT key, est, true_cnt, est - true_cnt AS overestimate,
+             row_number() OVER (ORDER BY est DESC, key) AS rnk
+      FROM est
+    )
+    SELECT key, est, true_cnt, overestimate, rnk FROM ranked WHERE rnk <= 20
+    """
+
+
+@query(
+    "q_stream_countmin",
+    _cms_user_oracle(),
+    doc="STREAMING count-min sketch: the cell matrix builds as a "
+    "running streaming aggregate (groupBy (row, bucket) count, "
+    "complete mode — bounded state of at most d*w rows regardless of "
+    "stream length or key cardinality: the whole point of sketching a "
+    "stream). The drained cells then serve heavy-hitter estimates "
+    "batch-side, hash-matched against the batch-built sketch — "
+    "streaming build == batch build because cms cells are exactly "
+    "mergeable (the property cms_merge pins in unit tests).",
+)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators import freq
+    from huckli_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        stage_table_stream,
+    )
+
+    stream_dir = stage_table_stream(sf_dir, "events")
+    stream = events_stream(spark, stream_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    cells = run_to_memory(freq.cms_build(stream, "key"), "complete")
+
+    truth = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    est = freq.cms_estimate(truth.select("key"), cells, "key")
+    scored = truth.join(est, "key").select(
+        "key", "est", "true_cnt",
+        (F.col("est") - F.col("true_cnt")).alias("overestimate"),
+    )
+    top = scored.orderBy(F.desc("est"), F.asc("key")).limit(20)
+    rk = F.row_number().over(Window.orderBy(F.desc("est"), F.asc("key")))
+    return top.withColumn("rnk", rk)
