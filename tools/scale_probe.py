@@ -35,7 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from huckli_spark.session import get_spark
-from huckli_spark.operators import bloom, dedup, freq, packing, privacy, simsearch, sketch
+from huckli_spark.operators import (
+    bloom,
+    clustering,
+    dedup,
+    freq,
+    packing,
+    privacy,
+    simsearch,
+    sketch,
+)
 
 
 def _pq_adc_pipeline(emb: DataFrame) -> int:
@@ -268,6 +277,12 @@ def probe(scales, repeats: int) -> dict:
             spark,
             "pq_adc",
             lambda: _pq_adc_pipeline(emb),
+            repeats,
+        )
+        runs["kmeans"] = _run(
+            spark,
+            "kmeans",
+            lambda: clustering.kmeans_table(emb, k=8, iterations=3).count(),
             repeats,
         )
         results["scales"][str(scale)] = {
