@@ -154,9 +154,10 @@ def kmeans_table(
     )
 
 
-def sql_kmeans(k: int = 8, iterations: int = 3) -> str:
-    """DuckDB oracle: identical fixed-point iterations, relational
-    (centroids as (cid, dim, c) rows instead of baked literals)."""
+def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
+    """The shared CTE text (vm, c0..c{iterations}) — composable into
+    oracles that consume the trained centroids (sql_kmeans, the
+    trained-IVF gate)."""
     parts = [
         f"""vm AS (
           SELECT vec_id, dim - 1 AS dim,
@@ -200,10 +201,15 @@ def sql_kmeans(k: int = 8, iterations: int = 3) -> str:
                 ON u{i}.cid = {p}.cid AND u{i}.dim = {p}.dim
             )"""
         )
+    return ",\n".join(parts)
+
+
+def sql_kmeans(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB oracle for the full kmeans_table result."""
     last = f"c{iterations}"
     return (
         "WITH "
-        + ",\n".join(parts)
+        + sql_kmeans_ctes(k, iterations)
         + f""",
         final_assign AS (
           SELECT vm.vec_id, {last}.cid,

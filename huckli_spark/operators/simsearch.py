@@ -422,6 +422,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     k: int = 5,
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF search: exact cosine top-k within the ``nprobe`` probed
     clusters per query. Returns (query_id, neighbor_id, cos_sim, rank).
@@ -430,7 +431,10 @@ def ivf_topk(
     equi-join on cid (queries broadcast); each query scans ~nprobe/k
     of the corpus instead of all of it.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    # pass trained centroids (e.g. clustering.kmeans_fit scaled to
+    # floats) to upgrade the sampled coarse quantizer in place
+    cents = (centroids if centroids is not None
+             else ivf_centroids(corpus, n_centroids, id_col, vec_col))
     posting = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"), "cid"
     )

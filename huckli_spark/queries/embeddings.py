@@ -658,3 +658,67 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.clustering import kmeans_table
 
     return kmeans_table(_emb(spark, sf_dir), k=8, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# IVF with k-means-trained coarse centroids (trainer -> index -> search)
+# ---------------------------------------------------------------------------
+def _ivf_trained_oracle() -> str:
+    from huckli_spark.operators.clustering import sql_kmeans_ctes
+
+    return f"""
+    WITH {sql_kmeans_ctes(k=8, iterations=3)},
+    cent AS (
+      SELECT cid, list(c / 1000000.0 ORDER BY dim) AS c
+      FROM c3 GROUP BY cid
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), corpus_sims AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround("list_dot_product(v.e, cent.c) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))", 6)} DESC,
+                        cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, e AS nv, cid FROM corpus_sims WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qv, cid
+      FROM corpus_sims WHERE vec_id < 10 AND rn <= 2
+    ), sims AS (
+      SELECT query_id, neighbor_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM probes JOIN posting USING (cid)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "q_ann_ivf_trained",
+    _ivf_trained_oracle(),
+    doc="the full production composition, end-to-end hash-gated: "
+    "fixed-point k-means trains the coarse quantizer (q_kmeans's exact "
+    "iterations), the trained centroids replace the sampled ones in "
+    "the IVF index, and the nprobe=2 search runs over the resulting "
+    "inverted file. The oracle replays training relationally and "
+    "rebuilds the identical index — trainer, index, and search are "
+    "all one differential check.",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.clustering import kmeans_fit
+
+    em = _emb(spark, sf_dir)
+    cents_micro = kmeans_fit(em, k=8, iterations=3)
+    cents = [
+        (cid, [v / 1e6 for v in c]) for cid, c in enumerate(cents_micro)
+    ]
+    return simsearch.ivf_topk(
+        em, em.where(F.col("vec_id") < 10), nprobe=2, k=5, centroids=cents
+    )
