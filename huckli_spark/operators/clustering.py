@@ -27,6 +27,8 @@ pattern). Empty clusters keep their previous centroid.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,32 +75,31 @@ def kmeans_fit(
         vm.where(F.col(id_col) < k).orderBy(id_col).select("__vm").collect()
     )
     cents = [[int(x) for x in r[0]] for r in init]
+    dim = len(cents[0])
     try:
         for _ in range(iterations):
-            assigned = vm.select(
-                F.expr(_assign_expr(cents)).alias("cid"),
-                F.posexplode("__vm").alias("dim", "val"),
-            )
+            # update via `dim` per-dimension sum aggregates on the
+            # UNEXPLODED rows: a posexplode formulation multiplies the
+            # row count by `dim` before the combine and measured 4.6x
+            # slower at the 10x probe scale for identical centroids
+            aggs = [F.count("*").alias("n")] + [
+                F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"s{j}")
+                for j in range(dim)
+            ]
             cells = (
-                assigned.groupBy("cid", "dim")
-                .agg(
-                    F.sum(F.col("val").cast("decimal(38,0)"))
-                    .cast("double")
-                    .alias("s"),
-                    F.count("*").alias("n"),
-                )
-                .select(
-                    "cid",
-                    "dim",
-                    F.floor(F.col("s") / F.col("n") + F.lit(0.5))
-                    .cast("long")
-                    .alias("c"),
-                )
+                vm.select(F.expr(_assign_expr(cents)).alias("cid"), "__vm")
+                .groupBy("cid")
+                .agg(*aggs)
                 .collect()
             )
             nxt = [list(c) for c in cents]  # empty clusters persist
             for r in cells:
-                nxt[r["cid"]][r["dim"]] = int(r["c"])
+                n = r["n"]
+                nxt[r["cid"]] = [
+                    int(math.floor(r[f"s{j}"] / n + 0.5)) for j in range(dim)
+                ]
             cents = nxt
     finally:
         vm.unpersist()
