@@ -316,3 +316,94 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(20)
     rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")))
     return top.withColumn("rnk", rk)
+
+
+# ----------------------------------------------------- bigram LM quality
+@query(
+    "q_bigram_logprob",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(w)),
+                    i -> [w[i], w[i + 1]])) AS bg
+      FROM base WHERE array_length(w) >= 2
+    ), pairs AS (
+      SELECT doc_id, bg[1] AS ctx, bg[2] AS nxt FROM big
+    ), cb AS (
+      SELECT ctx, nxt, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), cc AS (
+      SELECT ctx, count(*) AS n FROM pairs GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(w) AS x FROM base)
+    ), scored AS (
+      -- add-one smoothed conditional log-prob, fixed-point micro-nats
+      SELECT p.doc_id,
+             CAST(floor(ln((cb.c + 1.0) / (cc.n + vocab.v))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM pairs p
+      JOIN cb ON cb.ctx = p.ctx AND cb.nxt = p.nxt
+      JOIN cc ON cc.ctx = p.ctx
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+           {sql_fround('sum(lp_micro) * 1.0 / count(*) / 1000000', 4)}
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="bigram-LM quality score (add-one smoothed conditional "
+    "P(w_i | w_{{i-1}})): the perplexity-style filter one step past "
+    "q_unigram_logprob — boilerplate and scrambled text diverge from "
+    "natural word order even when unigram frequencies look fine. "
+    "Same portability discipline: per-bigram log-probs floor to micro-"
+    "nat BIGINTs, per-doc sums are exact integer aggregation. Two "
+    "count shuffles (bigram, context) + a vocab scalar; the scoring "
+    "join shuffles on the context key.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    pairs = (
+        base.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS ctx,"
+                    " element_at(w, i + 1) AS nxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.ctx", "p.nxt")
+    )
+    cb = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
+    cc = pairs.groupBy("ctx").agg(F.count("*").alias("n"))
+    vocab = base.select(F.explode("w").alias("x")).agg(
+        F.count_distinct("x").alias("v")
+    )
+    scored = (
+        pairs.join(cb, ["ctx", "nxt"])
+        .join(cc, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp_micro").cast("long").alias("sum_lp_micro"),
+        fround(F.sum("lp_micro") * 1.0 / F.count("*") / 1000000, 4).alias(
+            "avg_logprob"
+        ),
+    )
