@@ -71,9 +71,9 @@ def kmeans_fit(
     would use k-means|| — the ARITHMETIC is what must be portable)."""
     vm = df.select(F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm"))
     vm = vm.persist()
-    init = (
-        vm.where(F.col(id_col) < k).orderBy(id_col).select("__vm").collect()
-    )
+    # init = the k LOWEST ids (not ids < k: a filtered corpus need not
+    # contain 0..k-1); deterministic and equal on contiguous-id data
+    init = vm.orderBy(id_col).limit(k).select("__vm").collect()
     cents = [[int(x) for x in r[0]] for r in init]
     dim = len(cents[0])
     try:
@@ -170,8 +170,15 @@ def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
             FROM embeddings
           )
         )""",
-        f"""c0 AS (
-          SELECT vec_id AS cid, dim, val AS c FROM vm WHERE vec_id < {k}
+        f"""init AS (
+          -- the k LOWEST ids, renumbered positionally (mirrors the
+          -- operator's centroid-list indexing on any id space)
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT DISTINCT vec_id FROM vm)
+          ORDER BY vec_id LIMIT {k}
+        ), c0 AS (
+          SELECT init.cid, vm.dim, vm.val AS c
+          FROM vm JOIN init USING (vec_id)
         )""",
     ]
     for i in range(iterations):

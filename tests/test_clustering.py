@@ -112,3 +112,15 @@ class TestKMeans:
 
         e_sampled, e_trained = total_err(sampled), total_err(trained)
         assert e_trained < 0.7 * e_sampled, (e_trained, e_sampled)
+
+
+class TestKMeansRobustness:
+    def test_noncontiguous_ids(self, spark):
+        # ids offset by 1e9: init must still find k seeds (the k
+        # lowest ids), and the result must match the contiguous run
+        # re-labeled — pure id-space invariance
+        df = _clustered(spark, seed=21)
+        shifted = df.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+        a = km.kmeans_fit(df, k=4, iterations=3)
+        b = km.kmeans_fit(shifted, k=4, iterations=3)
+        assert a == b
