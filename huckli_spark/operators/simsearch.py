@@ -349,7 +349,9 @@ def ivf_centroids(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer: the ``n_centroids`` vectors with
     the lowest ids. The bounded driver-side collect (k rows) is the
-    same pattern as broadcasting k-means centroids."""
+    same pattern as broadcasting k-means centroids. Assumes ids
+    0..n-1 exist (fixture convention); pass kmeans-trained centroids
+    to ``ivf_topk(centroids=...)`` for arbitrary corpora."""
     rows = (
         df.where(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
@@ -485,7 +487,13 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """codebooks[s][c] = subvector s of the vector with id c. Bounded
-    driver collect (n_codes rows) — broadcast as baked literals."""
+    driver collect (n_codes rows) — broadcast as baked literals.
+
+    Assumes ids 0..n_codes-1 exist (true for the fixtures and any
+    contiguous-id corpus; clustering.kmeans_fit shows the
+    lowest-k-ids pattern for arbitrary id spaces, and trained
+    codebooks are the production path anyway — see q_ann_ivf_trained
+    and the clustering module)."""
     rows = (
         df.where(F.col(id_col) < n_codes)
         .select(id_col, vec_col)
