@@ -439,8 +439,9 @@ def fuzzy_pairs(
     URLs — where shingle sketches are too coarse.
 
     Deletion-neighborhood blocking: each string produces itself plus
-    its |s| single-character-deletion variants; two strings within
-    edit distance 1 ALWAYS share a variant (equal -> s itself;
+    its deletion variants to depth ``max_dist`` (SymSpell guarantee:
+    ed(u,v) <= d implies a shared <= d-deletion variant; supported
+    depths 0..2); two strings within the bound ALWAYS share a variant (equal -> s itself;
     substitution -> both drop the differing position; indel -> the
     shorter string is a variant of the longer). Sharing a variant only
     bounds the distance by 2, so candidates are verified with exact
@@ -454,13 +455,31 @@ def fuzzy_pairs(
     """
     from huckli_spark.functions.portable import h60
 
+    if max_dist not in (0, 1, 2):
+        # SymSpell blocking guarantee: ed(u,v) <= d  =>  u and v share
+        # a variant of <= d deletions. Depth grows the variant count
+        # O(|s|^d); beyond 2 use the n-gram / sketch operators.
+        raise ValueError(f"fuzzy_pairs supports max_dist 0..2, got {max_dist}")
     s = F.col(str_col)
-    variants = F.expr(
-        f"CASE WHEN length({str_col}) = 0 THEN array({str_col}) ELSE "
-        f"array_distinct(concat(array({str_col}), "
+    dels1 = (
         f"transform(sequence(1, length({str_col})), "
         f"i -> concat(substring({str_col}, 1, i - 1), "
-        f"substring({str_col}, i + 1, length({str_col})))))) END"
+        f"substring({str_col}, i + 1, length({str_col}))))"
+    )
+    if max_dist <= 1:
+        body = f"array_distinct(concat(array({str_col}), {dels1}))"
+    else:  # depth-2 deletion neighborhood
+        dels2 = (
+            f"flatten(transform({dels1}, t -> CASE WHEN length(t) = 0 "
+            "THEN array() ELSE transform(sequence(1, length(t)), "
+            "j -> concat(substring(t, 1, j - 1), "
+            "substring(t, j + 1, length(t)))) END))"
+        )
+        body = (
+            f"array_distinct(concat(array({str_col}), {dels1}, {dels2}))"
+        )
+    variants = F.expr(
+        f"CASE WHEN length({str_col}) = 0 THEN array({str_col}) ELSE {body} END"
     )
     v = (
         df.select(F.col(id_col), s.alias("__s"), F.explode(variants).alias("__v"))

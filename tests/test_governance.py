@@ -228,3 +228,41 @@ class TestFuzzyPairsProperty:
             if _ed(names[i], names[j]) <= 1
         }
         assert got == want
+
+
+class TestFuzzyPairsDepth2:
+    def test_ed2_completeness_vs_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        rng = random.Random(77)
+        names = list(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(0, 5)))
+                for _ in range(45)
+            }
+        )
+        df = spark.createDataFrame(
+            list(enumerate(names)), "doc_id long, name string"
+        )
+        got = {
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in fuzzy_pairs(df, str_col="name", max_dist=2).collect()
+        }
+        want = {
+            (i, j, _ed(names[i], names[j]))
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if _ed(names[i], names[j]) <= 2
+        }
+        assert got == want
+
+    def test_unsupported_depth_raises(self, spark):
+        import pytest
+
+        from huckli_spark.operators.dedup import fuzzy_pairs
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, name string")
+        with pytest.raises(ValueError, match="max_dist 0..2"):
+            fuzzy_pairs(df, str_col="name", max_dist=3)
