@@ -364,6 +364,16 @@ def simhash_pairs_from_signatures(
     Hamming <= max_hamming, each EXACTLY once — the first-matching-
     chunk filter dedups emission without a shuffle."""
     n_chunks = SIMHASH_CHUNKS
+    if max_hamming >= n_chunks:
+        # pigeonhole: with n chunks, <= n-1 differing bits force a
+        # shared chunk. Beyond that the banded join silently DROPS
+        # pairs whose differing bits spread across all chunks — make
+        # the exactness boundary loud instead.
+        raise ValueError(
+            f"banded simhash is exact only for max_hamming <= "
+            f"{n_chunks - 1}; got {max_hamming} (raise SIMHASH_CHUNKS "
+            "or use brute-force XOR for looser bounds)"
+        )
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
     entries = [

@@ -80,3 +80,19 @@ def test_zero_and_boundary_signatures(spark):
     full = (1 << SIMHASH_BITS) - 1
     sigs = [0, 1, full, full ^ 1, 0x7FFF, 0x7FFF << 15, 0x7FFF << 30, 0x7FFF << 45]
     _check(spark, sigs)
+
+
+def test_simhash_banding_rejects_beyond_pigeonhole_bound(spark):
+    # 4 chunks guarantee completeness only to hamming 3; asking for
+    # more must be a loud error, not silently incomplete output
+    import pytest
+
+    from huckli_spark.operators import sketch
+
+    sig = spark.createDataFrame([(1, 7), (2, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="exact only for max_hamming <= 3"):
+        sketch.simhash_pairs_from_signatures(sig, max_hamming=4)
+    # the boundary value itself still works
+    assert (
+        sketch.simhash_pairs_from_signatures(sig, max_hamming=3).count() >= 0
+    )
