@@ -73,6 +73,12 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``out_col``: true iff all k bits of the key are set.
 
+    ``m_words``/``k`` MUST match the build call — mismatched geometry
+    probes the wrong positions and can produce FALSE NEGATIVES,
+    breaking the one guarantee a Bloom filter makes. Prefer
+    ``bloom_filter_keys``, which threads one parameter set through
+    build and probe.
+
     The filter is broadcast (≤ m_words rows); the probe explodes each
     key to its k (word_idx, mask) probes, left-joins the words and
     requires every probe to land on a set bit. The probed relation

@@ -63,6 +63,10 @@ def cms_estimate(
 ) -> DataFrame:
     """Append the count-min estimate for every item (min over d cells).
 
+    ``d``/``w`` MUST match the build call — mismatched geometry reads
+    the wrong cells and can UNDERestimate, voiding the one-sided error
+    guarantee.
+
     The sketch is broadcast (<= d*w rows); absent cells count 0 —
     reachable only for items never inserted, where 0 is exact.
     """

@@ -44,6 +44,10 @@ def pack_sequences(
     ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separator.
     Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq).
     """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"budget and n_shards must be positive (got {budget}, {n_shards})"
+        )
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
     d = df.select(
