@@ -111,6 +111,14 @@ _GATE_PRIORITY: list[str] = [
     "q_sequence_pack",
     "q_unigram_logprob",
 ]
+# Round-6 rotation queue (never driver-graded; all strict-replica
+# green in round 5): q_countmin_topk, q_weighted_sample,
+# q_zscore_outliers, q_pagerank, q_fuzzy_join, q_pq_encode, q_pq_adc,
+# q_pq_recall, q_kmeans, q_ann_ivf_trained, q_bpe_pairs,
+# q_bigram_logprob, q_full_outer_join, q_hopping_window,
+# q_stream_static_join, q_stream_countmin. Swap them into the tail
+# slots 21-50 (everything there is r4/r5 driver-green), keep the
+# 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 
 
 def all_queries() -> dict[str, QuerySpec]:
