@@ -45,7 +45,9 @@ def _perm_params(k: int) -> tuple[int, int]:
     return (2 * k + 3, 7_919 * k + 1)
 
 
-def _signature_from_arrays(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _signature_from_arrays(
+    docs: DataFrame, id_col: str = "doc_id", fast_hash: bool = False
+) -> DataFrame:
     """(id, mh0..mh{K-1}) from a (id, sh_arr) relation: explode the
     shingles, hash once, take K permuted minima as codegen'd MIN
     aggregates. Measured faster than the document-local
@@ -53,10 +55,20 @@ def _signature_from_arrays(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     interpreted per element, MIN aggregates stay in whole-stage
     codegen; map-side partial agg reduces the shuffle to one
     (K+1)-column row per doc per partition."""
-    # explode before hashing so md5 runs codegen-side per shingle row
+    # explode before hashing so the hash runs codegen-side per shingle
+    # row. fast_hash swaps the md5-based portable hash for xxhash64 —
+    # the production path (SCALE.md: md5 is the deliberate DuckDB-
+    # parity floor). Signatures differ from the portable ones, so the
+    # ORACLE-GATED pipelines never set it; candidate recall vs the
+    # portable pipeline is pinned in tests/test_sketch_properties.py.
+    h_expr = (
+        f"pmod(xxhash64(__s), {MINHASH_P})"
+        if fast_hash
+        else f"{_H60.format(v='__s')} % {MINHASH_P}"
+    )
     h = docs.select(F.col(id_col), F.explode("sh_arr").alias("__s")).select(
         F.col(id_col),
-        F.expr(f"{_H60.format(v='__s')} % {MINHASH_P}").alias("h"),
+        F.expr(h_expr).alias("h"),
     )
     mins = [
         F.min(F.expr(f"(h * {a} + {b}) % {MINHASH_P}")).alias(f"mh{k}")
@@ -204,6 +216,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.9,
     materialize: bool = True,
     scope=None,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: candidates from band buckets,
     then exact-Jaccard verification restricted to candidates.
@@ -216,7 +229,7 @@ def minhash_dedup_pairs(
     # one shared (id, shingle-array) relation: signatures, sizes, and
     # verification all derive from it document-locally
     docs = reg(shingle_array(df, id_col, text_col, n=n))
-    sig = _signature_from_arrays(docs, id_col)
+    sig = _signature_from_arrays(docs, id_col, fast_hash=fast_hash)
     bands = reg(minhash_bands(sig, id_col))
     cand = reg(_candidates_from_bands(bands, id_col))
     out = _exact_jaccard_for_candidates(docs, cand, id_col, reg, threshold=threshold)

@@ -96,3 +96,35 @@ def test_simhash_banding_rejects_beyond_pigeonhole_bound(spark):
     assert (
         sketch.simhash_pairs_from_signatures(sig, max_hamming=3).count() >= 0
     )
+
+
+def test_fast_hash_minhash_recall_vs_portable(spark):
+    """The xxhash64 production path (fast_hash=True) must find nearly
+    the same verified near-dup pairs as the md5 portable path — both
+    candidate generators are statistical, the exact-Jaccard verify is
+    identical, so only band-bucket recall can differ."""
+    import os
+
+    from huckli_spark.operators import sketch
+
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.01", "documents.parquet")
+    )
+    portable = {
+        (r["d1"], r["d2"])
+        for r in sketch.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    fast = {
+        (r["d1"], r["d2"])
+        for r in sketch.minhash_dedup_pairs(
+            docs, threshold=0.9, fast_hash=True
+        ).collect()
+    }
+    assert portable, "fixture must produce near-dup pairs"
+    recall = len(portable & fast) / len(portable)
+    assert recall >= 0.9, f"fast-hash recall {recall} vs portable"
+    # structural: every emitted pair passed the exact verify
+    for r in sketch.minhash_dedup_pairs(
+        docs, threshold=0.9, fast_hash=True
+    ).collect():
+        assert r["jaccard"] >= 0.9 - 1e-9
