@@ -95,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         out = pii_scrub(docs).drop("text").withColumnRenamed("redacted", "text")
         out.write.mode("overwrite").parquet(args.out)
         agg = spark.read.parquet(args.out).agg(
-            F.count("*").alias("docs"), F.sum("n_pii").alias("pii_redacted")
+            F.count("*").alias("docs"),
+            F.coalesce(F.sum("n_pii"), F.lit(0)).alias("pii_redacted"),
         ).collect()[0]
         summary |= {"docs": agg["docs"], "pii_redacted": int(agg["pii_redacted"])}
 

@@ -431,3 +431,43 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("est"), F.asc("key")).limit(20)
     rk = F.row_number().over(Window.orderBy(F.desc("est"), F.asc("key")))
     return top.withColumn("rnk", rk)
+
+
+def _stream_bloom_oracle() -> str:
+    from huckli_spark.operators import bloom as bl
+
+    return f"""
+    WITH mem AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+    ), bloom AS (
+      {bl.sql_bloom_build_cte('SELECT key FROM mem', 64, 4)}
+    )
+    SELECT word_idx, bits FROM bloom
+    """
+
+
+@query(
+    "q_stream_bloom",
+    _stream_bloom_oracle(),
+    doc="STREAMING Bloom-filter build: the bit array accumulates as a "
+    "running streaming aggregate (bit_or per word_idx, complete mode) "
+    "— bounded state of at most m_words rows however long the stream "
+    "runs, and the drained bits hash-match the batch-built filter "
+    "exactly because bit_or is idempotent and commutative (duplicate "
+    "key deliveries cannot corrupt the filter — the streaming-ingest "
+    "membership use case). Pairs with q_stream_countmin as the "
+    "mergeable-sketch streaming family.",
+)
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import bloom as bl
+    from huckli_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        stage_table_stream,
+    )
+
+    stream_dir = stage_table_stream(sf_dir, "events")
+    keys = events_stream(spark, stream_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    return run_to_memory(bl.bloom_build(keys, "key"), "complete")
