@@ -116,7 +116,7 @@ _GATE_PRIORITY: list[str] = [
 # q_zscore_outliers, q_pagerank, q_fuzzy_join, q_pq_encode, q_pq_adc,
 # q_pq_recall, q_kmeans, q_ann_ivf_trained, q_bpe_pairs,
 # q_bigram_logprob, q_full_outer_join, q_hopping_window,
-# q_stream_static_join, q_stream_countmin. Swap them into the tail
+# q_stream_static_join, q_stream_countmin, q_stream_bloom. Swap them into the tail
 # slots 21-50 (everything there is r4/r5 driver-green), keep the
 # 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 
