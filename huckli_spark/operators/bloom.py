@@ -21,7 +21,8 @@ bit 62/63 stay clear of BIGINT sign/overflow semantics differences.
 ``k`` independent positions per key via seeded h60.
 
 Scale shape: build is explode(k) → bit_or groupBy word_idx — output
-is exactly ``m_words`` rows no matter how many keys went in. Probe
+is AT MOST ``m_words`` rows no matter how many keys went in (words no
+key touched are absent; the probe coalesces them to zero). Probe
 side joins on word_idx against a broadcast of those m_words rows:
 map-side, no shuffle of the probed corpus.
 """
