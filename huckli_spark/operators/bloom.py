@@ -81,15 +81,21 @@ def bloom_probe(
     build and probe.
 
     The filter is broadcast (≤ m_words rows); the probe explodes each
-    key to its k (word_idx, mask) probes, left-joins the words and
-    requires every probe to land on a set bit. The probed relation
-    shuffles only on its own key for the regroup — at scale, fuse this
-    with a downstream per-key aggregate or use the expression form via
-    a collected words array when m_words is tiny.
+    DISTINCT key to its k (word_idx, mask) probes, left-joins the words
+    and requires every probe to land on a set bit. Probing distinct
+    keys is load-bearing, not an optimization: with duplicate keys the
+    per-key hit sum would be n_dups*k != k and a true member would be
+    reported false — a false negative, the one failure a Bloom filter
+    must never have. The per-key verdict then joins back onto the
+    original rows, so duplicates all carry the same (correct) verdict.
+    The probed relation shuffles only on its own key for the regroup —
+    at scale, fuse this with a downstream per-key aggregate or use the
+    expression form via a collected words array when m_words is tiny.
     """
     m_bits = m_words * BITS_PER_WORD
+    keys = df.select(key_col).distinct()
     probes = F.array(*[_position(F.col(key_col), i, m_bits) for i in range(k)])
-    e = df.select(F.col(key_col), F.posexplode(probes).alias("i", "p")).select(
+    e = keys.select(F.col(key_col), F.posexplode(probes).alias("i", "p")).select(
         key_col,
         "i",
         F.expr(f"cast(p div {BITS_PER_WORD} as bigint)").alias("word_idx"),
@@ -121,7 +127,9 @@ def bloom_filter_keys(
     bits = bloom_build(members.select(F.col(member_key).alias(key_col)), key_col,
                        m_words, k)
     probed = bloom_probe(candidates, key_col, bits, m_words, k)
-    survivors = probed.where(F.col("bloom_hit"))
+    # Distinct surviving keys: duplicate candidates must not multiply
+    # rows through the verdict join (each key carries ONE verdict row).
+    survivors = probed.where(F.col("bloom_hit")).select(key_col).distinct()
     exact = survivors.join(
         members.select(F.col(member_key).alias(key_col)).distinct(),
         key_col,

@@ -75,6 +75,13 @@ def kmeans_fit(
     # contain 0..k-1); deterministic and equal on contiguous-id data
     init = vm.orderBy(id_col).limit(k).select("__vm").collect()
     cents = [[int(x) for x in r[0]] for r in init]
+    if len(cents) < k:
+        # Loud failure (ADVICE r5): an empty corpus used to IndexError
+        # on cents[0]; a short one silently trained < k clusters.
+        raise ValueError(
+            f"kmeans_fit: k={k} requested but the corpus has only "
+            f"{len(cents)} row(s); supply k <= corpus size"
+        )
     dim = len(cents[0])
     try:
         for _ in range(iterations):

@@ -31,8 +31,14 @@ PII_PATTERNS: dict[str, str] = {
     # scope on purpose: audit pipelines over-match, then filter)
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
     # optional +country prefix, then NANP-shaped 3-3-4 with single
-    # separators; (?:...) is legal in both Java regex and RE2
-    "phone": r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b",
+    # separators; (?:...) is legal in both Java regex and RE2.
+    # Both arms carry a leading boundary (\b after the optional '+',
+    # '(' or \b before the area code) so a match can never START
+    # mid-digit-run: 14+-digit runs (card numbers, timestamps) are
+    # left whole instead of partially redacted. A bare 10-13 digit
+    # run still matches in full — audit pipelines over-match, then
+    # filter (same tradeoff as the ipv4 octet range).
+    "phone": r"(?:\+?\b[0-9]{1,3}[-. ]?)?(?:\(|\b)[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b",
 }
 
 REDACTION_TOKENS: dict[str, str] = {

@@ -563,12 +563,21 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    self_exclude: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the corpus side supplies ONLY its
     packed code word; each query row evaluates its 16-entry distance
     table per subspace in-row and sums the looked-up entries (exact
     integers). Queries broadcast; the corpus never moves or decodes.
-    Returns (query_id, neighbor_id, adc_micro, rank)."""
+    Returns (query_id, neighbor_id, adc_micro, rank).
+
+    ``self_exclude`` assumes queries and corpus SHARE an id space
+    (the fixture convention: queries are sampled corpus rows), and
+    drops the neighbor whose id equals the query's. When queries come
+    from a DIFFERENT id space, pass ``self_exclude=False`` — otherwise
+    a corpus vector whose id coincidentally equals a query id would be
+    silently excluded (ADVICE r5). Same caveat as pq_codebooks /
+    ivf_centroids' documented 0..n-1-id sampling convention."""
     from pyspark.sql import Window
 
     m = len(codebooks)
@@ -599,7 +608,12 @@ def pq_adc_topk(
         q = q.withColumn(f"__tab{s}", F.expr(tab))
     q = q.drop("__qv")
     c = codes.select(F.col(id_col).alias("neighbor_id"), "code_word")
-    pair = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    cond = (
+        F.col("neighbor_id") != F.col("query_id")
+        if self_exclude
+        else F.lit(True)
+    )
+    pair = c.join(F.broadcast(q), cond)
     adc = " + ".join(
         f"element_at(__tab{s},"
         f" cast((shiftright(code_word, {4 * s}) & 15) AS int) + 1)"

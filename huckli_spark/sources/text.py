@@ -58,8 +58,13 @@ def _schema_with_corrupt() -> T.StructType:
 
 
 def _split(parsed: DataFrame) -> CorpusRead:
+    # Provenance keeps the last TWO path segments (parent dir + file
+    # name): partitioned corpora routinely repeat file names across
+    # partition directories (part-00000.jsonl under date=.../), and a
+    # bare basename would collapse them into one provenance value.
     parsed = parsed.withColumn(
-        "file_source", F.element_at(F.split(F.col("__path"), "/"), -1)
+        "file_source",
+        F.array_join(F.slice(F.split(F.col("__path"), "/"), -2, 2), "/"),
     ).drop("__path")
     # Spark refuses plans that read ONLY the corrupt column straight off
     # a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parse

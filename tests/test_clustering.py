@@ -124,3 +124,14 @@ class TestKMeansRobustness:
         a = km.kmeans_fit(df, k=4, iterations=3)
         b = km.kmeans_fit(shifted, k=4, iterations=3)
         assert a == b
+
+    def test_short_corpus_raises_loudly(self, spark):
+        # Regression (ADVICE r5): empty input used to IndexError and a
+        # 3-row corpus silently trained 3 < k clusters.
+        import pytest as _pytest
+
+        df = _clustered(spark).limit(3)
+        with _pytest.raises(ValueError, match="only 3 row"):
+            km.kmeans_fit(df, k=4, iterations=1)
+        with _pytest.raises(ValueError, match="only 0 row"):
+            km.kmeans_fit(df.limit(0), k=4, iterations=1)

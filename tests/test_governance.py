@@ -52,6 +52,24 @@ class TestPIIScrub:
         r = _pii_row(spark, "a@b.co and 1.2.3.4 and +44 700-900-1234")
         assert r["n_pii"] == r["n_email"] + r["n_ipv4"] + r["n_phone"] == 3
 
+    def test_long_digit_runs_not_phone(self, spark):
+        # Regression (ADVICE r5): without a leading boundary the phone
+        # pattern matched 10-digit substrings INSIDE longer runs,
+        # partially redacting card numbers / epoch-millis timestamps.
+        for text in (
+            "card 4111111111111111 on file",  # 16-digit PAN
+            "span 12345678901234 ns",  # 14 digits
+            "id99999555123456789x",  # run glued to letters
+        ):
+            r = _pii_row(spark, text)
+            assert r["n_phone"] == 0, text
+            assert r["redacted"] == text, text
+
+    def test_paren_and_plus_redact_fully(self, spark):
+        r = _pii_row(spark, "call (555) 123-4567 or +1 555 123 4567 now")
+        assert r["n_phone"] == 2
+        assert r["redacted"] == "call <PHONE> or <PHONE> now"
+
 
 class TestBloomFilter:
     def _members(self, spark, n=200):
@@ -93,6 +111,30 @@ class TestBloomFilter:
         # the whole point: output rows <= m_words no matter the key count
         mem = self._members(spark, 5000)
         assert bloom.bloom_build(mem, "key", m_words=64).count() <= 64
+
+    def test_no_false_negatives_with_duplicate_keys(self, spark):
+        # Regression (ADVICE r5, high): a probe input containing the SAME
+        # member key twice used to sum 2*k hits != k and report a true
+        # member as bloom_hit=false — a false negative. The probe must
+        # deduplicate before the per-key hit aggregation.
+        mem = self._members(spark)
+        bits = bloom.bloom_build(mem, "key")
+        dup = mem.union(mem).union(mem.limit(7))  # every key 2x, some 3x
+        probed = bloom.bloom_probe(dup, "key", bits)
+        assert probed.count() == dup.count()  # verdict join preserves rows
+        assert probed.where(~F.col("bloom_hit")).count() == 0
+
+    def test_filter_keys_duplicates_no_row_multiplication(self, spark):
+        # Regression (ADVICE r5, high, second half): duplicate surviving
+        # keys must not multiply rows through the exact-verify join.
+        mem = self._members(spark, 100)
+        cand = spark.range(150).select(
+            F.concat(F.lit("member"), (F.col("id") % 75).cast("string")).alias("key")
+        )  # 75 distinct keys, each exactly twice; all members
+        out = bloom.bloom_filter_keys(cand, "key", mem, "key")
+        assert out.count() == 150
+        rows = out.collect()
+        assert all(r["bloom_hit"] and r["is_member"] for r in rows)
 
 
 class TestSequencePacking:

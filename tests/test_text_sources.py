@@ -50,7 +50,7 @@ class TestJsonlSource:
         assert r.docs.count() == 1
         q = r.quarantine.collect()
         assert len(q) == 2
-        assert all(row["file_source"] == "mixed.jsonl" for row in q)
+        assert all(row["file_source"].endswith("/mixed.jsonl") for row in q)
         assert any("not json" in row["raw"] for row in q)
 
     def test_n_chars_backfilled(self, spark, tmp_path):
@@ -72,7 +72,27 @@ class TestJsonlSource:
             r["file_source"]
             for r in read_jsonl_documents(spark, str(tmp_path)).docs.collect()
         }
-        assert srcs == {"a.jsonl", "b.jsonl"}
+        base = tmp_path.name
+        assert srcs == {f"{base}/a.jsonl", f"{base}/b.jsonl"}
+
+    def test_same_basename_across_dirs_stays_distinct(self, spark, tmp_path):
+        # Regression (ADVICE r5): basename-only provenance collapsed
+        # date=A/part0.jsonl and date=B/part0.jsonl into one value.
+        for d in ("date=2026-01-01", "date=2026-01-02"):
+            (tmp_path / d).mkdir()
+            _write(
+                str(tmp_path / d), "part0.jsonl",
+                [json.dumps({"doc_id": 1, "text": "x", "lang": "en",
+                             "source": "s", "n_chars": 1})],
+            )
+        srcs = {
+            r["file_source"]
+            for r in read_jsonl_documents(spark, str(tmp_path)).docs.collect()
+        }
+        assert srcs == {
+            "date=2026-01-01/part0.jsonl",
+            "date=2026-01-02/part0.jsonl",
+        }
 
 
 class TestCsvSource:
