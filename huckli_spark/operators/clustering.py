@@ -162,61 +162,76 @@ def kmeans_table(
     )
 
 
-def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
-    """The shared CTE text (vm, c0..c{iterations}) — composable into
-    oracles that consume the trained centroids (sql_kmeans, the
-    trained-IVF gate)."""
+def sql_kmeans_chain(
+    k: int, iterations: int, prefix: str = "", vm: str = "vm"
+) -> str:
+    """CTE chain replaying kmeans_fit's iterations over an EXISTING
+    ``{vm}(vec_id, dim, val)`` CTE. All chain CTEs carry ``prefix`` so
+    several independent trainings (one per PQ subspace) compose into a
+    single oracle. Final centroids land in ``{prefix}c{iterations}``."""
     parts = [
-        f"""vm AS (
+        f"""{prefix}init AS (
+          -- the k LOWEST ids, renumbered positionally (mirrors the
+          -- operator's centroid-list indexing on any id space)
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT DISTINCT vec_id FROM {vm})
+          ORDER BY vec_id LIMIT {k}
+        ), {prefix}c0 AS (
+          SELECT {prefix}init.cid, {vm}.dim, {vm}.val AS c
+          FROM {vm} JOIN {prefix}init USING (vec_id)
+        )"""
+    ]
+    for i in range(iterations):
+        p, q = f"{prefix}c{i}", f"{prefix}c{i + 1}"
+        d, a, u = f"{prefix}d{i}", f"{prefix}a{i}", f"{prefix}u{i}"
+        parts.append(
+            f"""{d} AS (
+              SELECT {vm}.vec_id, {p}.cid,
+                     sum(({vm}.val - {p}.c) * ({vm}.val - {p}.c)) AS d
+              FROM {vm} JOIN {p} ON {p}.dim = {vm}.dim
+              GROUP BY 1, 2
+            ), {a} AS (
+              SELECT vec_id, CAST(min(cid) AS INT) AS cid
+              FROM (
+                SELECT vec_id, cid, d,
+                       min(d) OVER (PARTITION BY vec_id) AS md
+                FROM {d}
+              ) WHERE d = md GROUP BY vec_id
+            ), {u} AS (
+              SELECT {a}.cid, {vm}.dim,
+                     CAST(floor(CAST(sum({vm}.val) AS DOUBLE) / count(*) + 0.5)
+                          AS BIGINT) AS c
+              FROM {vm} JOIN {a} ON {a}.vec_id = {vm}.vec_id
+              GROUP BY 1, 2
+            ), {q} AS (
+              -- empty clusters keep their previous centroid
+              SELECT {p}.cid, {p}.dim, coalesce({u}.c, {p}.c) AS c
+              FROM {p} LEFT JOIN {u}
+                ON {u}.cid = {p}.cid AND {u}.dim = {p}.dim
+            )"""
+        )
+    return ",\n".join(parts)
+
+
+def sql_kmeans_vm_cte(source: str = "embeddings") -> str:
+    """The micro fixed-point (vec_id, dim, val) CTE body."""
+    return f"""vm AS (
           SELECT vec_id, dim - 1 AS dim,
                  CAST(floor(v * {float(MICRO)} + 0.5) AS BIGINT) AS val
           FROM (
             SELECT vec_id,
                    generate_subscripts(embedding::DOUBLE[], 1) AS dim,
                    unnest(embedding::DOUBLE[]) AS v
-            FROM embeddings
+            FROM {source}
           )
-        )""",
-        f"""init AS (
-          -- the k LOWEST ids, renumbered positionally (mirrors the
-          -- operator's centroid-list indexing on any id space)
-          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-          FROM (SELECT DISTINCT vec_id FROM vm)
-          ORDER BY vec_id LIMIT {k}
-        ), c0 AS (
-          SELECT init.cid, vm.dim, vm.val AS c
-          FROM vm JOIN init USING (vec_id)
-        )""",
-    ]
-    for i in range(iterations):
-        p, q = f"c{i}", f"c{i + 1}"
-        parts.append(
-            f"""d{i} AS (
-              SELECT vm.vec_id, {p}.cid,
-                     sum((vm.val - {p}.c) * (vm.val - {p}.c)) AS d
-              FROM vm JOIN {p} ON {p}.dim = vm.dim
-              GROUP BY 1, 2
-            ), a{i} AS (
-              SELECT vec_id, CAST(min(cid) AS INT) AS cid
-              FROM (
-                SELECT vec_id, cid, d,
-                       min(d) OVER (PARTITION BY vec_id) AS md
-                FROM d{i}
-              ) WHERE d = md GROUP BY vec_id
-            ), u{i} AS (
-              SELECT a{i}.cid, vm.dim,
-                     CAST(floor(CAST(sum(vm.val) AS DOUBLE) / count(*) + 0.5)
-                          AS BIGINT) AS c
-              FROM vm JOIN a{i} ON a{i}.vec_id = vm.vec_id
-              GROUP BY 1, 2
-            ), {q} AS (
-              -- empty clusters keep their previous centroid
-              SELECT {p}.cid, {p}.dim, coalesce(u{i}.c, {p}.c) AS c
-              FROM {p} LEFT JOIN u{i}
-                ON u{i}.cid = {p}.cid AND u{i}.dim = {p}.dim
-            )"""
-        )
-    return ",\n".join(parts)
+        )"""
+
+
+def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
+    """The shared CTE text (vm, c0..c{iterations}) — composable into
+    oracles that consume the trained centroids (sql_kmeans, the
+    trained-IVF gate)."""
+    return sql_kmeans_vm_cte() + ",\n" + sql_kmeans_chain(k, iterations)
 
 
 def sql_kmeans(k: int = 8, iterations: int = 3) -> str:

@@ -508,6 +508,46 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_trained(
+    df: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """K-means-trained codebooks: one independent ``kmeans_fit`` per
+    subspace slice (the production PQ training path — sampled
+    codebooks are only the deterministic baseline). Fixed-point micro
+    centroids convert back to exact doubles (c / 1e6 — both engines
+    perform the identical IEEE division), so encode/ADC arithmetic
+    stays bit-portable end to end.
+
+    Scale: each training touches only k*sub centroid cells on the
+    driver per iteration; the m trainings run sequentially over the
+    same (cached upstream) corpus — at 100 TB each is the broadcast
+    k-means shape documented in ``clustering.kmeans_fit``."""
+    from huckli_spark.operators.clustering import MICRO, kmeans_fit
+
+    head = df.select(vec_col).head()
+    if head is None:
+        raise ValueError("pq_codebooks_trained: empty corpus")
+    dim = len(head[0])
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        cents = kmeans_fit(
+            sliced, k=n_codes, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        books.append([[c / MICRO for c in cent] for cent in cents])
+    return books
+
+
 def _pq_sub_entries(vec_col: str, s: int, sub: int, codebook_s) -> str:
     """SQL array<struct<d:bigint, code:int>> of micro-rounded squared
     distances from this row's subvector s to every code centroid,

@@ -69,56 +69,53 @@ _GATE_PRIORITY: list[str] = [
     "q_demux_counts",
     "q_decimal_default",
     "q_ts_heuristic",
-    # --- red in r03 (events-ts NTZ regression, fixed r4) — must re-grade
+    # --- flagships: one per operator family stays graded every round
     "q_sessionize",
-    "q_stream_time_bucket",
-    "q_stream_interval_join",
-    "q_stream_join_window",
-    # --- newly hash-gated r4
     "q_multimodal_pipeline",
-    # --- events-dependent, ungraded r3 (fixture drift risk)
-    "q_asof_join",
-    "q_range_join",
-    # --- LLM-pipeline headliners (flagships kept graded; the rest of the
-    # family went green in r4 and rotated out for round 5 — VERDICT r04
-    # directive #2: every registry query must be driver-graded at least once)
     "q_dedup_minhash",
     "q_ann_ivf",
-    "q_lang_profile",
-    # --- new in round 4 (corpus-quality pipeline + streaming)
-    "q_repetition_stats",
-    "q_decontaminate",
-    "q_cdc_chunks",
-    "q_stream_left_join",
-    "q_mixture_sample",
-    "q_shard_assign",
-    # --- rotating tail r5: the 10 never-driver-graded queries
-    "q_ann_recall",
-    "q_bitwise",
-    "q_embed_quantize",
-    "q_incremental_rollup",
-    "q_kmv_distinct",
-    "q_multimodal_features",
-    "q_retention",
-    "q_stream_session_native",
-    "q_unpivot",
-    "q_window_misc",
-    # --- new in round 5: governance + training-prep (q_cube,
-    # q_grouping_sets, q_minhash_recall, q_funnel rotated out — all
-    # driver-graded green in r4; local replica still covers them)
+    # --- semantics CHANGED in round 6 (bloom duplicate-key fix, phone
+    # regex boundary fix) — must carry a fresh graded row
     "q_pii_redact",
     "q_bloom_decontaminate",
+    # --- events-dependent (fixture drift risk, r3 lesson)
+    "q_asof_join",
+    "q_range_join",
+    # --- round-6 rotation: the 17 queries never driver-graded before
+    # this round (the whole round-5 operator wave; VERDICT r05 #1)
+    "q_countmin_topk",
+    "q_weighted_sample",
+    "q_zscore_outliers",
+    "q_pagerank",
+    "q_fuzzy_join",
+    "q_pq_encode",
+    "q_pq_adc",
+    "q_pq_recall",
+    "q_kmeans",
+    "q_ann_ivf_trained",
+    "q_bpe_pairs",
+    "q_bigram_logprob",
+    "q_full_outer_join",
+    "q_hopping_window",
+    "q_stream_static_join",
+    "q_stream_countmin",
+    "q_stream_bloom",
+    # --- new in round 6 (swapped in as they land; backfilled with
+    # r4/r5-green re-grades when fewer than 5 new queries exist)
+    "q_pq_recall_trained",
+    "q_stream_time_bucket",
+    "q_lang_profile",
+    "q_decontaminate",
     "q_sequence_pack",
-    "q_unigram_logprob",
 ]
-# Round-6 rotation queue (never driver-graded; all strict-replica
-# green in round 5): q_countmin_topk, q_weighted_sample,
-# q_zscore_outliers, q_pagerank, q_fuzzy_join, q_pq_encode, q_pq_adc,
-# q_pq_recall, q_kmeans, q_ann_ivf_trained, q_bpe_pairs,
-# q_bigram_logprob, q_full_outer_join, q_hopping_window,
-# q_stream_static_join, q_stream_countmin, q_stream_bloom. Swap them into the tail
-# slots 21-50 (everything there is r4/r5 driver-green), keep the
-# 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
+# Rotated out for round 6 (ALL driver-graded green in r4/r5; local
+# replica still covers them every round): q_stream_interval_join,
+# q_stream_join_window, q_repetition_stats, q_cdc_chunks,
+# q_stream_left_join, q_mixture_sample, q_shard_assign, q_ann_recall,
+# q_bitwise, q_embed_quantize, q_incremental_rollup, q_kmv_distinct,
+# q_multimodal_features, q_retention, q_stream_session_native,
+# q_unpivot, q_window_misc, q_unigram_logprob.
+# Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 
 
 def all_queries() -> dict[str, QuerySpec]:

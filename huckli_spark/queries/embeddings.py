@@ -722,3 +722,189 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(
         em, em.where(F.col("vec_id") < 10), nprobe=2, k=5, centroids=cents
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ with k-means-trained codebooks (per-subspace trainer -> encode -> recall)
+# ---------------------------------------------------------------------------
+_PQT_ITERS = 2
+
+
+def _pq_trained_oracle() -> str:
+    """Replays the entire trained-PQ pipeline relationally: 8
+    independent per-subspace k-means chains (k=16, exact fixed-point
+    iterations) -> ordered centroid lists -> encode argmin -> ADC
+    ranking -> recall@5 vs exact ground truth."""
+    from huckli_spark.operators.clustering import (
+        sql_kmeans_chain,
+        sql_kmeans_vm_cte,
+    )
+
+    parts = [sql_kmeans_vm_cte()]
+    for s in range(8):
+        off = s * 8
+        parts.append(
+            f"""svm{s} AS (
+              SELECT vec_id, dim - {off} AS dim, val
+              FROM vm WHERE dim >= {off} AND dim < {off + 8}
+            )"""
+        )
+        parts.append(sql_kmeans_chain(16, _PQT_ITERS, f"s{s}_", f"svm{s}"))
+        parts.append(
+            f"""cbl{s} AS (
+              SELECT cid, list(c / 1000000.0 ORDER BY dim) AS cv
+              FROM s{s}_c{_PQT_ITERS} GROUP BY cid
+            )"""
+        )
+    parts.append("e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)")
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        " FROM embeddings WHERE vec_id < 20)"
+    )
+    # encode: per-subspace argmin over the TRAINED codes
+    for s in range(8):
+        off = s * 8
+        dexpr = (
+            "CAST(floor(list_sum(list_transform(range(1, 9), j -> "
+            f"(e.ev[{off} + j] - cb.cv[j]) * (e.ev[{off} + j] - cb.cv[j])"
+            ")) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+        parts.append(
+            f"""sub{s} AS (
+              SELECT e.vec_id, cb.cid AS code, {dexpr} AS d
+              FROM e CROSS JOIN cbl{s} cb
+            ), pick{s} AS (
+              SELECT vec_id, min_d AS d, CAST(min(code) AS BIGINT) AS code
+              FROM (
+                SELECT vec_id, d, code,
+                       min(d) OVER (PARTITION BY vec_id) AS min_d
+                FROM sub{s}
+              ) WHERE d = min_d GROUP BY vec_id, min_d
+            )"""
+        )
+    joins = "\n".join(
+        f"JOIN pick{s} ON pick{s}.vec_id = e.vec_id" for s in range(8)
+    )
+    word = " + ".join(f"(pick{s}.code << {4 * s})" for s in range(8))
+    parts.append(
+        f"""codes AS (
+          SELECT e.vec_id, CAST({word} AS BIGINT) AS code_word
+          FROM e
+          {joins}
+        )"""
+    )
+    parts.append(
+        """exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor(list_sum(list_transform(range(1, 65),
+                   j -> (q.qv[j] - e.ev[j]) * (q.qv[j] - e.ev[j])
+                 )) * 1000000.0 + 0.5) AS BIGINT), e.vec_id
+               ) AS rank
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    )"""
+    )
+    for s in range(8):
+        off = s * 8
+        parts.append(
+            f"""adc{s} AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST(floor(list_sum(list_transform(range(1, 9), j ->
+               (q.qv[{off} + j] - cb.cv[j]) * (q.qv[{off} + j] - cb.cv[j])
+             )) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM q CROSS JOIN codes
+      JOIN cbl{s} cb ON cb.cid = CAST((codes.code_word >> {4 * s}) & 15 AS BIGINT)
+      WHERE codes.vec_id <> q.query_id
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))
+    parts.append(
+        f"""approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
+                 AS rank
+        FROM ({union})
+        GROUP BY query_id, neighbor_id
+      ) WHERE rank <= 5
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT e.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {sql_fround('coalesce(h.n_hits, 0) / 5.0', 4)} AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) e
+    LEFT JOIN (
+      SELECT exact.query_id, count(*) AS n_hits
+      FROM exact JOIN approx
+        ON approx.query_id = exact.query_id
+       AND approx.neighbor_id = exact.neighbor_id
+      GROUP BY 1
+    ) h ON h.query_id = e.query_id
+    """
+    )
+
+
+@query(
+    "q_pq_recall_trained",
+    _pq_trained_oracle(),
+    doc="trained-codebook PQ recall@5: per-subspace k-means (k=16, "
+    f"{_PQT_ITERS} exact fixed-point iterations) replaces the sampled "
+    "codebooks, then the identical encode/ADC/recall pipeline runs — "
+    "the production PQ path end-to-end, trainer included, hash-gated "
+    "against an oracle that replays all 8 trainings relationally. "
+    "tests/test_clustering.py gates the recall LIFT over the sampled "
+    "baseline (q_pq_recall) on clustered data; SCALE.md records the "
+    "measured table. Scale: training touches only m*k*sub driver "
+    "cells; encode and ADC stay map-only over baked literals.",
+)
+def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    cbs = simsearch.pq_codebooks_trained(em, iterations=_PQT_ITERS)
+    codes = simsearch.pq_encode(em, cbs)
+    queries = em.where(F.col("vec_id") < 20)
+    approx = simsearch.pq_adc_topk(codes, queries, cbs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("__qv"))
+    c = em.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("__nv"))
+    d = (
+        "cast(floor(aggregate(zip_with(__qv, __nv,"
+        " (x, y) -> (cast(x AS double) - cast(y AS double))"
+        " * (cast(x AS double) - cast(y AS double))),"
+        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+        " AS bigint)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d).alias("d_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            fround(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 4).alias(
+                "recall_at_5"
+            ),
+        )
+    )
