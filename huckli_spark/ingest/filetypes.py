@@ -160,6 +160,101 @@ E_CARRIER = {0: "CARRIER_UNKNOWN", 1: "CARRIER_A", 2: "CARRIER_B", 3: "CARRIER_C
 # urbanized hex grades share one A/B/C enum in the public proto.
 E_ASSIGNMENT = {0: "A", 1: "B", 2: "C"}
 
+# ---------------------------------------------------------------------------
+# Enum override hook (round 6): a production deployment injects the
+# true ``as_str_name()`` spellings for the [placeholder] tables — no
+# code change — via ``apply_enum_overrides`` or the
+# ``HUCKLI_SPARK_ENUM_OVERRIDES`` env var (path to a JSON file of
+# {"E_CARRIER": {"0": "REAL_NAME", ...}, ...}). The tables mutate IN
+# PLACE so every Field already holding the dict sees the new names.
+# ``tools/proto_manifest.py`` reports the placeholder census;
+# ``warn_placeholder_enums`` fires a one-time loud warning when a
+# file type decodes through a still-placeholder table.
+# ---------------------------------------------------------------------------
+ENUM_TABLES: dict[str, dict[int, str]] = {
+    n: v
+    for n, v in list(globals().items())
+    if n.startswith("E_") and isinstance(v, dict)
+}
+# Tables whose variant SPELLINGS are invented (structure is proven by
+# the reference's accessors; see the per-table comments above).
+PLACEHOLDER_ENUM_TABLES: frozenset[str] = frozenset(
+    {"E_STATUS", "E_REASON", "E_HEX_STATUS", "E_CARRIER"}
+)
+_OVERRIDDEN_TABLES: set[str] = set()
+_WARNED_TABLES: set[str] = set()
+
+
+def apply_enum_overrides(
+    overrides: "dict[str, dict]", replace: bool = True
+) -> list[str]:
+    """Inject real variant spellings at runtime. Keys are table names
+    (``E_CARRIER``), values map code (int or str form) -> name.
+    ``replace=True`` (default) drops codes absent from the override —
+    a complete real table should fully supersede invented entries.
+    Returns the list of applied table names; unknown names raise."""
+    applied = []
+    for name, table in overrides.items():
+        if name not in ENUM_TABLES:
+            raise KeyError(
+                f"unknown enum table {name!r}; known: {sorted(ENUM_TABLES)}"
+            )
+        new = {int(k): str(v) for k, v in table.items()}
+        live = ENUM_TABLES[name]
+        if replace:
+            live.clear()
+        live.update(new)
+        _OVERRIDDEN_TABLES.add(name)
+        applied.append(name)
+    return applied
+
+
+def load_enum_overrides_from_env() -> list[str]:
+    """Apply overrides from ``$HUCKLI_SPARK_ENUM_OVERRIDES`` (a JSON
+    file path). No-op when unset. On a cluster, ship the same value in
+    ``spark.executorEnv`` — the decode UDF runs executor-side."""
+    import json as _json
+    import os as _os
+
+    path = _os.environ.get("HUCKLI_SPARK_ENUM_OVERRIDES")
+    if not path:
+        return []
+    with open(path) as fh:
+        return apply_enum_overrides(_json.load(fh))
+
+
+def _placeholder_tables_in(msg: Msg) -> set[str]:
+    """Names of still-placeholder tables reachable from a message's
+    fields (identity match — overrides mutate, never rebind)."""
+    found: set[str] = set()
+    for f in msg.fields:
+        if f.ptype == "enum" and f.enum_names is not None:
+            for name in PLACEHOLDER_ENUM_TABLES - _OVERRIDDEN_TABLES:
+                if ENUM_TABLES[name] is f.enum_names:
+                    found.add(name)
+        elif f.ptype == "message" and f.schema is not None:
+            found |= _placeholder_tables_in(f.schema)
+    return found
+
+
+def warn_placeholder_enums(msg: Msg, file_type: str) -> set[str]:
+    """One-time loud warning per placeholder table actually decoded:
+    the data flows, but its enum labels are not the reference's."""
+    import warnings as _warnings
+
+    hit = _placeholder_tables_in(msg)
+    for name in sorted(hit - _WARNED_TABLES):
+        _WARNED_TABLES.add(name)
+        _warnings.warn(
+            f"file type {file_type!r} decodes through PLACEHOLDER enum "
+            f"table {name}: variant spellings are invented, not the "
+            "reference's as_str_name() strings. Inject the real table "
+            "via HUCKLI_SPARK_ENUM_OVERRIDES or apply_enum_overrides() "
+            "before relying on these labels.",
+            stacklevel=2,
+        )
+    return hit
+
 
 @dataclass(frozen=True)
 class FileTypeSpec:

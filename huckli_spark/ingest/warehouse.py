@@ -365,6 +365,13 @@ class Warehouse:
         spec = REGISTRY[file_type]
         if not files:
             return {}
+        from huckli_spark.ingest.filetypes import (
+            load_enum_overrides_from_env,
+            warn_placeholder_enums,
+        )
+
+        load_enum_overrides_from_env()
+        warn_placeholder_enums(spec.msg, file_type)
         file_paths = [paths[f.key] if paths else f.key for f in files]
         frames = frames_df(self.spark, file_paths)
         decoded = decode_frames(frames, spec.msg, dropped_acc=self.dropped_frames)

@@ -110,6 +110,13 @@ def stream_ingest(
     ``False`` keeps tailing the directory.
     """
     spec = REGISTRY[file_type]
+    from huckli_spark.ingest.filetypes import (
+        load_enum_overrides_from_env,
+        warn_placeholder_enums,
+    )
+
+    load_enum_overrides_from_env()
+    warn_placeholder_enums(spec.msg, file_type)
     frames = stream_frames(
         spark, directory, spec.prefix, max_files_per_trigger=max_files_per_trigger
     )

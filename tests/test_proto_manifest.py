@@ -39,6 +39,7 @@ def test_manifest_structural_invariants():
     with open(MANIFEST_PATH) as fh:
         manifest = json.load(fh)
 
+    manifest.pop("__placeholder_enums__")  # the census, not a file type
     assert len(manifest) == 20  # SupportedFileTypes parity
 
     tables: set[str] = set()
@@ -59,3 +60,123 @@ def test_manifest_structural_invariants():
         walk(spec["message"])
         tables.update(spec["tables"])
     assert len(tables) == 31  # data tables (files_processed is separate)
+
+
+# ---------------------------------------------------------------------------
+# Enum override hook (round 6): placeholder spellings are injectable at
+# runtime, warned about when decoded un-overridden, and frozen in the
+# manifest as a census.
+# ---------------------------------------------------------------------------
+import contextlib
+import warnings
+
+import pytest
+
+from huckli_spark.ingest import filetypes as ft
+from huckli_spark.sources import protowire
+
+
+@contextlib.contextmanager
+def _restore(table_name: str):
+    """Undo in-place table mutation and bookkeeping after a test."""
+    before = dict(ft.ENUM_TABLES[table_name])
+    warned = set(ft._WARNED_TABLES)
+    overridden = set(ft._OVERRIDDEN_TABLES)
+    try:
+        yield
+    finally:
+        live = ft.ENUM_TABLES[table_name]
+        live.clear()
+        live.update(before)
+        ft._WARNED_TABLES.clear()
+        ft._WARNED_TABLES.update(warned)
+        ft._OVERRIDDEN_TABLES.clear()
+        ft._OVERRIDDEN_TABLES.update(overridden)
+
+
+class TestEnumOverrides:
+    def test_apply_mutates_tables_in_place(self):
+        spec = ft.REGISTRY["enabled-carriers-info"]
+        with _restore("E_CARRIER"):
+            ft.apply_enum_overrides(
+                {"E_CARRIER": {"0": "CARRIER_NONE", 1: "HELIUM_MOBILE_US"}}
+            )
+            # every Field holding the dict sees the new names: find one
+            found = []
+
+            def walk(msg):
+                for f in msg.fields:
+                    if f.ptype == "enum" and f.enum_names is ft.E_CARRIER:
+                        found.append(f)
+                    elif f.ptype == "message" and f.schema is not None:
+                        walk(f.schema)
+
+            walk(spec.msg)
+            assert found, "no E_CARRIER field reachable from the spec"
+            assert found[0].enum_names[1] == "HELIUM_MOBILE_US"
+            # replace=True dropped the invented codes 2/3
+            assert 2 not in ft.E_CARRIER
+        assert ft.E_CARRIER[1] == "CARRIER_A"  # restored
+
+    def test_unknown_table_raises(self):
+        with pytest.raises(KeyError, match="E_NOPE"):
+            ft.apply_enum_overrides({"E_NOPE": {0: "X"}})
+
+    def test_env_file_applies(self, tmp_path, monkeypatch):
+        p = tmp_path / "overrides.json"
+        p.write_text(json.dumps({"E_HEX_STATUS": {"0": "REAL_ELIGIBLE"}}))
+        monkeypatch.setenv("HUCKLI_SPARK_ENUM_OVERRIDES", str(p))
+        with _restore("E_HEX_STATUS"):
+            applied = ft.load_enum_overrides_from_env()
+            assert applied == ["E_HEX_STATUS"]
+            assert ft.E_HEX_STATUS[0] == "REAL_ELIGIBLE"
+
+    def test_env_unset_noop(self, monkeypatch):
+        monkeypatch.delenv("HUCKLI_SPARK_ENUM_OVERRIDES", raising=False)
+        assert ft.load_enum_overrides_from_env() == []
+
+    def test_warning_fires_once_per_placeholder_table(self):
+        spec = ft.REGISTRY["enabled-carriers-info"]
+        with _restore("E_CARRIER"):
+            ft._WARNED_TABLES.clear()
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                hit = ft.warn_placeholder_enums(spec.msg, spec.name)
+                assert "E_CARRIER" in hit
+                again = ft.warn_placeholder_enums(spec.msg, spec.name)
+                assert "E_CARRIER" in again  # still placeholder...
+            msgs = [str(x.message) for x in w]
+            assert sum("E_CARRIER" in m for m in msgs) == 1  # ...warned once
+
+    def test_override_silences_warning(self):
+        spec = ft.REGISTRY["enabled-carriers-info"]
+        with _restore("E_CARRIER"):
+            ft._WARNED_TABLES.clear()
+            ft.apply_enum_overrides({"E_CARRIER": {0: "REAL"}})
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                hit = ft.warn_placeholder_enums(spec.msg, spec.name)
+            assert "E_CARRIER" not in hit
+            assert not [x for x in w if "E_CARRIER" in str(x.message)]
+
+    def test_decode_uses_overridden_spelling(self):
+        # end-to-end: wire bytes -> decode -> new enum label
+        msg = protowire.Msg(
+            "T", (protowire.Field(1, "carrier", "enum", enum_names=ft.E_CARRIER),)
+        )
+        raw = bytes([0x08, 0x01])  # field 1 varint = 1
+        with _restore("E_CARRIER"):
+            assert protowire.decode(msg, raw)["carrier"] == "CARRIER_A"
+            ft.apply_enum_overrides({"E_CARRIER": {1: "HELIUM_MOBILE_US"}})
+            assert protowire.decode(msg, raw)["carrier"] == "HELIUM_MOBILE_US"
+
+    def test_manifest_census_frozen(self):
+        manifest_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "huckli_spark", "ingest", "proto_manifest.json",
+        )
+        with open(manifest_path) as fh:
+            frozen = json.load(fh)
+        census = frozen["__placeholder_enums__"]
+        assert set(census) == set(ft.PLACEHOLDER_ENUM_TABLES)
+        assert census["E_CARRIER"]["1"] == "CARRIER_A"
