@@ -259,3 +259,44 @@ def sql_kmeans(k: int = 8, iterations: int = 3) -> str:
                CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members
         FROM {last} LEFT JOIN sizes ON sizes.cid = {last}.cid"""
     )
+
+
+def kmeans_assign_join(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k assignment: identical (id, cid) output to
+    ``kmeans_assign``, but the codebook travels as DATA — one
+    broadcast row holding array<struct<cid,cv>> — instead of being
+    baked into the plan as literals. The literal form's plan/codegen
+    size grows O(k*dim) and wins at k ≲ 64; this form keeps the plan
+    O(1) (the k*dim cells are a broadcast payload) and wins at large
+    k. Still map-only: the argmin folds over the centroid array
+    in-row, no explode, no groupBy, zero shuffle. Crossover measured
+    in SCALE.md (round 6).
+
+    Arithmetic is the exact integer discipline of ``_assign_expr``:
+    integer squared L2, ties to the lowest cid — collect_list's
+    nondeterministic order is irrelevant because the argmin sort is
+    total."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [int(v) for v in c]) for cid, c in enumerate(cents)],
+        "cid int, cv array<bigint>",
+    )
+    onerow = cent_df.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("__cents")
+    )
+    vm = df.select(F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm"))
+    assign = (
+        "element_at(array_sort(transform(__cents, c -> named_struct("
+        "'d', aggregate(zip_with(__vm, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 AS bigint), (acc, v) -> acc + v), 'cid', c.cid)),"
+        " (l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1"
+        " WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1).cid"
+    )
+    return vm.crossJoin(F.broadcast(onerow)).select(
+        F.col(id_col), F.expr(assign).alias("cid")
+    )

@@ -667,3 +667,55 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_assign_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Large-k twin of ``ivf_assign``: identical output, but the
+    coarse quantizer travels as ONE broadcast row of
+    array<struct<cid,cv>> instead of k*dim baked literals (plan size
+    O(1) vs O(k*dim) — see clustering.kmeans_assign_join for the
+    measured crossover). Map-only, zero shuffle; centroid norms are
+    folded in-row in the same element order as the literal form's
+    Python-computed norms, so the rounded sims are bit-identical."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cv array<double>",
+    )
+    onerow = cent_df.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("__cents")
+    )
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__norm")
+    )
+    dot = (
+        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> cast(x AS double) * y),"
+        " cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+    cnorm = (
+        "sqrt(aggregate(transform(c.cv, v -> v * v),"
+        " cast(0.0 AS double), (acc, v) -> acc + v))"
+    )
+    sims = (
+        "array_sort(transform(__cents, c -> named_struct("
+        f"'sim', cast(floor(({dot} / (__norm * {cnorm}))"
+        " * 1000000.0 + 0.5) / 1000000.0 AS double), 'cid', c.cid)),"
+        " (l, r) -> CASE WHEN l.sim > r.sim THEN -1"
+        " WHEN l.sim < r.sim THEN 1"
+        " WHEN l.cid < r.cid THEN -1 ELSE 1 END)"
+    )
+    return (
+        with_norm.crossJoin(F.broadcast(onerow))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.expr(f"slice({sims}, 1, {nprobe})")).alias("__c"),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("__c.cid").alias("cid"))
+    )

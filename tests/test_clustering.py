@@ -153,3 +153,38 @@ class TestKMeansRobustness:
             km.kmeans_fit(df, k=4, iterations=1)
         with _pytest.raises(ValueError, match="only 0 row"):
             km.kmeans_fit(df.limit(0), k=4, iterations=1)
+
+
+class TestAssignJoinVariant:
+    def test_kmeans_join_matches_literal(self, spark):
+        # the two forms must agree bit-for-bit (same integer argmin)
+        df = _clustered(spark, n_clusters=4, per=30, seed=5)
+        cents = km.kmeans_fit(df, k=4, iterations=2)
+        a = {(r["vec_id"], r["cid"]) for r in km.kmeans_assign(df, cents).collect()}
+        b = {(r["vec_id"], r["cid"])
+             for r in km.kmeans_assign_join(df, cents).collect()}
+        assert a == b and len(a) == df.count()
+
+    def test_ivf_join_matches_literal(self, spark):
+        df = _clustered(spark, n_clusters=4, per=30, seed=9)
+        cents = [(i, [v / 1e6 for v in c])
+                 for i, c in enumerate(km.kmeans_fit(df, k=4, iterations=2))]
+        a = {(r["vec_id"], r["cid"])
+             for r in ss.ivf_assign(df, cents, nprobe=2).collect()}
+        b = {(r["vec_id"], r["cid"])
+             for r in ss.ivf_assign_join(df, cents, nprobe=2).collect()}
+        assert a == b
+
+    def test_join_variant_plan_has_no_corpus_shuffle(self, spark):
+        # map-only claim: the corpus flows scan -> project -> broadcast
+        # nested-loop over ONE centroid row. The only Exchange allowed
+        # is the SinglePartition collect_list on the k-row centroid
+        # side (bounded by k, never by the corpus).
+        df = _clustered(spark, n_clusters=4, per=10, seed=7)
+        cents = km.kmeans_fit(df, k=4, iterations=1)
+        plan = (
+            km.kmeans_assign_join(df, cents)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning" not in plan, plan
