@@ -140,3 +140,92 @@ class TestSchemaEvolution:
         # time travel to v0 sees the ORIGINAL schema (old files only)
         v0 = wh.table("evo", as_of=0)
         assert set(v0.columns) == {"k"}
+
+
+class TestIndependentReaderRoundTrip:
+    """VERDICT r05 directive #5: round-trip the export through an
+    independent minimal parser (tools/delta_read.py — implemented from
+    the public PROTOCOL.md, sharing zero code with the writer) and
+    assert row-level equality with what Spark reads from the txlog
+    snapshot."""
+
+    def test_roundtrip_row_equality_partitioned(self, spark, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.delta_read import read_rows
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.append("t", _df(spark, n=7, src="pref.1700003600000.gz"))
+        # replace the first partition: reader must see ONLY live files
+        wh.append("t", _df(spark, n=5, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+
+        cols, rows = read_rows(os.path.join(str(tmp_path), "t"))
+        sdf = wh.table("t")
+        # normalize: independent reader keeps dates as ISO strings
+        srows = [
+            tuple(
+                v.isoformat() if hasattr(v, "isoformat") else v
+                for v in (r[c] for c in cols)
+            )
+            for r in sdf.collect()
+        ]
+        assert sorted(srows) == sorted(rows)
+        assert len(rows) == 12  # 5 (replaced) + 7
+
+    def test_multiversion_replay_with_removes(self, tmp_path):
+        """The parser is a real protocol reader, not fitted to the
+        writer: a hand-written 2-version log with remove actions must
+        replay per spec (ascending order, remove drops the path)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.delta_read import read_rows
+
+        t = tmp_path / "manual"
+        (t / "_delta_log").mkdir(parents=True)
+        for name, vals in (("a.parquet", [1, 2]), ("b.parquet", [3]),
+                           ("c.parquet", [4, 5])):
+            pq.write_table(pa.table({"x": pa.array(vals, "int64")}), t / name)
+        schema = {"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+        v0 = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m", "format": {"provider": "parquet",
+             "options": {}}, "schemaString": json.dumps(schema),
+             "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]
+        v1 = [
+            {"remove": {"path": "a.parquet", "dataChange": True}},
+            {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]
+        for i, actions in enumerate((v0, v1)):
+            with open(t / "_delta_log" / f"{i:020d}.json", "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+        cols, rows = read_rows(str(t))
+        assert cols == ["x"]
+        assert sorted(r[0] for r in rows) == [3, 4, 5]  # a removed
+
+    def test_reader_refuses_advanced_features(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import pytest
+
+        from tools.delta_read import DeltaReadError, read_rows
+
+        t = tmp_path / "adv"
+        (t / "_delta_log").mkdir(parents=True)
+        with open(t / "_delta_log" / f"{0:020d}.json", "w") as fh:
+            fh.write(json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            ) + "\n")
+        with pytest.raises(DeltaReadError, match="reader version 3"):
+            read_rows(str(t))
