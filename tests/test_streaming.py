@@ -67,6 +67,88 @@ class TestStreamIngest:
         )
         assert new_rows == 5
 
+    def test_kill_and_restart_mid_batch_no_loss_no_dupes(self, spark, tmp_path):
+        """VERDICT r05 directive #6: the streaming twin of the txlog
+        crash matrix. Inject a crash INSIDE write_batch at two points
+        for the second file — (a) before its data append, (b) after
+        the appends but before the files_processed checkpoint (the
+        reference's at-least-once gap, §3.1 step 8) — restart on the
+        same streaming checkpoint each time, and prove no file is
+        lost and no row is duplicated (acid partition-replace absorbs
+        the replayed appends)."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        keys = []
+        for i in range(3):
+            ms = T0_MS + i * 3_600_000
+            keys.append(f"verified_speedtest.{ms}.gz")
+            write_framed_gzip(
+                str(raw / keys[-1]), _speedtest_payloads(10, base_ms=ms)
+            )
+        wh = Warehouse(spark, str(tmp_path / "wh"), idempotent=True, acid=True)
+        ckpt = str(tmp_path / "ckpt")
+
+        # crash (a): append of file[1] raises before any data lands
+        orig_append, orig_save = wh.append, wh.save_file_processed
+        state = {"arm": "append"}
+
+        def failing_append(name, df, *a, **kw):
+            if state["arm"] == "append" and "file_source" in df.columns:
+                srcs = {
+                    r[0] for r in df.select("file_source").distinct().collect()
+                }
+                if keys[1] in srcs:
+                    raise RuntimeError("injected crash before append")
+            return orig_append(name, df, *a, **kw)
+
+        def failing_save(info):
+            if state["arm"] == "save" and info.key == keys[1]:
+                raise RuntimeError("injected crash after append, before checkpoint")
+            return orig_save(info)
+
+        wh.append, wh.save_file_processed = failing_append, failing_save
+        q = stream_ingest(
+            spark, "verified-speedtest", str(raw), wh, ckpt,
+            max_files_per_trigger=1,
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination(180)
+        done = {r[0] for r in wh.table("files_processed")
+                .select("file_name").collect()}
+        assert keys[1] not in done  # the crashed file is NOT checkpointed
+
+        # crash (b): restart; file[1] replays — appends land, then the
+        # checkpoint write crashes (the at-least-once gap, post-data)
+        state["arm"] = "save"
+        q = stream_ingest(
+            spark, "verified-speedtest", str(raw), wh, ckpt,
+            max_files_per_trigger=1,
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination(180)
+
+        # healthy restart: the batch replays once more and completes
+        state["arm"] = "off"
+        q = stream_ingest(
+            spark, "verified-speedtest", str(raw), wh, ckpt,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(180)
+
+        # every file exactly once — crash (b)'s replayed appends were
+        # absorbed by the acid partition replace, not doubled
+        per_file = {
+            r["file_source"]: r["n"]
+            for r in wh.table("verified_speedtest_report")
+            .groupBy("file_source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_file == {k: 10 for k in keys}
+        done = {r[0] for r in wh.table("files_processed")
+                .select("file_name").collect()}
+        assert done == set(keys)
+
     def test_stream_into_acid_warehouse_is_exactly_once(self, spark, tmp_path):
         # streaming ingest composed with the transaction log: a file
         # redelivered under a FRESH checkpoint (the stream's own file
