@@ -203,24 +203,40 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         ).copy()
         if f == 0:
             pass
-        elif f == 2:  # Up — vectorizable (no intra-line dependency)
+        elif f == 2:  # Up — vectorized (no intra-line dependency)
             line += prev
-        elif f == 1:  # Sub
+        elif f == 1:
+            # Sub: recon[i] = raw[i] + recon[i-c] is a per-channel
+            # PREFIX SUM, and mod-256 commutes with addition — one
+            # cumsum per line replaces the former per-byte loop.
+            line = (
+                np.cumsum(line.reshape(-1, c).astype(np.uint32), axis=0)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif f == 3:
+            # Average: floor((left + up) / 2) is nonlinear, so the
+            # recurrence is inherently sequential along x. Vectorize
+            # the a=0 head, then run the tail over PLAIN PYTHON INTS —
+            # numpy scalar indexing per byte was the real cost (~6x,
+            # measured in SCALE.md).
+            line[:c] += prev[:c] >> 1
+            ln, pv = line.tolist(), prev.tolist()
             for i in range(c, stride):
-                line[i] = (int(line[i]) + int(line[i - c])) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = int(line[i - c]) if i >= c else 0
-                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
+                ln[i] = (ln[i] + ((ln[i - c] + pv[i]) >> 1)) & 0xFF
+            line = np.array(ln, dtype=np.uint8)
+        elif f == 4:
+            # Paeth: same sequential structure; head (a=cc=0) always
+            # predicts `up`, the tail runs over plain ints.
+            line[:c] += prev[:c]
+            ln, pv = line.tolist(), prev.tolist()
+            for i in range(c, stride):
+                a, b, cc = ln[i - c], pv[i], pv[i - c]
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                line[i] = (int(line[i]) + pred) & 0xFF
+                ln[i] = (ln[i] + pred) & 0xFF
+            line = np.array(ln, dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = line
