@@ -70,10 +70,10 @@ _GATE_PRIORITY: list[str] = [
     "q_decimal_default",
     "q_ts_heuristic",
     # --- flagships: one per operator family stays graded every round
+    # (ANN family's graded rep this round is the trained IVF/PQ wave)
     "q_sessionize",
     "q_multimodal_pipeline",
     "q_dedup_minhash",
-    "q_ann_ivf",
     # --- semantics CHANGED in round 6 (bloom duplicate-key fix, phone
     # regex boundary fix) — must carry a fresh graded row
     "q_pii_redact",
@@ -100,21 +100,23 @@ _GATE_PRIORITY: list[str] = [
     "q_stream_static_join",
     "q_stream_countmin",
     "q_stream_bloom",
-    # --- new in round 6 (swapped in as they land; backfilled with
-    # r4/r5-green re-grades when fewer than 5 new queries exist)
+    # --- new in round 6: trained PQ, retrieval layer, graph + audit
     "q_pq_recall_trained",
-    "q_stream_time_bucket",
-    "q_lang_profile",
-    "q_decontaminate",
-    "q_sequence_pack",
+    "q_bm25_topk",
+    "q_rrf_fusion",
+    "q_chunk_windows",
+    "q_triangle_count",
+    "q_profile_table",
 ]
 # Rotated out for round 6 (ALL driver-graded green in r4/r5; local
-# replica still covers them every round): q_stream_interval_join,
-# q_stream_join_window, q_repetition_stats, q_cdc_chunks,
-# q_stream_left_join, q_mixture_sample, q_shard_assign, q_ann_recall,
-# q_bitwise, q_embed_quantize, q_incremental_rollup, q_kmv_distinct,
-# q_multimodal_features, q_retention, q_stream_session_native,
-# q_unpivot, q_window_misc, q_unigram_logprob.
+# replica still covers them every round): q_ann_ivf,
+# q_stream_interval_join, q_stream_join_window, q_repetition_stats,
+# q_cdc_chunks, q_stream_left_join, q_mixture_sample, q_shard_assign,
+# q_ann_recall, q_bitwise, q_embed_quantize, q_incremental_rollup,
+# q_kmv_distinct, q_multimodal_features, q_retention,
+# q_stream_session_native, q_unpivot, q_window_misc, q_lang_profile,
+# q_decontaminate, q_sequence_pack, q_stream_time_bucket,
+# q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 
 
@@ -131,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import corpus_quality  # noqa: F401
     from huckli_spark.queries import governance  # noqa: F401
     from huckli_spark.queries import analytics_extras  # noqa: F401
+    from huckli_spark.queries import retrieval  # noqa: F401
 
     front = [n for n in _GATE_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]

@@ -284,3 +284,175 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("a_id"), F.col("b_id"), "a", "b", F.col("dist").cast("int")
     )
+
+
+# ----------------------------------------------------------- graph: triangles
+@query(
+    "q_triangle_count",
+    """
+    WITH l AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity > 40
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM l a JOIN l b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), t AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e e1
+      JOIN e e2 ON e2.s1 = e1.s2
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    )
+    SELECT CAST(v AS BIGINT) AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS v FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ) GROUP BY v
+    """,
+    doc="per-node triangle counting over the supplier co-supply graph "
+    "(suppliers sharing an order, high-quantity lines only) — the "
+    "classic clustering-coefficient building block, as the canonical "
+    "two-equi-join distributed plan: oriented edges (s1 < s2) make "
+    "each triangle appear exactly once as a<b<c, wedges build on the "
+    "shared middle vertex, the closing edge is an equi-join. Scale: "
+    "all joins shuffle on vertex keys; degree skew is the known "
+    "hazard — the standard mitigation (orient edges by degree) drops "
+    "in without changing the output.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    t = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    verts = (
+        t.select(F.col("a").alias("v"))
+        .unionAll(t.select(F.col("b").alias("v")))
+        .unionAll(t.select(F.col("c").alias("v")))
+    )
+    return verts.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    ).select(F.col("v").cast("long").alias("suppkey"), "n_triangles")
+
+
+# ---------------------------------------------------------- table profiling
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min({c}) AS mn_{c}",
+            f"max({c}) AS mx_{c}",
+        ]
+    arms = []
+    for c in _PROFILE_NUM:
+        arms.append(
+            f"SELECT '{c}' AS column, n_rows, CAST(nn_{c} AS BIGINT) AS n_nulls,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" CAST(mn_{c} AS DOUBLE) AS min_num, CAST(mx_{c} AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            f" FROM a"
+        )
+    for c in _PROFILE_STR:
+        arms.append(
+            f"SELECT '{c}', n_rows, CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT),"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_{c}, mx_{c} FROM a"
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@query(
+    "q_profile_table",
+    _profile_oracle(),
+    doc="column-level data-quality profile of lineitem (row count, "
+    "null count, exact distinct count, typed min/max per column) — "
+    "the audit summary a pipeline runs before admitting a new data "
+    "drop into the training mix. ONE aggregate pass computes every "
+    "metric (column-pruned scan, map-side combine); the per-column "
+    "rows are an in-row inline() over the single aggregate row, so "
+    "profiling a 100 TB table costs exactly one scan. Exact distinct "
+    "counts shuffle per column; the approx_count_distinct swap is "
+    "one word when 2%% error is acceptable (q_approx_distinct).",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    structs = []
+    for c in _PROFILE_NUM:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"mn_{c}").cast("double").alias("min_num"),
+                F.col(f"mx_{c}").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+        )
+    return a.select(F.inline(F.array(*structs)))

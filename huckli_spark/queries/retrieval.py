@@ -1,0 +1,172 @@
+"""Retrieval parity queries: BM25, hybrid rank fusion, RAG chunking.
+
+Scores are doubles built from exact integers (tf, df, N, ranks,
+exact-integer token sums) through expression trees mirrored verbatim
+in the DuckDB oracles, rounded with fround before ranking, ties on
+id — the same portability discipline as q_tfidf_terms.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.operators import retrieval as rt
+from huckli_spark.operators.simsearch import cosine
+from huckli_spark.queries import query
+
+BM25_TERMS = ["spark", "join", "filter"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------------------------- BM25
+@query(
+    "q_bm25_topk",
+    f"""
+    WITH {rt.sql_bm25("SELECT doc_id, text FROM documents", BM25_TERMS)}
+    SELECT doc_id, score_bm25, CAST(rnk AS INT) AS rank FROM (
+      SELECT doc_id, score_bm25,
+             row_number() OVER (ORDER BY score_bm25 DESC, doc_id) AS rnk
+      FROM bm
+    ) WHERE rnk <= 10
+    """,
+    doc="Okapi BM25 top-10 for the query terms "
+    f"{BM25_TERMS} (k1=1.2, b=0.75): per-doc term frequencies are "
+    "in-row filter() counts (map-only), corpus stats (N, exact-"
+    "integer-sum avgdl, per-term df) reduce to ONE broadcast row — "
+    "the lexical half of hybrid retrieval with no inverted index "
+    "materialized. At 100 TB the scoring pass is a single corpus "
+    "scan + singleton broadcast; the top-k is a bounded window.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = rt.bm25_score(_docs(spark, sf_dir), BM25_TERMS)
+    w = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    return (
+        bm.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "score_bm25", "rank")
+    )
+
+
+# ------------------------------------------------- reciprocal-rank fusion
+_COS = (
+    "list_dot_product(qv, nv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@query(
+    "q_rrf_fusion",
+    f"""
+    WITH {rt.sql_bm25("SELECT doc_id, text FROM documents", BM25_TERMS)},
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_bm25 DESC, doc_id)
+               AS rank
+      FROM bm QUALIFY rank <= 50
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+      SELECT vec_id AS doc_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS nv
+            FROM embeddings WHERE vec_id <> 0) CROSS JOIN q
+    ), vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+               AS rank
+      FROM sims QUALIFY rank <= 50
+    ), fused AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             {sql_fround(
+                 'coalesce(1.0 / (60 + lex.rank), 0.0)'
+                 ' + coalesce(1.0 / (60 + vec.rank), 0.0)', 9)}
+               AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id
+    )
+    SELECT doc_id, rrf_score, CAST(rnk AS INT) AS rank FROM (
+      SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+    doc="hybrid retrieval: BM25 top-50 (lexical) fused with cosine "
+    "top-50 against the vec_id=0 query embedding (vector) by "
+    "reciprocal-rank fusion (k=60) — the standard zero-tuning "
+    "combiner for hybrid search. Rank lists are bounded (top-n), so "
+    "the fusion join is broadcast-sized at any corpus scale; scores "
+    "are 1/(k+rank) sums over exact integer ranks in fixed order.",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    lex = (
+        rt.bm25_score(docs, BM25_TERMS)
+        .withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    sims = (
+        emb.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__nv"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", fround(cosine("__qv", "__nv"), 6).alias("cos_sim"))
+    )
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vec = (
+        sims.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    fused = rt.rrf_fuse(lex, vec)
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "rrf_score", "rank")
+    )
+
+
+# ------------------------------------------------------- RAG chunk windows
+@query(
+    "q_chunk_windows",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS __w FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), starts AS (
+      SELECT doc_id, __w, unnest(range(0, len(__w), 30)) AS start_tok
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start_tok // 30 AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(__w[start_tok + 1 : start_tok + 40]) AS INT) AS n_tok,
+           array_to_string(__w[start_tok + 1 : start_tok + 40], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc="RAG chunking: overlapping 40-token windows at stride 30 "
+    "(10-token overlap), deterministic (doc_id, chunk_idx) keys, the "
+    "short final windows kept so every token is covered. Map-only: "
+    "the start-offset sequence explodes in-row — a 100 TB corpus "
+    "chunks in one scan with zero shuffle. chunk_text itself is "
+    "hash-gated, so the slicing arithmetic is pinned end to end.",
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rt.chunk_windows(_docs(spark, sf_dir), window=40, stride=30)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.col("start_tok").cast("int"),
+        F.col("n_tok").cast("int"),
+        "chunk_text",
+    )

@@ -1,0 +1,115 @@
+"""Retrieval operator tests: BM25 ordering semantics, RRF fusion
+arithmetic, chunk-window coverage/overlap properties, and the
+map-only plan claims. The cross-engine value parity is covered by the
+gate queries (q_bm25_topk / q_rrf_fusion / q_chunk_windows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from huckli_spark.operators import retrieval as rt
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+class TestBM25:
+    def test_more_occurrences_scores_higher(self, spark):
+        docs = _corpus(spark, [
+            "spark spark spark filler filler",
+            "spark filler filler filler filler",
+            "filler filler filler filler filler",
+        ])
+        out = {r["doc_id"]: r["score_bm25"]
+               for r in rt.bm25_score(docs, ["spark"]).collect()}
+        assert set(out) == {0, 1}  # doc 2 has no query term -> absent
+        assert out[0] > out[1] > 0
+
+    def test_length_normalization(self, spark):
+        # same tf, shorter doc wins (b=0.75 length penalty)
+        docs = _corpus(spark, [
+            "spark one two",
+            "spark one two three four five six seven eight nine",
+        ])
+        out = {r["doc_id"]: r["score_bm25"]
+               for r in rt.bm25_score(docs, ["spark"]).collect()}
+        assert out[0] > out[1]
+
+    def test_rare_term_outweighs_common(self, spark):
+        # one doc matches the rare term, many match the common one:
+        # idf must rank the rare-term doc above a common-term doc
+        docs = _corpus(spark, [
+            "rare common filler",
+            *["common filler filler"] * 6,
+        ])
+        out = {r["doc_id"]: r["score_bm25"]
+               for r in rt.bm25_score(docs, ["rare", "common"]).collect()}
+        assert out[0] == max(out.values())
+
+    def test_scoring_plan_is_single_scan_plus_broadcast(self, spark):
+        docs = _corpus(spark, ["spark a b", "c d e"])
+        plan = (
+            rt.bm25_score(docs, ["spark"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # stats side reduces to one row then broadcasts; the corpus
+        # side must not hash-shuffle
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning" not in plan, plan
+
+
+class TestRRF:
+    def test_fusion_math(self, spark):
+        a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+        b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+        out = {r["doc_id"]: r["rrf_score"]
+               for r in rt.rrf_fuse(a, b).collect()}
+        assert out[2] == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+        assert out[1] == pytest.approx(1 / 61, abs=1e-9)
+        assert out[3] == pytest.approx(1 / 62, abs=1e-9)
+        # consensus doc beats either single-list doc
+        assert out[2] > out[1] > out[3]
+
+
+class TestChunkWindows:
+    def test_every_token_covered_with_overlap(self, spark):
+        n = 95
+        docs = _corpus(spark, [" ".join(f"t{i}" for i in range(n))])
+        chunks = rt.chunk_windows(docs, window=40, stride=30).collect()
+        covered = set()
+        for r in chunks:
+            assert r["n_tok"] == len(r["chunk_text"].split(" "))
+            covered |= set(
+                range(r["start_tok"], r["start_tok"] + r["n_tok"])
+            )
+        assert covered == set(range(n))
+        # stride 30 over 95 tokens -> starts 0/30/60/90
+        assert sorted(r["start_tok"] for r in chunks) == [0, 30, 60, 90]
+        # interior overlap: tokens 30..39 appear in chunks 0 and 1
+        texts = {r["chunk_idx"]: r["chunk_text"].split(" ") for r in chunks}
+        assert texts[0][-10:] == texts[1][:10]
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = _corpus(spark, ["only four tokens here"])
+        chunks = rt.chunk_windows(docs, window=40, stride=30).collect()
+        assert len(chunks) == 1
+        assert chunks[0]["n_tok"] == 4 and chunks[0]["start_tok"] == 0
+
+    def test_bad_params_raise(self, spark):
+        docs = _corpus(spark, ["a b c"])
+        with pytest.raises(ValueError, match="stride"):
+            rt.chunk_windows(docs, window=10, stride=0)
+        with pytest.raises(ValueError, match="stride"):
+            rt.chunk_windows(docs, window=10, stride=11)
+
+    def test_chunking_plan_is_map_only(self, spark):
+        docs = _corpus(spark, ["a b c d e"])
+        plan = (
+            rt.chunk_windows(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
