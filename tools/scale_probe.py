@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from huckli_spark.session import get_spark
 from huckli_spark.operators import (
     bloom,
+    retrieval,
     clustering,
     dedup,
     freq,
@@ -156,7 +157,9 @@ def _scaled_embeddings(spark: SparkSession, base: DataFrame, scale: int) -> str:
 
 
 # ---------------------------------------------------------------- pipelines
-def _run(spark: SparkSession, name: str, fn, repeats: int) -> dict:
+def _run(spark: SparkSession, name: str, fn, repeats: int, only=None) -> dict:
+    if only is not None and name not in only:
+        return None
     best = None
     for _ in range(repeats):
         mark = _max_stage_id(spark)
@@ -170,7 +173,7 @@ def _run(spark: SparkSession, name: str, fn, repeats: int) -> dict:
     return best
 
 
-def probe(scales, repeats: int) -> dict:
+def probe(scales, repeats: int, only=None) -> dict:
     spark = get_spark(app_name="scale_probe")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -191,6 +194,7 @@ def probe(scales, repeats: int) -> dict:
             "minhash",
             lambda: sketch.minhash_dedup_pairs(docs, threshold=0.9).count(),
             repeats,
+            only,
         )
         runs["ngram_jaccard_guarded"] = _run(
             spark,
@@ -199,12 +203,14 @@ def probe(scales, repeats: int) -> dict:
                 docs, threshold=0.8, max_doc_freq=max(50, n_docs // 100)
             ).count(),
             repeats,
+            only,
         )
         runs["simhash"] = _run(
             spark,
             "simhash",
             lambda: sketch.simhash_pairs(docs, max_hamming=3).count(),
             repeats,
+            only,
         )
         runs["ivf_ann"] = _run(
             spark,
@@ -213,6 +219,7 @@ def probe(scales, repeats: int) -> dict:
                 emb, queries, n_centroids=8, nprobe=2, k=5
             ).count(),
             repeats,
+            only,
         )
         # round-5 additions: map-only scrub, bloom membership, packing,
         # count-min — expected shapes: pii linear wall / zero shuffle;
@@ -223,12 +230,14 @@ def probe(scales, repeats: int) -> dict:
             lambda: privacy.pii_scrub(docs).agg(F.sum("n_pii")).collect()
             and docs.count(),
             repeats,
+            only,
         )
         runs["bloom_membership"] = _run(
             spark,
             "bloom_membership",
             lambda: _bloom_pipeline(docs),
             repeats,
+            only,
         )
         runs["sequence_pack"] = _run(
             spark,
@@ -239,6 +248,7 @@ def probe(scales, repeats: int) -> dict:
             .agg(F.max("seq_idx"), F.count("*"))
             .collect()[0][1],
             repeats,
+            only,
         )
         runs["countmin_topk"] = _run(
             spark,
@@ -247,6 +257,7 @@ def probe(scales, repeats: int) -> dict:
                 docs.select(F.explode(F.split("text", " ")).alias("w")), "w", k=20
             ).count(),
             repeats,
+            only,
         )
         runs["fuzzy_join_guarded"] = _run(
             spark,
@@ -264,6 +275,7 @@ def probe(scales, repeats: int) -> dict:
                 max_variant_freq=max(50, n_docs // 100),
             ).count(),
             repeats,
+            only,
         )
         runs["pq_encode"] = _run(
             spark,
@@ -272,19 +284,54 @@ def probe(scales, repeats: int) -> dict:
                 emb, simsearch.pq_codebooks(emb)
             ).count(),
             repeats,
+            only,
         )
         runs["pq_adc"] = _run(
             spark,
             "pq_adc",
             lambda: _pq_adc_pipeline(emb),
             repeats,
+            only,
+        )
+        runs["bm25"] = _run(
+            spark,
+            "bm25",
+            # corpus scan + singleton broadcast; agg keeps the score
+            # expression alive (a bare count() would prune it)
+            lambda: retrieval.bm25_score(docs, ["spark", "join", "filter"])
+            .agg(F.count("*"), F.sum("score_bm25"))
+            .collect()[0][0],
+            repeats,
+            only,
+        )
+        runs["chunk_windows"] = _run(
+            spark,
+            "chunk_windows",
+            # aggregate over n_tok AND chunk_text length so the slice
+            # + join expressions cannot be pruned
+            lambda: retrieval.chunk_windows(docs)
+            .agg(F.count("*"), F.sum("n_tok"),
+                 F.sum(F.length("chunk_text")))
+            .collect()[0][0],
+            repeats,
+            only,
+        )
+        runs["pq_trained_train"] = _run(
+            spark,
+            "pq_trained_train",
+            # the 8-subspace k-means training cost (k=16, 2 iterations)
+            lambda: len(simsearch.pq_codebooks_trained(emb, iterations=2)),
+            repeats,
+            only,
         )
         runs["kmeans"] = _run(
             spark,
             "kmeans",
             lambda: clustering.kmeans_table(emb, k=8, iterations=3).count(),
             repeats,
+            only,
         )
+        runs = {k: v for k, v in runs.items() if v is not None}
         results["scales"][str(scale)] = {
             "n_docs": n_docs,
             "n_emb": n_emb,
@@ -326,15 +373,20 @@ def main():
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--keep-fixtures", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated pipeline names to run")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = set(args.only.split(",")) if args.only else None
     try:
-        res = probe(scales, args.repeats)
+        res = probe(scales, args.repeats, only)
     finally:
         if not args.keep_fixtures:
             shutil.rmtree(WORK, ignore_errors=True)
+    # partial (--only) runs must not clobber the full probe record
+    fname = "SCALE_PROBE.json" if only is None else "SCALE_PROBE_partial.json"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "SCALE_PROBE.json")
+                       fname)
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res["summary_vs_1x"], indent=1))
