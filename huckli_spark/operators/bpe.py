@@ -110,19 +110,64 @@ def bpe_train(
     return merges, words
 
 
+def _apply_merges_local(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Leftmost-first non-overlapping merge application, rank order —
+    the same loop ``bpe_train_local`` uses."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_apply(
     df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
 ) -> DataFrame:
-    """Tokenize text with a trained merge table: per-word char split,
-    then each merge folds in rank order as a stepwise column rewrite —
-    all in-row expressions, map-only (the tokenizer serving path)."""
-    out = df.select(
-        "*", F.explode(F.split(F.col(text_col), " ")).alias("__w")
-    ).where(F.length("__w") > 0)
-    out = out.withColumn("syms", F.expr(_chars_expr("__w")))
-    for a, b in merges:
-        out = out.withColumn("syms", F.expr(_merge_expr(a, b)))
-    return out
+    """Tokenize text with a trained merge table (the tokenizer serving
+    path): one Arrow-batched ``mapInPandas`` pass, merges closed over
+    (broadcast with the task), per-batch distinct-word memoization.
+
+    Why not in-row JVM expressions: a single merge folds fine (the
+    trainer does exactly that per iteration), but CHAINING n merge
+    folds nests an expression that references its input ~5x per level
+    — Catalyst's projection collapse inlines it to 5^n nodes and
+    analysis blows up long before execution (measured: 8 merges never
+    finished planning). A rank-ordered merge loop is inherently
+    sequential per word; Python-per-Arrow-batch with memoization is
+    the honest scale shape (production swaps in a native tokenizer
+    behind this same seam). Map-only: zero shuffle, corpus never
+    moves."""
+    import pandas as pd
+
+    out_schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)},"
+        " __w string, syms array<string>"
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                vals = dict(zip(cols, rec))
+                for w in str(vals[text_col]).split(" "):
+                    if not w:
+                        continue
+                    if w not in cache:
+                        cache[w] = _apply_merges_local(w, merges)
+                    rows.append({**vals, "__w": w, "syms": cache[w]})
+            if rows:
+                yield pd.DataFrame(rows, columns=cols + ["__w", "syms"])
+
+    return df.mapInPandas(run, out_schema)
 
 
 # -------------------------------------------------------- local reference
@@ -156,3 +201,74 @@ def bpe_train_local(
                     i += 1
             words[w] = out
     return merges, words
+
+
+def sql_bpe_apply(word_query: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB oracle for ``bpe_apply`` over a distinct-word relation —
+    an INDEPENDENT formulation on purpose: where the Spark side folds
+    each merge in-row (``_merge_expr``'s skip-state machine), the SQL
+    replays it relationally as gaps-and-islands: candidate positions
+    (s[i]=a AND s[i+1]=b) form islands of consecutive i; greedy
+    leftmost non-overlapping = keep the odd-numbered members of each
+    island; the following symbol of every kept member is dropped.
+    Matching outputs are therefore a true cross-formulation
+    differential, not two transcripts of one algorithm.
+
+    ``word_query`` must yield one column ``word``. Returns a full
+    SELECT producing (word, pos, token)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    parts = [
+        f"""wt0 AS (
+          SELECT word,
+                 list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+          FROM ({word_query})
+        )"""
+    ]
+    for k, (a, b) in enumerate(merges):
+        parts.append(
+            f"""s{k} AS (
+          SELECT word, generate_subscripts(syms, 1) AS i, unnest(syms) AS s
+          FROM wt{k}
+        ), c{k} AS (
+          SELECT word, i, s,
+                 coalesce(s = '{q(a)}'
+                   AND lead(s) OVER (PARTITION BY word ORDER BY i) = '{q(b)}',
+                   false) AS cand
+          FROM s{k}
+        ), g{k} AS (
+          SELECT word, i, s, cand,
+                 CASE WHEN cand THEN
+                   i - row_number() OVER (PARTITION BY word, cand ORDER BY i)
+                 END AS grp
+          FROM c{k}
+        ), m{k} AS (
+          SELECT word, i, s,
+                 cand AND (row_number()
+                   OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1) AS m
+          FROM g{k}
+        ), wt{k + 1} AS (
+          SELECT word,
+                 list(CASE WHEN m THEN s || '{q(b)}' ELSE s END ORDER BY i)
+                   AS syms
+          FROM (
+            SELECT word, i, s, m,
+                   lag(m, 1, false) OVER (PARTITION BY word ORDER BY i)
+                     AS prev_m
+            FROM m{k}
+          ) WHERE NOT prev_m
+          GROUP BY word
+        )"""
+        )
+    last = f"wt{len(merges)}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT word, CAST(i - 1 AS INT) AS pos, s AS token
+        FROM (SELECT word, generate_subscripts(syms, 1) AS i,
+                     unnest(syms) AS s
+              FROM {last})"""
+    )

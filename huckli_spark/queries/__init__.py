@@ -118,6 +118,8 @@ _GATE_PRIORITY: list[str] = [
 # q_decontaminate, q_sequence_pack, q_stream_time_bucket,
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
+# Round-7 rotation queue (registered this round, replica-green, not
+# yet driver-graded): q_bpe_encode.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -407,3 +407,56 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# The merge table q_bpe_encode applies: trained once on the sf0.01
+# documents fixture by operators/bpe.bpe_train (deterministic — count
+# DESC, lexicographic tiebreak) and FROZEN here, because the gate
+# query's job is to pin the APPLICATION path (the tokenizer serving
+# path), not re-pay training per run. tests/test_bpe.py re-derives
+# this table from the fixture and asserts it matches.
+BPE_FIXTURE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    from huckli_spark.operators.bpe import sql_bpe_apply
+
+    return sql_bpe_apply(
+        "SELECT DISTINCT w AS word FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+        ") WHERE length(w) > 0",
+        BPE_FIXTURE_MERGES,
+    )
+
+
+@query(
+    "q_bpe_encode",
+    _bpe_encode_oracle(),
+    doc="BPE tokenizer APPLICATION: the frozen 8-merge table (trained "
+    "on this fixture by the gated trainer) tokenizes the corpus "
+    "vocabulary; output is every (word, pos, token) triple. The "
+    "Spark side folds merges in-row (map-only skip-state machine); "
+    "the oracle replays them RELATIONALLY (gaps-and-islands greedy "
+    "leftmost) — a cross-formulation differential, not a transcript. "
+    "Scale: tokenization of a 100 TB corpus is corpus-scan x in-row "
+    "folds, zero shuffle; the vocab-level form here additionally "
+    "collapses the corpus to distinct words first.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.bpe import bpe_apply
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+        .select(F.col("word").alias("text"))
+    )
+    out = bpe_apply(words, BPE_FIXTURE_MERGES)
+    return out.select(
+        F.col("__w").alias("word"),
+        F.posexplode("syms").alias("pos", "token"),
+    ).select("word", F.col("pos").cast("int"), "token")

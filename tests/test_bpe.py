@@ -87,3 +87,30 @@ class TestBpeDifferential:
         m1, _ = bpe_train(c1, n_merges=5)
         m2, _ = bpe_train(c2, n_merges=5)
         assert m1 == m2
+
+
+class TestFrozenFixtureMerges:
+    def test_frozen_table_matches_fresh_training(self, spark):
+        # q_bpe_encode applies a FROZEN merge table; re-derive it from
+        # the fixture so the constant can never drift silently.
+        from huckli_spark.queries.governance import BPE_FIXTURE_MERGES
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        merges, _ = bpe_train(docs, n_merges=8)
+        assert merges == BPE_FIXTURE_MERGES
+
+    def test_apply_matches_local_on_adversarial_words(self, spark):
+        # overlap-heavy words through the mapInPandas serving path vs
+        # the pure-Python reference loop
+        from huckli_spark.operators.bpe import _apply_merges_local
+
+        merges = [("a", "a"), ("aa", "b"), ("e", "r"), ("er", "er")]
+        words = ["aaaa", "aaab", "baaab", "ererer", "err", "x", "aabaab"]
+        corpus = spark.createDataFrame(
+            [(w,) for w in words], "text string"
+        )
+        got = {
+            r["__w"]: list(r["syms"])
+            for r in bpe_apply(corpus, merges).collect()
+        }
+        assert got == {w: _apply_merges_local(w, merges) for w in words}
