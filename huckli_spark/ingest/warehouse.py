@@ -221,13 +221,18 @@ class Warehouse:
             ]
         log.publish(staging, replace_partitions=replace)
 
-    def export_delta(self, name: str) -> str:
+    def export_delta(self, name: str, incremental: bool = False):
         """Materialize the table's current live snapshot as an open-
         protocol Delta log (ingest/delta_export.py) so real Delta
         readers (delta-rs, Spark+delta, DuckDB delta) can read the
         table directory. Partition columns are inferred from the
-        Hive layout; schemaString is the table's Spark schema."""
-        from huckli_spark.ingest.delta_export import export_delta_snapshot
+        Hive layout; schemaString is the table's Spark schema.
+        ``incremental=True`` appends a diff-only version N+1 (and
+        returns None when nothing changed) instead of rebasing v0."""
+        from huckli_spark.ingest.delta_export import (
+            export_delta_increment,
+            export_delta_snapshot,
+        )
 
         df = self.table(name)
         # partition columns = Hive k= segments present in the layout,
@@ -239,6 +244,8 @@ class Warehouse:
                     k = d.split("=", 1)[0]
                     if k not in parts:
                         parts.append(k)
+        if incremental:
+            return export_delta_increment(self.table_path(name), parts)
         return export_delta_snapshot(
             self.table_path(name), df.schema.json(), parts
         )

@@ -229,3 +229,66 @@ class TestIndependentReaderRoundTrip:
             ) + "\n")
         with pytest.raises(DeltaReadError, match="reader version 3"):
             read_rows(str(t))
+
+
+class TestIncrementalExport:
+    """Round 6: diff-only version N+1 commits (remove replaced files,
+    add new ones), round-tripped through the independent reader."""
+
+    def _reader_rows(self, path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.delta_read import read_rows
+
+        return read_rows(path)
+
+    def test_increment_appends_diff_and_reader_agrees(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+
+        # batch 2 lands + batch 1's partition is replaced
+        wh.append("t", _df(spark, n=7, src="pref.1700003600000.gz"))
+        wh.append("t", _df(spark, n=5, src="pref.1700000000000.gz"))
+        commit = wh.export_delta("t", incremental=True)
+        assert commit.endswith("1.json") and "_delta_log" in commit
+        actions = _read_actions(commit)
+        assert any("remove" in a for a in actions)  # replaced files
+        assert any("add" in a for a in actions)
+        assert not any("metaData" in a for a in actions)  # v0 carries it
+
+        cols, rows = self._reader_rows(os.path.join(str(tmp_path), "t"))
+        assert len(rows) == 12  # 5 replaced + 7
+        srows = [
+            tuple(v.isoformat() if hasattr(v, "isoformat") else v
+                  for v in (r[c] for c in cols))
+            for r in wh.table("t").collect()
+        ]
+        assert sorted(srows) == sorted(rows)
+
+    def test_noop_increment_writes_nothing(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark))
+        wh.export_delta("t")
+        assert wh.export_delta("t", incremental=True) is None
+        log = os.listdir(os.path.join(str(tmp_path), "t", "_delta_log"))
+        assert [f for f in log if f.endswith(".json")] == ["0" * 20 + ".json"]
+
+    def test_rebase_refuses_over_incremental_tail(self, spark, tmp_path):
+        import pytest
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=3, src="pref.1700003600000.gz"))
+        assert wh.export_delta("t", incremental=True) is not None
+        with pytest.raises(ValueError, match="incremental versions"):
+            wh.export_delta("t")
+
+    def test_increment_without_base_refuses(self, spark, tmp_path):
+        import pytest
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark))
+        with pytest.raises(ValueError, match="no prior export"):
+            wh.export_delta("t", incremental=True)
