@@ -189,3 +189,85 @@ def chunk_windows(
             f"array_join(slice(__w, start_tok + 1, {window}), ' ')"
         ).alias("chunk_text"),
     )
+
+
+MMR_K = 5
+MMR_TOPN = 20
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pair: DataFrame,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (lambda=0.5): greedily pick
+    the candidate maximizing relevance minus its max similarity to the
+    already-picked set — the standard result-diversification step after
+    ANN retrieval. With lambda=0.5 the argmax of
+    0.5*rel - 0.5*maxsim is the argmax of (rel_micro - maxsim_micro),
+    so the whole selection runs on EXACT INTEGERS (micro fixed-point)
+    with id tiebreaks — bit-portable, PageRank-style.
+
+    ``cand``: (query_id, cid, rel_micro) — the bounded top-n retrieval
+    result. ``pair``: (query_id, a, b, sim_micro) for every ordered
+    candidate pair a != b of a query. Returns (query_id, cid,
+    mmr_rank, score_micro) with score at selection time (rank 1's
+    score is its relevance).
+
+    Scale shape: the candidate set is top-n bounded per query (n~20),
+    so every step's joins move O(queries * n) rows; the k greedy
+    steps unroll as k dataflow stages over the persisted candidate /
+    pair relations — no driver loop over data, no UDF."""
+    from pyspark.sql import Window
+
+    cand = cand.persist()
+    pair = pair.persist()
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("cid")
+    )
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            F.lit(1).alias("mmr_rank"),
+            F.col("rel_micro").alias("score_micro"),
+        )
+    )
+    for t in range(2, k + 1):
+        remaining = cand.join(
+            sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        maxsim = (
+            pair.join(
+                sel.select("query_id", F.col("cid").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_micro").alias("maxsim_micro"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc("score_micro"), F.asc("cid")
+        )
+        pick = (
+            remaining.join(
+                maxsim,
+                (remaining.query_id == maxsim.query_id)
+                & (remaining.cid == maxsim.a),
+            )
+            .select(
+                remaining.query_id,
+                "cid",
+                (F.col("rel_micro") - F.col("maxsim_micro")).alias(
+                    "score_micro"
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", "cid", F.lit(t).alias("mmr_rank"), "score_micro"
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel

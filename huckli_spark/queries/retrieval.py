@@ -170,3 +170,138 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("int"),
         "chunk_text",
     )
+
+
+# --------------------------------------------------- MMR diversification
+def _mmr_oracle() -> str:
+    micro = (
+        "CAST(floor((list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        """q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+    ), rel AS (
+      SELECT query_id, cid, rel_micro FROM (
+        SELECT q.query_id, c.cid,
+               """
+        + micro.format(a="q.qv", b="c.cv")
+        + """ AS rel_micro,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY """
+        + micro.format(a="q.qv", b="c.cv")
+        + """ DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN c WHERE c.cid <> q.query_id
+      ) WHERE rn <= 20
+    ), pairs AS (
+      SELECT r1.query_id, r1.cid AS a, r2.cid AS b,
+             """
+        + micro.format(a="ca.cv", b="cb.cv")
+        + """ AS sim_micro
+      FROM rel r1
+      JOIN rel r2 ON r2.query_id = r1.query_id AND r2.cid <> r1.cid
+      JOIN c ca ON ca.cid = r1.cid
+      JOIN c cb ON cb.cid = r2.cid
+    ), s1 AS (
+      SELECT query_id, cid, 1 AS mmr_rank, rel_micro AS score_micro
+      FROM (
+        SELECT query_id, cid, rel_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_micro DESC, cid) AS rn
+        FROM rel
+      ) WHERE rn = 1
+    )"""
+    ]
+    for t in range(2, 6):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, cid FROM s{i}" for i in range(1, t)
+        )
+        parts.append(
+            f"""sel{t} AS ({prev_union}),
+    ms{t} AS (
+      SELECT p.query_id, p.a AS cid, max(p.sim_micro) AS maxsim_micro
+      FROM pairs p JOIN sel{t} s
+        ON s.query_id = p.query_id AND s.cid = p.b
+      GROUP BY 1, 2
+    ), s{t} AS (
+      SELECT query_id, cid, {t} AS mmr_rank, score_micro FROM (
+        SELECT r.query_id, r.cid,
+               r.rel_micro - m.maxsim_micro AS score_micro,
+               row_number() OVER (PARTITION BY r.query_id
+                                  ORDER BY r.rel_micro - m.maxsim_micro DESC,
+                                           r.cid) AS rn
+        FROM rel r
+        JOIN ms{t} m ON m.query_id = r.query_id AND m.cid = r.cid
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{t} s
+          WHERE s.query_id = r.query_id AND s.cid = r.cid
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 6))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, cid, CAST(mmr_rank AS INT) AS mmr_rank, score_micro
+    FROM ({final})"""
+    )
+
+
+@query(
+    "q_mmr_rerank",
+    _mmr_oracle(),
+    doc="MMR result diversification (lambda=0.5, k=5 over top-20 "
+    "cosine candidates for 10 queries): greedy relevance-minus-"
+    "redundancy selection, run entirely on exact micro-integer "
+    "similarities with id tiebreaks — every selection step is "
+    "bit-portable, and the oracle unrolls the same 5 greedy steps "
+    "relationally. Scale: candidates are top-n bounded per query, so "
+    "each of the k dataflow stages moves O(queries x n) rows; no "
+    "driver loop touches data, no UDF.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    q = em.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = em.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__nv"))
+    micro = F.floor(cosine("__qv", "__nv") * 1000000.0 + 0.5).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), F.asc("cid"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("query_id"))
+        .select("query_id", "cid", micro.alias("rel_micro"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("query_id", "cid", "rel_micro")
+    )
+    ca = c.select(F.col("cid").alias("a"), F.col("__nv").alias("__qv"))
+    cb = c.select(F.col("cid").alias("b"), F.col("__nv"))
+    pair = (
+        cand.select("query_id", F.col("cid").alias("a"))
+        .join(
+            cand.select(F.col("query_id").alias("__q2"), F.col("cid").alias("b")),
+            F.col("query_id") == F.col("__q2"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "query_id", "a", "b",
+            F.floor(cosine("__qv", "__nv") * 1000000.0 + 0.5)
+            .cast("bigint").alias("sim_micro"),
+        )
+    )
+    out = rt.mmr_rerank(cand, pair, k=5)
+    return out.select(
+        "query_id", "cid", F.col("mmr_rank").cast("int"), "score_micro"
+    )

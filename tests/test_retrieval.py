@@ -113,3 +113,39 @@ class TestChunkWindows:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, plan
+
+
+class TestMMR:
+    def test_diversification_beats_redundancy(self, spark):
+        # candidates: two near-identical high-relevance docs + one
+        # moderately relevant diverse doc. Pure relevance ranks the
+        # twins 1-2; MMR must demote the second twin below the
+        # diverse doc.
+        cand = spark.createDataFrame(
+            [(0, 1, 900000), (0, 2, 890000), (0, 3, 700000)],
+            "query_id long, cid long, rel_micro long",
+        )
+        sims = {(1, 2): 990000, (1, 3): 100000, (2, 3): 120000}
+        rows = []
+        for (a, b), s in sims.items():
+            rows += [(0, a, b, s), (0, b, a, s)]
+        pair = spark.createDataFrame(
+            rows, "query_id long, a long, b long, sim_micro long"
+        )
+        out = {r["mmr_rank"]: r["cid"]
+               for r in rt.mmr_rerank(cand, pair, k=3).collect()}
+        assert out == {1: 1, 2: 3, 3: 2}
+
+    def test_scores_are_selection_time(self, spark):
+        cand = spark.createDataFrame(
+            [(0, 1, 500000), (0, 2, 400000)],
+            "query_id long, cid long, rel_micro long",
+        )
+        pair = spark.createDataFrame(
+            [(0, 1, 2, 300000), (0, 2, 1, 300000)],
+            "query_id long, a long, b long, sim_micro long",
+        )
+        got = {r["cid"]: (r["mmr_rank"], r["score_micro"])
+               for r in rt.mmr_rerank(cand, pair, k=2).collect()}
+        assert got[1] == (1, 500000)  # rank 1 score = raw relevance
+        assert got[2] == (2, 400000 - 300000)  # rel - maxsim
