@@ -245,3 +245,51 @@ def cdc_chunks(
         F.col("chunk_text"),
         h60(F.col("chunk_text")).alias("chunk_hash"),
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    cheap gibberish/boilerplate signal (near-zero for repeated
+    padding, ~4.1 nats/char ceiling for uniform random text): low
+    outliers are machine junk, and it complements the word-level
+    repetition stats.
+
+    Portability: per-(doc, char) counts are exact ints; each char's
+    cnt*ln(cnt/n) term rounds to micro units INDIVIDUALLY and the
+    per-doc sum is then an integer sum — order-independent, so
+    partitioning cannot perturb the result (the z-score/fixed-point
+    discipline). Output entropy = -S_micro / 1e6 / n, frounded.
+
+    Scale: one explode + map-side-combined groupBy over (doc, char)
+    — alphabet-bounded fan-in. The in-row alternative (sorted-chars
+    fold) avoids the shuffle entirely but needs a per-doc sequential
+    double fold; this form keeps every float one-rounding-from-int.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n"),
+        F.explode(F.expr(f"filter(split({text_col}, ''), x -> x <> '')"))
+        .alias("c"),
+    )
+    per_char = chars.groupBy(id_col, "n", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    term = F.floor(
+        F.col("cnt") * F.log(F.col("cnt") / F.col("n")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    agg = per_char.groupBy(id_col, "n").agg(
+        F.sum(term).alias("s_micro"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+    )
+    from huckli_spark.functions.portable import fround
+
+    return agg.select(
+        F.col(id_col),
+        F.col("n").alias("n_chars"),
+        "n_distinct_chars",
+        fround(-F.col("s_micro") / 1000000.0 / F.col("n"), 6).alias(
+            "entropy_nats"
+        ),
+    )

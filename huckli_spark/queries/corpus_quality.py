@@ -247,3 +247,38 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
     )
+
+
+@query(
+    "q_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+      FROM documents
+    ), per_char AS (
+      SELECT doc_id, n, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM chars GROUP BY 1, 2, 3
+    ), agg AS (
+      SELECT doc_id, n,
+             sum(CAST(floor(cnt * ln(cnt / n) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS s_micro,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars
+      FROM per_char GROUP BY 1, 2
+    )
+    SELECT doc_id, n AS n_chars, n_distinct_chars,
+           {sql_fround('-s_micro / 1000000.0 / n', 6)} AS entropy_nats
+    FROM agg
+    """,
+    doc="per-document character Shannon entropy (nats) — the cheap "
+    "gibberish/boilerplate detector for corpus admission: near-zero "
+    "for padding runs, high for random noise; filter both tails. "
+    "Each cnt*ln(cnt/n) term micro-rounds BEFORE the per-doc sum, so "
+    "the aggregate is an exact integer sum — partition-order "
+    "independent, hash-identical on any engine. Scale: one explode + "
+    "map-combined groupBy with alphabet-bounded fan-in.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import textstats
+
+    return textstats.char_entropy(_docs(spark, sf_dir))

@@ -3,6 +3,8 @@ suite: the heuristic language identifier and rolling fingerprints."""
 
 from __future__ import annotations
 
+import pytest
+
 from huckli_spark.operators import textstats
 
 
@@ -54,3 +56,31 @@ class TestRollingFingerprint:
         rows = {r.doc_id: r.score for r in textstats.quality_score(df).collect()}
         assert all(0.0 <= s <= 1.2 for s in rows.values())
         assert rows[1] > rows[2]
+
+
+class TestCharEntropy:
+    def test_extremes(self, spark):
+        from huckli_spark.operators.textstats import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "aaaaaaaaaa"), (1, "abcdefghij"), (2, "aabb")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        assert out[0]["entropy_nats"] == 0.0  # constant text
+        import math
+
+        assert out[1]["entropy_nats"] == pytest.approx(math.log(10), abs=1e-4)
+        assert out[2]["entropy_nats"] == pytest.approx(math.log(2), abs=1e-4)
+        assert out[1]["n_distinct_chars"] == 10
+
+    def test_partitioning_invariance(self, spark):
+        from huckli_spark.operators.textstats import char_entropy
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} " + "abcabcxyz" * (i % 5 + 1)) for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, char_entropy(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, char_entropy(docs.repartition(32)).collect()))
+        assert a == b
