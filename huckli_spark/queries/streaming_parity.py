@@ -471,3 +471,56 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key")
     )
     return run_to_memory(bl.bloom_build(keys, "key"), "complete")
+
+
+@query(
+    "q_stream_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS __w FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), starts AS (
+      SELECT doc_id, __w, unnest(range(0, len(__w), 30)) AS start_tok
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start_tok // 30 AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(__w[start_tok + 1 : start_tok + 40]) AS INT) AS n_tok,
+           array_to_string(__w[start_tok + 1 : start_tok + 40], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc="STREAMING RAG chunking: the chunk_windows operator applied to "
+    "a documents file stream (stateless select/explode — streamable "
+    "in append mode with no watermark or state) drained availableNow, "
+    "hash-matched against the batch oracle — chunking a live corpus "
+    "feed produces byte-identical chunks to a batch backfill. Memory "
+    "sink is fixture-only; production writes parquet/Delta per batch.",
+)
+def q_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.retrieval import chunk_windows
+    from huckli_spark.streaming.windows import run_to_memory
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    chunks = chunk_windows(stream, window=40, stride=30)
+    out = run_to_memory(chunks, output_mode="append")
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.col("start_tok").cast("int"),
+        F.col("n_tok").cast("int"),
+        "chunk_text",
+    )
