@@ -305,3 +305,73 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "cid", F.col("mmr_rank").cast("int"), "score_micro"
     )
+
+
+# ------------------------------------------------- hard-negative mining
+@query(
+    "q_hard_negatives",
+    f"""
+    WITH {rt.sql_bm25("SELECT doc_id, text FROM documents", BM25_TERMS)},
+    lex AS (
+      SELECT doc_id, score_bm25,
+             row_number() OVER (ORDER BY score_bm25 DESC, doc_id) AS lex_rank
+      FROM bm QUALIFY lex_rank <= 20
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+      SELECT vec_id AS doc_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS nv
+            FROM embeddings WHERE vec_id <> 0) CROSS JOIN q
+    ), gold AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    )
+    SELECT lex.doc_id, lex.score_bm25,
+           CAST(lex.lex_rank AS INT) AS lex_rank,
+           coalesce(sims.cos_sim, 0.0) AS cos_sim
+    FROM lex
+    LEFT JOIN sims ON sims.doc_id = lex.doc_id
+    WHERE lex.doc_id NOT IN (SELECT doc_id FROM gold)
+    """,
+    doc="hard-negative mining for retrieval training pairs: documents "
+    "that rank top-20 LEXICALLY (BM25) but are NOT in the semantic "
+    "gold set (exact cosine top-5 for the query embedding) — the "
+    "lexically-plausible-but-wrong examples contrastive training "
+    "needs. Pure composition of the gated BM25 + cosine rankers with "
+    "a bounded anti-join; at 100 TB both rank lists are top-n "
+    "bounded, so mining negatives per query moves O(n) rows.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    lex = (
+        rt.bm25_score(docs, BM25_TERMS)
+        .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .where(F.col("lex_rank") <= 20)
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    sims = (
+        emb.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__nv"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", fround(cosine("__qv", "__nv"), 6).alias("cos_sim"))
+    )
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    gold = (
+        sims.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= 5)
+        .select("doc_id")
+    )
+    return (
+        lex.join(gold, "doc_id", "left_anti")
+        .join(sims, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_bm25",
+            "lex_rank",
+            F.coalesce(F.col("cos_sim"), F.lit(0.0)).alias("cos_sim"),
+        )
+    )
