@@ -1,0 +1,88 @@
+"""Z-order clustering tests: the layout must measurably improve
+row-group skipping on BOTH participating columns vs a single-column
+sort, and the operator must be a pure reordering (same rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.zorder import morton_key, zorder
+
+
+def _grid(spark, n=200):
+    # n x n grid of (x, y) points — the canonical z-order demo shape
+    return (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+
+
+def _overlapping_groups(path, col, lo, hi):
+    """Row groups whose [min, max] for `col` intersects [lo, hi] —
+    what parquet predicate pushdown would have to read."""
+    total = hit = 0
+    for fn in os.listdir(path):
+        if not fn.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, fn))
+        idx = pf.schema_arrow.get_field_index(col)
+        for g in range(pf.num_row_groups):
+            st = pf.metadata.row_group(g).column(idx).statistics
+            total += 1
+            if st.min <= hi and st.max >= lo:
+                hit += 1
+    return hit, total
+
+
+class TestZOrder:
+    def test_pure_reordering(self, spark):
+        df = _grid(spark, 50)
+        out = zorder(df, ["x", "y"], partitions=4)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        assert out.columns == df.columns  # __z and stat cols dropped
+
+    def test_skipping_improves_on_both_columns(self, spark, tmp_path):
+        df = _grid(spark, 200)  # 40k rows
+        opts = dict(maxRecordsPerFile=2500)
+        linear = str(tmp_path / "linear")
+        zpath = str(tmp_path / "zord")
+        # baseline: sorted by x only (helps x, useless for y)
+        df.repartitionByRange(4, "x").sortWithinPartitions(
+            "x"
+        ).write.options(**opts).parquet(linear)
+        zorder(df, ["x", "y"], partitions=4).write.options(**opts).parquet(
+            zpath
+        )
+
+        # narrow band on y: the x-sorted layout must scan ~everything,
+        # the z-ordered one must skip most groups
+        zy_hit, zy_tot = _overlapping_groups(zpath, "y", 10, 20)
+        ly_hit, ly_tot = _overlapping_groups(linear, "y", 10, 20)
+        assert ly_hit == ly_tot  # x-sort gives y no locality at all
+        assert zy_hit <= zy_tot // 2, (zy_hit, zy_tot)
+        # and x stays skippable too (z-order trades a little x locality)
+        zx_hit, zx_tot = _overlapping_groups(zpath, "x", 10, 20)
+        assert zx_hit <= zx_tot // 2, (zx_hit, zx_tot)
+
+    def test_morton_interleave_exact(self, spark):
+        row = spark.range(1).select(
+            morton_key(
+                [F.lit(0b101).cast("long"), F.lit(0b011).cast("long")]
+            ).alias("z")
+        ).collect()[0]
+        # bits: x=101, y=011 -> z = y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1
+        assert row["z"] == 0b011011
+
+    def test_bad_arity_raises(self, spark):
+        with pytest.raises(ValueError, match="2-4"):
+            zorder(_grid(spark, 5), ["x"])
