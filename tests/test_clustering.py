@@ -188,3 +188,34 @@ class TestAssignJoinVariant:
         )
         assert "BroadcastNestedLoopJoin" in plan
         assert "hashpartitioning" not in plan, plan
+
+
+class TestBatchedPQTraining:
+    def test_batched_equals_sequential_kmeans_per_subspace(self, spark):
+        # pq_codebooks_trained batches all m subspace trainings into
+        # shared jobs; the centroids must be BIT-IDENTICAL to running
+        # kmeans_fit per subspace slice (the formulation the SQL
+        # oracle replays).
+        df = _clustered(spark, n_clusters=4, per=20, seed=13)
+        em = df.select("vec_id", "embedding")
+        m, n_codes, iters = 8, 4, 2
+        sub = 64 // m
+        seq = []
+        for s in range(m):
+            sliced = em.select(
+                "vec_id",
+                F.slice("embedding", s * sub + 1, sub).alias("embedding"),
+            )
+            cents = km.kmeans_fit(sliced, k=n_codes, iterations=iters)
+            seq.append([[v / 1e6 for v in c] for c in cents])
+        bat = ss.pq_codebooks_trained(
+            em, m=m, n_codes=n_codes, iterations=iters
+        )
+        assert bat == seq
+
+    def test_short_corpus_raises(self, spark):
+        import pytest as _pytest
+
+        df = _clustered(spark, n_clusters=4, per=2, seed=3).limit(5)
+        with _pytest.raises(ValueError, match="only 5"):
+            ss.pq_codebooks_trained(df, n_codes=16)
