@@ -176,3 +176,77 @@ def sql_pagerank(
         + ",\n".join(parts)
         + f"\nSELECT node, r AS rank_micro FROM r{iterations}"
     )
+
+
+def triangles_per_node(
+    edges: DataFrame, orient_by_degree: bool = False
+) -> DataFrame:
+    """(v, n_triangles) over an undirected edge set given as (s1, s2)
+    with s1 < s2 (each edge once).
+
+    ``orient_by_degree=False`` is the id-oriented textbook plan
+    (q_triangle_count's oracle twin): wedges join on the middle
+    vertex, the closing edge is an equi-join.
+
+    ``orient_by_degree=True`` re-orients every edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties on id)
+    before the wedge join — the standard skew mitigation: a celebrity
+    node's wedge count is bounded by O(sqrt(m)^2) instead of
+    O(degree^2), because high-degree nodes only ever RECEIVE oriented
+    edges. Identical per-node triangle counts (pinned by test); the
+    only change is which join side fans out.
+    """
+    if orient_by_degree:
+        deg = (
+            edges.select(F.col("s1").alias("v"))
+            .unionAll(edges.select(F.col("s2").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        e = (
+            edges.join(deg.withColumnRenamed("v", "s1"), "s1")
+            .withColumnRenamed("d", "d1")
+            .join(
+                deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"),
+                "s2",
+            )
+        )
+        # orient low -> high degree (ties: lower id first) — a total
+        # order, so every edge keeps exactly one direction
+        oriented = e.select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.struct(F.col("s1").alias("a"), F.col("s2").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("s2").alias("a"), F.col("s1").alias("b"))
+            )
+            .alias("e")
+        ).select("e.a", "e.b")
+    else:
+        oriented = edges.select(
+            F.col("s1").alias("a"), F.col("s2").alias("b")
+        )
+    t = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            oriented.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    verts = (
+        t.select(F.col("x").alias("v"))
+        .unionAll(t.select(F.col("y").alias("v")))
+        .unionAll(t.select(F.col("z").alias("v")))
+    )
+    return verts.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

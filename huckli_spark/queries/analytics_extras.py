@@ -342,28 +342,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    t = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e2.s1") == F.col("e1.s2"))
-        .join(
-            e.alias("e3"),
-            (F.col("e3.s1") == F.col("e1.s1"))
-            & (F.col("e3.s2") == F.col("e2.s2")),
-        )
-        .select(
-            F.col("e1.s1").alias("a"),
-            F.col("e1.s2").alias("b"),
-            F.col("e2.s2").alias("c"),
-        )
+    from huckli_spark.operators.graph import triangles_per_node
+
+    # id-oriented form (the oracle's twin); triangles_per_node also
+    # offers the degree-oriented skew mitigation, pinned equal in
+    # tests/test_graph.py
+    return triangles_per_node(e).select(
+        F.col("v").cast("long").alias("suppkey"), "n_triangles"
     )
-    verts = (
-        t.select(F.col("a").alias("v"))
-        .unionAll(t.select(F.col("b").alias("v")))
-        .unionAll(t.select(F.col("c").alias("v")))
-    )
-    return verts.groupBy("v").agg(
-        F.count("*").cast("long").alias("n_triangles")
-    ).select(F.col("v").cast("long").alias("suppkey"), "n_triangles")
 
 
 # ---------------------------------------------------------- table profiling

@@ -68,3 +68,24 @@ class TestPageRank:
         r1 = sorted(map(tuple, pagerank(e1).collect()))
         r2 = sorted(map(tuple, pagerank(e2).collect()))
         assert r1 == r2
+
+
+class TestTriangleOrientation:
+    def test_degree_oriented_equals_id_oriented(self, spark):
+        # a skewed graph: one hub connected to everyone + random edges
+        import random
+
+        rng = random.Random(5)
+        edges = {(0, i) for i in range(1, 40)}  # hub 0
+        while len(edges) < 140:
+            a, b = rng.randrange(1, 40), rng.randrange(1, 40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        from huckli_spark.operators.graph import triangles_per_node
+
+        e = spark.createDataFrame(sorted(edges), "s1 long, s2 long")
+        plain = {(r["v"], r["n_triangles"])
+                 for r in triangles_per_node(e).collect()}
+        orient = {(r["v"], r["n_triangles"])
+                  for r in triangles_per_node(e, orient_by_degree=True).collect()}
+        assert plain == orient and plain  # same counts, non-empty
