@@ -272,25 +272,38 @@ class Warehouse:
         )
 
     def compact(
-        self, name: str, sort_cols: list[str], target_partitions: Optional[int] = None
+        self,
+        name: str,
+        sort_cols: list[str],
+        target_partitions: Optional[int] = None,
+        zorder: bool = False,
     ) -> None:
         """Rewrite a table range-partitioned and sorted on
-        ``sort_cols`` — the OPTIMIZE ZORDER analog for plain parquet.
+        ``sort_cols`` — the OPTIMIZE analog for plain parquet.
 
         Append-heavy ingest leaves many small files with overlapping
         value ranges, so min/max row-group skipping never prunes.
         After compaction each file owns a disjoint range of
         ``sort_cols[0]`` (and is sorted within), so a selective filter
-        touches one file instead of all of them. Run it out-of-band,
-        like the reference user would run VACUUM/OPTIMIZE.
+        touches one file instead of all of them. ``zorder=True`` lays
+        the files out on the Morton interleave of 2-4 numeric columns
+        instead (operators/zorder.py) — every participating column
+        keeps min/max locality, the OPTIMIZE ZORDER BY semantics. Run
+        it out-of-band, like the reference user would run
+        VACUUM/OPTIMIZE.
         """
         import shutil
 
         df = self.table(name)
         n = target_partitions or df.rdd.getNumPartitions()
-        compacted = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+        if zorder:
+            from huckli_spark.operators.zorder import zorder as _zorder
+
+            compacted = _zorder(df, sort_cols, partitions=n)
+        else:
+            compacted = df.repartitionByRange(
+                n, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
         if self.acid:
             # snapshot-replace commit: readers see the old snapshot
             # until the log entry lands; old files become vacuumable

@@ -86,3 +86,18 @@ class TestZOrder:
     def test_bad_arity_raises(self, spark):
         with pytest.raises(ValueError, match="2-4"):
             zorder(_grid(spark, 5), ["x"])
+
+
+class TestWarehouseZOrderCompact:
+    def test_acid_zorder_compact_preserves_rows(self, spark, tmp_path):
+        from huckli_spark.ingest.warehouse import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        df = _grid(spark, 60)
+        wh.append("g", df)
+        before = sorted(map(tuple, wh.table("g").collect()))
+        wh.compact("g", ["x", "y"], target_partitions=4, zorder=True)
+        after = sorted(map(tuple, wh.table("g").collect()))
+        assert before == after
+        # snapshot-replace: the pre-compaction version stays readable
+        assert wh.table("g", as_of=0).count() == len(before)
