@@ -257,3 +257,39 @@ class TestRound5Plans:
         plan = _plan(spark, "q_pagerank")
         # edge-to-rank joins broadcast the rank vector every iteration
         assert "SortMergeJoin" not in plan
+
+
+class TestRound6Plans:
+    """Plan pins for the round-6 retrieval/audit operators."""
+
+    def test_bm25_no_corpus_shuffle(self, spark):
+        plan = _plan(spark, "q_bm25_topk")
+        # corpus scan + singleton stats broadcast; the only sort is
+        # the bounded top-k
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning" not in plan, plan
+        assert "Python" not in plan
+
+    def test_chunk_windows_map_only(self, spark):
+        plan = _plan(spark, "q_chunk_windows")
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_profile_table_single_scan(self, spark):
+        plan = _plan(spark, "q_profile_table")
+        # ONE pass: exactly one parquet scan (one file-index location
+        # in the formatted details) feeds every metric, no joins —
+        # the multi-distinct Expand fans the single scan out instead
+        assert plan.count("Location: InMemoryFileIndex") == 1, plan
+        assert "Join" not in plan
+
+    def test_char_entropy_no_python(self, spark):
+        plan = _plan(spark, "q_char_entropy")
+        assert "Python" not in plan
+
+    def test_triangle_equi_joins(self, spark):
+        plan = _plan(spark, "q_triangle_count")
+        # the wedge/closing joins must be equi-joins (shuffled or
+        # broadcast by size), never nested-loop products
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
