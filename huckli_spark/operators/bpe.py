@@ -158,7 +158,10 @@ def bpe_apply(
             rows = []
             for rec in pdf.itertuples(index=False):
                 vals = dict(zip(cols, rec))
-                for w in str(vals[text_col]).split(" "):
+                text = vals[text_col]
+                if text is None or (isinstance(text, float)):
+                    continue  # null text: no words (matches split(NULL))
+                for w in str(text).split(" "):
                     if not w:
                         continue
                     if w not in cache:

@@ -57,16 +57,31 @@ def zorder(df: DataFrame, cols: list[str], partitions: int = 32) -> DataFrame:
     with plain ``.write.parquet`` to get the clustered files."""
     if not 2 <= len(cols) <= 4:
         raise ValueError(f"zorder wants 2-4 columns, got {len(cols)}")
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    # date/timestamp columns normalize through epoch seconds (a plain
+    # DATE -> DOUBLE cast is rejected by Spark)
+    work = df
+    renamed: dict[str, str] = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            alias = f"__zn_{c}"
+            work = work.withColumn(
+                alias, F.col(c).cast("timestamp").cast("double")
+            )
+            renamed[c] = alias
+    key_cols = [renamed.get(c, c) for c in cols]
+    stats = work.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in key_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in key_cols],
     )
-    with_stats = df.crossJoin(F.broadcast(stats))
+    with_stats = work.crossJoin(F.broadcast(stats))
     scaled = [
-        _scaled(c, F.col(f"mn_{c}"), F.col(f"mx_{c}")) for c in cols
+        _scaled(c, F.col(f"mn_{c}"), F.col(f"mx_{c}")) for c in key_cols
     ]
     keyed = with_stats.withColumn("__z", morton_key(scaled)).drop(
-        *[f"mn_{c}" for c in cols], *[f"mx_{c}" for c in cols]
+        *[f"mn_{c}" for c in key_cols],
+        *[f"mx_{c}" for c in key_cols],
+        *renamed.values(),
     )
     return (
         keyed.repartitionByRange(partitions, "__z")

@@ -114,3 +114,13 @@ class TestFrozenFixtureMerges:
             for r in bpe_apply(corpus, merges).collect()
         }
         assert got == {w: _apply_merges_local(w, merges) for w in words}
+
+    def test_apply_skips_null_text(self, spark):
+        # null text must produce no tokens (matches split(NULL) -> no
+        # rows), never the literal string "None"
+        corpus = spark.createDataFrame(
+            [(0, "ab"), (1, None)], "doc_id long, text string"
+        )
+        rows = bpe_apply(corpus, [("a", "b")]).collect()
+        assert {r["doc_id"] for r in rows} == {0}
+        assert [list(r["syms"]) for r in rows] == [["ab"]]

@@ -101,3 +101,16 @@ class TestWarehouseZOrderCompact:
         assert before == after
         # snapshot-replace: the pre-compaction version stays readable
         assert wh.table("g", as_of=0).count() == len(before)
+
+    def test_date_column_zorder(self, spark):
+        # the docstring's date/timestamp claim, exercised
+        df = spark.range(100).select(
+            F.col("id").alias("x"),
+            F.expr("date_add(DATE'2024-01-01', cast(id % 30 AS int))").alias("d"),
+            F.col("id").alias("payload"),
+        )
+        out = zorder(df, ["x", "d"], partitions=2)
+        assert out.columns == df.columns
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, df.collect())
+        )
