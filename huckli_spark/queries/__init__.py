@@ -120,7 +120,7 @@ _GATE_PRIORITY: list[str] = [
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 # Round-7 rotation queue (registered this round, replica-green, not
 # yet driver-graded): q_bpe_encode, q_mmr_rerank, q_char_entropy,
-# q_stream_chunks, q_hard_negatives.
+# q_stream_chunks, q_hard_negatives, q_ngram_novelty.
 
 
 def all_queries() -> dict[str, QuerySpec]:

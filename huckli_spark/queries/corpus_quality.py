@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from huckli_spark.functions.portable import sql_fround, sql_h60
+from huckli_spark.functions.portable import fround, sql_fround, sql_h60
 from huckli_spark.queries import query
 
 
@@ -282,3 +282,64 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators import textstats
 
     return textstats.char_entropy(_docs(spark, sf_dir))
+
+
+@query(
+    "q_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ), df AS (
+      SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           {sql_fround(
+        'sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)}
+             AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+    doc="per-document n-gram novelty: the fraction of a doc's distinct "
+    "word 3-gram shingles that occur in NO other document — the "
+    "inverse-boilerplate signal (template/chrome-heavy docs score "
+    "near 0, original prose near 1), the doc-level complement of the "
+    "pairwise Jaccard dedup family. Exact integer ratio, frounded. "
+    "Scale: distinct (doc, shingle) -> shingle-frequency groupBy -> "
+    "join back — shingle keys hash to 8 bytes in the production "
+    "variant (dedup.py convention) so the shuffle never carries text.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 3 THEN array() ELSE"
+                    " transform(sequence(0, size(split(text, ' ')) - 3),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    " END"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            fround(uniq * 1.0 / F.count("*"), 6).alias("novelty"),
+        )
+    )
