@@ -245,7 +245,12 @@ class Warehouse:
                     if k not in parts:
                         parts.append(k)
         if incremental:
-            return export_delta_increment(self.table_path(name), parts)
+            # schema travels with every increment so schema evolution
+            # re-emits metaData instead of leaving external readers on
+            # the stale v0 schemaString (ADVICE r6)
+            return export_delta_increment(
+                self.table_path(name), parts, schema_json=df.schema.json()
+            )
         return export_delta_snapshot(
             self.table_path(name), df.schema.json(), parts
         )

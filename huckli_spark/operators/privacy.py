@@ -35,10 +35,14 @@ PII_PATTERNS: dict[str, str] = {
     # Both arms carry a leading boundary (\b after the optional '+',
     # '(' or \b before the area code) so a match can never START
     # mid-digit-run: 14+-digit runs (card numbers, timestamps) are
-    # left whole instead of partially redacted. A bare 10-13 digit
-    # run still matches in full — audit pipelines over-match, then
-    # filter (same tradeoff as the ipv4 octet range).
-    "phone": r"(?:\+?\b[0-9]{1,3}[-. ]?)?(?:\(|\b)[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b",
+    # left whole instead of partially redacted. The first alternative
+    # only spans bare runs of EXACTLY 10 digits (\b needed on both
+    # sides of the 3-3-4 core), so a second alternative covers bare
+    # 11-13 digit runs (unformatted international numbers) in full —
+    # audit pipelines over-match, then filter (same tradeoff as the
+    # ipv4 octet range). (ADVICE r6: the boundary fix had silently
+    # dropped bare 11-13 digit runs.)
+    "phone": r"(?:\+?\b[0-9]{1,3}[-. ]?)?(?:\(|\b)[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b|\b[0-9]{11,13}\b",
 }
 
 REDACTION_TOKENS: dict[str, str] = {

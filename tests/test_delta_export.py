@@ -292,3 +292,165 @@ class TestIncrementalExport:
         wh.append("t", _df(spark))
         with pytest.raises(ValueError, match="no prior export"):
             wh.export_delta("t", incremental=True)
+
+
+class TestSchemaEvolutionAndCheckpoints:
+    """Round-7: metaData re-emit on schema evolution (ADVICE r6 —
+    without it external Delta readers silently drop evolved columns)
+    and protocol checkpoints + log compaction for the incremental
+    mode (VERDICT r6 #6)."""
+
+    def _reader_rows(self, path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.delta_read import read_rows
+
+        return read_rows(path)
+
+    def test_increment_reemits_metadata_on_schema_evolution(
+        self, spark, tmp_path
+    ):
+        wh = Warehouse(
+            spark, str(tmp_path), idempotent=True, acid=True,
+            merge_schema=True,
+        )
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        c0 = wh.export_delta("t")
+        meta0 = next(a for a in _read_actions(c0) if "metaData" in a)
+
+        # evolve: new column lands in the warehouse
+        evolved = _df(spark, n=4, src="pref.1700003600000.gz").withColumn(
+            "extra", F.col("k") * 10
+        )
+        wh.append("t", evolved)
+        c1 = wh.export_delta("t", incremental=True)
+        metas = [a for a in _read_actions(c1) if "metaData" in a]
+        assert len(metas) == 1
+        # same table id, evolved schemaString
+        assert metas[0]["metaData"]["id"] == meta0["metaData"]["id"]
+        assert "extra" in metas[0]["metaData"]["schemaString"]
+        assert (
+            metas[0]["metaData"]["schemaString"]
+            != meta0["metaData"]["schemaString"]
+        )
+
+        # the independent reader now projects the evolved column
+        cols, rows = self._reader_rows(os.path.join(str(tmp_path), "t"))
+        assert "extra" in cols
+        assert len(rows) == 24
+        srows = [
+            tuple(v.isoformat() if hasattr(v, "isoformat") else v
+                  for v in (r[c] for c in cols))
+            for r in wh.table("t").collect()
+        ]
+        assert sorted(srows, key=str) == sorted(rows, key=str)
+
+    def test_unchanged_schema_emits_no_metadata(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=3, src="pref.1700003600000.gz"))
+        c1 = wh.export_delta("t", incremental=True)
+        assert not any("metaData" in a for a in _read_actions(c1))
+
+    def test_schema_only_change_still_commits(self, spark, tmp_path):
+        from huckli_spark.ingest.delta_export import export_delta_increment
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark))
+        wh.export_delta("t")
+        # no file diff, but a different schema => one metaData-only commit
+        fake_schema = wh.table("t").schema.json().replace('"k"', '"k2"')
+        c = export_delta_increment(
+            os.path.join(str(tmp_path), "t"),
+            ["file_source"],
+            schema_json=fake_schema,
+        )
+        actions = _read_actions(c)
+        assert any("metaData" in a for a in actions)
+        assert not any("add" in a or "remove" in a for a in actions)
+
+    def test_checkpoint_write_compact_and_reader(self, spark, tmp_path):
+        from huckli_spark.ingest.delta_export import (
+            clean_log,
+            write_checkpoint,
+        )
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=7, src="pref.1700003600000.gz"))
+        wh.export_delta("t", incremental=True)
+        # replace partition 1 so the checkpoint must reflect removes
+        wh.append("t", _df(spark, n=5, src="pref.1700000000000.gz"))
+        wh.export_delta("t", incremental=True)
+
+        tpath = os.path.join(str(tmp_path), "t")
+        ck = write_checkpoint(tpath)
+        assert ck.endswith("2.checkpoint.parquet")
+        log_dir = os.path.join(tpath, "_delta_log")
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            pointer = json.load(fh)
+        assert pointer["version"] == 2
+
+        # checkpointed reader agrees BEFORE compaction
+        cols, rows = self._reader_rows(tpath)
+        assert len(rows) == 12
+
+        # compaction removes commits <= checkpoint; reader still agrees
+        removed = clean_log(tpath)
+        assert len(removed) == 3  # v0, v1, v2 JSONs
+        remaining = [f for f in os.listdir(log_dir) if f.endswith(".json")]
+        assert remaining == []
+        cols2, rows2 = self._reader_rows(tpath)
+        assert cols2 == cols and sorted(rows2) == sorted(rows)
+
+        # further increments replay from the checkpoint and land at v3
+        wh.append("t", _df(spark, n=2, src="pref.1700007200000.gz"))
+        c3 = wh.export_delta("t", incremental=True)
+        assert c3.endswith("3.json")
+        _, rows3 = self._reader_rows(tpath)
+        assert len(rows3) == 14
+
+    def test_auto_checkpoint_interval(self, spark, tmp_path):
+        from huckli_spark.ingest.delta_export import export_delta_increment
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=3, src="pref.1700003600000.gz"))
+        tpath = os.path.join(str(tmp_path), "t")
+        export_delta_increment(
+            tpath, ["file_source", "file_date"],
+            schema_json=wh.table("t").schema.json(),
+            checkpoint_interval=1,
+        )
+        log_dir = os.path.join(tpath, "_delta_log")
+        names = os.listdir(log_dir)
+        assert any(n.endswith("1.checkpoint.parquet") for n in names)
+        assert "_last_checkpoint" in names
+
+    def test_checkpoint_partition_values_roundtrip(self, spark, tmp_path):
+        # Hive k=v path segments must survive the parquet map column
+        # (including after compaction, when the checkpoint is the ONLY
+        # source of partitionValues for old files)
+        from huckli_spark.ingest.delta_export import (
+            clean_log,
+            write_checkpoint,
+        )
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, n=6, src="pref.1700000000000.gz"))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=4, src="pref.1700003600000.gz"))
+        wh.export_delta("t", incremental=True)
+        tpath = os.path.join(str(tmp_path), "t")
+        write_checkpoint(tpath)
+        clean_log(tpath)
+        cols, rows = self._reader_rows(tpath)
+        srows = [
+            tuple(v.isoformat() if hasattr(v, "isoformat") else v
+                  for v in (r[c] for c in cols))
+            for r in wh.table("t").collect()
+        ]
+        assert sorted(srows, key=str) == sorted(rows, key=str)

@@ -65,6 +65,21 @@ class TestPIIScrub:
             assert r["n_phone"] == 0, text
             assert r["redacted"] == text, text
 
+    def test_bare_international_runs_redact(self, spark):
+        # Regression (ADVICE r6): the r5 boundary fix silently dropped
+        # bare 11-13 digit runs (unformatted international numbers) —
+        # the 3-3-4 arm only spans exactly-10-digit bare runs. The
+        # second alternation must redact 11-13 digit runs in full.
+        for text, redacted in (
+            ("call 12025551234 now", "call <PHONE> now"),  # 11
+            ("call 442079460958 now", "call <PHONE> now"),  # 12
+            ("call 8612025551234 now", "call <PHONE> now"),  # 13
+            ("call +12025551234 now", "call +<PHONE> now"),  # bare run after +
+        ):
+            r = _pii_row(spark, text)
+            assert r["n_phone"] == 1, text
+            assert r["redacted"] == redacted, text
+
     def test_paren_and_plus_redact_fully(self, spark):
         r = _pii_row(spark, "call (555) 123-4567 or +1 555 123 4567 now")
         assert r["n_phone"] == 2

@@ -87,6 +87,55 @@ class TestZOrder:
         with pytest.raises(ValueError, match="2-4"):
             zorder(_grid(spark, 5), ["x"])
 
+    def test_four_column_key_stays_nonnegative(self, spark):
+        # Regression (ADVICE r6): 4 cols x 16 bits wrote bit 63 (the
+        # BIGINT sign bit), so rows with the last column's top scaled
+        # bit set got NEGATIVE keys and sorted before everything else.
+        # With the cap (63 // 4 = 15 bits) the key must stay >= 0 even
+        # when every column sits at its scaled maximum.
+        from huckli_spark.operators.zorder import _key_bits
+
+        bits = _key_bits(4)
+        assert 4 * bits <= 63
+        top = F.lit((1 << bits) - 1).cast("long")
+        row = spark.range(1).select(
+            morton_key([top, top, top, top], bits).alias("z")
+        ).collect()[0]
+        assert row["z"] == (1 << (4 * bits)) - 1 > 0
+
+    def test_morton_bits_overflow_raises(self, spark):
+        with pytest.raises(ValueError, match="sign bit"):
+            morton_key([F.lit(0).cast("long")] * 4, 16)
+
+    def test_four_column_keys_monotone_at_extremes(self, spark):
+        # Key-level pin of the fix: over random 4-col scaled points
+        # plus the all-max point, every key is non-negative and the
+        # all-max point carries the strictly greatest key (before the
+        # fix its key was NEGATIVE, sorting it first).
+        from huckli_spark.operators.zorder import _key_bits
+
+        bits = _key_bits(4)
+        top = (1 << bits) - 1
+        df = spark.range(200).select(
+            *[
+                F.when(F.col("id") == 0, top)
+                .otherwise(F.xxhash64(F.col("id"), F.lit(j)) % (top + 1))
+                .cast("long")
+                .alias(f"s{j}")
+                for j in range(4)
+            ]
+        ).select(
+            F.col("s0"),
+            morton_key(
+                [F.abs(F.col(f"s{j}")).cast("long") for j in range(4)], bits
+            ).alias("z"),
+        )
+        rows = df.collect()
+        assert all(r["z"] >= 0 for r in rows)
+        maxkey = (1 << (4 * bits)) - 1
+        assert rows[0]["z"] == maxkey
+        assert all(r["z"] < maxkey for r in rows[1:])
+
 
 class TestWarehouseZOrderCompact:
     def test_acid_zorder_compact_preserves_rows(self, spark, tmp_path):

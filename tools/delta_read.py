@@ -13,8 +13,14 @@ live parquet files and re-attaches partition columns from
 ``partitionValues`` (partition values are NOT stored in the data
 files; a reader that ignored them would drop columns).
 
-Deliberately minimal, loudly so: deletion vectors, column mapping,
-checkpoints and reader version > 1 raise instead of mis-reading.
+Round 7: consumes protocol checkpoints — when ``_last_checkpoint``
+exists, the reader loads ``{v:020d}.checkpoint.parquet`` (one action
+per row: ``protocol`` / ``metaData`` / ``add`` struct columns, per
+the spec's checkpoint schema), reconstructs the state at v, and
+replays only the JSON commits ABOVE v — commits at or below the
+checkpoint may have been compacted away. Multi-part checkpoints,
+deletion vectors, column mapping and reader version > 1 still raise
+instead of mis-reading.
 
 Usage:
     python tools/delta_read.py /path/to/table   # prints row count + schema
@@ -35,31 +41,80 @@ class DeltaReadError(Exception):
     pass
 
 
-def _commit_files(table_path: str) -> list[tuple[int, str]]:
+def _commit_files(table_path: str, after: int) -> list[tuple[int, str]]:
+    """JSON commits with version > ``after``, contiguous from
+    ``after + 1`` (gaps in the tail are corruption; missing commits
+    at or below a checkpoint are expected compaction)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise DeltaReadError(f"no _delta_log in {table_path}")
     out = []
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
-        if m:
+        if m and int(m.group(1)) > after:
             out.append((int(m.group(1)), os.path.join(log_dir, name)))
-    if not out:
-        raise DeltaReadError("empty _delta_log")
     out.sort()
     versions = [v for v, _ in out]
-    if versions != list(range(versions[0], versions[0] + len(versions))):
-        raise DeltaReadError(f"non-contiguous versions {versions}")
-    if versions[0] != 0:
-        raise DeltaReadError("no checkpoint support: log must start at 0")
+    if versions != list(range(after + 1, after + 1 + len(versions))):
+        raise DeltaReadError(
+            f"non-contiguous versions {versions} after {after}"
+        )
+    if after < 0 and not out:
+        raise DeltaReadError("empty _delta_log")
     return out
 
 
-def replay_log(table_path: str) -> tuple[dict, dict[str, dict]]:
-    """Replay all commits; return (metaData, {decoded_path: add})."""
+def _load_checkpoint(table_path: str) -> tuple[int, dict | None, dict[str, dict]]:
+    """If ``_last_checkpoint`` exists, load the checkpoint parquet it
+    points at; return (version, metaData-or-None, live adds keyed by
+    decoded path). (-1, None, {}) without a checkpoint. The spec's
+    ``parts`` field (multi-part checkpoints) is unsupported — raise."""
+    import pyarrow.parquet as pq
+
+    lc = os.path.join(table_path, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(lc):
+        return -1, None, {}
+    with open(lc) as fh:
+        pointer = json.load(fh)
+    if pointer.get("parts"):
+        raise DeltaReadError("multi-part checkpoints not supported")
+    v = int(pointer["version"])
+    path = os.path.join(
+        table_path, "_delta_log", f"{v:020d}.checkpoint.parquet"
+    )
+    if not os.path.exists(path):
+        raise DeltaReadError(f"_last_checkpoint points at missing {path}")
     meta = None
     live: dict[str, dict] = {}
-    for _, path in _commit_files(table_path):
+    for row in pq.read_table(path).to_pylist():
+        proto = row.get("protocol")
+        if proto is not None:
+            if proto["minReaderVersion"] > 1:
+                raise DeltaReadError(
+                    f"reader version {proto['minReaderVersion']} "
+                    "not supported by this minimal reader"
+                )
+        elif row.get("metaData") is not None:
+            meta = dict(row["metaData"])
+            fmt = dict(meta["format"])
+            fmt["options"] = dict(fmt.get("options") or [])
+            meta["format"] = fmt
+            meta["partitionColumns"] = list(meta.get("partitionColumns") or [])
+        elif row.get("add") is not None:
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            live[urllib.parse.unquote(a["path"])] = a
+        elif row.get("remove") is not None:
+            # spec allows tombstones in checkpoints; they are not live
+            continue
+    return v, meta, live
+
+
+def replay_log(table_path: str) -> tuple[dict, dict[str, dict]]:
+    """Replay checkpoint (if any) + commit tail; return
+    (metaData, {decoded_path: add})."""
+    ck_version, meta, live = _load_checkpoint(table_path)
+    for _, path in _commit_files(table_path, after=ck_version):
         with open(path) as fh:
             for line in fh:
                 if not line.strip():
@@ -120,7 +175,13 @@ def read_rows(table_path: str) -> tuple[list[str], list[tuple]]:
     rows: list[tuple] = []
     for rel, add in sorted(live.items()):
         full = os.path.join(table_path, rel)
-        table = pq.read_table(full, columns=data_cols)
+        # spec: the CURRENT schema projects over every file; files
+        # written before a schema evolution lack the new columns and
+        # the reader fills them with null
+        present = set(pq.ParquetFile(full).schema_arrow.names)
+        table = pq.read_table(
+            full, columns=[c for c in data_cols if c in present]
+        )
         pv = tuple(
             _cast_partition_value(
                 add["partitionValues"].get(c), types[c]
@@ -128,7 +189,7 @@ def read_rows(table_path: str) -> tuple[list[str], list[tuple]]:
             for c in part_cols
         )
         for r in table.to_pylist():
-            rows.append(tuple(r[c] for c in data_cols) + pv)
+            rows.append(tuple(r.get(c) for c in data_cols) + pv)
     return cols, rows
 
 
