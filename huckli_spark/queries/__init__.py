@@ -74,42 +74,48 @@ _GATE_PRIORITY: list[str] = [
     "q_sessionize",
     "q_multimodal_pipeline",
     "q_dedup_minhash",
-    # --- semantics CHANGED in round 6 (bloom duplicate-key fix, phone
-    # regex boundary fix) — must carry a fresh graded row
+    # --- semantics CHANGED in round 7 (phone-regex bare 11-13 digit
+    # arm, ADVICE r6) — must carry a fresh graded row
     "q_pii_redact",
+    # --- semantics changed r6, keep one more graded round
     "q_bloom_decontaminate",
     # --- events-dependent (fixture drift risk, r3 lesson)
     "q_asof_join",
     "q_range_join",
-    # --- round-6 rotation: the 17 queries never driver-graded before
-    # this round (the whole round-5 operator wave; VERDICT r05 #1)
-    "q_countmin_topk",
-    "q_weighted_sample",
-    "q_zscore_outliers",
+    # --- carried from the round-6 rotation (training/PQ/graph wave)
     "q_pagerank",
-    "q_fuzzy_join",
     "q_pq_encode",
     "q_pq_adc",
     "q_pq_recall",
     "q_kmeans",
     "q_ann_ivf_trained",
     "q_bpe_pairs",
-    "q_bigram_logprob",
-    "q_full_outer_join",
-    "q_hopping_window",
     "q_stream_static_join",
     "q_stream_countmin",
     "q_stream_bloom",
-    # --- new in round 6: trained PQ, retrieval layer, graph + audit
+    # --- round-6 new wave (first graded r6, keep)
     "q_pq_recall_trained",
     "q_bm25_topk",
     "q_rrf_fusion",
     "q_chunk_windows",
     "q_triangle_count",
     "q_profile_table",
+    # --- round-7 rotation: the 6 round-6-registered queries never
+    # driver-graded (VERDICT r06 #1)
+    "q_bpe_encode",
+    "q_mmr_rerank",
+    "q_char_entropy",
+    "q_stream_chunks",
+    "q_hard_negatives",
+    "q_ngram_novelty",
+    # --- new in round 7: the end-to-end hybrid retrieval composition
+    "q_hybrid_retrieval",
 ]
-# Rotated out for round 6 (ALL driver-graded green in r4/r5; local
-# replica still covers them every round): q_ann_ivf,
+# Rotated out for round 7 (ALL driver-graded green in r6; local
+# replica still covers them every round): q_countmin_topk,
+# q_weighted_sample, q_zscore_outliers, q_fuzzy_join,
+# q_full_outer_join, q_bigram_logprob, q_hopping_window.
+# Rotated out for round 6 (driver-graded green in r4/r5): q_ann_ivf,
 # q_stream_interval_join, q_stream_join_window, q_repetition_stats,
 # q_cdc_chunks, q_stream_left_join, q_mixture_sample, q_shard_assign,
 # q_ann_recall, q_bitwise, q_embed_quantize, q_incremental_rollup,
@@ -118,9 +124,6 @@ _GATE_PRIORITY: list[str] = [
 # q_decontaminate, q_sequence_pack, q_stream_time_bucket,
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# Round-7 rotation queue (registered this round, replica-green, not
-# yet driver-graded): q_bpe_encode, q_mmr_rerank, q_char_entropy,
-# q_stream_chunks, q_hard_negatives, q_ngram_novelty.
 
 
 def all_queries() -> dict[str, QuerySpec]:

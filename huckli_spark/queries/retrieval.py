@@ -307,6 +307,353 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- full hybrid pipeline (r7)
+def _micro_cos(a: str, b: str) -> str:
+    return (
+        f"CAST(floor((list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+def _hybrid_oracle() -> str:
+    """Replays the ENTIRE production hybrid-retrieval pipeline
+    relationally: coarse k-means (k=8, 3 exact fixed-point iterations)
+    -> IVF posting/probe lists -> 8 per-subspace k-means trainings ->
+    trained-PQ encode -> ADC scoring restricted to the probed clusters
+    -> vector top-50, BM25 top-50 over the embedded sub-corpus ->
+    RRF fusion -> top-20 candidates -> exact-cosine MMR rerank
+    unrolled as 5 greedy steps. Every stage is the proven CTE shape
+    from its own gate query (q_kmeans, q_ann_ivf_trained,
+    q_pq_recall_trained, q_bm25_topk, q_rrf_fusion, q_mmr_rerank)."""
+    from huckli_spark.operators.clustering import (
+        sql_kmeans_chain,
+        sql_kmeans_ctes,
+    )
+    from huckli_spark.queries.embeddings import _PQT_ITERS
+
+    # MATERIALIZED stops DuckDB inlining the shared CTEs: without it
+    # the 8 subspace chains + encode + ADC expand `vm`/`e` into
+    # hundreds of simultaneous parquet scans (fd exhaustion) and
+    # recompute the fused candidate set once per MMR stage
+    parts = [
+        sql_kmeans_ctes(k=8, iterations=3).replace(
+            "vm AS (", "vm AS MATERIALIZED (", 1
+        )
+    ]
+    # trained coarse centroids -> IVF posting lists + the probe set
+    parts.append(
+        f"""cent AS MATERIALIZED (
+      SELECT cid, list(c / 1000000.0 ORDER BY dim) AS c
+      FROM c3 GROUP BY cid
+    ), v AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), corpus_sims AS MATERIALIZED (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround("list_dot_product(v.e, cent.c) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))", 6)} DESC,
+                        cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, cid FROM corpus_sims WHERE rn = 1
+    ), probes AS (
+      SELECT cid FROM corpus_sims WHERE vec_id = 0 AND rn <= 2
+    ), cand_ivf AS (
+      SELECT neighbor_id FROM posting JOIN probes USING (cid)
+      WHERE neighbor_id <> 0
+    )"""
+    )
+    # 8 independent per-subspace k-means trainings -> trained codebooks
+    for s in range(8):
+        off = s * 8
+        parts.append(
+            f"""svm{s} AS (
+              SELECT vec_id, dim - {off} AS dim, val
+              FROM vm WHERE dim >= {off} AND dim < {off + 8}
+            )"""
+        )
+        parts.append(sql_kmeans_chain(16, _PQT_ITERS, f"p{s}_", f"svm{s}"))
+        parts.append(
+            f"""cbl{s} AS (
+              SELECT cid, list(c / 1000000.0 ORDER BY dim) AS cv
+              FROM p{s}_c{_PQT_ITERS} GROUP BY cid
+            )"""
+        )
+    parts.append(
+        "e AS MATERIALIZED"
+        " (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)"
+    )
+    parts.append(
+        "q0 AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv"
+        " FROM embeddings WHERE vec_id = 0)"
+    )
+    # trained-PQ encode
+    for s in range(8):
+        off = s * 8
+        dexpr = (
+            "CAST(floor(list_sum(list_transform(range(1, 9), j -> "
+            f"(e.ev[{off} + j] - cb.cv[j]) * (e.ev[{off} + j] - cb.cv[j])"
+            ")) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+        parts.append(
+            f"""sub{s} AS (
+              SELECT e.vec_id, cb.cid AS code, {dexpr} AS d
+              FROM e CROSS JOIN cbl{s} cb
+            ), pick{s} AS (
+              SELECT vec_id, min_d AS d, CAST(min(code) AS BIGINT) AS code
+              FROM (
+                SELECT vec_id, d, code,
+                       min(d) OVER (PARTITION BY vec_id) AS min_d
+                FROM sub{s}
+              ) WHERE d = min_d GROUP BY vec_id, min_d
+            )"""
+        )
+    joins = "\n".join(
+        f"JOIN pick{s} ON pick{s}.vec_id = e.vec_id" for s in range(8)
+    )
+    word = " + ".join(f"(pick{s}.code << {4 * s})" for s in range(8))
+    parts.append(
+        f"""codes AS MATERIALIZED (
+          SELECT e.vec_id, CAST({word} AS BIGINT) AS code_word
+          FROM e
+          {joins}
+        )"""
+    )
+    # ADC over the IVF candidate set only (the probed clusters)
+    for s in range(8):
+        off = s * 8
+        parts.append(
+            f"""adc{s} AS (
+      SELECT codes.vec_id AS neighbor_id,
+             CAST(floor(list_sum(list_transform(range(1, 9), j ->
+               (q0.qv[{off} + j] - cb.cv[j]) * (q0.qv[{off} + j] - cb.cv[j])
+             )) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM q0 CROSS JOIN codes
+      JOIN cand_ivf ON cand_ivf.neighbor_id = codes.vec_id
+      JOIN cbl{s} cb ON cb.cid = CAST((codes.code_word >> {4 * s}) & 15 AS BIGINT)
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))
+    parts.append(
+        f"""vecr AS (
+      SELECT neighbor_id AS doc_id,
+             row_number() OVER (ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
+               AS rank
+      FROM ({union}) GROUP BY neighbor_id
+      QUALIFY rank <= 50
+    )"""
+    )
+    # lexical arm over the embedded sub-corpus + RRF fusion
+    parts.append(
+        rt.sql_bm25(
+            "SELECT d.doc_id, d.text FROM documents d"
+            " JOIN embeddings em ON em.vec_id = d.doc_id",
+            BM25_TERMS,
+        )
+    )
+    parts.append(
+        f"""lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_bm25 DESC, doc_id)
+               AS rank
+      FROM bm QUALIFY rank <= 50
+    ), fused AS (
+      SELECT coalesce(lex.doc_id, vecr.doc_id) AS doc_id,
+             {sql_fround(
+                 'coalesce(1.0 / (60 + lex.rank), 0.0)'
+                 ' + coalesce(1.0 / (60 + vecr.rank), 0.0)', 9)}
+               AS rrf_score
+      FROM lex FULL OUTER JOIN vecr ON vecr.doc_id = lex.doc_id
+    ), top20 AS MATERIALIZED (
+      SELECT doc_id, rrf_score FROM (
+        SELECT doc_id, rrf_score,
+               row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+      ) WHERE rn <= 20
+    ), rel AS MATERIALIZED (
+      SELECT t.doc_id AS cid, {_micro_cos('q0.qv', 'v.e')} AS rel_micro
+      FROM top20 t JOIN v ON v.vec_id = t.doc_id CROSS JOIN q0
+    ), pairs AS MATERIALIZED (
+      SELECT ta.doc_id AS a, tb.doc_id AS b,
+             {_micro_cos('va.e', 'vb.e')} AS sim_micro
+      FROM top20 ta JOIN top20 tb ON tb.doc_id <> ta.doc_id
+      JOIN v va ON va.vec_id = ta.doc_id
+      JOIN v vb ON vb.vec_id = tb.doc_id
+    ), s1 AS (
+      SELECT cid, 1 AS mmr_rank, rel_micro AS score_micro FROM (
+        SELECT cid, rel_micro,
+               row_number() OVER (ORDER BY rel_micro DESC, cid) AS rn
+        FROM rel
+      ) WHERE rn = 1
+    )"""
+    )
+    for t in range(2, 6):
+        prev_union = " UNION ALL ".join(
+            f"SELECT cid FROM s{i}" for i in range(1, t)
+        )
+        parts.append(
+            f"""sel{t} AS ({prev_union}),
+    ms{t} AS (
+      SELECT p.a AS cid, max(p.sim_micro) AS maxsim_micro
+      FROM pairs p JOIN sel{t} s ON s.cid = p.b
+      GROUP BY 1
+    ), s{t} AS (
+      SELECT cid, {t} AS mmr_rank, score_micro FROM (
+        SELECT r.cid, r.rel_micro - m.maxsim_micro AS score_micro,
+               row_number() OVER (
+                 ORDER BY r.rel_micro - m.maxsim_micro DESC, r.cid) AS rn
+        FROM rel r JOIN ms{t} m ON m.cid = r.cid
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{t} s WHERE s.cid = r.cid
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 6))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT u.cid AS doc_id, CAST(u.mmr_rank AS INT) AS mmr_rank,
+           u.score_micro, t.rrf_score
+    FROM ({final}) u JOIN top20 t ON t.doc_id = u.cid"""
+    )
+
+
+@query(
+    "q_hybrid_retrieval",
+    _hybrid_oracle(),
+    doc="the COMPLETE production hybrid-retrieval pipeline as one "
+    "end-to-end gated query: BM25 (lexical, over the embedded "
+    "sub-corpus) and trained IVF-PQ ADC (approximate vector: k-means "
+    "coarse quantizer, nprobe=2 probed clusters, per-subspace-trained "
+    "4-bit codes, asymmetric-distance scoring) each produce a top-50 "
+    "rank list; reciprocal-rank fusion (k=60) combines them; the "
+    "fused top-20 candidates are MMR-reranked (lambda=0.5, k=5) on "
+    "EXACT micro-integer cosines — retrieve approximately, rerank "
+    "exactly. The oracle replays all 9 k-means trainings, the index "
+    "build, both rankers, the fusion and the 5 greedy MMR steps "
+    "relationally. Scale: corpus-touching stages are one scan + "
+    "map-only encode + candidate-bounded ADC; everything after the "
+    "two top-50 lists moves O(n) rows. tests/test_retrieval.py "
+    "asserts the recall floor vs the exact-cosine pipeline; SCALE.md "
+    "records the measured recall.",
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, em = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    lex = hybrid_lex_arm(docs, em)
+    vec = hybrid_vec_arm(em)
+    return hybrid_downstream(em, lex, vec)
+
+
+def hybrid_lex_arm(docs: DataFrame, em: DataFrame) -> DataFrame:
+    """BM25 top-50 over the embedded sub-corpus (MMR needs every
+    candidate's vector, so both arms draw from the indexed docs)."""
+    dsub = docs.join(em.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    wl = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    return (
+        rt.bm25_score(dsub, BM25_TERMS)
+        .withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+
+
+def hybrid_vec_arm(em: DataFrame) -> DataFrame:
+    """Approximate vector arm: trained coarse quantizer -> IVF
+    candidates (nprobe=2) -> trained PQ codes -> ADC top-50
+    (code-only scoring inside the probed clusters)."""
+    from huckli_spark.operators import simsearch
+    from huckli_spark.operators.clustering import kmeans_fit
+    from huckli_spark.queries.embeddings import _PQT_ITERS
+
+    cents_micro = kmeans_fit(em, k=8, iterations=3)
+    cents = [
+        (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
+    ]
+    posting = simsearch.ivf_assign(em, cents, nprobe=1).select(
+        "vec_id", "cid"
+    )
+    probe_cids = simsearch.ivf_assign(
+        em.where(F.col("vec_id") == 0), cents, nprobe=2
+    ).select("cid")
+    cand_ids = (
+        posting.join(F.broadcast(probe_cids), "cid")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    cbs = simsearch.pq_codebooks_trained(em, iterations=_PQT_ITERS)
+    codes = simsearch.pq_encode(em, cbs).join(cand_ids, "vec_id")
+    return simsearch.pq_adc_topk(
+        codes, em.where(F.col("vec_id") == 0), cbs, k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+
+def hybrid_downstream(
+    em: DataFrame, lex: DataFrame, vec: DataFrame
+) -> DataFrame:
+    """RRF-fuse two (doc_id, rank) lists, bound to the top-20, then
+    MMR-rerank on exact micro-integer cosines. Shared by the gate
+    query and the recall-floor test (which swaps in an exact-cosine
+    vector arm as the gold pipeline)."""
+    # fuse + bound the candidate set. localCheckpoint cuts the lineage:
+    # the retrieval DAG (9 trainings baked as literal expression trees)
+    # would otherwise be re-analyzed inside every one of the 5 unrolled
+    # MMR stages x (cand, pairs, final join) — measured 157s -> ~25s at
+    # gate scale for identical output. 20 rows, one job.
+    fused = rt.rrf_fuse(lex, vec)
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    top20 = (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "rrf_score")
+        .localCheckpoint()
+    )
+    # exact-cosine MMR rerank over the bounded candidates
+    q0 = em.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cv = em.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__nv")
+    )
+    micro = F.floor(cosine("__qv", "__nv") * 1000000.0 + 0.5).cast("bigint")
+    cand = (
+        top20.join(cv, "doc_id")
+        .crossJoin(F.broadcast(q0))
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("doc_id").alias("cid"),
+            micro.alias("rel_micro"),
+        )
+    )
+    va = em.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__qv"))
+    vb = em.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__nv"))
+    pair = (
+        top20.select(F.col("doc_id").alias("a"))
+        .crossJoin(F.broadcast(top20.select(F.col("doc_id").alias("b"))))
+        .where(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.lit(0).alias("query_id"), "a", "b", micro.alias("sim_micro")
+        )
+    )
+    sel = rt.mmr_rerank(cand, pair, k=5)
+    return (
+        sel.join(
+            top20.select(F.col("doc_id").alias("cid"), "rrf_score"), "cid"
+        )
+        .select(
+            F.col("cid").alias("doc_id"),
+            F.col("mmr_rank").cast("int"),
+            "score_micro",
+            "rrf_score",
+        )
+    )
+
+
 # ------------------------------------------------- hard-negative mining
 @query(
     "q_hard_negatives",

@@ -149,3 +149,70 @@ class TestMMR:
                for r in rt.mmr_rerank(cand, pair, k=2).collect()}
         assert got[1] == (1, 500000)  # rank 1 score = raw relevance
         assert got[2] == (2, 400000 - 300000)  # rel - maxsim
+
+
+class TestHybridRecallFloor:
+    """VERDICT r6 #2: the gated q_hybrid_retrieval runs the APPROXIMATE
+    pipeline (trained IVF-PQ ADC vector arm); this test measures it
+    against the exact-cosine gold pipeline and asserts the floors.
+    SCALE.md records the measured table (including the final-5 MMR
+    overlap, which is intentionally NOT floored: MMR diversification
+    amplifies small rank differences by design, so the stable contract
+    is candidate recall, not the diversified tail)."""
+
+    def test_recall_floors_vs_exact_pipeline(self, spark):
+        from pyspark.sql import Window
+
+        from huckli_spark.functions.portable import fround
+        from huckli_spark.operators.simsearch import cosine
+        from huckli_spark.queries.retrieval import (
+            _docs,
+            _emb,
+            hybrid_lex_arm,
+            hybrid_vec_arm,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs, em = _docs(spark, sf), _emb(spark, sf)
+        lex = hybrid_lex_arm(docs, em).localCheckpoint()
+        approx = hybrid_vec_arm(em).localCheckpoint()
+        # gold: exact cosine top-50 (the q_rrf_fusion vector arm)
+        q0 = em.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+        sims = (
+            em.where(F.col("vec_id") != 0)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("__nv"),
+            )
+            .crossJoin(F.broadcast(q0))
+            .select(
+                "doc_id", fround(cosine("__qv", "__nv"), 6).alias("cos_sim")
+            )
+        )
+        wv = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        exact = (
+            sims.withColumn("rank", F.row_number().over(wv))
+            .where(F.col("rank") <= 50)
+            .select("doc_id", "rank")
+            .localCheckpoint()
+        )
+        va = {r["doc_id"] for r in approx.collect()}
+        ve = {r["doc_id"] for r in exact.collect()}
+        recall_50 = len(va & ve) / 50.0
+        assert recall_50 >= 0.4, recall_50  # measured 0.52
+
+        # fused candidate overlap: swap arms through the same fusion
+        def top20(vec):
+            fused = rt.rrf_fuse(lex, vec)
+            wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            return {
+                r["doc_id"]
+                for r in fused.withColumn("rn", F.row_number().over(wf))
+                .where(F.col("rn") <= 20)
+                .collect()
+            }
+
+        overlap_20 = len(top20(approx) & top20(exact)) / 20.0
+        assert overlap_20 >= 0.4, overlap_20  # measured 0.65
