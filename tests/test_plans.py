@@ -270,6 +270,16 @@ class TestRound6Plans:
         assert "hashpartitioning" not in plan, plan
         assert "Python" not in plan
 
+    def test_bm25_topk_rank_limit_pushed(self, spark):
+        # VERDICT r6 #4: the global top-10 window must NOT sort the
+        # whole scored set on one partition — Spark's rank-limit
+        # pushdown (LimitPushDownThroughWindow) turns it into a
+        # per-partition partial top-k + bounded TakeOrderedAndProject
+        # feeding the Window. If this pin breaks, the BM25 ranking
+        # path has a single-partition global sort again.
+        plan = _plan(spark, "q_bm25_topk")
+        assert "TakeOrderedAndProject" in plan, plan
+
     def test_chunk_windows_map_only(self, spark):
         plan = _plan(spark, "q_chunk_windows")
         assert "Exchange" not in plan

@@ -74,6 +74,23 @@ def _bloom_pipeline(docs: DataFrame) -> int:
     mem = bigrams.where("source = 'src0'").select("key").distinct()
     return bloom.bloom_filter_keys(cand, "key", mem, "key").count()
 
+def _bm25_topk_pipeline(docs: DataFrame) -> int:
+    """q_bm25_topk's exact shape over the term-preserving fixture:
+    returns the scored-set size (the growing quantity); the wall
+    includes materializing the global top-10 through the rank
+    window."""
+    from pyspark.sql import Window
+
+    bm = retrieval.bm25_score(docs, BM25_PROBE_TERMS)
+    w = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    top = (
+        bm.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+    n_scored, _top10 = bm.count(), top.collect()
+    return n_scored
+
+
 WORK = "/tmp/huckli_scale_probe"
 
 
@@ -127,6 +144,45 @@ def _scaled_documents(spark: SparkSession, base: DataFrame, scale: int) -> str:
             "n_chars",
         )
         parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+BM25_PROBE_TERMS = ["spark", "join", "filter"]
+
+
+def _scaled_documents_keepterms(
+    spark: SparkSession, base: DataFrame, scale: int
+) -> str:
+    """Like _scaled_documents, but the BM25 probe terms survive the
+    per-copy salting — so the MATCH SET grows with scale and the
+    scoring + rank-limit window path is stressed, not just the scan
+    (VERDICT r6 #4: the fully-salted fixture held out_rows constant
+    and never exercised top-k over a growing scored set)."""
+    path = f"{WORK}/x{scale}/documents_keepterms.parquet"
+    if os.path.exists(path):
+        return path
+    keep = ", ".join(f"'{t}'" for t in BM25_PROBE_TERMS)
+    parts = []
+    for i in range(scale):
+        text = (
+            F.col("text")
+            if i == 0
+            else F.expr(
+                "array_join(transform(split(text, ' '), w -> "
+                f"CASE WHEN w IN ({keep}) THEN w"
+                f" ELSE concat(w, 'c{i}') END), ' ')"
+            )
+        )
+        parts.append(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                text.alias("text"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -304,6 +360,22 @@ def probe(scales, repeats: int, only=None) -> dict:
             repeats,
             only,
         )
+        runs["bm25_topk_growing"] = _run(
+            spark,
+            "bm25_topk_growing",
+            # terms preserved in every copy -> scored set grows with
+            # scale; runs the FULL q_bm25_topk shape (score + global
+            # top-10 rank window). out_rows = scored-set size (must
+            # scale ~linearly); the rank path must stay a pushed-down
+            # partial top-k (plan-pinned in tests/test_plans.py).
+            lambda: _bm25_topk_pipeline(
+                spark.read.parquet(
+                    _scaled_documents_keepterms(spark, docs0, scale)
+                )
+            ),
+            repeats,
+            only,
+        )
         runs["chunk_windows"] = _run(
             spark,
             "chunk_windows",
@@ -368,6 +440,83 @@ def probe(scales, repeats: int, only=None) -> dict:
     return results
 
 
+# ---------------------------------------------------------------- graph probe
+def _skewed_edges(spark: SparkSession, scale: int) -> str:
+    """Deterministic power-law-ish graph: a fixed 20k-node universe
+    with 5% of edge endpoints pinned to 5 hub nodes, edge count
+    scaled — so hub DEGREE grows linearly with scale (the regime
+    where id-oriented triangle counting squares the celebrity wedge
+    fan-out while degree orientation bounds it by sqrt(m))."""
+    path = f"{WORK}/graph_x{scale}/edges.parquet"
+    if os.path.exists(path):
+        return path
+    m, n, hubs = 100_000 * scale, 20_000, 5
+    # hub ids scattered mid-range (hash), so id orientation cannot
+    # accidentally help by making hubs sinks
+    raw = spark.range(m).select(
+        F.when(
+            (F.col("id") % 20) == 0,
+            (F.abs(F.xxhash64(F.col("id"), F.lit(7))) % hubs) * 3943 + 2500,
+        )
+        .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n)
+        .alias("u"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % n).alias("v"),
+    )
+    edges = (
+        raw.where("u <> v")
+        .select(
+            F.least("u", "v").alias("s1"), F.greatest("u", "v").alias("s2")
+        )
+        .distinct()
+    )
+    edges.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def graph_probe(scales, repeats: int) -> dict:
+    from huckli_spark.operators.graph import triangles_per_node
+
+    spark = get_spark(app_name="graph_probe")
+    results: dict = {"scales": {}}
+    for scale in scales:
+        edges = spark.read.parquet(_skewed_edges(spark, scale))
+        n_edges = edges.count()
+        top_deg = (
+            edges.select(F.col("s1").alias("v"))
+            .unionAll(edges.select(F.col("s2").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d"))
+            .collect()[0][0]
+        )
+        runs = {}
+        for name, flag in (("id_oriented", False), ("degree_oriented", True)):
+            runs[name] = _run(
+                spark,
+                name,
+                lambda flag=flag: triangles_per_node(
+                    edges, orient_by_degree=flag
+                )
+                .agg(F.count("*"), F.sum("n_triangles"))
+                .collect()[0][1],
+                repeats,
+                None,
+            )
+        # the two variants must agree on the total triangle count
+        assert (
+            runs["id_oriented"]["out_rows"]
+            == runs["degree_oriented"]["out_rows"]
+        ), runs
+        results["scales"][str(scale)] = {
+            "n_edges": n_edges,
+            "max_degree": top_deg,
+            "runs": runs,
+        }
+        print(f"== graph x{scale}: {json.dumps(runs)}", file=sys.stderr)
+    results["loadavg"] = os.getloadavg()
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
@@ -375,21 +524,31 @@ def main():
     ap.add_argument("--keep-fixtures", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated pipeline names to run")
+    ap.add_argument("--graph", action="store_true",
+                    help="run the skewed-graph triangle probe instead")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     only = set(args.only.split(",")) if args.only else None
     try:
-        res = probe(scales, args.repeats, only)
+        if args.graph:
+            res = graph_probe(scales, args.repeats)
+        else:
+            res = probe(scales, args.repeats, only)
     finally:
         if not args.keep_fixtures:
             shutil.rmtree(WORK, ignore_errors=True)
     # partial (--only) runs must not clobber the full probe record
-    fname = "SCALE_PROBE.json" if only is None else "SCALE_PROBE_partial.json"
+    if args.graph:
+        fname = "SCALE_PROBE_graph.json"
+    elif only is None:
+        fname = "SCALE_PROBE.json"
+    else:
+        fname = "SCALE_PROBE_partial.json"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        fname)
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
-    print(json.dumps(res["summary_vs_1x"], indent=1))
+    print(json.dumps(res.get("summary_vs_1x", res["scales"]), indent=1))
 
 
 if __name__ == "__main__":
