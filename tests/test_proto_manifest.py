@@ -180,3 +180,144 @@ class TestEnumOverrides:
         census = frozen["__placeholder_enums__"]
         assert set(census) == set(ft.PLACEHOLDER_ENUM_TABLES)
         assert census["E_CARRIER"]["1"] == "CARRIER_A"
+
+
+class TestDescriptorSetDeploymentLoop:
+    """VERDICT r6 #8: the FULL deployment path, end to end in CI —
+    a compiled FileDescriptorSet (built here as real wire bytes and
+    parsed by the repo's own codec, no google.protobuf needed) is
+    diffed against the live tables, the diff EMITS an overrides JSON,
+    the overrides are injected through HUCKLI_SPARK_ENUM_OVERRIDES,
+    a placeholder-family fixture decodes through the real ingest with
+    the injected spellings, the placeholder warning goes silent, and
+    a re-diff reports OK."""
+
+    def _fake_fds(self, tmp_path):
+        import tools.proto_manifest as pm
+
+        fds_bytes = protowire.encode(
+            pm._descriptor_set_schema(),
+            {
+                "file": [
+                    {
+                        "name": "service_provider.proto",
+                        "package": "helium.poc_mobile",
+                        "enum_type": [
+                            {
+                                "name": "CarrierId",
+                                "value": [
+                                    {"name": "CARRIER_ID_NONE", "number": 0},
+                                    {"name": "HELIUM_MOBILE_US", "number": 1},
+                                ],
+                            }
+                        ],
+                        "message_type": [
+                            {
+                                "name": "RadioRewardV2",
+                                "nested_type": [],
+                                "enum_type": [
+                                    {
+                                        "name": "HexStatus",
+                                        "value": [
+                                            {"name": "HEX_OK", "number": 0},
+                                            {"name": "HEX_BANNED_LOC", "number": 1},
+                                            {"name": "HEX_BANNED_RADIO", "number": 2},
+                                        ],
+                                    }
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            },
+        )
+        fds = tmp_path / "fds.pb"
+        fds.write_bytes(fds_bytes)
+        emap = tmp_path / "enum_map.json"
+        emap.write_text(
+            json.dumps(
+                {
+                    "E_CARRIER": "helium.poc_mobile.CarrierId",
+                    "E_HEX_STATUS": "helium.poc_mobile.RadioRewardV2.HexStatus",
+                }
+            )
+        )
+        return fds, emap
+
+    def test_parse_descriptor_set_nested_enums(self, tmp_path):
+        from tools.proto_manifest import parse_descriptor_set
+
+        fds, _ = self._fake_fds(tmp_path)
+        compiled = parse_descriptor_set(str(fds))
+        assert compiled["helium.poc_mobile.CarrierId"] == {
+            0: "CARRIER_ID_NONE",
+            1: "HELIUM_MOBILE_US",
+        }
+        assert (
+            compiled["helium.poc_mobile.RadioRewardV2.HexStatus"][2]
+            == "HEX_BANNED_RADIO"
+        )
+
+    def test_full_loop(self, spark, tmp_path, monkeypatch, capsys):
+        from tools.proto_manifest import diff_descriptor_set
+
+        fds, emap = self._fake_fds(tmp_path)
+        ov = tmp_path / "overrides.json"
+
+        # 1. diff flags the placeholder spellings and emits overrides
+        rc = diff_descriptor_set(str(fds), str(emap), str(ov))
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "DIFF E_CARRIER" in out and "DIFF E_HEX_STATUS" in out
+        emitted = json.loads(ov.read_text())
+        assert emitted["E_CARRIER"]["1"] == "HELIUM_MOBILE_US"
+
+        with _restore("E_CARRIER"), _restore("E_HEX_STATUS"):
+            # 2. inject through the documented env hook
+            monkeypatch.setenv("HUCKLI_SPARK_ENUM_OVERRIDES", str(ov))
+            applied = ft.load_enum_overrides_from_env()
+            assert set(applied) == {"E_CARRIER", "E_HEX_STATUS"}
+            assert ft.E_CARRIER == {0: "CARRIER_ID_NONE", 1: "HELIUM_MOBILE_US"}
+
+            # 3. a placeholder-family fixture decodes through the REAL
+            # ingest pipeline with the injected spellings
+            from tests.test_all_filetypes import (
+                T0_MS,
+                synth_message,
+            )
+            from huckli_spark.ingest.warehouse import Warehouse
+            from huckli_spark.sources.framing import write_framed_gzip
+
+            spec = ft.REGISTRY["enabled-carriers-info"]
+            raw = tmp_path / "raw"
+            raw.mkdir()
+            payloads = [
+                protowire.encode(spec.msg, synth_message(spec.msg, i))
+                for i in range(2)
+            ]
+            fname = f"{spec.prefix.rstrip('.')}.{T0_MS}.gz"
+            write_framed_gzip(str(raw / fname), payloads)
+            wh = Warehouse(spark, str(tmp_path / "wh"))
+            wh.ingest("enabled-carriers-info", str(raw))
+            rows = wh.table(spec.tables[0]).collect()
+            seen: set[str] = set()
+            for r in rows:
+                v = r["enabled_carriers"]
+                # repeated enums land as a JSON array string (S11)
+                seen.update(json.loads(v) if isinstance(v, str) else (v or []))
+            assert "HELIUM_MOBILE_US" in seen
+            assert not any(c.startswith("CARRIER_A") for c in seen)
+
+            # 4. the placeholder warning is silent for overridden tables
+            ft._WARNED_TABLES.clear()
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                hit = ft.warn_placeholder_enums(spec.msg, spec.name)
+            assert "E_CARRIER" not in hit
+            assert not [x for x in w if "E_CARRIER" in str(x.message)]
+
+            # 5. re-diff: both tables now match the descriptor set
+            rc2 = diff_descriptor_set(str(fds), str(emap), None)
+            out2 = capsys.readouterr().out
+            assert rc2 == 0
+            assert "OK E_CARRIER" in out2 and "OK E_HEX_STATUS" in out2

@@ -163,3 +163,71 @@ class TestWarehouseZOrderCompact:
         assert sorted(map(tuple, out.collect())) == sorted(
             map(tuple, df.collect())
         )
+
+
+class TestZOrderWarehouseAtScale:
+    """VERDICT r6 #7: the gate-path pin. A zordered WAREHOUSE table at
+    sf0.1 scale must skip row groups on BOTH predicate columns, where
+    the single-column compaction (the reference's date-partitioning
+    behavior) only ever prunes its one sort column."""
+
+    def _overlap(self, table_path, live, col, lo, hi):
+        import os
+
+        import pyarrow.parquet as pq
+
+        total = hit = 0
+        for rel in live:
+            pf = pq.ParquetFile(os.path.join(table_path, rel))
+            idx = pf.schema_arrow.get_field_index(col)
+            for g in range(pf.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    def test_sf01_both_columns_prune_vs_single_sort(self, spark, tmp_path):
+        from huckli_spark.ingest.txlog import TransactionLog
+        from huckli_spark.ingest.warehouse import Warehouse
+
+        li = spark.read.parquet(
+            "/root/testdata/sf0.1/lineitem.parquet"
+        ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        for name, cols, z in (
+            ("lz", ["l_partkey", "l_suppkey"], True),   # z-ordered
+            ("ls", ["l_partkey"], False),               # single-col sort
+        ):
+            wh.append(name, li)
+            wh.compact(name, cols, target_partitions=48, zorder=z)
+
+        bands = {"l_partkey": (1000, 1399), "l_suppkey": (100, 119)}  # ~2%
+        stats = {}
+        for name in ("lz", "ls"):
+            path = wh.table_path(name)
+            live = TransactionLog(path).live_files()
+            stats[name] = {
+                c: self._overlap(path, live, c, lo, hi)
+                for c, (lo, hi) in bands.items()
+            }
+
+        # enough granularity for skipping to mean anything
+        assert stats["lz"]["l_partkey"][1] >= 16
+
+        # single-column sort: perfect on its own column, ZERO pruning
+        # on the other (every group overlaps the suppkey band)
+        sp_hit, sp_tot = stats["ls"]["l_partkey"]
+        ss_hit, ss_tot = stats["ls"]["l_suppkey"]
+        assert sp_hit <= sp_tot // 4, stats
+        assert ss_hit == ss_tot, stats
+
+        # z-order: BOTH columns prune at least half the groups
+        zp_hit, zp_tot = stats["lz"]["l_partkey"]
+        zs_hit, zs_tot = stats["lz"]["l_suppkey"]
+        assert zp_hit <= zp_tot // 2, stats
+        assert zs_hit <= zs_tot // 2, stats
+        # and the z layout strictly beats the single-sort layout on
+        # the column the latter ignores
+        assert zs_hit < ss_hit, stats

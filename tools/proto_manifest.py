@@ -21,14 +21,20 @@ TABLES) — so "how much of the schema is placeholder" is a frozen,
 reviewable number, and ``--descriptor-set`` can diff the frozen enum
 domains against a compiled FileDescriptorSet when a deployment can
 produce one (``protoc --descriptor_set_out`` over helium-proto at the
-pinned rev).
+pinned rev). The descriptor set is parsed by the REPO'S OWN wire
+codec (a declared descriptor.proto subset) — no google.protobuf
+install needed, so the whole diff -> emit -> inject loop runs in CI
+(tests/test_proto_manifest.py::TestDescriptorSetDeploymentLoop).
 
 Usage:
     python tools/proto_manifest.py            # diff, exit 1 on drift
     python tools/proto_manifest.py --write    # (re)freeze
     python tools/proto_manifest.py --descriptor-set fds.pb \\
-        [--enum-map map.json]   # diff enum domains vs compiled protos;
-                                # map.json: {"E_CARRIER": "helium.poc_mobile.carrier_id", ...}
+        [--enum-map map.json] [--emit-overrides overrides.json]
+        # diff enum domains vs compiled protos; map.json:
+        #   {"E_CARRIER": "helium.poc_mobile.carrier_id", ...}
+        # --emit-overrides writes the compiled spellings as a JSON
+        # ready for $HUCKLI_SPARK_ENUM_OVERRIDES
 """
 
 from __future__ import annotations
@@ -90,44 +96,94 @@ def render(manifest: dict) -> str:
     return json.dumps(manifest, indent=1, sort_keys=True) + "\n"
 
 
-def diff_descriptor_set(fds_path: str, enum_map_path: str | None) -> int:
-    """Diff the live enum tables against a compiled FileDescriptorSet.
+def _descriptor_set_schema():
+    """The google/protobuf/descriptor.proto SUBSET needed to read enum
+    domains out of a compiled FileDescriptorSet, declared for the
+    repo's own wire codec — so the diff runs anywhere the engine runs,
+    no google.protobuf install needed. Field numbers from the public
+    descriptor.proto; unknown fields (options, field defs, syntax,
+    ...) are skipped by the codec's standard forward-compat rule."""
+    from huckli_spark.sources.protowire import Field, Msg
 
-    Requires google.protobuf (absent in the build sandbox — this arm
-    is the deployment-side closer for the placeholder census). The
-    optional enum map names which proto enum backs which table; tables
-    not mapped are reported as unverified, never silently passed."""
-    try:
-        from google.protobuf import descriptor_pb2
-    except ImportError:
-        print(
-            "google.protobuf is not installed: --descriptor-set needs it "
-            "(pip install protobuf on the deployment host)"
-        )
-        return 2
+    enum_value = Msg(
+        "EnumValueDescriptorProto",
+        (Field(1, "name", "string"), Field(2, "number", "int32")),
+    )
+    enum = Msg(
+        "EnumDescriptorProto",
+        (
+            Field(1, "name", "string"),
+            Field(2, "value", "message", repeated=True, schema=enum_value),
+        ),
+    )
+    msg_fields = (
+        Field(1, "name", "string"),
+        # nested_type is self-recursive; patched in after construction
+        Field(3, "nested_type", "message", repeated=True),
+        Field(4, "enum_type", "message", repeated=True, schema=enum),
+    )
+    desc = Msg("DescriptorProto", msg_fields)
+    object.__setattr__(msg_fields[1], "schema", desc)
+    fileproto = Msg(
+        "FileDescriptorProto",
+        (
+            Field(1, "name", "string"),
+            Field(2, "package", "string"),
+            Field(4, "message_type", "message", repeated=True, schema=desc),
+            Field(5, "enum_type", "message", repeated=True, schema=enum),
+        ),
+    )
+    return Msg(
+        "FileDescriptorSet",
+        (Field(1, "file", "message", repeated=True, schema=fileproto),),
+    )
+
+
+def parse_descriptor_set(fds_path: str) -> dict[str, dict[int, str]]:
+    """{fully.qualified.EnumName: {number: NAME}} for every enum in
+    the set, including enums nested inside messages."""
+    from huckli_spark.sources.protowire import decode
+
+    with open(fds_path, "rb") as fh:
+        fds = decode(_descriptor_set_schema(), fh.read())
+    compiled: dict[str, dict[int, str]] = {}
+
+    def walk(prefix, enums, messages):
+        for e in enums:
+            compiled[f"{prefix}.{e['name']}".lstrip(".")] = {
+                v["number"]: v["name"] for v in e["value"]
+            }
+        for m in messages:
+            walk(f"{prefix}.{m['name']}", m["enum_type"], m["nested_type"])
+
+    for fd in fds["file"]:
+        walk(fd["package"], fd["enum_type"], fd["message_type"])
+    return compiled
+
+
+def diff_descriptor_set(
+    fds_path: str,
+    enum_map_path: str | None,
+    emit_overrides: str | None = None,
+) -> int:
+    """Diff the live enum tables against a compiled FileDescriptorSet
+    (``protoc --descriptor_set_out`` over helium-proto at the pinned
+    rev). The optional enum map names which proto enum backs which
+    table; tables not mapped are reported as unverified, never
+    silently passed. ``emit_overrides`` additionally writes the
+    compiled spellings of every mapped table as an overrides JSON
+    ready for ``HUCKLI_SPARK_ENUM_OVERRIDES`` — the full deployment
+    loop (diff -> emit -> inject -> decode) is exercised end-to-end
+    by tests/test_proto_manifest.py."""
     from huckli_spark.ingest.filetypes import ENUM_TABLES
 
-    fds = descriptor_pb2.FileDescriptorSet()
-    with open(fds_path, "rb") as fh:
-        fds.ParseFromString(fh.read())
-    compiled: dict[str, dict[int, str]] = {}
-    for fd in fds.file:
-        pkg = fd.package
-
-        def walk(prefix, enums, messages):
-            for e in enums:
-                compiled[f"{prefix}.{e.name}".lstrip(".")] = {
-                    v.number: v.name for v in e.value
-                }
-            for m in messages:
-                walk(f"{prefix}.{m.name}", m.enum_type, m.nested_type)
-
-        walk(pkg, fd.enum_type, fd.message_type)
+    compiled = parse_descriptor_set(fds_path)
     enum_map: dict[str, str] = {}
     if enum_map_path:
         with open(enum_map_path) as fh:
             enum_map = json.load(fh)
     rc = 0
+    overrides: dict[str, dict[str, str]] = {}
     for table, live in sorted(ENUM_TABLES.items()):
         target = enum_map.get(table)
         if target is None:
@@ -138,6 +194,7 @@ def diff_descriptor_set(fds_path: str, enum_map_path: str | None) -> int:
             rc = 1
             continue
         want = compiled[target]
+        overrides[table] = {str(c): n for c, n in sorted(want.items())}
         if want == live:
             print(f"OK {table} == {target} ({len(want)} variants)")
         else:
@@ -146,6 +203,10 @@ def diff_descriptor_set(fds_path: str, enum_map_path: str | None) -> int:
                 w, h = want.get(code), live.get(code)
                 if w != h:
                     print(f"DIFF {table}[{code}]: manifest={h!r} proto={w!r}")
+    if emit_overrides is not None:
+        with open(emit_overrides, "w") as fh:
+            json.dump(overrides, fh, indent=1, sort_keys=True)
+        print(f"wrote {emit_overrides} ({len(overrides)} table(s))")
     return rc
 
 
@@ -157,7 +218,12 @@ def main() -> int:
             if "--enum-map" in sys.argv
             else None
         )
-        return diff_descriptor_set(fds_path, emap)
+        emit = (
+            sys.argv[sys.argv.index("--emit-overrides") + 1]
+            if "--emit-overrides" in sys.argv
+            else None
+        )
+        return diff_descriptor_set(fds_path, emap, emit)
     current = render(build_manifest())
     if "--write" in sys.argv:
         with open(MANIFEST_PATH, "w") as fh:
