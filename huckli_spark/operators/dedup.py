@@ -115,11 +115,41 @@ def jaccard_pairs(
     ``materialize=False`` without a scope builds a cache-free lazy
     plan (recompute semantics — also what plan tests inspect).
     """
-    from huckli_spark.functions.portable import h60
     from huckli_spark.operators.cache import eager_release, persist_scope
 
     s = scope if scope is not None else (persist_scope() if materialize else None)
     reg = s.persist if s is not None else (lambda d: d)
+    inter, s1, s2 = _shingle_intersections(
+        df, id_col, text_col, n, max_doc_freq, reg
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    out = (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", fround(jac, 4).alias("jaccard"))
+    )
+    if scope is not None or not materialize:
+        return out
+    try:
+        return eager_release(out)
+    finally:
+        s.release()
+
+
+def _shingle_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: Optional[int],
+    reg,
+):
+    """Shared skeleton of the set-overlap dedup family: per-doc
+    distinct shingles -> pairwise intersection counts + per-side set
+    sizes. Returns (inter(d1, d2, n_common), s1(d1, n1), s2(d2, n2))."""
+    from huckli_spark.functions.portable import h60
+
     # the array relation feeds sizes + both intersection join sides —
     # persist so split/transform/array_distinct runs once per doc
     docs = reg(shingle_array(df, id_col, text_col, n=n))
@@ -156,12 +186,50 @@ def jaccard_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return inter, s1, s2
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
+    materialize: bool = True,
+    scope=None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: document pairs where either
+    side's shingle set is >= ``threshold`` CONTAINED in the other —
+    C(A|B) = |S(A) ∩ S(B)| / |S(A)|. Jaccard misses the
+    quote/superset case (a short doc fully embedded in a long one has
+    tiny Jaccard but containment 1.0); production dedup pipelines run
+    both. Returns (d1, d2, cont_1_in_2, cont_2_in_1) with d1 < d2,
+    both directions reported, kept when the GREATER one clears the
+    threshold.
+
+    Same inverted-index skeleton, cost profile and ``max_doc_freq``
+    skew guard as ``jaccard_pairs`` — one extra join column, no new
+    shuffle."""
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    s = scope if scope is not None else (persist_scope() if materialize else None)
+    reg = s.persist if s is not None else (lambda d: d)
+    inter, s1, s2 = _shingle_intersections(
+        df, id_col, text_col, n, max_doc_freq, reg
+    )
+    c12 = F.col("n_common") * 1.0 / F.col("n1")
+    c21 = F.col("n_common") * 1.0 / F.col("n2")
     out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
-        .where(jac >= threshold)
-        .select("d1", "d2", fround(jac, 4).alias("jaccard"))
+        .where(F.greatest(c12, c21) >= threshold)
+        .select(
+            "d1",
+            "d2",
+            fround(c12, 4).alias("cont_1_in_2"),
+            fround(c21, 4).alias("cont_2_in_1"),
+        )
     )
     if scope is not None or not materialize:
         return out

@@ -250,3 +250,41 @@ def triangles_per_node(
     return verts.groupBy("v").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def kcore(edges: DataFrame, k: int = 5, iterations: int = 6) -> DataFrame:
+    """Bounded-iteration k-core peel over an undirected edge set
+    (s1, s2) with s1 < s2: each round drops every node whose current
+    degree is below ``k``, then keeps only edges with both endpoints
+    alive. Returns (v, core_deg) for the surviving subgraph — the
+    exact k-core once the peel converges (each round is a monotone
+    shrink, so a fixed iteration count is deterministic on any engine
+    and partitioning, the PageRank/k-means integer-iteration
+    discipline; the gate query's iteration count is chosen past the
+    measured convergence point and the oracle unrolls the identical
+    rounds).
+
+    Scale shape: one groupBy (degree) + two semi-join-shaped equi
+    joins per round, all shuffling on the vertex key — no wedge
+    blowup, cost O(iterations * |E|). The lineage is cut every other
+    round (localCheckpoint): each round references its predecessor 3x
+    (degree, both keep-joins), so an uncut 6-round plan re-analyzes
+    the base relation 3^6 times — same re-inlining hazard the DuckDB
+    oracle avoids with MATERIALIZED CTEs."""
+    und = edges.select(F.col("s1").alias("v"), F.col("s2").alias("w")).unionAll(
+        edges.select(F.col("s2").alias("v"), F.col("s1").alias("w"))
+    )
+    cur = und
+    for i in range(iterations):
+        deg = cur.groupBy("v").agg(F.count("*").alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("v")
+        cur = (
+            cur.join(keep, "v")
+            .join(keep.withColumnRenamed("v", "w"), "w")
+            .select("v", "w")
+        )
+        if (i + 1) % 2 == 0:
+            cur = cur.localCheckpoint()
+    return cur.groupBy("v").agg(
+        F.count("*").cast("long").alias("core_deg")
+    )

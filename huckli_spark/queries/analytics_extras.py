@@ -352,6 +352,92 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ graph: k-core
+_KCORE_K = 5
+_KCORE_ITERS = 6  # measured converged by round 5 at sf0.01 (SCALE.md)
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """l AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity > 47
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM l a JOIN l b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), e0 AS MATERIALIZED (
+      SELECT s1 AS v, s2 AS w FROM e UNION ALL SELECT s2, s1 FROM e
+    )"""
+    ]
+    # MATERIALIZED: every round references its predecessor 3x — the
+    # same 3^n re-inlining hazard the Spark side cuts with
+    # localCheckpoint
+    for i in range(_KCORE_ITERS):
+        parts.append(
+            f"""d{i} AS (
+      SELECT v, count(*) AS d FROM e{i} GROUP BY v
+    ), k{i} AS MATERIALIZED (
+      SELECT v FROM d{i} WHERE d >= {_KCORE_K}
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT x.v, x.w FROM e{i} x
+      JOIN k{i} a ON a.v = x.v
+      JOIN k{i} b ON b.v = x.w
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS suppkey,
+           CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ITERS} GROUP BY v"""
+    )
+
+
+@query(
+    "q_kcore",
+    _kcore_oracle(),
+    doc=f"k-core decomposition (k={_KCORE_K}) of the supplier co-supply "
+    "graph (l_quantity > 47 lines): iteratively peel nodes with "
+    "degree below k until the dense core remains — the standard "
+    "graph-mining primitive for community cores / spam-cluster "
+    f"detection. {_KCORE_ITERS} unrolled rounds (measured converged "
+    "by round 5 at gate scale; each round is a monotone shrink, so "
+    "the count is deterministic), oracle replays the identical "
+    "rounds. Scale: one degree groupBy + two vertex-key equi-joins "
+    "per round, O(iters * |E|) total, no wedge blowup; lineage cut "
+    "every other round on the Spark side mirrors the oracle's "
+    "MATERIALIZED CTEs (3 refs/round would otherwise re-analyze the "
+    "base 3^iters times).",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.graph import kcore
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 47)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    return kcore(e, k=_KCORE_K, iterations=_KCORE_ITERS).select(
+        F.col("v").cast("long").alias("suppkey"), "core_deg"
+    )
+
+
 # ---------------------------------------------------------- table profiling
 _PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
 _PROFILE_STR = ["l_returnflag", "l_linestatus"]

@@ -98,6 +98,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment (asymmetric) variant: Jaccard misses the quote/superset
+# case — a short doc fully embedded in a long one has tiny Jaccard but
+# containment ~1.0. Production dedup (SlimPajama-style) runs both.
+@query(
+    "q_containment_dup",
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT d1, d2,
+           {sql_fround('n_common * 1.0 / s1.n', 4)} AS cont_1_in_2,
+           {sql_fround('n_common * 1.0 / s2.n', 4)} AS cont_2_in_1
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE greatest(n_common * 1.0 / s1.n, n_common * 1.0 / s2.n) >= 0.5
+    """,
+    doc="asymmetric shingle-set containment pairs: C(A|B) = "
+    "|S(A) n S(B)| / |S(A)| per direction, kept when EITHER direction "
+    "clears 0.5 — the quote-extraction / near-superset duplicates "
+    "Jaccard structurally under-scores. Same inverted-index "
+    "(shingle-hash self-join) plan, cost profile and skew guard as "
+    "q_ngram_jaccard: one extra join column, no new shuffle. At "
+    "100 TB, run with max_doc_freq set, exactly like the guarded "
+    "Jaccard variant.",
+)
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, threshold=0.5,
+    )
+
+
 # Guarded variant: the stop-shingle skew guard (max_doc_freq) is the
 # mandatory 100-TB setting (operators/dedup.py module notes) — an
 # ultra-common shingle otherwise makes the inverted-index self-join
@@ -805,4 +838,85 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer design)
+# ---------------------------------------------------------------------------
+@query(
+    "q_vocab_coverage",
+    """
+    WITH wc AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS total FROM wc
+    ), ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w) AS rank,
+             sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM wc
+    ), t(pct) AS (VALUES (50), (75), (90), (95), (99)),
+    sizes AS (
+      SELECT pct, min(rank) AS vocab_size
+      FROM ranked CROSS JOIN tot
+      JOIN t ON cum * 100 >= pct * total
+      GROUP BY pct
+    )
+    SELECT CAST(sizes.pct AS INT) AS pct,
+           CAST(sizes.vocab_size AS BIGINT) AS vocab_size,
+           CAST(r.cum AS BIGINT) AS tokens_covered
+    FROM sizes JOIN ranked r ON r.rank = sizes.vocab_size
+    """,
+    doc="vocabulary coverage curve: the smallest frequency-ranked "
+    "vocabulary prefix covering 50/75/90/95/99% of all token "
+    "occurrences — the number that sizes a tokenizer's vocab (and "
+    "measures corpus lexical diversity). All-integer arithmetic "
+    "(cumulative count * 100 vs pct * total), ties broken on the "
+    "word itself, so the curve is bit-portable. Scale: the corpus "
+    "collapses to (word, count) in one map-combined groupBy — the "
+    "only global-window pass runs over the VOCABULARY (millions of "
+    "rows at web scale, not trillions of tokens), and the 5-target "
+    "join is broadcast.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = wc.agg(F.sum("c").alias("total"))
+    win = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = wc.withColumn("rank", F.row_number().over(win)).withColumn(
+        "cum",
+        F.sum("c").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    targets = d.sparkSession.createDataFrame(
+        [(50,), (75,), (90,), (95,), (99,)], "pct int"
+    )
+    sizes = (
+        ranked.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(targets),
+            F.col("cum") * 100 >= F.col("pct") * F.col("total"),
+        )
+        .groupBy("pct")
+        .agg(F.min("rank").alias("vocab_size"))
+    )
+    return (
+        sizes.join(
+            ranked.select(F.col("rank"), F.col("cum")),
+            sizes.vocab_size == F.col("rank"),
+        )
+        .select(
+            F.col("pct").cast("int"),
+            F.col("vocab_size").cast("long"),
+            F.col("cum").cast("long").alias("tokens_covered"),
+        )
     )

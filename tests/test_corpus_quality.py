@@ -82,3 +82,43 @@ class TestCdcChunks:
             [(r.chunk_text, r.chunk_hash) for r in rows], "t: string, h: long"
         ).select((h60(F.col("t")) == F.col("h")).alias("ok"))
         assert all(r.ok for r in check.collect())
+
+
+class TestContainmentPairs:
+    def test_superset_caught_jaccard_missed(self, spark):
+        from huckli_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+        )
+
+        # doc 1 fully contained in doc 2 (quote-extraction shape):
+        # Jaccard = 3/6 = 0.5 (under the 0.8 dedup bar), containment
+        # of doc 1 in doc 2 = 1.0
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e f g h"),
+                (3, "x y z w v"),
+            ],
+            "doc_id long, text string",
+        )
+        jac = jaccard_pairs(docs, threshold=0.8).collect()
+        assert jac == []  # jaccard misses the superset pair
+        out = containment_pairs(docs, threshold=0.9).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["d1"], r["d2"]) == (1, 2)
+        assert r["cont_1_in_2"] == 1.0  # all of doc 1's shingles in doc 2
+        assert r["cont_2_in_1"] == 0.5  # 3 of doc 2's 6 shingles
+
+    def test_threshold_applies_to_greater_direction(self, spark):
+        from huckli_spark.operators.dedup import containment_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c z y x w")],
+            "doc_id long, text string",
+        )
+        # doc1: shingles {abc, bcd}; doc2: {abc, bcz, czy, zyx, yxw};
+        # common = {abc}: c12 = 0.5, c21 = 0.2
+        assert containment_pairs(docs, threshold=0.5).count() == 1
+        assert containment_pairs(docs, threshold=0.6).count() == 0

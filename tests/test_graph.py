@@ -89,3 +89,35 @@ class TestTriangleOrientation:
         orient = {(r["v"], r["n_triangles"])
                   for r in triangles_per_node(e, orient_by_degree=True).collect()}
         assert plain == orient and plain  # same counts, non-empty
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "s1 long, s2 long")
+
+    def test_clique_survives_tail_peeled(self, spark):
+        from huckli_spark.operators.graph import kcore
+
+        # 4-clique (1,2,3,4) + a pendant node 5 hanging off node 1
+        clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        e = self._edges(spark, clique + [(1, 5)])
+        out = {r["v"]: r["core_deg"] for r in kcore(e, k=2, iterations=4).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 peeled, clique intact
+
+    def test_cascade_peel(self, spark):
+        from huckli_spark.operators.graph import kcore
+
+        # chain 1-2-3-4-5: every node peels under k=2, but only via
+        # CASCADE (ends first, then the chain unravels inward)
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert kcore(e, k=2, iterations=5).count() == 0
+
+    def test_bounded_iterations_deterministic(self, spark):
+        from huckli_spark.operators.graph import kcore
+
+        # triangle + pendant: k=2 converges in one round; extra rounds
+        # must be no-ops (monotone peel)
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        a = sorted(map(tuple, kcore(e, k=2, iterations=2).collect()))
+        b = sorted(map(tuple, kcore(e, k=2, iterations=6).collect()))
+        assert a == b == [(1, 2), (2, 2), (3, 2)]
