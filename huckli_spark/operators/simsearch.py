@@ -777,3 +777,47 @@ def ivf_assign_join(
         )
         .select(F.col(id_col), F.col(vec_col), F.col("__c.cid").alias("cid"))
     )
+
+
+def exact_refine_topk(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of a bounded ANN shortlist — the standard serving
+    pattern that buys back the quantization loss: ADC (code-only)
+    produces a cheap top-N shortlist, then ONLY those N rows fetch
+    their full vectors for an exact micro-integer L2 ranking
+    (measured recall@5 0.29 -> 0.76 at shortlist=50 on the gate
+    fixtures, SCALE.md). ``shortlist`` is (query_id, neighbor_id).
+    Returns (query_id, neighbor_id, d_micro, rank), rank <= k.
+
+    Scale shape: the refine join moves O(queries * N) rows — the
+    corpus is only touched via the semi-join fetch of shortlist
+    members; queries broadcast."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    d = (
+        "cast(floor(aggregate(zip_with(__qv, __nv,"
+        " (x, y) -> (cast(x AS double) - cast(y AS double))"
+        " * (cast(x AS double) - cast(y AS double))),"
+        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+        " AS bigint)"
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
+    return (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", F.expr(d).alias("d_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -125,7 +125,8 @@ _GATE_PRIORITY: list[str] = [
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 # Round-8 rotation queue (registered round 7, replica-green, not yet
-# driver-graded): q_containment_dup, q_kcore, q_vocab_coverage.
+# driver-graded): q_containment_dup, q_kcore, q_vocab_coverage,
+# q_pq_refine_recall.
 
 
 def all_queries() -> dict[str, QuerySpec]:

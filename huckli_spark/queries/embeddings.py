@@ -730,11 +730,11 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQT_ITERS = 2
 
 
-def _pq_trained_oracle() -> str:
-    """Replays the entire trained-PQ pipeline relationally: 8
-    independent per-subspace k-means chains (k=16, exact fixed-point
-    iterations) -> ordered centroid lists -> encode argmin -> ADC
-    ranking -> recall@5 vs exact ground truth."""
+def _pq_trained_common() -> list[str]:
+    """Shared CTE parts of the trained-PQ oracles: 8 independent
+    per-subspace k-means chains (k=16, exact fixed-point iterations)
+    -> ordered centroid lists -> encode argmin -> packed codes, plus
+    the e/q vector relations."""
     from huckli_spark.operators.clustering import (
         sql_kmeans_chain,
         sql_kmeans_vm_cte,
@@ -793,8 +793,10 @@ def _pq_trained_oracle() -> str:
           {joins}
         )"""
     )
-    parts.append(
-        """exact AS (
+    return parts
+
+
+_PQ_EXACT_CTE = """exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                row_number() OVER (
@@ -806,7 +808,10 @@ def _pq_trained_oracle() -> str:
         FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
       ) WHERE rank <= 5
     )"""
-    )
+
+
+def _pq_adc_ctes() -> list[str]:
+    parts = []
     for s in range(8):
         off = s * 8
         parts.append(
@@ -820,23 +825,12 @@ def _pq_trained_oracle() -> str:
       WHERE codes.vec_id <> q.query_id
     )"""
         )
-    union = " UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))
-    parts.append(
-        f"""approx AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
-                 AS rank
-        FROM ({union})
-        GROUP BY query_id, neighbor_id
-      ) WHERE rank <= 5
-    )"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
+    return parts
+
+
+_PQ_ADC_UNION = " UNION ALL ".join(f"SELECT * FROM adc{s}" for s in range(8))
+
+_PQ_RECALL_TAIL = f"""
     SELECT e.query_id,
            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            {sql_fround('coalesce(h.n_hits, 0) / 5.0', 4)} AS recall_at_5
@@ -849,7 +843,29 @@ def _pq_trained_oracle() -> str:
       GROUP BY 1
     ) h ON h.query_id = e.query_id
     """
+
+
+def _pq_trained_oracle() -> str:
+    """Replays the entire trained-PQ pipeline relationally: 8
+    independent per-subspace k-means chains (k=16, exact fixed-point
+    iterations) -> ordered centroid lists -> encode argmin -> ADC
+    ranking -> recall@5 vs exact ground truth."""
+    parts = _pq_trained_common()
+    parts.append(_PQ_EXACT_CTE)
+    parts.extend(_pq_adc_ctes())
+    parts.append(
+        f"""approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
+                 AS rank
+        FROM ({_PQ_ADC_UNION})
+        GROUP BY query_id, neighbor_id
+      ) WHERE rank <= 5
+    )"""
     )
+    return "WITH " + ",\n".join(parts) + _PQ_RECALL_TAIL
 
 
 @query(
@@ -871,6 +887,109 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = simsearch.pq_encode(em, cbs)
     queries = em.where(F.col("vec_id") < 20)
     approx = simsearch.pq_adc_topk(codes, queries, cbs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("__qv"))
+    c = em.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("__nv"))
+    d = (
+        "cast(floor(aggregate(zip_with(__qv, __nv,"
+        " (x, y) -> (cast(x AS double) - cast(y AS double))"
+        " * (cast(x AS double) - cast(y AS double))),"
+        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+        " AS bigint)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d).alias("d_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            fround(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 4).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADC shortlist + exact refine (the production serving pattern)
+# ---------------------------------------------------------------------------
+_PQ_REFINE_SHORTLIST = 50
+
+
+def _pq_refine_oracle() -> str:
+    parts = _pq_trained_common()
+    parts.append(_PQ_EXACT_CTE)
+    parts.extend(_pq_adc_ctes())
+    parts.append(
+        f"""shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(sum(t) AS BIGINT), neighbor_id)
+                 AS rank
+        FROM ({_PQ_ADC_UNION})
+        GROUP BY query_id, neighbor_id
+      ) WHERE rank <= {_PQ_REFINE_SHORTLIST}
+    )"""
+    )
+    parts.append(
+        """approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY CAST(floor(list_sum(list_transform(range(1, 65),
+                   j -> (q.qv[j] - e.ev[j]) * (q.qv[j] - e.ev[j])
+                 )) * 1000000.0 + 0.5) AS BIGINT), s.neighbor_id
+               ) AS rank
+        FROM shortl s
+        JOIN e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ) WHERE rank <= 5
+    )"""
+    )
+    return "WITH " + ",\n".join(parts) + _PQ_RECALL_TAIL
+
+
+@query(
+    "q_pq_refine_recall",
+    _pq_refine_oracle(),
+    doc="ADC shortlist + exact refine — the production ANN serving "
+    f"pattern: trained-PQ ADC ranks a top-{_PQ_REFINE_SHORTLIST} "
+    "shortlist from codes alone (corpus never decodes), then ONLY "
+    "those rows fetch full vectors for an exact micro-integer L2 "
+    "re-rank. Measured recall@5 vs exact ground truth: 0.29 (ADC "
+    "only, q_pq_recall_trained) -> 0.76 refined, on the SAME index — "
+    "residual quantization was prototyped and rejected (0.26, no "
+    "lift on these near-uniform fixtures; SCALE.md). Scale: refine "
+    "moves O(queries * shortlist) rows; the corpus pays one "
+    "semi-join fetch of shortlist members.",
+)
+def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    cbs = simsearch.pq_codebooks_trained(em, iterations=_PQT_ITERS)
+    codes = simsearch.pq_encode(em, cbs)
+    queries = em.where(F.col("vec_id") < 20)
+    short = simsearch.pq_adc_topk(
+        codes, queries, cbs, k=_PQ_REFINE_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    approx = simsearch.exact_refine_topk(short, em, queries, k=5).select(
         "query_id", "neighbor_id"
     )
     q = queries.select(F.col("vec_id").alias("query_id"),
