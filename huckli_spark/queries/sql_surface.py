@@ -695,3 +695,282 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(est, 2).alias("kmv_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation battery (Q11/Q13/Q15/Q17/Q18/Q22 shapes)
+# ---------------------------------------------------------------------------
+# The classic correlated/scalar-subquery TPC-H shapes, adapted to the
+# fixture's reduced schema (no partsupp/commitdate: Q11 builds supply
+# value from lineitem, Q22's "inactive" customers are those with no
+# RECENT order — every fixture customer has some order). Money math
+# uses the exact-cents discipline (floor(x*100+0.5) per row, BIGINT
+# sums) wherever a threshold or equality depends on an aggregate, so
+# comparisons never ride on float summation order.
+@query(
+    "q_tpch_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): LEFT join with "
+    "a join-side filter (zero-order customers MUST survive), count "
+    "per customer, then the distribution of those counts. Exercises "
+    "outer-join + double aggregation; all-integer output. Scale: "
+    "first agg shuffles on custkey (the join key — AQE coalesces), "
+    "second on the tiny count domain.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    f"""
+    SELECT {sql_fround('sum(l_extendedprice) / 7.0')} AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): correlated SCALAR "
+    "subquery — each lineitem compares against 0.2x the average "
+    "quantity of ITS part. Catalyst decorrelates to a per-part "
+    "aggregate joined back (RewriteCorrelatedScalarSubquery). "
+    "Portable boundary: l_quantity is integral and the per-part avg "
+    "is an exact-integer sum / count, so 0.2*avg is the identical "
+    "double on both engines. Scale: the decorrelated agg shuffles on "
+    "partkey once; the brand filter prunes the probe side first.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT cast(floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5)
+                    AS double) / 100.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "q_tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           {sql_fround('o_totalprice')} AS totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+      )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 (large-volume orders): IN over a grouped HAVING "
+    "subquery (semi join against an aggregate), then re-join the "
+    "detail for per-order totals. l_quantity is integral, so the "
+    "HAVING threshold and total_qty are exact integers. Scale: the "
+    "HAVING side collapses lineitem to order keys before the semi "
+    "join; AQE picks broadcast for the surviving key set.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               cast(floor(o_totalprice * 100.0 + 0.5) AS double) / 100.0
+                 AS totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+          )
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+@query(
+    "q_tpch_q15",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                            + 0.5) AS BIGINT)) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {sql_fround('total_cents / 100.0')} AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 (top supplier): revenue per supplier over a "
+    "quarter, then the supplier(s) hitting the GLOBAL max — a scalar "
+    "subquery over an aggregate of the same derived relation. The "
+    "max-equality comparison runs on exact integer cents (per-row "
+    "floor to cents, BIGINT sums), so the tie semantics are "
+    "bit-portable — float revenue sums would make 'equals the max' "
+    "partition-order dependent. Scale: rev is O(suppliers); the max "
+    "is one broadcast scalar.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                + 0.5) AS BIGINT)) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               cast(floor((total_cents / 100.0) * 100.0 + 0.5) AS double)
+                 / 100.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        """
+    )
+
+
+@query(
+    "q_tpch_q11",
+    f"""
+    WITH sv AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               AS value_cents
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           {sql_fround('value_cents / 100.0')} AS part_value
+    FROM sv
+    WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM sv) * 12
+    """,
+    doc="TPC-H Q11 shape (important stock — partsupp rebuilt from "
+    "lineitem supply value): per-part value within one nation, "
+    "keeping parts above 0.12% of the nation's TOTAL value — a scalar "
+    "subquery aggregating the same grouped relation the outer query "
+    "reads. The fraction threshold is pure integer arithmetic "
+    "(value*10000 > total*12): no float ratio at the cut line. Scale: "
+    "sv is O(parts); the total is one broadcast scalar; the "
+    "supplier->nation chain broadcasts.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH sv AS (
+          SELECT l_partkey,
+                 SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                   AS value_cents
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey
+            AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_3'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey,
+               cast(floor((value_cents / 100.0) * 100.0 + 0.5) AS double)
+                 / 100.0 AS part_value
+        FROM sv
+        WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM sv) * 12
+        """
+    )
+
+
+@query(
+    "q_tpch_q22",
+    f"""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer WHERE c_acctbal > 0.0
+    ), stats AS (
+      SELECT sum(cents) AS s, count(*) AS n FROM pos
+    )
+    SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+           {sql_fround('sum(cents) / 100.0')} AS totacctbal
+    FROM pos, stats, nation
+    WHERE cents * n > s
+      AND n_nationkey = c_nationkey
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q22 shape (global-sales-opportunity): customers with "
+    "above-average positive balance and NO RECENT order (every "
+    "fixture customer has SOME order, so 'inactive' means no order "
+    "since 2000) — a scalar-average subquery plus NOT EXISTS "
+    "anti-join, grouped by nation. The above-average cut is integer "
+    "(cents * n > sum_cents), never a float-avg comparison. Scale: "
+    "stats is one broadcast row; the anti-join shuffles on custkey "
+    "with the date filter pushed to the orders scan.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(
+        """
+        WITH pos AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM customer WHERE c_acctbal > 0.0
+        ), stats AS (
+          SELECT sum(cents) AS s, count(*) AS n FROM pos
+        )
+        SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+               cast(floor((sum(cents) / 100.0) * 100.0 + 0.5) AS double)
+                 / 100.0 AS totacctbal
+        FROM pos, stats, nation
+        WHERE cents * n > s
+          AND n_nationkey = c_nationkey
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY n_name
+        """
+    )
