@@ -245,6 +245,74 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# real BMP codec — pure stdlib (struct), 24-bit BI_RGB per the public
+# BITMAPFILEHEADER/BITMAPINFOHEADER layout (round 7: third REAL codec
+# arm alongside PNG and PCM WAV)
+# ---------------------------------------------------------------------------
+BMP_SIG = b"BM"
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP (rows BGR,
+    padded to 4-byte boundaries — the classic layout every viewer
+    reads)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"BMP encoder wants 3 channels, got {c}")
+    stride = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * w)
+    a = arr.astype(np.uint8)
+    body = b"".join(
+        a[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = BMP_SIG + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def decode_bmp_bytes(data: bytes) -> np.ndarray:
+    """Decode a 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB. Handles
+    bottom-up (positive height) and top-down (negative height) pixel
+    arrays and row padding; palette/16/32-bit/compressed variants
+    raise with the reason named (same loud-stub policy as PNG/WAV)."""
+    if data[:2] != BMP_SIG:
+        raise ValueError("not a BMP blob")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER variant)"
+        )
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} (BI_RGB only)")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bit BMP (24-bit only)")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    stride = (3 * w + 3) // 4 * 4
+    if off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel array")
+    rows = (
+        np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3)
+    )
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # stored BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
 # real WAV codec — pure stdlib (struct), RIFF/WAVE PCM spec
 # ---------------------------------------------------------------------------
 WAV_SIG = b"RIFF"
@@ -322,22 +390,27 @@ def decode_real(data: bytes, kind: str):
     here when deploying (PIL for images, av for video)."""
     if kind == "image" and data[:8] == PNG_SIG:
         return decode_png_bytes(data)
+    if kind == "image" and data[:2] == BMP_SIG:
+        return decode_bmp_bytes(data)
     if kind == "audio" and data[:4] == WAV_SIG:
         return decode_wav_bytes(data)
     raise NotImplementedError(
-        f"real {kind} decode beyond PNG/WAV requires PIL/av; only"
-        " PNG, PCM WAV and the HK deterministic formats are available"
-        " in this environment"
+        f"real {kind} decode beyond PNG/BMP/WAV requires PIL/av; only"
+        " PNG, BMP, PCM WAV and the HK deterministic formats are"
+        " available in this environment"
     )
 
 
 def decode_any_image(data: bytes) -> np.ndarray:
-    """Dispatch an image blob by magic: HKI1 fake codec or real PNG.
-    Raises ValueError for unknown formats (drop-and-continue policy)."""
+    """Dispatch an image blob by magic: HKI1 fake codec, real PNG or
+    real BMP. Raises ValueError for unknown formats
+    (drop-and-continue policy)."""
     if data[:4] == IMG_MAGIC:
         return decode_image_bytes(data)
     if data[:8] == PNG_SIG:
         return decode_png_bytes(data)
+    if data[:2] == BMP_SIG:
+        return decode_bmp_bytes(data)
     raise ValueError("unknown image format")
 
 
@@ -371,6 +444,12 @@ def sniff_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
     def be_int(start: int, nbytes: int):
         return F.conv(F.hex(F.substring(data, start, nbytes)), 16, 10).cast("int")
 
+    def _le_long(d, start: int, nbytes: int):
+        parts = [
+            F.hex(F.substring(d, start + i, 1)) for i in reversed(range(nbytes))
+        ]
+        return F.conv(F.concat(*parts), 16, 10).cast("long")
+
     # PNG signature check on the raw first 8 bytes (not utf8-castable)
     is_png = F.hex(F.substring(data, 1, 8)) == "89504E470D0A1A0A"
     # IHDR body starts at byte 17 (sig 8 + len 4 + "IHDR" 4):
@@ -390,6 +469,27 @@ def sniff_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
                 be_int(17, 4).alias("width"),
                 be_int(21, 4).alias("height"),
                 png_channels.alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+            ),
+        )
+        .when(
+            # BMP: "BM" magic; width/height at info-header offsets
+            # 18/22 as SIGNED LE i32 — negative height = top-down, the
+            # sniff reports magnitude (the decoder is the authority)
+            F.substring(data, 1, 2).cast("string") == "BM",
+            F.struct(
+                F.lit("bmp").alias("format"),
+                le_int(19, 4).alias("width"),
+                (
+                    F.when(
+                        _le_long(data, 23, 4) > F.lit(2**31 - 1),
+                        F.lit(2**32) - _le_long(data, 23, 4),
+                    ).otherwise(_le_long(data, 23, 4))
+                ).cast("int").alias("height"),
+                F.when(le_int(29, 2) == 24, 3)
+                .otherwise(F.lit(None).cast("int"))
+                .alias("channels"),
                 F.lit(None).cast("int").alias("sample_rate"),
                 F.lit(1).alias("n_frames"),
             ),

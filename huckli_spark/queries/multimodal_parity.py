@@ -64,12 +64,18 @@ def _media_df(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame:
                 if did % 3 == 0:
                     w, h = 16 + did % 17, 12 + did % 11
                     img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    # every other image doc round-trips through the
-                    # REAL stdlib PNG codec (encode_png -> sniff ->
-                    # decode_png_bytes) instead of the HKI1 fake — the
-                    # closed-form metric (w*h) is codec-invariant, so
-                    # the same DuckDB oracle hash-gates both paths
-                    blob = mm.encode_png(img) if did % 6 == 0 else mm.encode_image(img)
+                    # image docs rotate through THREE codecs — real
+                    # stdlib PNG (did%12==0), real stdlib 24-bit BMP
+                    # (did%12==6, round 7), and the HKI1 fake — via
+                    # encode -> sniff -> decode; the closed-form
+                    # metric (w*h) is codec-invariant, so the same
+                    # DuckDB oracle hash-gates all three paths
+                    if did % 12 == 0:
+                        blob = mm.encode_png(img)
+                    elif did % 12 == 6:
+                        blob = mm.encode_bmp(img)
+                    else:
+                        blob = mm.encode_image(img)
                     rows.append((did, "image", blob))
                 elif did % 3 == 1:
                     sr = 8000

@@ -224,3 +224,91 @@ class TestPngCodec:
         # PNG and HKI1 blobs of the same array give identical features
         assert feats[1].features == feats[2].features
         assert (feats[1].width, feats[1].height) == (17, 12)
+
+
+class TestBMPCodec:
+    """Round-7 third real codec arm: 24-bit BI_RGB BMP, pure stdlib."""
+
+    def _img(self, h, w, seed=7):
+        import numpy as np
+
+        return np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+
+    def test_roundtrip_padded_width(self):
+        # widths not divisible by 4 exercise the row padding
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        for w in (5, 6, 7, 8):
+            img = self._img(3, w)
+            back = mm.decode_bmp_bytes(mm.encode_bmp(img))
+            assert back.shape == (3, w, 3)
+            assert np.array_equal(back, img), w
+
+    def test_top_down_negative_height(self):
+        import numpy as np
+        import struct
+
+        from huckli_spark.operators import multimodal as mm
+
+        img = self._img(4, 5)
+        blob = bytearray(mm.encode_bmp(img))
+        # flip to top-down: negate height, reverse the row order
+        (h,) = struct.unpack_from("<i", blob, 22)
+        struct.pack_into("<i", blob, 22, -h)
+        stride = (3 * 5 + 3) // 4 * 4
+        off = 54
+        rows = [
+            bytes(blob[off + y * stride : off + (y + 1) * stride])
+            for y in range(4)
+        ]
+        blob[off:] = b"".join(reversed(rows))
+        back = mm.decode_bmp_bytes(bytes(blob))
+        assert np.array_equal(back, img)
+
+    def test_unsupported_variants_raise_loudly(self):
+        import struct
+
+        import pytest
+
+        from huckli_spark.operators import multimodal as mm
+
+        blob = bytearray(mm.encode_bmp(self._img(2, 2)))
+        b32 = bytearray(blob)
+        struct.pack_into("<H", b32, 28, 32)
+        with pytest.raises(NotImplementedError, match="32-bit"):
+            mm.decode_bmp_bytes(bytes(b32))
+        brle = bytearray(blob)
+        struct.pack_into("<I", brle, 30, 1)  # BI_RLE8
+        with pytest.raises(NotImplementedError, match="compression"):
+            mm.decode_bmp_bytes(bytes(brle))
+        with pytest.raises(ValueError, match="not a BMP"):
+            mm.decode_bmp_bytes(b"XXbad")
+
+    def test_sniff_reports_bmp_dims(self, spark):
+        from huckli_spark.operators import multimodal as mm
+
+        img = self._img(12, 17)
+        df = spark.createDataFrame(
+            [(1, bytearray(mm.encode_bmp(img)))], "media_id long, data binary"
+        )
+        r = mm.sniff_metadata(df).select("meta.*").collect()[0]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "bmp", 17, 12, 3,
+        )
+
+    def test_image_features_decodes_bmp(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        img = self._img(6, 9)
+        df = spark.createDataFrame(
+            [(5, bytearray(mm.encode_bmp(img)))], "media_id long, data binary"
+        )
+        r = mm.image_features(df).collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (9, 6, 3)
+        assert abs(r["features"][0] - float(img[:, :, 0].mean())) < 1e-9
