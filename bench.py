@@ -125,6 +125,19 @@ def main() -> None:
     from huckli_spark.queries import all_queries
     from huckli_spark.session import get_spark
 
+    # VERDICT r6 #5: the OFFICIAL artifact should be the clean number.
+    # On this shared box co-tenant load inflates walls by up to ~15%
+    # (2.1 s spread measured between same-code runs, SCALE.md), so if
+    # the box is busy at start, wait — bounded at 180 s — for the
+    # 1-min loadavg to settle below 2 before measuring. The wait is
+    # recorded in the output; a still-loaded start after the budget
+    # runs anyway and flags `loaded`.
+    import time as _time
+
+    waited_s = 0
+    while os.getloadavg()[0] > 2.0 and waited_s < 180:
+        _time.sleep(10)
+        waited_s += 10
     load_start = os.getloadavg()[0]
     spark = get_spark(app_name="huckli_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -201,6 +214,7 @@ def main() -> None:
         "ingest": ingest,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
+        "waited_for_idle_s": waited_s,
         # start-of-run load is the co-tenant signal (the bench itself
         # hasn't created load yet); >4 on this box means a neighbor is
         # actively burning CPU and totals will read ~1.5x high
