@@ -974,3 +974,127 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "q_tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_fround('sum(cents) / 100.0')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping): revenue flowing between two "
+    "nations in either direction, by shipping year — a 6-way join "
+    "whose nation-pair predicate is DISJUNCTIVE across two dimension "
+    "aliases (the shape that defeats naive pushdown; Catalyst still "
+    "broadcasts both nation sides and the date range reaches the "
+    "lineitem scan). Revenue sums exact integer cents. Scale: only "
+    "the lineitem-orders edge shuffles; nations broadcast twice.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               cast(floor((sum(cents) / 100.0) * 100.0 + 0.5) AS double)
+                 / 100.0 AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                            + 0.5) AS BIGINT) AS cents
+          FROM supplier, lineitem, orders, customer,
+               nation n1, nation n2
+          WHERE s_suppkey = l_suppkey
+            AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        ) GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@query(
+    "q_tpch_q8",
+    f"""
+    SELECT o_year,
+           {sql_fround(
+               "sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)"
+               " * 1.0 / sum(cents)", 6)} AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): NATION_2 suppliers' share "
+    "of PROMO-part revenue sold into the ASIA region, per order year "
+    "— an 8-way join with a conditional-sum ratio. The share is a "
+    "ratio of two exact-integer cent sums (one IEEE division, then "
+    "the shared fround), so the percentage never rides on float "
+    "summation order. Scale: the region->nation->customer chain and "
+    "both small dims broadcast; lineitem-orders is the only shuffle "
+    "edge.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT o_year,
+               cast(floor((sum(CASE WHEN supp_nation = 'NATION_2'
+                                    THEN cents ELSE 0 END)
+                           * 1.0 / sum(cents)) * 1000000.0 + 0.5)
+                    AS double) / 1000000.0 AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                            + 0.5) AS BIGINT) AS cents,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey
+            AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey
+            AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND p_type = 'PROMO'
+        ) GROUP BY o_year
+        """
+    )
