@@ -27,6 +27,8 @@ uses (see q_tfidf_terms).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,20 +43,15 @@ def _tf_expr(words_col: str, term: str) -> str:
     return f"size(filter({words_col}, x -> x = '{t}'))"
 
 
-def bm25_score(
+def bm25_stats(
     docs: DataFrame,
     terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
 ) -> DataFrame:
-    """(id, score_bm25) for every document with at least one query
-    term. Corpus stats (N, avgdl via exact integer token sum, df per
-    term) come from one aggregate broadcast as a single row; scoring
-    is then map-only. The arithmetic expression shape is mirrored
-    exactly by ``sql_bm25`` so both engines produce identical doubles
-    before the shared fround."""
+    """ONE-row corpus statistics relation (n, sdl, df0..dfk) — the
+    frozen index half of BM25. Computed over the reference corpus
+    once; scoring (batch or streaming) broadcasts it."""
     w = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     ).withColumn("__dl", F.size("__w"))
@@ -67,7 +64,35 @@ def bm25_score(
         ).alias(f"df{i}")
         for i, t in enumerate(terms)
     ]
-    stats = w.agg(*aggs)
+    return w.agg(*aggs)
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    stats: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id, score_bm25) for every document with at least one query
+    term. Corpus stats (N, avgdl via exact integer token sum, df per
+    term) come from one aggregate broadcast as a single row; scoring
+    is then map-only. The arithmetic expression shape is mirrored
+    exactly by ``sql_bm25`` so both engines produce identical doubles
+    before the shared fround.
+
+    ``stats``: pass a precomputed ``bm25_stats`` row to score against
+    FROZEN index statistics — the production serving shape (and the
+    streaming one: a document stream scores map-only against the
+    static broadcast stats; the global aggregate never runs on the
+    stream). Default recomputes stats from ``docs``."""
+    w = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).withColumn("__dl", F.size("__w"))
+    if stats is None:
+        stats = bm25_stats(docs, terms, id_col, text_col)
     scored = w.crossJoin(F.broadcast(stats))
     # avgdl = exact integer sum / count — no partition-order float sum
     contribs = []

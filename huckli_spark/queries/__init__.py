@@ -127,7 +127,7 @@ _GATE_PRIORITY: list[str] = [
 # Round-8 rotation queue (registered round 7, replica-green, not yet
 # driver-graded): q_containment_dup, q_kcore, q_vocab_coverage,
 # q_pq_refine_recall, q_tpch_q7, q_tpch_q8, q_tpch_q11, q_tpch_q13,
-# q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22.
+# q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22, q_stream_bm25.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import sql_fround
+from huckli_spark.operators.retrieval import sql_bm25
 from huckli_spark.queries import query
 from huckli_spark.session import load_table as _t
 from huckli_spark.streaming.sessionize import sessionize_batch, sessionize_batch_oracle
@@ -523,4 +524,52 @@ def q_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("int"),
         F.col("n_tok").cast("int"),
         "chunk_text",
+    )
+
+
+_STREAM_BM25_TERMS = ["spark", "join", "filter"]
+
+
+@query(
+    "q_stream_bm25",
+    "WITH "
+    + sql_bm25("SELECT doc_id, text FROM documents",
+               ["spark", "join", "filter"])
+    + " SELECT doc_id, score_bm25 FROM bm",
+    doc="STREAMING BM25 scoring against FROZEN index statistics — the "
+    "production serving split: the one-row corpus stats (N, exact-sum "
+    "avgdl, per-term df) come from the static reference corpus, and "
+    "the live document stream scores MAP-ONLY against the broadcast "
+    "stats row (stream-static cross join of a singleton; no aggregate "
+    "ever runs on the stream, so this is stateless append mode). "
+    "Drained availableNow over the same corpus, the stream's scores "
+    "hash-match the batch oracle exactly. Scale: stats refresh is a "
+    "periodic batch job; scoring keeps up with any ingest rate since "
+    "it's one narrow stage.",
+)
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.retrieval import bm25_score, bm25_stats
+
+    batch_docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    )
+    stats = bm25_stats(batch_docs, _STREAM_BM25_TERMS)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    scored = bm25_score(stream, _STREAM_BM25_TERMS, stats=stats)
+    return run_to_memory(scored, output_mode="append").select(
+        "doc_id", "score_bm25"
     )
