@@ -184,17 +184,89 @@ def _quote_path(rel: str) -> str:
     return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
 
 
+def _file_stats(full_path: str) -> Optional[str]:
+    """Per-file statistics as the protocol's ``stats`` JSON string:
+    numRecords + min/max/nullCount per top-level primitive column,
+    read from the parquet footer (no data scan). Real Delta readers
+    use these for file skipping — exporting them makes min/max
+    pruning (including both columns of a z-ordered layout) work
+    through the exported log, not just against raw footers. Columns
+    without usable footer stats (binary, nested) are simply omitted,
+    which the spec allows. Returns None if the footer is unreadable
+    (stats are an optimization, never a correctness dependency)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def ser(v):
+        if isinstance(v, bytes):
+            return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, float) and (v != v):  # NaN never a bound
+            return None
+        return v
+
+    try:
+        pf = pq.ParquetFile(full_path)
+        n_rows = pf.metadata.num_rows
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        pq_names = list(pf.schema.names)  # flattened leaf paths
+        for field in pf.schema_arrow:
+            # top-level primitives only: nested arrow fields have
+            # child fields, and their parquet leaves carry dotted
+            # paths that would not line up with the arrow name
+            if field.type.num_fields or field.name not in pq_names:
+                continue
+            name = field.name
+            idx = pq_names.index(name)
+            lo = hi = None
+            nn = 0
+            ok = True
+            for g in range(pf.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                nn += st.null_count if st.null_count is not None else 0
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if not ok:
+                continue
+            lo, hi = ser(lo), ser(hi)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo
+            maxs[name] = hi
+            nulls[name] = nn
+        return json.dumps(
+            {
+                "numRecords": n_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return None
+
+
 def _add_action(table_path: str, rel: str, partition_columns: list[str]) -> dict:
-    st = os.stat(os.path.join(table_path, rel))
-    return {
-        "add": {
-            "path": _quote_path(rel),
-            "partitionValues": _partition_values(rel, partition_columns),
-            "size": st.st_size,
-            "modificationTime": int(st.st_mtime * 1000),
-            "dataChange": True,
-        }
+    full = os.path.join(table_path, rel)
+    st = os.stat(full)
+    add = {
+        "path": _quote_path(rel),
+        "partitionValues": _partition_values(rel, partition_columns),
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "dataChange": True,
     }
+    stats = _file_stats(full)
+    if stats is not None:
+        add["stats"] = stats
+    return {"add": add}
 
 
 def _write_commit(table_path: str, version: int, actions: list[dict]) -> str:
@@ -243,6 +315,7 @@ def write_checkpoint(table_path: str, version: Optional[int] = None) -> str:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ]
     )
     meta_t = pa.struct(
@@ -301,6 +374,7 @@ def write_checkpoint(table_path: str, version: Optional[int] = None) -> str:
                     "size": a["size"],
                     "modificationTime": a["modificationTime"],
                     "dataChange": False,
+                    "stats": a.get("stats"),
                 }
             }
         )

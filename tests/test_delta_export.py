@@ -454,3 +454,94 @@ class TestSchemaEvolutionAndCheckpoints:
             for r in wh.table("t").collect()
         ]
         assert sorted(srows, key=str) == sorted(rows, key=str)
+
+
+class TestAddActionStats:
+    """Round-7: per-file stats in add actions (the protocol's ``stats``
+    JSON) — file-level min/max skipping works through the exported
+    log, closing the loop with the z-order layout work."""
+
+    def _reader(self):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import tools.delta_read as dr
+
+        return dr
+
+    def test_add_carries_stats(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, n=20))
+        commit = wh.export_delta("t")
+        adds = [a["add"] for a in _read_actions(commit) if "add" in a]
+        assert adds
+        total = 0
+        for a in adds:
+            s = json.loads(a["stats"])
+            total += s["numRecords"]
+            assert s["minValues"]["k"] >= 0
+            assert s["maxValues"]["k"] <= 19
+            assert s["nullCount"]["k"] == 0
+        assert total == 20
+
+    def test_stats_survive_checkpoint_compaction(self, spark, tmp_path):
+        from huckli_spark.ingest.delta_export import (
+            clean_log,
+            write_checkpoint,
+        )
+
+        wh = Warehouse(spark, str(tmp_path), idempotent=True, acid=True)
+        wh.append("t", _df(spark, n=10))
+        wh.export_delta("t")
+        wh.append("t", _df(spark, n=4, src="pref.1700003600000.gz"))
+        wh.export_delta("t", incremental=True)
+        tpath = os.path.join(str(tmp_path), "t")
+        write_checkpoint(tpath)
+        clean_log(tpath)
+        dr = self._reader()
+        _meta, live = dr.replay_log(tpath)
+        assert live
+        for add in live.values():
+            s = json.loads(add["stats"])
+            assert s["numRecords"] > 0 and "k" in s["minValues"]
+
+    def test_zordered_export_prunes_both_columns(self, spark, tmp_path):
+        # z-order the warehouse table, export, then prune files from
+        # the LOG's stats alone: both morton columns must skip files,
+        # and kept-files + predicate must equal full-table + predicate
+        from huckli_spark.ingest.txlog import TransactionLog
+
+        li = spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).select("l_orderkey", "l_partkey", "l_suppkey")
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append("lz", li)
+        wh.compact(
+            "lz", ["l_partkey", "l_suppkey"], target_partitions=24,
+            zorder=True,
+        )
+        wh.export_delta("lz")
+        tpath = wh.table_path("lz")
+        dr = self._reader()
+        # sf0.01 ranges: l_partkey 0..1999, l_suppkey 0..99
+        bands = {"l_partkey": (500, 599), "l_suppkey": (40, 47)}
+        for col, (lo, hi) in bands.items():
+            keep, skip = dr.prune_files(tpath, col, lo, hi)
+            assert skip, f"no files skipped on {col}"
+            assert len(keep) < len(keep) + len(skip)
+            # correctness: pruned read == full read under the predicate
+            full = (
+                spark.read.parquet(
+                    *[os.path.join(tpath, f) for f in
+                      TransactionLog(tpath).live_files()]
+                )
+                .where(F.col(col).between(lo, hi))
+            )
+            pruned = (
+                spark.read.parquet(
+                    *[os.path.join(tpath, f) for f in keep]
+                )
+                .where(F.col(col).between(lo, hi))
+            )
+            assert sorted(map(tuple, pruned.collect())) == sorted(
+                map(tuple, full.collect())
+            )

@@ -193,6 +193,36 @@ def read_rows(table_path: str) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def prune_files(
+    table_path: str, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """Data skipping from the LOG ALONE: partition live files into
+    (must_read, skippable) for the predicate ``lo <= col <= hi``
+    using each add action's ``stats`` JSON (numRecords / minValues /
+    maxValues) — the same file-level min/max pruning real Delta
+    readers perform, with no parquet footer touched. Files without
+    stats for the column are conservatively kept."""
+    _meta, live = replay_log(table_path)
+    keep: list[str] = []
+    skip: list[str] = []
+    for rel, add in sorted(live.items()):
+        stats = add.get("stats")
+        if not stats:
+            keep.append(rel)
+            continue
+        s = json.loads(stats) if isinstance(stats, str) else stats
+        mn = (s.get("minValues") or {}).get(col)
+        mx = (s.get("maxValues") or {}).get(col)
+        if mn is None or mx is None:
+            keep.append(rel)
+            continue
+        if mn <= hi and mx >= lo:
+            keep.append(rel)
+        else:
+            skip.append(rel)
+    return keep, skip
+
+
 def main() -> int:
     table = sys.argv[1]
     cols, rows = read_rows(table)
