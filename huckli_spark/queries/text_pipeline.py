@@ -897,8 +897,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    targets = d.sparkSession.createDataFrame(
-        [(50,), (75,), (90,), (95,), (99,)], "pct int"
+    # JVM literal array, not createDataFrame: keeps the whole plan
+    # Python-free (pinned in tests/test_plans.py)
+    targets = (
+        d.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in (50, 75, 90, 95, 99)])
+            ).alias("pct")
+        )
+        .select(F.col("pct").cast("int"))
     )
     sizes = (
         ranked.crossJoin(F.broadcast(total))

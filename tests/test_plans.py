@@ -303,3 +303,48 @@ class TestRound6Plans:
         # broadcast by size), never nested-loop products
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound7Plans:
+    """Plan pins for the round-7 additions."""
+
+    def test_containment_mirrors_jaccard_shape(self, spark):
+        # same inverted-index self-join skeleton as q_ngram_jaccard:
+        # equi-joins on the shingle hash, never a nested-loop product
+        plan = _plan(spark, "q_containment_dup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_kcore_equi_joins_only(self, spark):
+        plan = _plan(spark, "q_kcore")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_vocab_coverage_single_corpus_pass(self, spark):
+        # the corpus collapses to (word, count) once; the 5-target
+        # join rides on a broadcast, not a shuffle of the vocab
+        plan = _plan(spark, "q_vocab_coverage")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q17_decorrelated(self, spark):
+        # the correlated scalar subquery must lower to an aggregate
+        # join (RewriteCorrelatedScalarSubquery), never a per-row
+        # nested-loop re-execution
+        plan = _plan(spark, "q_tpch_q17")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_tpch_q22_anti_join(self, spark):
+        # NOT EXISTS lowers to an anti join with the date filter
+        # pushed below it
+        plan = _plan(spark, "q_tpch_q22")
+        assert "LeftAnti" in plan or "left_anti" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_pq_refine_shortlist_join_bounded(self, spark):
+        # the refine stage joins the bounded shortlist against the
+        # corpus; queries broadcast — no all-pairs product
+        plan = _plan(spark, "q_pq_refine_recall")
+        assert "CartesianProduct" not in plan

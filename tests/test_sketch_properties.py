@@ -128,3 +128,97 @@ def test_fast_hash_minhash_recall_vs_portable(spark):
         docs, threshold=0.9, fast_hash=True
     ).collect():
         assert r["jaccard"] >= 0.9 - 1e-9
+
+
+class TestContainmentBruteForce:
+    """Differential: containment_pairs vs a pure-Python shingle-set
+    computation on randomized corpora (seeded)."""
+
+    def _shingles(self, text: str, n: int = 3) -> set:
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    def _brute(self, docs: list[tuple[int, str]], threshold: float):
+        out = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                d1, t1 = docs[i]
+                d2, t2 = docs[j]
+                s1, s2 = self._shingles(t1), self._shingles(t2)
+                if not s1 or not s2:
+                    continue
+                inter = len(s1 & s2)
+                if inter == 0:
+                    continue
+                c12, c21 = inter / len(s1), inter / len(s2)
+                if max(c12, c21) >= threshold:
+                    import math
+
+                    r = lambda x: math.floor(x * 1e4 + 0.5) / 1e4
+                    out[(d1, d2)] = (r(c12), r(c21))
+        return out
+
+    def test_random_corpora_match_brute_force(self, spark):
+        import random
+
+        from huckli_spark.operators.dedup import containment_pairs
+
+        rng = random.Random(20260814)
+        vocab = [f"w{i}" for i in range(30)]
+        for trial in range(3):
+            docs = []
+            for d in range(25):
+                n = rng.randint(4, 18)
+                words = [rng.choice(vocab) for _ in range(n)]
+                docs.append((d, " ".join(words)))
+            # inject a true superset pair
+            base = docs[3][1]
+            docs.append((100 + trial, base + " extra tokens here now"))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                (r["d1"], r["d2"]): (r["cont_1_in_2"], r["cont_2_in_1"])
+                for r in containment_pairs(df, threshold=0.5).collect()
+            }
+            assert got == self._brute(docs, 0.5), trial
+
+
+class TestKCoreBruteForce:
+    """Differential: kcore vs a pure-Python peel on random graphs."""
+
+    def _brute(self, edges: list[tuple[int, int]], k: int):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        return {v: len(nb) for v, nb in adj.items() if nb}
+
+    def test_random_graphs_match_brute_force(self, spark):
+        import random
+
+        from huckli_spark.operators.graph import kcore
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 30
+            edges = set()
+            for _ in range(rng.randint(40, 90)):
+                a, b = rng.randrange(n), rng.randrange(n)
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+            edges = sorted(edges)
+            df = spark.createDataFrame(edges, "s1 long, s2 long")
+            # iterations: n rounds is always enough for full peel
+            got = {
+                r["v"]: r["core_deg"]
+                for r in kcore(df, k=3, iterations=8).collect()
+            }
+            assert got == self._brute(edges, 3), trial
