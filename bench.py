@@ -184,6 +184,37 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
+    # Extended (round-7+) operators: measured once each, recorded in a
+    # SEPARATE key — the 24-query headline set stays byte-identical
+    # across rounds so its total remains comparable; these rows give
+    # the newer operator families their own recorded sf0.1 numbers.
+    # Training-heavy queries (hybrid retrieval, trained PQ) are
+    # excluded: their wall is driver-iteration bound and documented in
+    # SCALE.md instead.
+    EXTENDED = [
+        "q_bm25_topk",
+        "q_containment_dup",
+        "q_kcore",
+        "q_vocab_coverage",
+        "q_stream_bm25",
+        "q_tpch_q13",
+        "q_tpch_q18",
+        "q_triangle_count",
+    ]
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in specs:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            extended[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"extended:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
+
     # Load context (VERDICT r04 item 4): cross-round totals carry ~1.5x
     # co-tenant noise on this shared box, so record the 1-min loadavg at
     # start+end and a `loaded` flag — comparisons are only meaningful
@@ -211,6 +242,7 @@ def main() -> None:
         "runs": N_RUNS,
         "stat": "median",
         "queries_min": mins,
+        "extended_queries": extended,
         "ingest": ingest,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
