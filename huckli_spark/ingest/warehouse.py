@@ -221,6 +221,103 @@ class Warehouse:
             ]
         log.publish(staging, replace_partitions=replace)
 
+    def _replace_snapshot(self, name: str, df: DataFrame) -> None:
+        """Atomically replace the table's live snapshot with ``df``
+        (ACID: staging + replace_all commit — readers see the old
+        snapshot until the log entry lands; plain: tmp-dir swap)."""
+        import shutil
+
+        if self.acid or self._log(name).exists():
+            log = self._log(name)
+            staging = log.staging_dir()
+            df.write.mode("overwrite").parquet(staging)
+            log.publish(staging, replace_all=True)
+            return
+        tmp = self.table_path(f"__rewrite_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.table_path(name)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def merge(
+        self, name: str, updates: DataFrame, key: "str | list[str]"
+    ) -> dict:
+        """MERGE INTO (upsert): rows of ``updates`` REPLACE current
+        rows sharing their key; unmatched keys insert. One atomic
+        snapshot-replace commit (with ACID, readers see either the
+        old or the new snapshot, never a mix) — the Delta MERGE
+        semantics without the package. Returns
+        ``{"updated": n, "inserted": n}``.
+
+        Scale shape: this is copy-on-write MERGE — survivors are the
+        anti-join of the current snapshot against the (usually small,
+        broadcastable) update key set, so the data-side cost is one
+        table scan + rewrite. Production narrows the rewrite to the
+        partitions containing matched keys (the txlog's
+        replace_partitions commit is exactly that hook); the fixture
+        tables are not partitioned by merge key, so the full-snapshot
+        form is what's exercised here."""
+        from pyspark.sql import functions as F
+
+        key_cols = [key] if isinstance(key, str) else list(key)
+        current = self.table(name)
+        upd_keys = updates.select(*key_cols).distinct()
+        survivors = current.join(F.broadcast(upd_keys), key_cols, "left_anti")
+        n_current = current.count()
+        n_surv = survivors.count()
+        n_upd = updates.count()
+        merged = survivors.unionByName(
+            updates.select(*current.columns)
+        )
+        self._replace_snapshot(name, merged)
+        return {"updated": n_current - n_surv, "inserted": n_upd - (n_current - n_surv)}
+
+    def apply_cdc(
+        self,
+        name: str,
+        changes: DataFrame,
+        key: "str | list[str]",
+        op_col: str = "op",
+        order_col: Optional[str] = None,
+    ) -> dict:
+        """Apply a changelog: rows with ``op_col`` in I/U upsert, D
+        deletes. With ``order_col`` set, only each key's LATEST change
+        applies (ties break toward delete, the conservative CDC
+        convention); without it the changelog must hold one change
+        per key. Idempotent: re-applying the same changelog is a
+        no-op. One atomic snapshot-replace. Returns
+        ``{"upserted": n, "deleted": n}``."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        key_cols = [key] if isinstance(key, str) else list(key)
+        ch = changes
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col),
+                # same-version ties: delete wins deterministically
+                F.when(F.col(op_col) == "D", 0).otherwise(1),
+            )
+            ch = (
+                ch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        current = self.table(name)
+        upserts = ch.where(F.col(op_col) != "D").drop(op_col)
+        if order_col is not None:
+            upserts = upserts.drop(order_col)
+        deletes = ch.where(F.col(op_col) == "D").select(*key_cols).distinct()
+        touched = ch.select(*key_cols).distinct()
+        survivors = current.join(F.broadcast(touched), key_cols, "left_anti")
+        n_up = upserts.count()
+        n_del = deletes.join(
+            current.select(*key_cols).distinct(), key_cols
+        ).count()
+        merged = survivors.unionByName(upserts.select(*current.columns))
+        self._replace_snapshot(name, merged)
+        return {"upserted": n_up, "deleted": n_del}
+
     def export_delta(self, name: str, incremental: bool = False):
         """Materialize the table's current live snapshot as an open-
         protocol Delta log (ingest/delta_export.py) so real Delta

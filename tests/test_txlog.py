@@ -13,6 +13,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from huckli_spark.ingest.txlog import TransactionLog
 from huckli_spark.ingest.warehouse import Warehouse
 from tests.test_ingest import T0_MS, _speedtest_payloads
@@ -337,3 +339,108 @@ class TestConcurrentWriters:
         # snapshot holds exactly one generation: the highest version's file
         winner = max(commits)[1]
         assert live == [os.path.join("day=2026-01-01", winner)]
+
+
+class TestMergeUpsert:
+    """Round-7 MERGE INTO / CDC-apply: copy-on-write upsert + delete
+    with one atomic snapshot-replace commit (ACID readers see either
+    snapshot, never a mix) and time travel to the pre-merge state."""
+
+    def _base(self, spark, n=10):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    def test_merge_updates_and_inserts(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append("t", self._base(spark))
+        updates = spark.createDataFrame(
+            [(3, 999), (7, 888), (42, 777)], "k long, v long"
+        )
+        res = wh.merge("t", updates, key="k")
+        assert res == {"updated": 2, "inserted": 1}
+        rows = {r["k"]: r["v"] for r in wh.table("t").collect()}
+        assert rows[3] == 999 and rows[7] == 888 and rows[42] == 777
+        assert rows[0] == 0 and len(rows) == 11
+        # time travel: version 0 still shows the pre-merge values
+        v0 = {r["k"]: r["v"] for r in wh.table("t", as_of=0).collect()}
+        assert v0[3] == 30 and 42 not in v0
+
+    def test_merge_composite_key(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        base = spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+            "k1 long, k2 string, v long",
+        )
+        wh.append("t", base)
+        updates = spark.createDataFrame(
+            [(1, "b", 99), (2, "b", 77)], "k1 long, k2 string, v long"
+        )
+        res = wh.merge("t", updates, key=["k1", "k2"])
+        assert res == {"updated": 1, "inserted": 1}
+        rows = {(r["k1"], r["k2"]): r["v"] for r in wh.table("t").collect()}
+        assert rows[(1, "b")] == 99 and rows[(2, "b")] == 77
+        assert rows[(1, "a")] == 10 and len(rows) == 4
+
+    def test_merge_plain_table(self, spark, tmp_path):
+        # non-acid path: tmp-dir swap, same semantics
+        wh = Warehouse(spark, str(tmp_path))
+        wh.append("t", self._base(spark, 5))
+        res = wh.merge(
+            "t",
+            spark.createDataFrame([(0, 5), (9, 9)], "k long, v long"),
+            key="k",
+        )
+        assert res == {"updated": 1, "inserted": 1}
+        rows = {r["k"]: r["v"] for r in wh.table("t").collect()}
+        assert rows[0] == 5 and rows[9] == 9 and len(rows) == 6
+
+    def test_apply_cdc_latest_wins_and_deletes(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append("t", self._base(spark, 6))
+        changes = spark.createDataFrame(
+            [
+                # key 1: two updates, version 5 wins
+                ("U", 1, 111, 3),
+                ("U", 1, 555, 5),
+                # key 2: update then delete at a later version
+                ("U", 2, 222, 1),
+                ("D", 2, None, 9),
+                # key 40: pure insert
+                ("I", 40, 400, 2),
+                # key 3: delete
+                ("D", 3, None, 4),
+            ],
+            "op string, k long, v long, ver long",
+        )
+        res = wh.apply_cdc("t", changes, key="k", order_col="ver")
+        assert res == {"upserted": 2, "deleted": 2}
+        rows = {r["k"]: r["v"] for r in wh.table("t").collect()}
+        assert rows[1] == 555 and rows[40] == 400
+        assert 2 not in rows and 3 not in rows
+        assert len(rows) == 5  # 6 base - 2 deleted + 1 insert (key 1 updated in place)
+
+    def test_apply_cdc_idempotent(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append("t", self._base(spark, 4))
+        changes = spark.createDataFrame(
+            [("U", 0, 42, 1), ("D", 3, None, 1)],
+            "op string, k long, v long, ver long",
+        )
+        wh.apply_cdc("t", changes, key="k", order_col="ver")
+        first = sorted(map(tuple, wh.table("t").collect()))
+        wh.apply_cdc("t", changes, key="k", order_col="ver")
+        assert sorted(map(tuple, wh.table("t").collect())) == first
+
+    def test_cdc_same_version_delete_wins(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append("t", self._base(spark, 3))
+        changes = spark.createDataFrame(
+            [("U", 1, 999, 7), ("D", 1, None, 7)],
+            "op string, k long, v long, ver long",
+        )
+        res = wh.apply_cdc("t", changes, key="k", order_col="ver")
+        assert res["deleted"] == 1 and 1 not in {
+            r["k"] for r in wh.table("t").collect()
+        }
