@@ -318,6 +318,58 @@ class Warehouse:
         self._replace_snapshot(name, merged)
         return {"upserted": n_up, "deleted": n_del}
 
+    def table_changes(
+        self,
+        name: str,
+        key: "str | list[str]",
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Change data feed: the I/U/D rows that turn snapshot
+        ``from_version`` into ``to_version`` (default: latest) — the
+        inverse of ``apply_cdc``, derived by diffing the two txlog
+        snapshots on ``key``. Returns the new-side columns plus
+        ``op`` ('I' inserted key, 'U' changed row, 'D' deleted key;
+        D rows carry the OLD values so downstream consumers can
+        tombstone). Unchanged rows are absent. Feeding the result to
+        ``apply_cdc`` on a copy at ``from_version`` reproduces
+        ``to_version`` exactly (round-trip pinned in tests).
+
+        Scale: one full-outer join of the two snapshots on key —
+        at production scale both sides prune to the partitions whose
+        files differ between the versions (the txlog knows the file
+        diff; the fixture tables are small enough to diff whole)."""
+        from pyspark.sql import functions as F
+
+        key_cols = [key] if isinstance(key, str) else list(key)
+        old = self.table(name, as_of=from_version)
+        new = self.table(name, as_of=to_version)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            F.struct(*[F.col(c).alias(c) for c in val_cols]).alias("__old"),
+        )
+        nw = new.select(
+            *key_cols,
+            F.struct(*[F.col(c).alias(c) for c in val_cols]).alias("__new"),
+        )
+        j = o.join(nw, key_cols, "full_outer")
+        op = (
+            F.when(F.col("__old").isNull(), F.lit("I"))
+            .when(F.col("__new").isNull(), F.lit("D"))
+            .when(F.col("__old") != F.col("__new"), F.lit("U"))
+        )
+        side = F.coalesce(F.col("__new"), F.col("__old"))
+        return (
+            j.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select(
+                "op",
+                *key_cols,
+                *[side[c].alias(c) for c in val_cols],
+            )
+        )
+
     def export_delta(self, name: str, incremental: bool = False):
         """Materialize the table's current live snapshot as an open-
         protocol Delta log (ingest/delta_export.py) so real Delta
