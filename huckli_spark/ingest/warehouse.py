@@ -318,6 +318,78 @@ class Warehouse:
         self._replace_snapshot(name, merged)
         return {"upserted": n_up, "deleted": n_del}
 
+    def merge_scd2(
+        self,
+        name: str,
+        updates: DataFrame,
+        key: "str | list[str]",
+        version: int,
+    ) -> dict:
+        """History-preserving (SCD Type 2) merge: instead of replacing
+        matched rows, the current version of each matched key is
+        CLOSED (``valid_to`` set to ``version``) and the update row
+        inserted as the new current version (``valid_from = version``,
+        ``valid_to`` null). First call on a plain table initializes
+        ``valid_from = 0 / valid_to = null`` for existing rows.
+        Updates whose values equal the key's current row are no-ops
+        (no spurious history). One atomic snapshot-replace; returns
+        ``{"closed": n, "inserted": n}``.
+
+        The table keeps FULL history queryable with plain SQL: current
+        rows are ``valid_to IS NULL``; as-of row state at version v is
+        ``valid_from <= v AND (valid_to IS NULL OR valid_to > v)`` —
+        row-level time travel on top of the txlog's file-level one."""
+        from pyspark.sql import functions as F
+
+        key_cols = [key] if isinstance(key, str) else list(key)
+        current = self.table(name)
+        if "valid_from" not in current.columns:
+            current = current.withColumn(
+                "valid_from", F.lit(0).cast("long")
+            ).withColumn("valid_to", F.lit(None).cast("long"))
+        val_cols = [
+            c
+            for c in current.columns
+            if c not in key_cols + ["valid_from", "valid_to"]
+        ]
+        live = current.where(F.col("valid_to").isNull())
+        closed_hist = current.where(F.col("valid_to").isNotNull())
+        u = updates.select(*key_cols, *val_cols)
+        # changed = live rows whose key matches an update with
+        # DIFFERENT values; equal rows produce no history
+        lv = live.select(
+            *key_cols, F.struct(*val_cols).alias("__lv")
+        )
+        uv = u.select(*key_cols, F.struct(*val_cols).alias("__uv"))
+        changed_keys = (
+            lv.join(F.broadcast(uv), key_cols)
+            .where(F.col("__lv") != F.col("__uv"))
+            .select(*key_cols)
+        )
+        new_keys = uv.join(lv, key_cols, "left_anti").select(*key_cols)
+        affected = changed_keys.unionByName(new_keys)
+        n_closed = changed_keys.count()
+        to_insert = u.join(F.broadcast(affected), key_cols).select(
+            *key_cols,
+            *val_cols,
+            F.lit(version).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+        n_insert = to_insert.count()
+        untouched_live = live.join(
+            F.broadcast(changed_keys), key_cols, "left_anti"
+        )
+        newly_closed = live.join(F.broadcast(changed_keys), key_cols).withColumn(
+            "valid_to", F.lit(version).cast("long")
+        )
+        merged = (
+            closed_hist.unionByName(newly_closed)
+            .unionByName(untouched_live)
+            .unionByName(to_insert)
+        )
+        self._replace_snapshot(name, merged)
+        return {"closed": n_closed, "inserted": n_insert}
+
     def table_changes(
         self,
         name: str,

@@ -515,3 +515,72 @@ class TestChangeDataFeed:
             key="k",
         )
         assert wh.table_changes("t", key="k", from_version=0).count() == 0
+
+
+class TestSCD2:
+    """History-preserving merge: closed versions accumulate, current
+    rows are valid_to IS NULL, and row-level as-of queries reconstruct
+    any intermediate state."""
+
+    def test_history_accumulates(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append(
+            "dim",
+            spark.createDataFrame(
+                [(1, "alice", "NY"), (2, "bob", "LA")],
+                "k long, name string, city string",
+            ),
+        )
+        r1 = wh.merge_scd2(
+            "dim",
+            spark.createDataFrame(
+                [(1, "alice", "SF"), (3, "carol", "TX")],
+                "k long, name string, city string",
+            ),
+            key="k",
+            version=1,
+        )
+        assert r1 == {"closed": 1, "inserted": 2}
+        t = wh.table("dim")
+        cur = {r["k"]: (r["city"], r["valid_from"]) for r in
+               t.where(F.col("valid_to").isNull()).collect()}
+        assert cur[1] == ("SF", 1) and cur[2] == ("LA", 0)
+        assert cur[3] == ("TX", 1)
+        hist = t.where(F.col("valid_to").isNotNull()).collect()
+        assert len(hist) == 1 and hist[0]["k"] == 1
+        assert hist[0]["city"] == "NY" and hist[0]["valid_to"] == 1
+
+        # second wave: move alice again; bob unchanged (no-op update)
+        r2 = wh.merge_scd2(
+            "dim",
+            spark.createDataFrame(
+                [(1, "alice", "CHI"), (2, "bob", "LA")],
+                "k long, name string, city string",
+            ),
+            key="k",
+            version=2,
+        )
+        assert r2 == {"closed": 1, "inserted": 1}  # bob is a no-op
+        t = wh.table("dim")
+        assert t.count() == 5  # 3 current + 2 closed
+        # row-level as-of: alice's city at version 1 was SF
+        asof1 = t.where(
+            (F.col("k") == 1)
+            & (F.col("valid_from") <= 1)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > 1))
+        ).collect()
+        assert len(asof1) == 1 and asof1[0]["city"] == "SF"
+
+    def test_noop_update_creates_no_history(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path), acid=True)
+        wh.append(
+            "dim", spark.createDataFrame([(1, "x")], "k long, v string")
+        )
+        res = wh.merge_scd2(
+            "dim",
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            key="k",
+            version=5,
+        )
+        assert res == {"closed": 0, "inserted": 0}
+        assert wh.table("dim").count() == 1
