@@ -127,7 +127,8 @@ _GATE_PRIORITY: list[str] = [
 # Round-8 rotation queue (registered round 7, replica-green, not yet
 # driver-graded): q_containment_dup, q_kcore, q_vocab_coverage,
 # q_pq_refine_recall, q_tpch_q7, q_tpch_q8, q_tpch_q11, q_tpch_q13,
-# q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22, q_stream_bm25.
+# q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22, q_stream_bm25,
+# q_merge_upsert, q_scd2_history.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -144,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import governance  # noqa: F401
     from huckli_spark.queries import analytics_extras  # noqa: F401
     from huckli_spark.queries import retrieval  # noqa: F401
+    from huckli_spark.queries import warehouse_ops  # noqa: F401
 
     front = [n for n in _GATE_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]

@@ -1,0 +1,167 @@
+"""Warehouse write-path parity queries: MERGE INTO and SCD Type 2,
+ORACLE-GATED.
+
+These queries actually EXECUTE the write path — build a temp ACID
+warehouse, append a deterministic base derived from ``orders``, run
+the merge — and return the resulting table; the DuckDB oracle states
+the same final relation DECLARATIVELY from the source tables. A green
+hash means the imperative commit machinery (staging, snapshot-replace
+log entry, reader resolution) lands byte-for-byte on the declarative
+MERGE/SCD2 semantics — stronger than the unit tests, which assert
+counts and spot values.
+
+All values ride as exact integer cents so no comparison depends on
+float summation order.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.queries import query
+from huckli_spark.session import load_table as _t
+
+_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+
+
+@query(
+    "q_merge_upsert",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS v
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), upd AS (
+      SELECT o_orderkey AS k, {_CENTS} + 1000 AS v
+      FROM orders WHERE o_orderkey % 21 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, {_CENTS}
+      FROM orders WHERE o_orderkey % 35 = 0
+    )
+    SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT k, v FROM upd
+    """,
+    doc="MERGE INTO, oracle-gated end to end: the query builds a temp "
+    "ACID warehouse, appends the deterministic base (orders keys "
+    "divisible by 7, totalprice as exact cents), MERGEs an update set "
+    "(keys divisible by 21 get +1000; keys divisible by 35 insert "
+    "under shifted ids) through the real staging + snapshot-replace "
+    "commit, and returns the table the LOG then resolves. The oracle "
+    "states the merged relation declaratively (anti-join + union) "
+    "from the source table — a hash match proves the imperative "
+    "write path implements declarative MERGE semantics exactly.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.ingest.warehouse import Warehouse
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+                + 1000
+            ).alias("v"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 35 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.expr(
+                    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="huckli_merge_gate_")
+    try:
+        wh = Warehouse(spark, tmp, acid=True)
+        wh.append("t", _base(spark, sf_dir))
+        wh.merge("t", updates, key="k")
+        # materialize before the temp dir disappears
+        rows = wh.table("t").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+@query(
+    "q_scd2_history",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS v
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), w1k AS (SELECT k FROM base WHERE k % 21 = 0),
+    w2k AS (SELECT k FROM base WHERE k % 35 = 0)
+    -- never-updated keys: one open row from version 0
+    SELECT k, v, 0 AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM base WHERE k NOT IN (SELECT k FROM w1k)
+                AND k NOT IN (SELECT k FROM w2k)
+    UNION ALL
+    -- wave-1 closes the original at version 1
+    SELECT k, v, 0, 1 FROM base WHERE k IN (SELECT k FROM w1k)
+    UNION ALL
+    -- wave-1 rows: open unless wave 2 touches the key too
+    SELECT k, v + 1000, 1,
+           CASE WHEN k IN (SELECT k FROM w2k) THEN 2 END
+    FROM base WHERE k IN (SELECT k FROM w1k)
+    UNION ALL
+    -- wave-2-only keys: original closed at version 2
+    SELECT k, v, 0, 2 FROM base
+    WHERE k IN (SELECT k FROM w2k) AND k NOT IN (SELECT k FROM w1k)
+    UNION ALL
+    -- wave-2 rows: always the open current version
+    SELECT k, v + 2000, 2, NULL FROM base WHERE k IN (SELECT k FROM w2k)
+    """,
+    doc="SCD Type 2, oracle-gated end to end: two history-preserving "
+    "merge waves run through the real write path (wave 1 bumps keys "
+    "divisible by 21 at version 1; wave 2 bumps keys divisible by 35 "
+    "at version 2 — keys divisible by 105 see both), and the FULL "
+    "history table (k, v, valid_from, valid_to) must hash-match the "
+    "oracle's declarative reconstruction of every open and closed "
+    "version. Proves close-then-insert ordering, no-op suppression "
+    "and interval bookkeeping, not just row counts.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.ingest.warehouse import Warehouse
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def wave(mod: int, bump: int) -> DataFrame:
+        return orders.where(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+                + bump
+            ).alias("v"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="huckli_scd2_gate_")
+    try:
+        wh = Warehouse(spark, tmp, acid=True)
+        wh.append("t", _base(spark, sf_dir))
+        wh.merge_scd2("t", wave(21, 1000), key="k", version=1)
+        wh.merge_scd2("t", wave(35, 2000), key="k", version=2)
+        rows = wh.table("t").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "k long, v long, valid_from long, valid_to long"
+    )
