@@ -165,3 +165,67 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k long, v long, valid_from long, valid_to long"
     )
+
+
+@query(
+    "q_table_changes",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS v
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT 'U' AS op, k, v + 1000 AS v
+    FROM base WHERE k % 21 = 0 AND k % 49 <> 0
+    UNION ALL
+    SELECT 'I', k + 10000000, v FROM base WHERE k % 35 = 0
+    UNION ALL
+    -- deleted keys surface with their OLD (version-0) values, even
+    -- when an intermediate merge had updated them
+    SELECT 'D', k, v FROM base WHERE k % 49 = 0
+    """,
+    doc="change data feed, oracle-gated: base -> MERGE (updates keys "
+    "divisible by 21, inserts shifted keys divisible by 35) -> CDC "
+    "delete of keys divisible by 49 (so keys divisible by 147 are "
+    "updated THEN deleted), then table_changes diffs version 0 "
+    "against the final snapshot. The oracle states the exact I/U/D "
+    "relation: updates exclude later-deleted keys, and deletes carry "
+    "version-0 values regardless of intermediate updates — the "
+    "tombstone contract. A hash match proves the version-diff logic "
+    "against the declarative statement of three composed commits.",
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.ingest.warehouse import Warehouse
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    updates = (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.expr(cents) + 1000).alias("v"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 35 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.expr(cents).alias("v"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="huckli_cdf_gate_")
+    try:
+        wh = Warehouse(spark, tmp, acid=True)
+        wh.append("t", _base(spark, sf_dir))
+        wh.merge("t", updates, key="k")
+        deletes = (
+            orders.where(F.col("o_orderkey") % 49 == 0)
+            .select(
+                F.lit("D").alias("op"),
+                F.col("o_orderkey").alias("k"),
+                F.lit(None).cast("long").alias("v"),
+            )
+        )
+        wh.apply_cdc("t", deletes, key="k")
+        rows = wh.table_changes("t", key="k", from_version=0).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "op string, k long, v long")
