@@ -1098,3 +1098,189 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY o_year
         """
     )
+
+
+@query(
+    "q_tpch_q6",
+    f"""
+    SELECT {sql_fround('sum(cents) / 100.0')} AS revenue
+    FROM (
+      SELECT CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    )
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): pure scan-filter-sum "
+    "— the canonical predicate-pushdown benchmark. All three "
+    "predicates (date range, discount band, quantity cap) reach the "
+    "parquet scan; the revenue sums exact integer cents. Scale: one "
+    "scan, map-side partial sum, a single scalar crosses the wire.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(F.sum(cents) / 100.0).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_fround('sum(cents) / 100.0')} AS revenue
+    FROM (
+      SELECT c_custkey, c_name, n_name,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1996-04-01'
+        AND l_returnflag = 'R'
+        AND c_nationkey = n_nationkey
+    )
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): customers who returned "
+    "goods in a quarter, ranked by lost revenue — 4-way join with "
+    "two selective fact filters and a top-20. Revenue in exact "
+    "integer cents so the ranking (and its tiebreak) is portable. "
+    "Scale: both date and returnflag predicates push to the scans, "
+    "nation broadcasts, the top-20 is TakeOrderedAndProject.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(fround(F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14",
+    f"""
+    SELECT {sql_fround(
+        "100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)"
+        " / sum(cents)", 6)} AS promo_revenue
+    FROM (
+      SELECT p_type,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-02-01'
+    )
+    """,
+    doc="TPC-H Q14 (promotion effect): the share of one month's "
+    "revenue from PROMO parts — a conditional-sum percentage over a "
+    "fact-dim join. One IEEE division of two exact integer cent sums "
+    "then the shared fround, so the percentage never rides on float "
+    "summation order. Scale: the date band prunes the scan; part "
+    "joins broadcast (or bucketed at 100 TB).",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    cents = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", cents.alias("__c")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("__c")).otherwise(0))
+    return j.agg(
+        fround(100.0 * promo / F.sum("__c"), 6).alias("promo_revenue")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    f"""
+    SELECT {sql_fround('sum(cents) / 100.0')} AS revenue
+    FROM (
+      SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND (
+          (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+          OR
+          (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+          OR
+          (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+        )
+    )
+    """,
+    doc="TPC-H Q19 (discounted revenue, disjunctive predicates): an "
+    "OR of three brand/size/quantity conjunction arms spanning BOTH "
+    "join sides — the shape that defeats naive predicate pushdown; "
+    "Catalyst still derives the residual per-side filters (brand IN "
+    "set on part, quantity range union on lineitem) before the join. "
+    "Revenue in exact integer cents. Scale: part broadcasts; the "
+    "derived filters prune both scans.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT cast(floor((sum(cents) / 100.0) * 100.0 + 0.5) AS double)
+                 / 100.0 AS revenue
+        FROM (
+          SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                            + 0.5) AS BIGINT) AS cents
+          FROM lineitem, part
+          WHERE p_partkey = l_partkey
+            AND (
+              (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+              OR
+              (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+              OR
+              (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+            )
+        )
+        """
+    )
