@@ -612,3 +612,69 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n(v, 1, "view").unionByName(n(c, 2, "click")).unionByName(
         n(p, 3, "purchase")
     )
+
+
+# ---------------------------------------------------------------- event paths
+@query(
+    "q_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= 5
+      GROUP BY user_id
+    )
+    , counts AS (
+      SELECT path, count(*) AS n_users FROM seq GROUP BY path
+    ), ranked AS (
+      SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path) AS rnk
+      FROM counts
+    )
+    SELECT path, CAST(n_users AS BIGINT) AS n_users,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="clickstream path mining: each user's first five events (total "
+    "order: ts then event_id) concatenate into a path string, then "
+    "the 10 most common paths — the session-flow analysis marketing/"
+    "product engines run. Path assembly is deterministic because the "
+    "sort key includes the unique event_id (no ties), so the string "
+    "itself is hash-portable. Scale: one window over (user, ts) + one "
+    "count shuffle over O(distinct paths); top-k is a bounded window.",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("__us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    first5 = ev.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= 5
+    )
+    seq = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("__us", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    wp = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        seq.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .withColumn("rank", F.row_number().over(wp).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
