@@ -129,7 +129,10 @@ _GATE_PRIORITY: list[str] = [
 # q_pq_refine_recall, q_tpch_q7, q_tpch_q8, q_tpch_q11, q_tpch_q13,
 # q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22, q_stream_bm25,
 # q_merge_upsert, q_scd2_history, q_table_changes, q_event_funnel,
-# q_tpch_q6, q_tpch_q10, q_tpch_q14, q_tpch_q19, q_event_paths.
+# q_tpch_q6, q_tpch_q10, q_tpch_q14, q_tpch_q19, q_event_paths,
+# q_event_transitions, q_mad_outliers, q_timeseries_fill,
+# q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
+# q_hll_registers, q_attribution, q_kmv_set_ops.
 
 
 def all_queries() -> dict[str, QuerySpec]:

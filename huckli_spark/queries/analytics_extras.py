@@ -678,3 +678,408 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wp).cast("int"))
         .where(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------------------------- event transitions
+@query(
+    "q_event_transitions",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), pairs AS (
+      SELECT src, dst, count(*) AS n_transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, sum(n_transitions) AS t FROM pairs GROUP BY src
+    )
+    SELECT p.src, p.dst,
+           CAST(p.n_transitions AS BIGINT) AS n_transitions,
+           {sql_fround('p.n_transitions * 1.0 / t.t', 6)} AS prob
+    FROM pairs p JOIN tot t USING (src)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (ordered by ts then the unique event_id, so the "
+    "successor relation is total and hash-portable): the next-action "
+    "model behind session simulation and anomaly scoring. Scale: ONE "
+    "shuffle on user_id for the lead() window, then a bounded "
+    "|types|^2 aggregate; the per-src totals relation is tiny and "
+    "broadcast back. prob is count/total — two exact integers through "
+    "one IEEE division, engine-portable.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("__us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n_transitions").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        fround(F.col("n_transitions") * 1.0 / F.col("t"), 6).alias("prob"),
+    )
+
+
+# ------------------------------------------------------- MAD robust outliers
+# Everything runs in integer half-micro units so the medians (the only
+# interpolating step: (a+b)/2 on exact integers, exact in IEEE) and the
+# 3-MAD comparison are engine-portable with NO rounding at all:
+#   vm       = round(value * 1e6)                  (micro ints)
+#   med2     = 2 * median(vm)                      (exact BIGINT)
+#   dh       = |2*vm - med2|                       (half-micro deviation)
+#   mad2h    = 2 * median(dh)                      (exact BIGINT)
+#   outlier  <=>  |v - med| > 3 * MAD  <=>  2*dh > 3*mad2h   (all BIGINT)
+@query(
+    "q_mad_outliers",
+    f"""
+    WITH m AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ), med AS (
+      SELECT event_type, CAST(2 * median(vm) AS BIGINT) AS med2
+      FROM m GROUP BY 1
+    ), d AS (
+      SELECT m.event_id, m.event_type, m.vm,
+             abs(2 * m.vm - med.med2) AS dh, med.med2
+      FROM m JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, CAST(2 * median(dh) AS BIGINT) AS mad2h
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type,
+           {sql_fround('d.vm / 1000000.0', 4)} AS value_r,
+           {sql_fround('d.med2 / 2000000.0', 4)} AS median_r,
+           {sql_fround('d.dh / 2000000.0', 4)} AS abs_dev_r
+    FROM d JOIN mad USING (event_type)
+    WHERE 2 * d.dh > 3 * mad.mad2h
+    """,
+    doc="median-absolute-deviation outlier detection per event_type — "
+    "the robust twin of q_zscore_outliers (a single 490.0 spike can "
+    "drag a mean/stddev gate, but not the median). Exact medians on "
+    "fixed-point ints, doubled to stay integral, so the 3-MAD "
+    "threshold never touches a float. Scale: two shuffles on "
+    "event_type (percentile is a sort-based exact agg; at 100 TB "
+    "swap in approx_percentile with a documented tolerance), the "
+    "5-row med/mad relations broadcast back onto the row stream.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_raw(spark, sf_dir)
+    m = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    med = m.groupBy("event_type").agg(
+        (2 * F.percentile("vm", F.lit(0.5))).cast("long").alias("med2")
+    )
+    d = m.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "vm",
+        "med2",
+        F.abs(2 * F.col("vm") - F.col("med2")).alias("dh"),
+    )
+    mad = d.groupBy("event_type").agg(
+        (2 * F.percentile("dh", F.lit(0.5))).cast("long").alias("mad2h")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where(2 * F.col("dh") > 3 * F.col("mad2h"))
+        .select(
+            "event_id",
+            "event_type",
+            fround(F.col("vm") / 1000000.0, 4).alias("value_r"),
+            fround(F.col("med2") / 2000000.0, 4).alias("median_r"),
+            fround(F.col("dh") / 2000000.0, 4).alias("abs_dev_r"),
+        )
+    )
+
+
+# ------------------------------------------------------ time-spine gap fill
+# Gauge series: daily max micro-value of a systematic 1-in-29
+# subsample (event_id % 29 == 0 — a sampled telemetry stream, so the
+# observation density scales with the data and every fixture scale has
+# both observed days and gaps). The spine materializes EVERY
+# (type, day) cell over the observed global date range; missing cells
+# forward-fill from the last observed day (LOCF) — the standard
+# resampling step before any time-series model sees the data.
+_FILL_SAMPLE_MOD = 29
+
+
+@query(
+    "q_timeseries_fill",
+    f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             max(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS gauge_vm
+      FROM events WHERE event_id % {_FILL_SAMPLE_MOD} = 0 GROUP BY 1, 2
+    ), spine AS (
+      SELECT t.event_type,
+             CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT CAST(min(ts) AS DATE) AS d0,
+                         CAST(max(ts) AS DATE) AS d1 FROM events) b
+    )
+    SELECT s.event_type, s.day,
+           o.gauge_vm IS NOT NULL AS observed,
+           last_value(o.gauge_vm IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_vm
+    FROM spine s
+    LEFT JOIN obs o ON o.event_type = s.event_type AND o.day = s.day
+    """,
+    doc="time-spine resampling + LOCF gap fill: a dense daily grid per "
+    "event_type over the global date range, left-joined with the "
+    "sparse observed gauge (daily max micro-value of a systematic "
+    "1-in-29 event subsample), missing days carrying the last "
+    "observation forward. "
+    "Leading unobserved days stay NULL (nothing to carry). Scale: the "
+    "bounds row is a full-scan aggregate that broadcasts; the spine "
+    "is |types| x |days| rows built by sequence-explode (never a "
+    "per-row range probe); the fill is one window shuffle on the "
+    "series key. Values stay micro-int end to end.",
+)
+def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value", "ts"
+    )
+    obs = (
+        ev.where(F.col("event_id") % _FILL_SAMPLE_MOD == 0)
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("gauge_vm")
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(obs, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.col("gauge_vm").isNotNull().alias("observed"),
+        F.last("gauge_vm", ignorenulls=True).over(w).alias("filled_vm"),
+    )
+
+
+# ---------------------------------------------------- link prediction (CN)
+@query(
+    "q_common_neighbors",
+    """
+    WITH l AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity > 40
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM l a JOIN l b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), und AS (
+      SELECT s1 AS src, s2 AS dst FROM e
+      UNION ALL SELECT s2, s1 FROM e
+    ), cand AS (
+      SELECT n1.src AS a, n2.src AS c,
+             count(DISTINCT n1.dst) AS n_common
+      FROM und n1 JOIN und n2
+        ON n1.dst = n2.dst AND n1.src < n2.src
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT cand.* FROM cand
+      LEFT JOIN e ON e.s1 = cand.a AND e.s2 = cand.c
+      WHERE e.s1 IS NULL
+    ), ranked AS (
+      SELECT a, c, CAST(n_common AS BIGINT) AS n_common,
+             row_number() OVER (ORDER BY n_common DESC, a, c) AS rnk
+      FROM nonedge
+    )
+    SELECT a AS supp_a, c AS supp_c, n_common, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 20
+    """,
+    doc="common-neighbors link prediction on the supplier co-supply "
+    "graph: the 20 non-adjacent supplier pairs sharing the most "
+    "co-supply partners — the classic 'who should be connected next' "
+    "recommender primitive. Scale: the wedge join (n1.dst = n2.dst) "
+    "shuffles on the shared-neighbor id, so a celebrity node fans out "
+    "deg^2 wedges — same skew profile as triangle counting, and the "
+    "same mitigations apply (degree-oriented orientation, per-node "
+    "neighbor caps; see operators/graph.py). The existing-edge "
+    "anti-join and the global top-20 window are bounded.",
+)
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    und = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    cand = (
+        und.alias("n1")
+        .join(
+            und.alias("n2"),
+            (F.col("n1.dst") == F.col("n2.dst"))
+            & (F.col("n1.src") < F.col("n2.src")),
+        )
+        .groupBy(F.col("n1.src").alias("a"), F.col("n2.src").alias("c"))
+        .agg(F.count_distinct(F.col("n1.dst")).alias("n_common"))
+    )
+    nonedge = cand.join(
+        e,
+        (F.col("a") == F.col("s1")) & (F.col("c") == F.col("s2")),
+        "left_anti",
+    )
+    wr = Window.orderBy(F.desc("n_common"), F.asc("supp_a"), F.asc("supp_c"))
+    return (
+        nonedge.select(
+            F.col("a").alias("supp_a"),
+            F.col("c").alias("supp_c"),
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+# ------------------------------------------------- multi-touch attribution
+# Linear attribution with EXACT integer credit conservation: each
+# purchase distributes exactly 1,000,000 micro-credits equally over
+# the user's click/view touches in the 24 h before it (inclusive);
+# integer division would leak the remainder, so the EARLIEST touch
+# absorbs it — per-purchase credit always sums to exactly 1e6, making
+# the per-channel totals partition-order-free integers.
+_ATTR_WINDOW_US = 24 * 3600 * 1000000
+
+
+@query(
+    "q_attribution",
+    f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT p.pid, t.tid, t.event_type,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY t.tus, t.tid) AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS n_t
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.tus <= p.pus AND t.tus > p.pus - {_ATTR_WINDOW_US}
+    ), c AS (
+      SELECT event_type, pid,
+             CASE WHEN rn = 1
+                  THEN 1000000 - (n_t - 1) * (1000000 // n_t)
+                  ELSE 1000000 // n_t END AS credit
+      FROM m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(credit) AS BIGINT) AS credit_micro,
+           {sql_fround('sum(credit) / 1000000.0', 6)} AS conversions
+    FROM c GROUP BY event_type
+    """,
+    doc="linear multi-touch attribution: every purchase splits one "
+    "conversion equally across the user's click/view touches in the "
+    "prior 24 h, in exact micro-credit integers (the earliest touch "
+    "absorbs the integer-division remainder, so credit conserves to "
+    "exactly 1e6 per attributed purchase — asserted in tests). Scale: "
+    "ONE equi-join shuffle on user_id with the time predicate as a "
+    "post-join filter (co-partitioned, never a per-row range probe), "
+    "two bounded windows per purchase, integer aggregation.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("us").alias("pus"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"), "user_id", "event_type",
+        F.col("us").alias("tus"),
+    )
+    m = p.join(
+        t,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") > F.col("pus") - _ATTR_WINDOW_US),
+    )
+    wp = Window.partitionBy("pid")
+    m = m.select(
+        "pid",
+        "tid",
+        "event_type",
+        F.row_number().over(wp.orderBy("tus", "tid")).alias("rn"),
+        F.count("*").over(wp).alias("n_t"),
+    )
+    base = F.floor(F.lit(1000000) / F.col("n_t")).cast("long")
+    credit = F.when(
+        F.col("rn") == 1, F.lit(1000000) - (F.col("n_t") - 1) * base
+    ).otherwise(base)
+    return (
+        m.select("event_type", "pid", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.count_distinct("pid").cast("long").alias("n_purchases_touched"),
+            F.sum("credit").cast("long").alias("credit_micro"),
+            fround(F.sum("credit") / 1000000.0, 6).alias("conversions"),
+        )
+    )

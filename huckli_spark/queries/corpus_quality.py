@@ -15,10 +15,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from huckli_spark.functions.portable import fround, sql_fround, sql_h60
+from huckli_spark.functions.portable import fround, h60, sql_fround, sql_h60
 from huckli_spark.queries import query
 
 
@@ -342,4 +342,206 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             uniq.cast("long").alias("n_unique"),
             fround(uniq * 1.0 / F.count("*"), 6).alias("novelty"),
         )
+    )
+
+
+# ------------------------------------------------------ segment-level dedup
+# Sub-document exact dedup, the FineWeb/RefinedWeb "line dedup" pattern
+# re-expressed for the fixture corpus (whose text has no newlines):
+# each document splits into contiguous 3-word segments; a segment
+# survives only in its FIRST corpus occurrence (min (doc_id, seg_idx),
+# encoded as one integer keeper key so the winner is total-ordered);
+# every document is then reconstructed from its surviving segments.
+_SEG_WORDS = 3
+_SEG_KEY = 100000  # keeper key = doc_id * _SEG_KEY + seg_idx
+
+
+@query(
+    "q_segment_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               w[(i*{_SEG_WORDS}+1):((i+1)*{_SEG_WORDS})], ' ') AS seg
+      FROM base,
+           UNNEST(range(0, CAST(ceil(array_length(w) / {_SEG_WORDS}.0) AS INT)))
+             AS u(i)
+    ), keep AS (
+      SELECT {sql_h60("'seg:' || seg")} AS hseg,
+             min(doc_id * {_SEG_KEY} + seg_idx) AS keeper
+      FROM segs GROUP BY 1
+    ), kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM segs s JOIN keep k
+        ON {sql_h60("'seg:' || s.seg")} = k.hseg
+       AND s.doc_id * {_SEG_KEY} + s.seg_idx = k.keeper
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(ceil(array_length(b.w) / {_SEG_WORDS}.0) AS BIGINT)
+             AS n_segments,
+           CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+           p.kept_text
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+    """,
+    doc="segment-level exact dedup with document reconstruction (the "
+    "FineWeb line-dedup pattern): 3-word segments hash to the portable "
+    "60-bit key, each hash keeps only its first corpus occurrence "
+    "(min integer keeper key — deterministic, no window), and every "
+    "document re-assembles from its surviving segments in order. "
+    "Scale: the shuffle carries (hash, keeper-key) pairs — 16 bytes "
+    "per segment, never the segment text; the survivor join is on "
+    "the same hash (one co-partitioned shuffle); reconstruction "
+    "shuffles on doc_id once. At 100 TB this is exactly the "
+    "digest-only-movement discipline of operators/dedup.py.",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    nseg = F.ceil(F.size("w") / float(_SEG_WORDS)).cast("int")
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(base.w, i * _SEG_WORDS + 1, _SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "seg",
+        h60(F.concat(F.lit("seg:"), F.col("seg"))).alias("hseg"),
+        (F.col("doc_id") * _SEG_KEY + F.col("seg_idx")).alias("kkey"),
+    )
+    keep = segs.groupBy("hseg").agg(F.min("kkey").alias("keeper"))
+    kept = segs.join(
+        keep,
+        (segs.hseg == keep.hseg) & (segs.kkey == keep.keeper),
+    ).select(segs.doc_id, segs.seg_idx, segs.seg)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", nseg.cast("long").alias("n_segments"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "kept_text",
+        )
+    )
+
+
+# ---------------------------------------------------- word co-occurrence lift
+# Association strength between word pairs: lift = P(w1,w2)/(P(w1)P(w2))
+# = n_pair * N / (n1 * n2) on document-level distinct occurrence. PMI is
+# ln(lift); the ranking is identical, and lift keeps every engine step
+# exact (integer products through ONE IEEE division — no libm in the
+# gate path). Minimum support keeps rare-pair noise out.
+_PMI_MIN_SUPPORT = 50
+
+
+@query(
+    "q_pmi_cooccur",
+    f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), wf AS (
+      SELECT w, count(*) AS nw FROM dw GROUP BY w
+    ), p AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_SUPPORT}
+    ), scored AS (
+      SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+             {sql_fround(
+                 'CAST(p.n_pair * nd.n_docs AS DOUBLE) / (f1.nw * f2.nw)', 6
+             )} AS lift
+      FROM p CROSS JOIN nd
+      JOIN wf f1 ON f1.w = p.w1
+      JOIN wf f2 ON f2.w = p.w2
+    ), ranked AS (
+      SELECT w1, w2, n_pair, lift,
+             row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, n_pair, lift, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 20
+    """,
+    doc="word co-occurrence lift (the PMI ranking, libm-free): top-20 "
+    "word pairs by observed-vs-independent document co-occurrence. "
+    "Pair expansion is IN-ROW (per-document distinct word array "
+    "exploded against itself), so the corpus never self-joins — the "
+    "only shuffles are the (w1,w2) count aggregate and the two "
+    "broadcast joins against the tiny word-frequency relation. Rank "
+    "ties order on the ROUNDED lift then the pair, so top-k is "
+    "hash-portable.",
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    nd = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    wf = dw.groupBy("w").agg(F.count("*").alias("nw"))
+    # in-row pair expansion: sorted distinct word array, then the
+    # (i < j) cross of the array with itself — no corpus self-join
+    ws = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("ws")
+    )
+    pairs = (
+        ws.select("doc_id", F.posexplode("ws").alias("i", "w1"), F.col("ws"))
+        .select(
+            "doc_id",
+            "w1",
+            F.explode(
+                F.slice(
+                    F.col("ws"), F.col("i") + 2, F.greatest(F.size("ws") - F.col("i") - 1, F.lit(0))
+                )
+            ).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= _PMI_MIN_SUPPORT)
+    )
+    f1 = wf.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
+    f2 = wf.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
+    scored = (
+        pairs.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            fround(
+                (F.col("n_pair") * F.col("n_docs")).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(wr).cast("int")).where(
+        F.col("rank") <= 20
     )

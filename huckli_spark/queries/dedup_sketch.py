@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround, sql_fround, sql_h60
 from huckli_spark.operators import sketch
@@ -227,3 +228,130 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return eager_release(out)
+
+
+# ------------------------------------------------------------ portable HLL
+# HyperLogLog with ENGINE-PORTABLE registers: q_kmv_distinct's doc
+# calls native HLL "engine-specific, rows-only gate" — this query
+# removes that caveat by building the registers from the shared md5
+# hash with pure string/integer ops, so the sketch itself (and the
+# estimate derived from it) hash-matches the oracle. m=64 buckets
+# (p=6, from the first two hex chars), rank rho = leading zero BITS of
+# the 52-bit suffix + 1, computed nibble-wise: 4 bits per leading '0'
+# hex char plus a CASE on the first non-zero nibble. The harmonic sum
+# is the exact BIGINT sum of 2^(53-rho) (zero registers contribute
+# 2^53), so only the final alpha*m^2/S division — and the rare
+# linear-counting ln() branch — touch doubles.
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007
+_HLL_POW53 = float(1 << 53)
+
+
+def _sql_hll_rho(suffix: str) -> str:
+    stripped = f"ltrim({suffix}, '0')"
+    return f"""CASE WHEN {stripped} = '' THEN 53
+      ELSE (13 - length({stripped})) * 4
+           + CASE WHEN substr({stripped}, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                  WHEN substr({stripped}, 1, 1) IN ('4','5','6','7') THEN 1
+                  WHEN substr({stripped}, 1, 1) IN ('2','3') THEN 2
+                  ELSE 3 END
+           + 1 END"""
+
+
+@query(
+    "q_hll_registers",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag, md5('hll:' || CAST(l_orderkey AS VARCHAR)) AS hx
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {_HLL_M} AS bucket,
+             {_sql_hll_rho("substr(hx, 3, 13)")} AS rho
+      FROM h
+    ), regs AS (
+      SELECT l_returnflag, bucket, max(rho) AS register
+      FROM r GROUP BY 1, 2
+    ), s AS (
+      SELECT l_returnflag,
+             count(*) AS n_buckets,
+             CAST(sum(CAST(power(2.0, 53 - register) AS BIGINT)) AS BIGINT)
+               + ({_HLL_M} - count(*)) * CAST(9007199254740992 AS BIGINT)
+               AS harm,
+             {_HLL_M} - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem
+      GROUP BY 1
+    )
+    SELECT s.l_returnflag,
+           CAST(s.n_buckets AS BIGINT) AS n_buckets,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           {sql_fround(
+               f'CASE WHEN {_HLL_ALPHA}e0 * {_HLL_M * _HLL_M} * {_HLL_POW53:.1f}'
+               f' / s.harm <= 2.5 * {_HLL_M} AND s.zeros > 0'
+               f' THEN {_HLL_M} * ln({_HLL_M} * 1.0 / s.zeros)'
+               f' ELSE {_HLL_ALPHA}e0 * {_HLL_M * _HLL_M} * {_HLL_POW53:.1f}'
+               f' / s.harm END', 2
+           )} AS hll_estimate
+    FROM s JOIN ex USING (l_returnflag)
+    """,
+    doc="HyperLogLog distinct-count sketch with engine-portable "
+    "registers (m=64): bucket and rank both derive from the shared "
+    "md5 hex, the harmonic mean accumulates as an EXACT integer sum "
+    "of powers of two, and the small-range linear-counting branch is "
+    "implemented per the published algorithm. Scale: registers are "
+    "the whole shuffle — at most |groups| x 64 rows regardless of "
+    "input size, mergeable across partitions/streams (max is "
+    "associative), which is why HLL is the 100 TB cardinality "
+    "workhorse. Estimate accuracy ~1.04/sqrt(64) = 13%, asserted "
+    "against n_exact in tests.",
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    hx = F.md5(F.concat(F.lit("hll:"), F.col("l_orderkey").cast("string")))
+    stripped = F.regexp_replace(F.substring(F.col("hx"), 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    rho = (
+        F.when(stripped == "", F.lit(53))
+        .otherwise(
+            (13 - F.length(stripped)) * 4
+            + F.when(first.isin(*"89abcdef"), 0)
+            .when(first.isin(*"4567"), 1)
+            .when(first.isin("2", "3"), 2)
+            .otherwise(3)
+            + 1
+        )
+    )
+    r = li.select("l_returnflag", hx.alias("hx")).select(
+        "l_returnflag",
+        (
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % _HLL_M
+        ).alias("bucket"),
+        rho.alias("rho"),
+    )
+    regs = r.groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("register"))
+    s = regs.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_buckets"),
+        (
+            F.sum(F.pow(F.lit(2.0), 53 - F.col("register")).cast("long"))
+            + (_HLL_M - F.count("*")) * F.lit(1 << 53)
+        ).alias("harm"),
+        (_HLL_M - F.count("*")).alias("zeros"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact")
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) * F.lit(_HLL_POW53) / F.col("harm")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(_HLL_M * 1.0 / F.col("zeros")),
+    ).otherwise(raw)
+    return s.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        fround(est, 2).alias("hll_estimate"),
+    )

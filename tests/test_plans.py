@@ -348,3 +348,71 @@ class TestRound7Plans:
         # corpus; queries broadcast — no all-pairs product
         plan = _plan(spark, "q_pq_refine_recall")
         assert "CartesianProduct" not in plan
+
+
+class TestRound7ClosingPlans:
+    """Plan pins for the round-7 closing analytics/corpus wave."""
+
+    def test_event_transitions_totals_broadcast(self, spark):
+        plan = _plan(spark, "q_event_transitions")
+        # one user_id window shuffle + bounded |types|^2 agg; the
+        # per-src totals ride a broadcast, and nothing drops to Python
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mad_outliers_stats_broadcast(self, spark):
+        # both the median and the MAD relation (5 rows each) must come
+        # back onto the row stream as broadcasts, never a shuffle join
+        plan = _plan(spark, "q_mad_outliers")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+
+    def test_timeseries_fill_bounds_broadcast_only(self, spark):
+        plan = _plan(spark, "q_timeseries_fill")
+        # the only nested-loop is the singleton bounds row crossJoin
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_common_neighbors_equi_joins_only(self, spark):
+        plan = _plan(spark, "q_common_neighbors")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_segment_dedup_no_python_no_product(self, spark):
+        plan = _plan(spark, "q_segment_dedup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_pmi_no_corpus_self_join(self, spark):
+        # pair expansion is in-row: every join in the plan is a
+        # broadcast (word-frequency / singleton n_docs), so the corpus
+        # relation itself is never on both sides of a shuffle join
+        plan = _plan(spark, "q_pmi_cooccur")
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "Python" not in plan
+
+    def test_hll_registers_bounded_shuffle(self, spark):
+        plan = _plan(spark, "q_hll_registers")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_attribution_single_user_shuffle_join(self, spark):
+        # purchases join touches as an equi-join on user_id (time
+        # window as post-join filter) — never a nested-loop range probe
+        plan = _plan(spark, "q_attribution")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_kmv_set_ops_bounded_relations(self, spark):
+        # sketches and theta are bounded; the only nested loops are
+        # broadcast singletons (theta/exact rows)
+        plan = _plan(spark, "q_kmv_set_ops")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan

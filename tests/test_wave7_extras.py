@@ -1,0 +1,240 @@
+"""Property tests for the round-7 closing wave: segment-level dedup,
+Markov event transitions, time-spine LOCF fill, MAD outliers, portable
+HLL registers, co-occurrence lift, and common-neighbors link
+prediction. The differential gate (tools/check_correctness.py) proves
+engine parity; these tests pin the SEMANTICS on the fixture tables and
+on hand-built micro-fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _q(name):
+    from huckli_spark.queries import all_queries
+
+    return all_queries()[name].build
+
+
+class TestSegmentDedup:
+    def test_kept_counts_are_first_occurrence_exact(self, spark):
+        rows = _q("q_segment_dedup")(spark, SF_SMALL).collect()
+        docs = {r.doc_id: r for r in rows}
+        # every doc represented, kept <= total
+        assert len(docs) == 500
+        assert all(0 <= r.n_kept <= r.n_segments for r in rows)
+        # global conservation: total kept == number of DISTINCT segments
+        import duckdb
+
+        n_uniq = duckdb.sql(
+            f"""
+            WITH base AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM '{SF_SMALL}/documents.parquet'),
+            segs AS (
+              SELECT array_to_string(w[(i*3+1):((i+1)*3)], ' ') AS seg
+              FROM base,
+                   UNNEST(range(0, CAST(ceil(array_length(w)/3.0) AS INT))) u(i))
+            SELECT count(DISTINCT seg) FROM segs
+            """
+        ).fetchone()[0]
+        assert sum(r.n_kept for r in rows) == n_uniq
+
+    def test_reconstruction_preserves_order(self, spark):
+        # doc 0 is the corpus-first doc: every one of its segments is a
+        # first occurrence, so its kept_text must equal its full text
+        # re-segmented (== original text).
+        row = (
+            _q("q_segment_dedup")(spark, SF_SMALL)
+            .where(F.col("doc_id") == 0)
+            .collect()[0]
+        )
+        orig = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") == 0)
+            .collect()[0]
+            .text
+        )
+        assert row.n_kept == row.n_segments
+        assert row.kept_text == orig
+
+
+class TestEventTransitions:
+    def test_probabilities_sum_to_one_per_source(self, spark):
+        rows = _q("q_event_transitions")(spark, SF_SMALL).collect()
+        by_src: dict[str, float] = {}
+        for r in rows:
+            by_src[r.src] = by_src.get(r.src, 0.0) + r.prob
+        for src, total in by_src.items():
+            assert abs(total - 1.0) < 1e-4, (src, total)
+
+    def test_counts_match_pandas_recompute(self, spark):
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        ev["dst"] = ev.groupby("user_id")["event_type"].shift(-1)
+        expect = (
+            ev.dropna(subset=["dst"])
+            .groupby(["event_type", "dst"])
+            .size()
+            .to_dict()
+        )
+        got = {
+            (r.src, r.dst): r.n_transitions
+            for r in _q("q_event_transitions")(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+
+
+class TestTimeseriesFill:
+    def test_spine_is_dense_and_fill_is_locf(self, spark):
+        rows = _q("q_timeseries_fill")(spark, SF_SMALL).collect()
+        types = {r.event_type for r in rows}
+        days = sorted({r.day for r in rows})
+        assert len(rows) == len(types) * len(days)  # dense grid
+        for t in types:
+            series = sorted(
+                (r for r in rows if r.event_type == t), key=lambda r: r.day
+            )
+            last = None
+            for r in series:
+                if r.observed:
+                    assert r.filled_vm is not None
+                    last = r.filled_vm
+                else:
+                    assert r.filled_vm == last  # LOCF (None while leading)
+
+    def test_has_both_observed_and_gap_days(self, spark):
+        rows = _q("q_timeseries_fill")(spark, SF_SMALL).collect()
+        flags = {r.observed for r in rows}
+        assert flags == {True, False}  # threshold actually creates gaps
+
+
+class TestMadOutliers:
+    def test_flagged_rows_exceed_three_mad(self, spark):
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["vm"] = (ev["value"] * 1_000_000 + 0.5).apply(math.floor)
+        flagged = {
+            r.event_id for r in _q("q_mad_outliers")(spark, SF_SMALL).collect()
+        }
+        expect = set()
+        for _, grp in ev.groupby("event_type"):
+            med2 = int(2 * grp["vm"].median())
+            dh = (2 * grp["vm"] - med2).abs()
+            mad2h = int(2 * dh.median())
+            expect |= set(grp.loc[2 * dh > 3 * mad2h, "event_id"])
+        assert flagged == expect
+
+
+class TestHllRegisters:
+    def test_estimate_within_hll_error_bound(self, spark):
+        rows = _q("q_hll_registers")(spark, SF_SMALL).collect()
+        assert rows, "three returnflag groups expected"
+        for r in rows:
+            assert 1 <= r.n_buckets <= 64
+            # sigma = 1.04/sqrt(64) = 13%; allow 3 sigma
+            assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.39, r
+
+
+class TestPmiCooccur:
+    def test_lift_arithmetic_and_ranking(self, spark):
+        import duckdb
+
+        rows = _q("q_pmi_cooccur")(spark, SF_SMALL).collect()
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        lifts = [r.lift for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+        # spot-recompute the top pair's lift exactly
+        top = rows[0]
+        n_docs, n1, n2, n_pair = duckdb.sql(
+            f"""
+            WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) w
+                        FROM '{SF_SMALL}/documents.parquet')
+            SELECT (SELECT count(DISTINCT doc_id) FROM dw),
+                   (SELECT count(*) FROM dw WHERE w = '{top.w1}'),
+                   (SELECT count(*) FROM dw WHERE w = '{top.w2}'),
+                   (SELECT count(*) FROM dw a JOIN dw b
+                     ON a.doc_id = b.doc_id AND a.w = '{top.w1}'
+                    AND b.w = '{top.w2}')
+            """
+        ).fetchone()
+        assert top.n_pair == n_pair
+        expect = math.floor(n_pair * n_docs / (n1 * n2) * 1e6 + 0.5) / 1e6
+        assert top.lift == expect
+
+
+class TestCommonNeighbors:
+    # sf0.001's co-supply graph is a union of per-order cliques (no
+    # supplier pair co-occurs across orders), so every wedge closes and
+    # the non-adjacent candidate set is structurally empty — the gate
+    # scale (sf0.01) is the smallest fixture with cross-order overlap.
+    def test_pairs_nonadjacent_and_counts_exact(self, spark):
+        import duckdb
+
+        from tests.conftest import SF_MED
+
+        edges = set(
+            duckdb.sql(
+                f"""
+            WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM '{SF_MED}/lineitem.parquet'
+                       WHERE l_quantity > 40)
+            SELECT DISTINCT a.l_suppkey, b.l_suppkey
+            FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey < b.l_suppkey
+            """
+            ).fetchall()
+        )
+        adj: dict[int, set[int]] = {}
+        for s1, s2 in edges:
+            adj.setdefault(s1, set()).add(s2)
+            adj.setdefault(s2, set()).add(s1)
+        rows = _q("q_common_neighbors")(spark, SF_MED).collect()
+        assert rows
+        for r in rows:
+            assert (r.supp_a, r.supp_c) not in edges
+            expect = len(adj.get(r.supp_a, set()) & adj.get(r.supp_c, set()))
+            assert r.n_common == expect
+
+
+class TestAttribution:
+    def test_credit_conserves_exactly_per_purchase(self, spark):
+        import duckdb
+
+        rows = _q("q_attribution")(spark, SF_SMALL).collect()
+        total_credit = sum(r.credit_micro for r in rows)
+        # number of purchases with >=1 touch in the prior 24h
+        n_attr = duckdb.sql(
+            f"""
+            SELECT count(DISTINCT p.event_id)
+            FROM '{SF_SMALL}/events.parquet' p
+            JOIN '{SF_SMALL}/events.parquet' t
+              ON t.user_id = p.user_id
+             AND t.event_type IN ('click','view')
+             AND t.ts <= p.ts
+             AND epoch_us(t.ts) > epoch_us(p.ts) - 86400000000
+            WHERE p.event_type = 'purchase'
+            """
+        ).fetchone()[0]
+        assert total_credit == 1_000_000 * n_attr  # exact conservation
+        assert {r.event_type for r in rows} == {"click", "view"}
+
+
+class TestKmvSetOps:
+    def test_estimates_within_kmv_error(self, spark):
+        from tests.conftest import SF_MED
+
+        r = _q("q_kmv_set_ops")(spark, SF_MED).collect()[0]
+        # sigma ~ 1/sqrt(k-1) = 6.3% at k=256; allow 4 sigma
+        assert abs(r.est_union - r.n_union_exact) / r.n_union_exact < 0.25
+        assert abs(r.est_inter - r.n_inter_exact) / r.n_inter_exact < 0.35
+        true_j = r.n_inter_exact / r.n_union_exact
+        assert abs(r.jaccard_est - true_j) < 0.15
+        # structural: intersection sample within union sample
+        assert 0 < r.n_inter_sample <= r.n_union_sample
