@@ -208,6 +208,11 @@ def main() -> None:
         "q_tpch_q13",
         "q_tpch_q18",
         "q_triangle_count",
+        "q_segment_dedup",
+        "q_pmi_cooccur",
+        "q_common_neighbors",
+        "q_attribution",
+        "q_hll_registers",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1284,3 +1284,158 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ------------------------------------------------------- KMV set algebra
+# Theta-sketch-style set operations on two KMV sketches (k=256) over
+# the SHARED portable hash: theta = min of the two kth-minimum values,
+# the union/intersection samples are the distinct hashes below theta
+# (structurally subsets of each k-minimum set), and the estimators are
+# |sample| * 2^60 / theta. Everything up to the final division is
+# integer, so even the approximate answers hash-match the oracle —
+# the sketch-merge algebra used when per-partition/per-day sketches
+# roll up without re-scanning history. Exact counts ride along to
+# gate the estimator error itself.
+_KMVS_K = 256
+
+
+@query(
+    "q_kmv_set_ops",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT {sql_h60("'kmv:' || CAST(o_orderkey AS VARCHAR)")} AS hv,
+             o_orderkey
+      FROM orders WHERE o_orderstatus = 'O'
+    ), b AS (
+      SELECT DISTINCT {sql_h60("'kmv:' || CAST(o_orderkey AS VARCHAR)")} AS hv,
+             o_orderkey
+      FROM orders WHERE o_totalprice > 100000
+    ), ka AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM a
+    ), kb AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM b
+    ), theta AS (
+      SELECT least((SELECT hv FROM ka WHERE rk = {_KMVS_K}),
+                   (SELECT hv FROM kb WHERE rk = {_KMVS_K})) AS th
+    ), sample AS (
+      SELECT hv,
+             max(in_a) AS in_a, max(in_b) AS in_b
+      FROM (
+        SELECT hv, 1 AS in_a, 0 AS in_b FROM a
+        UNION ALL
+        SELECT hv, 0, 1 FROM b
+      ) u, theta
+      WHERE u.hv < theta.th
+      GROUP BY hv
+    ), counts AS (
+      SELECT count(*) AS n_union_sample,
+             sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS n_inter_sample
+      FROM sample
+    ), exact AS (
+      SELECT count(DISTINCT o_orderkey) AS n_union_exact,
+             count(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                  AND o_totalprice > 100000
+                                 THEN o_orderkey END) AS n_inter_exact
+      FROM orders
+      WHERE o_orderstatus = 'O' OR o_totalprice > 100000
+    )
+    SELECT CAST(c.n_union_sample AS BIGINT) AS n_union_sample,
+           CAST(c.n_inter_sample AS BIGINT) AS n_inter_sample,
+           CAST(e.n_union_exact AS BIGINT) AS n_union_exact,
+           CAST(e.n_inter_exact AS BIGINT) AS n_inter_exact,
+           {sql_fround(
+               'c.n_union_sample * 1152921504606846976.0 / t.th', 2
+           )} AS est_union,
+           {sql_fround(
+               'c.n_inter_sample * 1152921504606846976.0 / t.th', 2
+           )} AS est_inter,
+           {sql_fround('c.n_inter_sample * 1.0 / c.n_union_sample', 4)}
+             AS jaccard_est
+    FROM counts c, exact e, theta t
+    """,
+    doc="KMV/theta-sketch set algebra: union, intersection, and "
+    "Jaccard estimates for two order subsets from their k-minimum "
+    "sketches alone — the mergeable-summary path for cross-partition "
+    "distinct arithmetic (|A∩B| is NOT distributive; sketches make it "
+    "mergeable). theta = min of kth values; samples are hashes below "
+    "theta (always inside the k-min sets, so the estimator never "
+    "needs the full sets at merge time). Scale: each sketch is a "
+    "bounded k-row relation regardless of input size; the merge "
+    "touches at most 2k rows. Estimator error vs exact is asserted "
+    "in tests.",
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+
+    o = _t(spark, sf_dir, "orders")
+    hv = h60(F.concat(F.lit("kmv:"), F.col("o_orderkey").cast("string")))
+    a = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(hv.alias("hv"), "o_orderkey")
+        .distinct()
+    )
+    b = (
+        o.where(F.col("o_totalprice") > 100000)
+        .select(hv.alias("hv"), "o_orderkey")
+        .distinct()
+    )
+    kth = lambda df: (  # noqa: E731
+        df.select("hv")
+        .withColumn("rk", F.row_number().over(Window.orderBy("hv")))
+        .where(F.col("rk") == _KMVS_K)
+        .select(F.col("hv").alias("th"))
+    )
+    theta = (
+        kth(a)
+        .crossJoin(kth(b).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("th"))
+    )
+    u = a.select("hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionAll(
+        b.select("hv", F.lit(0), F.lit(1))
+    )
+    sample = (
+        u.crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("th"))
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    counts = sample.agg(
+        F.count("*").alias("n_union_sample"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_inter_sample"),
+    )
+    exact = (
+        o.where((F.col("o_orderstatus") == "O") | (F.col("o_totalprice") > 100000))
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_union_exact"),
+            F.count_distinct(
+                F.when(
+                    (F.col("o_orderstatus") == "O")
+                    & (F.col("o_totalprice") > 100000),
+                    F.col("o_orderkey"),
+                )
+            ).alias("n_inter_exact"),
+        )
+    )
+    U = 1152921504606846976.0  # 2^60
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.col("n_union_sample").cast("long").alias("n_union_sample"),
+            F.col("n_inter_sample").cast("long").alias("n_inter_sample"),
+            F.col("n_union_exact").cast("long").alias("n_union_exact"),
+            F.col("n_inter_exact").cast("long").alias("n_inter_exact"),
+            fround(F.col("n_union_sample") * F.lit(U) / F.col("th"), 2).alias(
+                "est_union"
+            ),
+            fround(F.col("n_inter_sample") * F.lit(U) / F.col("th"), 2).alias(
+                "est_inter"
+            ),
+            fround(
+                F.col("n_inter_sample") * 1.0 / F.col("n_union_sample"), 4
+            ).alias("jaccard_est"),
+        )
+    )
