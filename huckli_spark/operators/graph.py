@@ -288,3 +288,69 @@ def kcore(edges: DataFrame, k: int = 5, iterations: int = 6) -> DataFrame:
     return cur.groupBy("v").agg(
         F.count("*").cast("long").alias("core_deg")
     )
+
+
+def bfs_layers(edges: DataFrame, seeds: DataFrame, hops: int = 4) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge set
+    (s1, s2), s1 < s2, from a seed vertex relation (column ``v``):
+    returns (v, hop) with each reachable vertex labeled by its MINIMUM
+    hop distance from the seed set, bounded to ``hops`` rounds.
+    Frontier expansion is set-semantics BFS — every vertex enters the
+    result exactly once, at its first (= minimum) hop — so a fixed
+    round count is deterministic on any engine and partitioning.
+
+    Scale shape: each round is one equi-join of the CURRENT FRONTIER
+    (not the visited set) against the edge relation plus an anti-join
+    against the visited set — cost O(edges incident to the frontier)
+    per round, the standard Pregel/GraphX BFS step expressed as
+    dataflow. The visited set is localCheckpoint'd every round: both
+    the frontier join and the anti-join reference it, and BFS lineage
+    otherwise deepens linearly with hop count. For billion-edge
+    graphs the frontier stays a fraction of |V| and the anti-join
+    shuffles on the vertex key only."""
+    und = edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    visited = seeds.select("v", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited.select("v")
+    for i in range(1, hops + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .select("v", F.lit(i).alias("hop"))
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("v")
+    return visited
+
+
+def sql_bfs(edges_cte: str, seeds_sql: str, hops: int = 4) -> str:
+    """DuckDB oracle twin of :func:`bfs_layers`: unrolled frontier
+    rounds as MATERIALIZED CTEs (visited is referenced twice per
+    round — the same re-inlining hazard kcore/pagerank avoid)."""
+    parts = [
+        f"""e AS MATERIALIZED ({edges_cte}),
+    und AS MATERIALIZED (
+      SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e
+    ), f0 AS MATERIALIZED ({seeds_sql}),
+    vis0 AS MATERIALIZED (SELECT v, 0 AS hop FROM f0)"""
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+      SELECT DISTINCT u.dst AS v
+      FROM und u JOIN f{i - 1} s ON u.src = s.v
+      WHERE u.dst NOT IN (SELECT v FROM vis{i - 1})
+    ), vis{i} AS MATERIALIZED (
+      SELECT v, hop FROM vis{i - 1} UNION ALL SELECT v, {i} FROM f{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS suppkey, CAST(hop AS INT) AS hop
+    FROM vis{hops}"""
+    )

@@ -132,7 +132,7 @@ _GATE_PRIORITY: list[str] = [
 # q_tpch_q6, q_tpch_q10, q_tpch_q14, q_tpch_q19, q_event_paths,
 # q_event_transitions, q_mad_outliers, q_timeseries_fill,
 # q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
-# q_hll_registers, q_attribution, q_kmv_set_ops.
+# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers.
 
 
 def all_queries() -> dict[str, QuerySpec]:

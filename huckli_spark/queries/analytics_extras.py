@@ -912,8 +912,11 @@ def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s1 AS src, s2 AS dst FROM e
       UNION ALL SELECT s2, s1 FROM e
     ), cand AS (
-      SELECT n1.src AS a, n2.src AS c,
-             count(DISTINCT n1.dst) AS n_common
+      -- edges are DISTINCT, so each wedge (a, w, c) occurs exactly
+      -- once per shared neighbor w: plain count(*) == count(DISTINCT
+      -- w) without the extra dedup shuffle (measured 5.6 -> ~2x
+      -- faster at sf0.1)
+      SELECT n1.src AS a, n2.src AS c, count(*) AS n_common
       FROM und n1 JOIN und n2
         ON n1.dst = n2.dst AND n1.src < n2.src
       GROUP BY 1, 2
@@ -971,7 +974,9 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n1.src") < F.col("n2.src")),
         )
         .groupBy(F.col("n1.src").alias("a"), F.col("n2.src").alias("c"))
-        .agg(F.count_distinct(F.col("n1.dst")).alias("n_common"))
+        # wedges are unique per shared neighbor (distinct edge set) —
+        # count(*) == count(DISTINCT dst) minus one dedup shuffle
+        .agg(F.count("*").alias("n_common"))
     )
     nonedge = cand.join(
         e,
@@ -1082,4 +1087,70 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("long").alias("credit_micro"),
             fround(F.sum("credit") / 1000000.0, 6).alias("conversions"),
         )
+    )
+
+
+# ----------------------------------------------------------- graph: BFS
+_BFS_HOPS = 4
+_BFS_EDGES_CTE = """
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity > 40) a
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity > 40) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+_BFS_SEEDS_SQL = "SELECT s_suppkey AS v FROM supplier WHERE s_nationkey = 0"
+
+
+def _bfs_oracle() -> str:
+    from huckli_spark.operators.graph import sql_bfs
+
+    return sql_bfs(_BFS_EDGES_CTE, _BFS_SEEDS_SQL, hops=_BFS_HOPS)
+
+
+@query(
+    "q_bfs_layers",
+    _bfs_oracle(),
+    doc=f"multi-source BFS over the supplier co-supply graph: every "
+    "supplier reachable from the nation-0 seed set labeled with its "
+    f"minimum hop distance, bounded to {_BFS_HOPS} rounds — the "
+    "reachability/novelty-radius primitive behind influence spread "
+    "and citation-distance features. Set-semantics frontier expansion "
+    "(each vertex enters once, at its first hop) makes the bounded "
+    "unroll deterministic; the oracle replays identical rounds as "
+    "MATERIALIZED CTEs. Scale: per round ONE equi-join of the "
+    "frontier (not the visited set) against the edges plus a "
+    "vertex-key anti-join; lineage cut every round "
+    "(operators/graph.py bfs_layers).",
+)
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.graph import bfs_layers
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("v"))
+    )
+    return bfs_layers(e, seeds, hops=_BFS_HOPS).select(
+        F.col("v").cast("long").alias("suppkey"), F.col("hop").cast("int")
     )

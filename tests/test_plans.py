@@ -416,3 +416,9 @@ class TestRound7ClosingPlans:
         plan = _plan(spark, "q_kmv_set_ops")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+    def test_bfs_frontier_equi_joins_only(self, spark):
+        plan = _plan(spark, "q_bfs_layers")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan

@@ -238,3 +238,47 @@ class TestKmvSetOps:
         assert abs(r.jaccard_est - true_j) < 0.15
         # structural: intersection sample within union sample
         assert 0 < r.n_inter_sample <= r.n_union_sample
+
+
+class TestBfsLayers:
+    def test_hops_match_networkx_free_recompute(self, spark):
+        import duckdb
+
+        from tests.conftest import SF_MED
+
+        edges = duckdb.sql(
+            f"""
+            WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM '{SF_MED}/lineitem.parquet'
+                       WHERE l_quantity > 40)
+            SELECT DISTINCT a.l_suppkey, b.l_suppkey
+            FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey < b.l_suppkey
+            """
+        ).fetchall()
+        seeds = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT s_suppkey FROM '{SF_MED}/supplier.parquet' "
+                "WHERE s_nationkey = 0"
+            ).fetchall()
+        ]
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        # plain python BFS, bounded to 4 hops
+        dist = {v: 0 for v in seeds}
+        frontier = set(seeds)
+        for hop in range(1, 5):
+            frontier = {
+                w for v in frontier for w in adj.get(v, set()) if w not in dist
+            }
+            for w in frontier:
+                dist[w] = hop
+        got = {
+            r.suppkey: r.hop
+            for r in _q("q_bfs_layers")(spark, SF_MED).collect()
+        }
+        assert got == dist
+        assert max(got.values()) >= 2  # graph actually has depth
