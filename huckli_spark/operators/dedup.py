@@ -568,3 +568,80 @@ def fuzzy_pairs(
     return cand.select(
         "a_id", "b_id", "a", "b", F.levenshtein("a", "b").alias("dist")
     ).where(F.col("dist") <= max_dist)
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 3,
+    key_mult: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup with document reconstruction (the
+    FineWeb/RefinedWeb "line dedup" pattern, generalized to fixed
+    ``seg_words``-word segments for corpora without line structure):
+    a segment survives only in its FIRST corpus occurrence — min of
+    the single integer keeper key ``doc_id * key_mult + seg_idx``, so
+    the winner is total-ordered without a window — and every document
+    is rebuilt from its surviving segments in order.
+
+    Returns (id_col, n_segments, n_kept, kept_text); fully-deduped
+    documents keep n_kept = 0 and a NULL kept_text.
+
+    Scale shape: the dedup shuffle carries (60-bit hash, keeper key)
+    pairs — 16 bytes per segment, never segment text (the
+    digest-only-movement discipline of :func:`dedup_exact`, at
+    ~segments-per-doc times the row count); the survivor join is a
+    co-partitioned equi-join on the same hash; text moves exactly
+    once, on the final reconstruction shuffle keyed by the doc id.
+    ``key_mult`` must exceed the max segment count per document."""
+    from huckli_spark.functions.portable import h60
+
+    base = docs.select(id_col, F.split(text_col, " ").alias("__w"))
+    nseg = F.ceil(F.size("__w") / float(seg_words)).cast("int")
+    segs = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__w"), i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "seg",
+        h60(F.concat(F.lit("seg:"), F.col("seg"))).alias("hseg"),
+        (F.col(id_col) * key_mult + F.col("seg_idx")).alias("kkey"),
+    )
+    keep = (
+        segs.groupBy("hseg")
+        .agg(F.min("kkey").alias("keeper"))
+        .withColumnRenamed("hseg", "khseg")
+    )
+    kept = segs.join(
+        keep,
+        (F.col("hseg") == F.col("khseg")) & (F.col("kkey") == F.col("keeper")),
+    ).select(id_col, "seg_idx", "seg")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select(id_col, nseg.cast("long").alias("n_segments"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "kept_text",
+        )
+    )

@@ -401,50 +401,10 @@ _SEG_KEY = 100000  # keeper key = doc_id * _SEG_KEY + seg_idx
     "digest-only-movement discipline of operators/dedup.py.",
 )
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", F.split("text", " ").alias("w"))
-    nseg = F.ceil(F.size("w") / float(_SEG_WORDS)).cast("int")
-    segs = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice(base.w, i * _SEG_WORDS + 1, _SEG_WORDS), " "
-                ),
-            )
-        ).alias("seg_idx", "seg"),
-    ).select(
-        "doc_id",
-        F.col("seg_idx").cast("long").alias("seg_idx"),
-        "seg",
-        h60(F.concat(F.lit("seg:"), F.col("seg"))).alias("hseg"),
-        (F.col("doc_id") * _SEG_KEY + F.col("seg_idx")).alias("kkey"),
-    )
-    keep = segs.groupBy("hseg").agg(F.min("kkey").alias("keeper"))
-    kept = segs.join(
-        keep,
-        (segs.hseg == keep.hseg) & (segs.kkey == keep.keeper),
-    ).select(segs.doc_id, segs.seg_idx, segs.seg)
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
-    return (
-        base.select("doc_id", nseg.cast("long").alias("n_segments"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_segments",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            "kept_text",
-        )
+    from huckli_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        _docs(spark, sf_dir), seg_words=_SEG_WORDS, key_mult=_SEG_KEY
     )
 
 

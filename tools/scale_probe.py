@@ -306,6 +306,17 @@ def probe(scales, repeats: int, only=None) -> dict:
             repeats,
             only,
         )
+        runs["segment_dedup"] = _run(
+            spark,
+            "segment_dedup",
+            # sum of reconstructed-text lengths so Catalyst cannot prune
+            # the string_agg reconstruction (a bare count() would)
+            lambda: dedup.segment_dedup(docs)
+            .agg(F.sum(F.length("kept_text")), F.sum("n_kept"))
+            .collect()[0][1],
+            repeats,
+            only,
+        )
         runs["countmin_topk"] = _run(
             spark,
             "countmin_topk",
@@ -543,7 +554,9 @@ def main():
     elif only is None:
         fname = "SCALE_PROBE.json"
     else:
-        fname = "SCALE_PROBE_partial.json"
+        # name partial runs by pipeline so they never clobber an
+        # earlier partial record (the r6 bm25 probe is load-bearing)
+        fname = f"SCALE_PROBE_partial_{'_'.join(sorted(only))}.json"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        fname)
     with open(out, "w") as f:
