@@ -132,7 +132,8 @@ _GATE_PRIORITY: list[str] = [
 # q_tpch_q6, q_tpch_q10, q_tpch_q14, q_tpch_q19, q_event_paths,
 # q_event_transitions, q_mad_outliers, q_timeseries_fill,
 # q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
-# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers.
+# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers,
+# q_dq_audit, q_group_split.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -460,3 +460,196 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__w").alias("word"),
         F.posexplode("syms").alias("pos", "token"),
     ).select("word", F.col("pos").cast("int"), "token")
+
+
+# ---------------------------------------------------------- DQ audit
+# Declarative data-quality expectations (the dbt-test / Deequ
+# constraint-suite pattern) evaluated in ONE audit pass per table:
+# each check is a named aggregate returning (n_checked, n_violations)
+# and the suite unions into a fixed report relation — the shape a
+# warehouse CI gate consumes before promoting a snapshot.
+@query(
+    "q_dq_audit",
+    """
+    SELECT 'pk_unique' AS check_name, 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'fk_orders_customer', 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'fk_lineitem_orders', 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'range_discount', 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null_text', 'documents',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'accepted_event_types', 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IN
+                    ('view','click','purchase','signup','error')
+                    THEN 0 ELSE 1 END) AS BIGINT)
+    FROM events
+    """,
+    doc="declarative data-quality audit suite (the dbt-test / Deequ "
+    "pattern): primary-key uniqueness, two referential-integrity "
+    "checks, a value-range rule, a not-null rule and an "
+    "accepted-values rule, unioned into one fixed report relation. "
+    "Scale: each rule is one scan-aggregate; the FK checks are "
+    "left joins against the (broadcastable) parent key sets — no "
+    "rule materializes violating ROWS (counts only), so the audit's "
+    "output is O(rules) regardless of table size. Violation-row "
+    "drill-down is a follow-up filtered query per failing rule.",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    orders, customer = _t("orders"), _t("customer")
+    lineitem, docs = _t("lineitem"), _t("documents")
+    events = _t("events").select("event_type")  # no ts: plain reader
+
+    def row(check, table, checked, violations):
+        return F.struct(
+            F.lit(check).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        row(
+            "pk_unique", "orders", F.count("*"),
+            F.count("*") - F.count_distinct("o_orderkey"),
+        ).alias("r")
+    )
+    fk1 = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            row(
+                "fk_orders_customer", "orders", F.count("*"),
+                F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    fk2 = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey")),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            row(
+                "fk_lineitem_orders", "lineitem", F.count("*"),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    rng = lineitem.agg(
+        row(
+            "range_discount", "lineitem", F.count("*"),
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                ).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    nn = docs.agg(
+        row(
+            "not_null_text", "documents", F.count("*"),
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1
+                ).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    av = events.agg(
+        row(
+            "accepted_event_types", "events", F.count("*"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isin(
+                        "view", "click", "purchase", "signup", "error"
+                    ),
+                    0,
+                ).otherwise(1)
+            ),
+        ).alias("r")
+    )
+    out = pk
+    for part in (fk1, fk2, rng, nn, av):
+        out = out.unionAll(part)
+    return out.select("r.*")
+
+
+# ------------------------------------------------- group-aware split
+# Train/val/test assignment by GROUP hash (all events of a user land
+# in the same split) — the leakage guard q_hash_sample's row-level
+# predicate cannot give: a user straddling train and eval leaks
+# behavioral signal across the boundary.
+@query(
+    "q_group_split",
+    f"""
+    WITH assigned AS (
+      SELECT event_type,
+             CASE
+               WHEN {sql_h60("'split:' || CAST(user_id AS VARCHAR)")} % 10 < 8
+                 THEN 'train'
+               WHEN {sql_h60("'split:' || CAST(user_id AS VARCHAR)")} % 10 = 8
+                 THEN 'val'
+               ELSE 'test' END AS split,
+             user_id
+      FROM events
+    )
+    SELECT split, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="group-aware train/val/test split (80/10/10 by USER hash, not "
+    "row hash): every event of a user lands in one split, so no "
+    "behavioral leakage across the eval boundary — the split "
+    "primitive for user-level models that q_hash_sample's row "
+    "predicate cannot provide (disjointness asserted in tests). "
+    "Deterministic on any engine/partitioning via the portable hash; "
+    "map-side assignment, one aggregate shuffle.",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", "user_id"
+    )
+    hb = h60(F.concat(F.lit("split:"), F.col("user_id").cast("string"))) % 10
+    split = (
+        F.when(hb < 8, "train").when(hb == 8, "val").otherwise("test")
+    )
+    return (
+        ev.select("event_type", "user_id", split.alias("split"))
+        .groupBy("split", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )

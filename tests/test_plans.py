@@ -422,3 +422,16 @@ class TestRound7ClosingPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan
+
+    def test_dq_audit_fk_checks_broadcast(self, spark):
+        # parent key sets ride broadcasts; no rule materializes
+        # violating rows (aggregates only)
+        plan = _plan(spark, "q_dq_audit")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_group_split_map_side_assignment(self, spark):
+        plan = _plan(spark, "q_group_split")
+        assert "Join" not in plan  # pure scan -> hash -> aggregate
+        assert "Python" not in plan
