@@ -1027,3 +1027,231 @@ def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ PCA (power iteration)
+# Top principal component of the embedding covariance by REPEATED
+# MATRIX SQUARING — log-time power iteration in the exact fixed-point
+# discipline of pagerank/kmeans. The fixtures' spectrum is nearly
+# flat (lambda1/lambda2 = 1.013 at sf0.01), so plain power iteration
+# needs ~60 rounds; squaring k times applies S^(2^k) in k rounds —
+# measured cos >= 0.9998 to numpy's eigenvector at k=8 on both
+# fixture scales (asserted in tests).
+#   xm    = round(coord * 1e6)                     micro ints
+#   S_ij  = n*sum(xm_i xm_j) - sum_i*sum_j         exact (dec38/HUGEINT)
+#   P0    = renorm(floor(double(S)/2^34))          micro fixed point
+#   P_t+1 = renorm(P_t @ P_t)                      INTEGER products,
+#                                                  exact integer sums
+#   v     = renorm(P_k @ ones)                     row sums
+# renorm(e) = floor(double(e) * 1e6 / max|e|): per-element, identical
+# IEEE inputs on both engines — every SUM stays integer (partition-
+# order free). S is PSD, so squaring is monotone on its spectrum.
+# Canonical sign fixes to the largest-magnitude loading (ties by
+# dim); the Rayleigh quotient on the PRE-squaring scaled covariance
+# reports the eigenvalue in data units.
+_PCA_SQUARINGS = 8
+_PCA_SHIFT = float(1 << 34)
+
+
+def _pca_oracle() -> str:
+    parts = [
+        """c AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5)
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ), nn AS (SELECT count(DISTINCT vec_id) AS n FROM c),
+    sums AS (SELECT i, CAST(sum(xm) AS BIGINT) AS si FROM c GROUP BY i),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(a.xm * b.xm) AS BIGINT) AS p
+      FROM c a JOIN c b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ), sp AS MATERIALIZED (
+      SELECT p.i, p.j,
+             CAST(floor(CAST(CAST(nn.n AS HUGEINT) * p.p
+                             - CAST(sa.si AS HUGEINT) * sb.si AS DOUBLE)
+                        / 17179869184) AS BIGINT) AS sp
+      FROM prods p, nn
+      JOIN sums sa ON sa.i = p.i
+      JOIN sums sb ON sb.i = p.j
+    ), p0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(floor(CAST(sp AS DOUBLE) * 1000000
+                        / (SELECT max(abs(sp)) FROM sp)) AS BIGINT) AS v
+      FROM sp
+    )"""
+    ]
+    for t in range(1, _PCA_SQUARINGS + 1):
+        parts.append(
+            f"""q{t} AS MATERIALIZED (
+      SELECT a.i, b.j, CAST(sum(a.v * b.v) AS BIGINT) AS q
+      FROM p{t - 1} a JOIN p{t - 1} b ON a.j = b.i GROUP BY 1, 2
+    ), p{t} AS MATERIALIZED (
+      SELECT i, j,
+             CAST(floor(CAST(q AS DOUBLE) * 1000000
+                        / (SELECT max(abs(q)) FROM q{t})) AS BIGINT) AS v
+      FROM q{t}
+    )"""
+        )
+    last = f"p{_PCA_SQUARINGS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    w AS (SELECT i, CAST(sum(v) AS BIGINT) AS w FROM {last} GROUP BY i),
+    vv AS MATERIALIZED (
+      SELECT i, CAST(floor(CAST(w AS DOUBLE) * 1000000
+                           / (SELECT max(abs(w)) FROM w)) AS BIGINT) AS v
+      FROM w
+    ), sgn AS (
+      SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS s
+      FROM vv ORDER BY abs(v) DESC, i ASC LIMIT 1
+    ), num AS (
+      SELECT sum(CAST(a.v AS HUGEINT) * s.sp * b.v) AS nu
+      FROM sp s JOIN vv a ON a.i = s.i JOIN vv b ON b.i = s.j
+    ), den AS (SELECT sum(v * v) AS de FROM vv)
+    SELECT CAST(vv.i AS INT) AS dim,
+           CAST(vv.v * sgn.s AS BIGINT) AS loading_micro,
+           {sql_fround('vv.v * sgn.s / 1000000.0', 6)} AS loading,
+           {sql_fround(
+               'CAST(num.nu AS DOUBLE) / CAST(den.de AS DOUBLE)'
+               ' * 17179869184 / (CAST(nn.n AS DOUBLE) * nn.n)'
+               ' / 1000000000000.0', 8
+           )} AS eigenvalue
+    FROM vv, sgn, num, den, nn"""
+    )
+
+
+@query(
+    "q_pca_power",
+    _pca_oracle(),
+    doc="top principal component by repeated matrix squaring "
+    f"(S^(2^{_PCA_SQUARINGS}) in {_PCA_SQUARINGS} rounds — log-time "
+    "power iteration) over the exact integer-scaled covariance: the "
+    "dimensionality-reduction/whitening primitive for the embedding "
+    "column, in the pagerank/kmeans exact-iteration discipline "
+    "(integer matrix products, L-inf renormalize, canonical sign, "
+    "Rayleigh eigenvalue in data units; cos >= 0.9998 to numpy's "
+    "eigenvector asserted in tests). Scale: the corpus is touched "
+    "ONCE (the d^2-cell covariance aggregate, partial-agged map-"
+    "side); all squarings run on the d x d relation alone — at "
+    "100 TB the iterations are O(d^3) driver-free dataflow, "
+    "independent of corpus size.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    c = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("xm"),
+    )
+    nn = c.agg(F.count_distinct("vec_id").alias("n"))
+    sums = c.groupBy("i").agg(F.sum("xm").alias("si"))
+    prods = (
+        c.alias("a")
+        .join(c.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.xm") * F.col("b.xm")).alias("p"))
+    )
+    d38 = "decimal(38,0)"
+    sp = (
+        prods.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(sums.select(F.col("i"), F.col("si").alias("sa"))), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.floor(
+                (
+                    F.col("n").cast(d38) * F.col("p").cast(d38)
+                    - F.col("sa").cast(d38) * F.col("sb").cast(d38)
+                ).cast("double")
+                / F.lit(_PCA_SHIFT)
+            )
+            .cast("long")
+            .alias("sp"),
+        )
+        .localCheckpoint()  # referenced by p0 and the Rayleigh quotient
+    )
+
+    def renorm(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(F.abs(F.col(col))).alias("__m"))
+        keep = [x for x in df.columns if x != col]
+        return df.crossJoin(F.broadcast(m)).select(
+            *keep,
+            F.floor(F.col(col).cast("double") * 1000000 / F.col("__m"))
+            .cast("long")
+            .alias("v"),
+        )
+
+    p = renorm(sp, "sp").localCheckpoint()
+    for _ in range(_PCA_SQUARINGS):
+        q = (
+            p.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("va"))
+            .join(
+                p.select(
+                    F.col("i").alias("k"), F.col("j"), F.col("v").alias("vb")
+                ),
+                "k",
+            )
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("q"))
+        )
+        p = renorm(q, "q").localCheckpoint()  # referenced twice next round
+    w = p.groupBy("i").agg(F.sum("v").alias("w"))
+    vv = renorm(w, "w").localCheckpoint()
+    sgn = (
+        vv.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.desc(F.abs(F.col("v"))), F.asc("i"))
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            F.when(F.col("v") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+        )
+    )
+    num = (
+        sp.join(vv.select(F.col("i"), F.col("v").alias("va")), "i")
+        .join(vv.select(F.col("i").alias("j"), F.col("v").alias("vb")), "j")
+        .agg(
+            F.sum(
+                F.col("va").cast(d38)
+                * F.col("sp").cast(d38)
+                * F.col("vb").cast(d38)
+            ).alias("nu")
+        )
+    )
+    den = vv.agg(F.sum(F.col("v") * F.col("v")).alias("de"))
+    ev = (
+        F.col("nu").cast("double")
+        / F.col("de").cast("double")
+        * F.lit(_PCA_SHIFT)
+        / (F.col("n").cast("double") * F.col("n"))
+        / F.lit(1.0e12)
+    )
+    return (
+        vv.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            (F.col("v") * F.col("s")).cast("long").alias("loading_micro"),
+            fround(F.col("v") * F.col("s") / 1000000.0, 6).alias("loading"),
+            fround(ev, 8).alias("eigenvalue"),
+        )
+    )

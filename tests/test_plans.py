@@ -435,3 +435,11 @@ class TestRound7ClosingPlans:
         plan = _plan(spark, "q_group_split")
         assert "Join" not in plan  # pure scan -> hash -> aggregate
         assert "Python" not in plan
+
+    def test_pca_corpus_touched_once(self, spark):
+        # the only corpus-sized work is the covariance aggregate; the
+        # squaring rounds run on d x d relations (localCheckpoint'd,
+        # so the plan shows no cartesian/python anywhere)
+        plan = _plan(spark, "q_pca_power")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan

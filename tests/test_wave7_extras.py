@@ -338,3 +338,31 @@ class TestGroupSplit:
         n_train = sum(r.n_events for r in rows if r.split == "train")
         total = sum(r.n_events for r in rows)
         assert 0.6 < n_train / total < 0.95  # ~80% by user hash
+
+
+class TestPcaPower:
+    def test_matches_numpy_top_eigenvector(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rows = _q("q_pca_power")(spark, SF_SMALL).collect()
+        assert len(rows) == 64
+        v = np.array(
+            [r.loading for r in sorted(rows, key=lambda r: r.dim)]
+        )
+        X = np.vstack(
+            pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")[
+                "embedding"
+            ].values
+        ).astype(float)
+        C = np.cov(X.T, bias=True)
+        w, V = np.linalg.eigh(C)
+        top = V[:, -1]
+        cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+        assert cos > 0.999, cos  # 8 squarings measured 0.9996+
+        # Rayleigh eigenvalue within 1% of numpy's top eigenvalue
+        assert abs(rows[0].eigenvalue - w[-1]) / w[-1] < 0.01
+        # canonical direction: largest-|loading| component positive
+        assert max(rows, key=lambda r: abs(r.loading)).loading > 0
+        # L-inf normalized micro loadings
+        assert max(abs(r.loading_micro) for r in rows) == 1_000_000
