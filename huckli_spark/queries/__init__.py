@@ -82,17 +82,18 @@ _GATE_PRIORITY: list[str] = [
     # --- events-dependent (fixture drift risk, r3 lesson)
     "q_asof_join",
     "q_range_join",
-    # --- carried from the round-6 rotation (training/PQ/graph wave)
-    "q_pagerank",
-    "q_pq_encode",
-    "q_pq_adc",
-    "q_pq_recall",
-    "q_kmeans",
-    "q_ann_ivf_trained",
-    "q_bpe_pairs",
-    "q_stream_static_join",
-    "q_stream_countmin",
-    "q_stream_bloom",
+    # --- round-7 wave, first graded this round (replace 10 r6-carried
+    # slots that all hold green r6 rows; replica still covers those)
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_table_changes",
+    "q_event_funnel",
+    "q_stream_bm25",
+    "q_containment_dup",
+    "q_pq_refine_recall",
+    "q_kcore",
+    "q_tpch_q17",
+    "q_tpch_q22",
     # --- round-6 new wave (first graded r6, keep)
     "q_pq_recall_trained",
     "q_bm25_topk",
@@ -114,7 +115,11 @@ _GATE_PRIORITY: list[str] = [
 # Rotated out for round 7 (ALL driver-graded green in r6; local
 # replica still covers them every round): q_countmin_topk,
 # q_weighted_sample, q_zscore_outliers, q_fuzzy_join,
-# q_full_outer_join, q_bigram_logprob, q_hopping_window.
+# q_full_outer_join, q_bigram_logprob, q_hopping_window; at round-7
+# close also q_pagerank, q_pq_encode, q_pq_adc, q_pq_recall,
+# q_kmeans, q_ann_ivf_trained, q_bpe_pairs, q_stream_static_join,
+# q_stream_countmin, q_stream_bloom (green r6 rows; their slots now
+# grade ten round-7 additions).
 # Rotated out for round 6 (driver-graded green in r4/r5): q_ann_ivf,
 # q_stream_interval_join, q_stream_join_window, q_repetition_stats,
 # q_cdc_chunks, q_stream_left_join, q_mixture_sample, q_shard_assign,
@@ -125,15 +130,13 @@ _GATE_PRIORITY: list[str] = [
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
 # Round-8 rotation queue (registered round 7, replica-green, not yet
-# driver-graded): q_containment_dup, q_kcore, q_vocab_coverage,
-# q_pq_refine_recall, q_tpch_q7, q_tpch_q8, q_tpch_q11, q_tpch_q13,
-# q_tpch_q15, q_tpch_q17, q_tpch_q18, q_tpch_q22, q_stream_bm25,
-# q_merge_upsert, q_scd2_history, q_table_changes, q_event_funnel,
-# q_tpch_q6, q_tpch_q10, q_tpch_q14, q_tpch_q19, q_event_paths,
-# q_event_transitions, q_mad_outliers, q_timeseries_fill,
-# q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
-# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers,
-# q_dq_audit, q_group_split, q_pca_power.
+# driver-graded): q_vocab_coverage, q_tpch_q7, q_tpch_q8, q_tpch_q11,
+# q_tpch_q13, q_tpch_q15, q_tpch_q18, q_tpch_q6, q_tpch_q10,
+# q_tpch_q14, q_tpch_q19, q_event_paths, q_event_transitions,
+# q_mad_outliers, q_timeseries_fill, q_common_neighbors,
+# q_segment_dedup, q_pmi_cooccur, q_hll_registers, q_attribution,
+# q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
+# q_pca_power.
 
 
 def all_queries() -> dict[str, QuerySpec]:
