@@ -354,3 +354,66 @@ def sql_bfs(edges_cte: str, seeds_sql: str, hops: int = 4) -> str:
     SELECT CAST(v AS BIGINT) AS suppkey, CAST(hop AS INT) AS hop
     FROM vis{hops}"""
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected edge set (s1, s2), s1 < s2: labels start as the node
+    id; each round every node adopts the MOST FREQUENT label among
+    its neighbors, ties broken toward the smallest label — fully
+    deterministic, so a fixed round count is engine- and
+    partitioning-independent (the pagerank/kcore integer-iteration
+    discipline; sync LPA can oscillate, which bounded rounds make a
+    non-issue for parity). Returns (v, label) after ``iterations``.
+
+    Scale shape: per round one (node, neighbor-label) count shuffle
+    plus a per-node top-1 window — O(|E|) per round, no wedge
+    blowup; lineage cut every other round."""
+    und = edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("__c"), F.asc("label"))
+    for i in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("v", "label")
+        )
+        if (i + 1) % 2 == 0:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def sql_label_propagation(edges_cte: str, iterations: int = 4) -> str:
+    """DuckDB oracle twin of :func:`label_propagation`: unrolled
+    rounds as MATERIALIZED CTEs."""
+    parts = [
+        f"""e AS MATERIALIZED ({edges_cte}),
+    und AS MATERIALIZED (
+      SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, src AS label FROM und
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT u.src AS v, l.label,
+               row_number() OVER (
+                 PARTITION BY u.src
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM und u JOIN l{t - 1} l ON l.v = u.dst
+        GROUP BY u.src, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts), f"l{iterations}"

@@ -1154,3 +1154,175 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_layers(e, seeds, hops=_BFS_HOPS).select(
         F.col("v").cast("long").alias("suppkey"), F.col("hop").cast("int")
     )
+
+
+# ------------------------------------------------------------ winsorization
+# Robust preprocessing twin of q_mad_outliers: clip each group's
+# values at its exact NEAREST-RANK p05/p95 (rank = ceil(q*n), an
+# integer selection — no interpolation, so the clip thresholds are
+# integers and the clip decision never compares against a float).
+@query(
+    "q_winsorize",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+             row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), cuts AS (
+      SELECT event_type,
+             min(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN vm END) AS lo,
+             min(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN vm END) AS hi
+      FROM m GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(sum(CASE WHEN m.vm < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN m.vm > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           {sql_fround('CAST(sum(m.vm) AS DOUBLE) / m.n / 1000000.0', 6)}
+             AS mean_before,
+           {sql_fround(
+               'CAST(sum(least(greatest(m.vm, c.lo), c.hi)) AS DOUBLE)'
+               ' / m.n / 1000000.0', 6
+           )} AS mean_after
+    FROM m JOIN cuts c USING (event_type)
+    GROUP BY m.event_type, m.n
+    """,
+    doc="winsorization: clip per-group values at the exact "
+    "nearest-rank p05/p95 (integer rank selection — no interpolated "
+    "float thresholds, so the clip comparisons stay integer-vs-"
+    "integer) and report clip counts + exact fixed-point means "
+    "before/after — the robust-mean preprocessing step for "
+    "heavy-tailed metrics. Scale: one sort-window per group for the "
+    "rank (at 100 TB: approx_percentile thresholds with documented "
+    "tolerance), then a single pass with the 5-row cuts relation "
+    "broadcast; sums are exact integers (HUGEINT/decimal38), only "
+    "the final means divide in double.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_raw(spark, sf_dir)
+    wm = Window.partitionBy("event_type").orderBy("vm")
+    wc = Window.partitionBy("event_type")
+    m = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    ).select(
+        "event_type",
+        "vm",
+        F.row_number().over(wm).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+    cuts = m.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("vm"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("vm"),
+            )
+        ).alias("hi"),
+    )
+    d38 = "decimal(38,0)"
+    clipped = F.least(F.greatest(F.col("vm"), F.col("lo")), F.col("hi"))
+    return (
+        m.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(F.col("vm") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("vm") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            fround(
+                F.sum(F.col("vm").cast(d38)).cast("double")
+                / F.col("n")
+                / 1000000.0,
+                6,
+            ).alias("mean_before"),
+            fround(
+                F.sum(clipped.cast(d38)).cast("double") / F.col("n") / 1000000.0,
+                6,
+            ).alias("mean_after"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+# ----------------------------------------------- graph: label propagation
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    from huckli_spark.operators.graph import sql_label_propagation
+
+    with_clause, last = sql_label_propagation(_BFS_EDGES_CTE, _LPA_ITERS)
+    return f"""{with_clause},
+    sizes AS (SELECT label, count(*) AS n_members FROM {last} GROUP BY label)
+    SELECT CAST(l.v AS BIGINT) AS suppkey,
+           CAST(l.label AS BIGINT) AS label,
+           CAST(s.n_members AS BIGINT) AS n_members
+    FROM {last} l JOIN sizes s USING (label)"""
+
+
+@query(
+    "q_label_prop",
+    _lpa_oracle(),
+    doc=f"label-propagation community detection over the supplier "
+    "co-supply graph: every node adopts its neighbors' most frequent "
+    "label, ties toward the smallest — the near-linear community "
+    f"primitive behind spam-cluster/topic grouping. {_LPA_ITERS} "
+    "synchronous unrolled rounds (deterministic by the count-desc/"
+    "label-asc total order; the oracle replays identical rounds), "
+    "community size joined back. Scale: one neighbor-label count "
+    "shuffle + one per-node top-1 window per round, O(iters * |E|). "
+    "The fixture's co-supply graph is a community-free random "
+    "bipartite projection, so LPA correctly converges toward one "
+    "giant label here; separation on planted two-clique structure "
+    "is proven in tests/test_wave7_extras.py.",
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.graph import label_propagation
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    labels = label_propagation(e, iterations=_LPA_ITERS)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("v").cast("long").alias("suppkey"),
+        F.col("label").cast("long").alias("label"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )

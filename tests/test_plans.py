@@ -443,3 +443,14 @@ class TestRound7ClosingPlans:
         plan = _plan(spark, "q_pca_power")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+    def test_winsorize_cuts_broadcast(self, spark):
+        plan = _plan(spark, "q_winsorize")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+
+    def test_label_prop_equi_joins_only(self, spark):
+        plan = _plan(spark, "q_label_prop")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan

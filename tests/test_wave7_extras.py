@@ -366,3 +366,65 @@ class TestPcaPower:
         assert max(rows, key=lambda r: abs(r.loading)).loading > 0
         # L-inf normalized micro loadings
         assert max(abs(r.loading_micro) for r in rows) == 1_000_000
+
+
+class TestWinsorize:
+    def test_clip_counts_and_means_match_pandas(self, spark):
+        import math
+
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["vm"] = (ev["value"] * 1_000_000 + 0.5).apply(math.floor)
+        got = {r.event_type: r for r in _q("q_winsorize")(spark, SF_SMALL).collect()}
+        for t, grp in ev.groupby("event_type"):
+            s = grp["vm"].sort_values().reset_index(drop=True)
+            n = len(s)
+            lo = s[math.ceil(0.05 * n) - 1]
+            hi = s[math.ceil(0.95 * n) - 1]
+            r = got[t]
+            assert r.n == n
+            assert r.n_clipped_low == int((grp["vm"] < lo).sum())
+            assert r.n_clipped_high == int((grp["vm"] > hi).sum())
+            clipped = grp["vm"].clip(lo, hi)
+            assert abs(r.mean_after - clipped.mean() / 1e6) < 1e-4
+            assert r.mean_after != r.mean_before  # clipping moved the mean
+
+
+class TestLabelProp:
+    def test_communities_partition_the_graph(self, spark):
+        from tests.conftest import SF_MED
+
+        rows = _q("q_label_prop")(spark, SF_MED).collect()
+        nodes = {r.suppkey for r in rows}
+        assert len(rows) == len(nodes)  # one label per node
+        # labels are node ids (seeded) and sizes are consistent
+        from collections import Counter
+
+        sizes = Counter(r.label for r in rows)
+        for r in rows:
+            assert r.n_members == sizes[r.label]
+        # the fixture graph is a community-free random projection, so
+        # LPA legitimately converges toward one giant label; planted
+        # structure is covered by test_planted_cliques_separate below
+        assert len(sizes) >= 1
+
+    def test_planted_cliques_separate(self, spark):
+        from huckli_spark.operators.graph import label_propagation
+
+        # two 5-cliques joined by one bridge edge: LPA must keep them
+        # as two communities (the bridge vote is always outnumbered)
+        edges = []
+        for base in (0, 10):
+            ids = [base + k for k in range(5)]
+            edges += [(a, b) for a in ids for b in ids if a < b]
+        edges.append((4, 10))  # the weak bridge
+        e = spark.createDataFrame(edges, "s1: long, s2: long")
+        labels = {
+            r.v: r.label
+            for r in label_propagation(e, iterations=4).collect()
+        }
+        left = {labels[k] for k in range(5)}
+        right = {labels[k] for k in range(10, 15)}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right
