@@ -213,6 +213,11 @@ def main() -> None:
         "q_common_neighbors",
         "q_attribution",
         "q_hll_registers",
+        "q_pca_power",
+        "q_dq_audit",
+        "q_label_prop",
+        "q_bfs_layers",
+        "q_winsorize",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:
