@@ -136,7 +136,8 @@ _GATE_PRIORITY: list[str] = [
 # q_mad_outliers, q_timeseries_fill, q_common_neighbors,
 # q_segment_dedup, q_pmi_cooccur, q_hll_registers, q_attribution,
 # q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
-# q_pca_power, q_winsorize, q_label_prop, q_stream_dq.
+# q_pca_power, q_winsorize, q_label_prop, q_stream_dq,
+# q_decay_score.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1326,3 +1326,74 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+# ------------------------------------------------------- time-decay score
+# Recency-weighted engagement: each event contributes value * 2^-age
+# (age in whole days from the corpus max timestamp). A float decay
+# (exp(-lambda*age)) would make per-user sums partition-order
+# dependent; halving per day is the SAME semantics with an exact
+# integer implementation — vm >> age_days — so the aggregate is
+# bit-identical on any engine and partitioning.
+@query(
+    "q_decay_score",
+    f"""
+    WITH mx AS (
+      SELECT CAST(max(ts) AS DATE) AS d1 FROM events
+    ), scored AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+               // CAST(power(2.0, least(datediff('day', CAST(ts AS DATE),
+                                                 mx.d1), 62)) AS BIGINT)
+               AS dv
+      FROM events, mx
+    ), agg AS (
+      SELECT user_id,
+             CAST(sum(dv) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM scored GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, score_micro, n_events,
+             row_number() OVER (ORDER BY score_micro DESC, user_id) AS rnk
+      FROM agg
+    )
+    SELECT user_id, score_micro, n_events,
+           {sql_fround('score_micro / 1000000.0', 6)} AS score,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 25
+    """,
+    doc="recency-weighted engagement score (top-25 users): every event "
+    "contributes value * 2^-age_days — exponential time decay with "
+    "half-life one day — computed as an INTEGER shift (vm >> age), "
+    "so the per-user sum is exact and partition-order free where a "
+    "float exp() decay would drift by summation order. The anchor is "
+    "the corpus max date (one broadcast scalar). Scale: one scan, "
+    "one user_id aggregate shuffle, bounded top-k window — the "
+    "leaderboard/churn-signal primitive.",
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date("ts").alias("d")
+    )
+    mx = ev.agg(F.max("d").alias("d1"))
+    vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    age = F.least(F.datediff(F.col("d1"), F.col("d")), F.lit(62))
+    dv = F.floor(vm / F.pow(F.lit(2.0), age)).cast("long")
+    agg = (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", dv.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dv").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score_micro"), F.asc("user_id"))
+    return (
+        agg.withColumn("score", fround(F.col("score_micro") / 1000000.0, 6))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 25)
+        .select("user_id", "score_micro", "n_events", "score", "rank")
+    )

@@ -428,3 +428,29 @@ class TestLabelProp:
         right = {labels[k] for k in range(10, 15)}
         assert len(left) == 1 and len(right) == 1
         assert left != right
+
+
+class TestDecayScore:
+    def test_matches_pandas_shift_recompute(self, spark):
+        import math
+
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+        d1 = ev["d"].max()
+        ev["age"] = (d1 - ev["d"]).dt.days.clip(upper=62)
+        ev["vm"] = (ev["value"] * 1_000_000 + 0.5).apply(math.floor).astype(int)
+        ev["dv"] = ev["vm"] // (2 ** ev["age"])
+        agg = ev.groupby("user_id")["dv"].sum().sort_values(ascending=False)
+        got = _q("q_decay_score")(spark, SF_SMALL).collect()
+        assert len(got) == min(25, ev["user_id"].nunique())
+        for r in got:
+            assert r.score_micro == int(agg[r.user_id]), r
+        # ranking matches (score desc, user asc)
+        expect_top = sorted(
+            agg.items(), key=lambda kv: (-kv[1], kv[0])
+        )[: len(got)]
+        assert [(r.user_id, r.score_micro) for r in got] == [
+            (int(u), int(s)) for u, s in expect_top
+        ]
