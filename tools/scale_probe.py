@@ -151,6 +151,33 @@ def _scaled_documents(spark: SparkSession, base: DataFrame, scale: int) -> str:
     return path
 
 
+def _scaled_events(spark: SparkSession, base: DataFrame, scale: int) -> str:
+    """Union `scale` decorrelated event copies: users and event ids
+    shift per copy (so per-user event density — the quantity that
+    drives window state and attribution pair counts — stays constant
+    across scales), timestamps/values/types unchanged."""
+    path = f"{WORK}/x{scale}/events.parquet"
+    if os.path.exists(path):
+        return os.path.dirname(path)
+    parts = []
+    for i in range(scale):
+        parts.append(
+            base.select(
+                (F.col("event_id") + F.lit(i * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return os.path.dirname(path)
+
+
 BM25_PROBE_TERMS = ["spark", "join", "filter"]
 
 
@@ -303,6 +330,39 @@ def probe(scales, repeats: int, only=None) -> dict:
             lambda: packing.pack_sequences(docs, budget=512, n_shards=32)
             .agg(F.max("seq_idx"), F.count("*"))
             .collect()[0][1],
+            repeats,
+            only,
+        )
+        # events family: the scaled dir is a full fixture dir for
+        # events-only registry queries, so the probes run the EXACT
+        # gated query plans
+        ev_dir = _scaled_events(
+            spark, spark.read.parquet(f"{sf_dir}/events.parquet"), scale
+        )
+        from huckli_spark.queries import all_queries
+
+        _q = all_queries()
+        runs["attribution"] = _run(
+            spark,
+            "attribution",
+            # aggregate over credit_micro so Catalyst cannot prune the
+            # window/credit pipeline (count() keeps only the group
+            # keys and optimizes the windows away — measured: the
+            # "query" then shuffles 2 records instead of the matched
+            # pair set; same pitfall as the sequence_pack probe)
+            lambda: int(
+                _q["q_attribution"]
+                .build(spark, ev_dir)
+                .agg(F.sum("credit_micro"), F.sum("n_touches"))
+                .collect()[0][1]
+            ),
+            repeats,
+            only,
+        )
+        runs["event_transitions"] = _run(
+            spark,
+            "event_transitions",
+            lambda: _q["q_event_transitions"].build(spark, ev_dir).count(),
             repeats,
             only,
         )
