@@ -1397,3 +1397,158 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 25)
         .select("user_id", "score_micro", "n_events", "score", "rank")
     )
+
+
+# ---------------------------------------------------- CMS join-size estimate
+# "Will this join explode?" — the count-min INNER PRODUCT estimates a
+# join's output cardinality from two d*w sketches alone: |A join B| =
+# sum_k cA(k)*cB(k) <= min over rows r of sum_b cntA(r,b)*cntB(r,b)
+# (Cormode-Muthukrishnan). Here: the attribution join's user-key
+# blowup (clicks x purchases per user), estimated without touching
+# the join — the planner-side primitive for choosing salting /
+# broadcast strategies up front.
+@query(
+    "q_cms_join_size",
+    f"""
+    WITH a AS ({freq.sql_cms_build_cte(
+        "SELECT CAST(user_id AS VARCHAR) AS key FROM events"
+        " WHERE event_type = 'click'")}
+    ), b AS ({freq.sql_cms_build_cte(
+        "SELECT CAST(user_id AS VARCHAR) AS key FROM events"
+        " WHERE event_type = 'purchase'")}
+    ), dots AS (
+      SELECT a.row, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+      FROM a JOIN b ON a.row = b.row AND a.bucket = b.bucket
+      GROUP BY a.row
+    ), est AS (
+      SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM dots
+    ), exact AS (
+      SELECT CAST(sum(nc * np) AS BIGINT) AS exact_pairs FROM (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+      )
+    )
+    SELECT est.est_pairs, exact.exact_pairs,
+           CAST(est.est_pairs - exact.exact_pairs AS BIGINT)
+             AS overestimate,
+           {sql_fround('est.est_pairs * 1.0 / exact.exact_pairs', 4)}
+             AS ratio
+    FROM est, exact
+    """,
+    doc="join-cardinality estimation by count-min inner product: the "
+    "click x purchase per-user join size (the attribution join's "
+    "blowup) from two 4x256 sketches alone — est >= exact is "
+    "structural (one-sided error), gated alongside the exact count "
+    "so the estimator's overshoot itself is hash-checked. Scale: "
+    "each side collapses to <= d*w cells however large the input; "
+    "the dot product touches 2*d*w rows — the planning primitive "
+    "for salting/broadcast decisions without running the join.",
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_raw(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    a = freq.cms_build(
+        e.where(F.col("event_type") == "click").select(key.alias("key")), "key"
+    )
+    b = freq.cms_build(
+        e.where(F.col("event_type") == "purchase").select(key.alias("key")),
+        "key",
+    )
+    dots = (
+        a.join(b.withColumnRenamed("cnt", "cntb"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cntb")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_pairs"))
+    exact = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "nc"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .agg(F.sum(F.col("nc") * F.col("np")).cast("long").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_pairs",
+        "exact_pairs",
+        (F.col("est_pairs") - F.col("exact_pairs"))
+        .cast("long")
+        .alias("overestimate"),
+        fround(F.col("est_pairs") * 1.0 / F.col("exact_pairs"), 4).alias(
+            "ratio"
+        ),
+    )
+
+
+# ------------------------------------------------- rolling-median anomalies
+# Time-series anomaly detection over a robust rolling baseline: a day
+# is anomalous when its total exceeds 1.3x the trailing 7-day median
+# (doubled fixed-point ints — with med2 = 2*median the test
+# daily > 1.3*median is exactly 20*vm > 13*med2, never touching a
+# float; the first 7 days have no baseline and are skipped).
+@query(
+    "q_anomaly_days",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vm
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, day, vm,
+             CAST(2 * median(vm) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS med2
+      FROM daily
+    )
+    SELECT event_type, day,
+           {sql_fround('vm / 1000000.0', 4)} AS daily_total,
+           {sql_fround('med2 / 2000000.0', 4)} AS baseline_median,
+           {sql_fround('2.0 * vm / med2', 4)} AS ratio
+    FROM base WHERE med2 IS NOT NULL AND 20 * vm > 13 * med2
+    """,
+    doc="rolling robust anomaly detection: flag days whose per-type "
+    "total exceeds 1.3x the trailing 7-day median — the alerting "
+    "primitive that survives the outliers a rolling MEAN baseline "
+    "absorbs. Exact integer daily sums, window median on ints "
+    "(doubled to stay integral), threshold compared in integers. "
+    "Scale: one (type, day) aggregate — bounded rows — then a "
+    "7-row-frame window per series; at 100 TB the daily rollup is "
+    "the only data-sized pass.",
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("vm").cast("long").alias("vm")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    base = daily.withColumn(
+        "med2", (2 * F.percentile("vm", F.lit(0.5)).over(w)).cast("long")
+    )
+    return base.where(
+        F.col("med2").isNotNull() & (20 * F.col("vm") > 13 * F.col("med2"))
+    ).select(
+        "event_type",
+        "day",
+        fround(F.col("vm") / 1000000.0, 4).alias("daily_total"),
+        fround(F.col("med2") / 2000000.0, 4).alias("baseline_median"),
+        fround(2.0 * F.col("vm") / F.col("med2"), 4).alias("ratio"),
+    )

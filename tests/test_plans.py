@@ -454,3 +454,13 @@ class TestRound7ClosingPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan
+
+    def test_cms_join_size_bounded_sketches(self, spark):
+        plan = _plan(spark, "q_cms_join_size")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_anomaly_days_single_rollup_pass(self, spark):
+        plan = _plan(spark, "q_anomaly_days")
+        assert "Join" not in plan  # rollup -> window, no joins at all
+        assert "Python" not in plan

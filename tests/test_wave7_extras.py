@@ -454,3 +454,44 @@ class TestDecayScore:
         assert [(r.user_id, r.score_micro) for r in got] == [
             (int(u), int(s)) for u, s in expect_top
         ]
+
+
+class TestCmsJoinSize:
+    def test_one_sided_error_and_tightness(self, spark):
+        r = _q("q_cms_join_size")(spark, SF_SMALL).collect()[0]
+        assert r.exact_pairs > 0
+        assert r.est_pairs >= r.exact_pairs  # CMS inner product: one-sided
+        assert r.overestimate == r.est_pairs - r.exact_pairs
+        # 150 users in 256 buckets: collisions exist but the min over
+        # 4 rows keeps the estimate within ~2x on this fixture
+        assert r.ratio < 2.0, r
+
+
+class TestAnomalyDays:
+    def test_flags_match_pandas_rolling_median(self, spark):
+        import math
+
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+        ev["vm"] = (ev["value"] * 1_000_000 + 0.5).apply(math.floor)
+        ev["day"] = pd.to_datetime(ev["ts"]).dt.normalize()
+        daily = (
+            ev.groupby(["event_type", "day"])["vm"].sum().reset_index()
+        )
+        expect = set()
+        for t, grp in daily.groupby("event_type"):
+            grp = grp.sort_values("day").reset_index(drop=True)
+            for i in range(len(grp)):
+                window = grp["vm"][max(0, i - 7): i]
+                if len(window) == 0:
+                    continue
+                med2 = int(2 * window.median())
+                if 20 * grp["vm"][i] > 13 * med2:
+                    expect.add((t, grp["day"][i].date()))
+        got = {
+            (r.event_type, r.day)
+            for r in _q("q_anomaly_days")(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+        assert got  # threshold actually fires on the fixture
