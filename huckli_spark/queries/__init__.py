@@ -137,7 +137,8 @@ _GATE_PRIORITY: list[str] = [
 # q_segment_dedup, q_pmi_cooccur, q_hll_registers, q_attribution,
 # q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
 # q_pca_power, q_winsorize, q_label_prop, q_stream_dq,
-# q_decay_score, q_cms_join_size, q_anomaly_days.
+# q_decay_score, q_cms_join_size, q_anomaly_days,
+# q_rfm_segments, q_ship_lag.
 
 
 def all_queries() -> dict[str, QuerySpec]:

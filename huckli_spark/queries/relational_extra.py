@@ -755,3 +755,143 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+# ----------------------------------------------------------- RFM segments
+# Classic recency/frequency/monetary customer segmentation: per-metric
+# quintiles via ntile(5) over a TOTAL order (metric + custkey
+# tiebreak, so bucket boundaries are engine-portable), then a
+# rule-based segment label. Monetary sums in exact cents.
+@query(
+    "q_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_order ASC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents ASC, custkey) AS m_score
+      FROM base
+    )
+    SELECT custkey,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary "
+    "quintiles (ntile over metric + custkey — a total order, so the "
+    "count-balanced bucket boundaries are engine-portable) and a "
+    "rule-based segment label per customer — the lifecycle-marketing "
+    "primitive. Monetary is exact integer cents. Scale: one custkey "
+    "aggregate; the three ntiles are global sorts over the CUSTOMER "
+    "relation (orders-of-magnitude smaller than the fact table; at "
+    "100 TB swap for approx-quantile cut points with a documented "
+    "tolerance).",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.asc("last_order"), F.asc("custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
+    m = F.ntile(5).over(
+        Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
+    )
+    scored = base.select(
+        "custkey",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+# ------------------------------------------------------- ship-lag histogram
+# Order-to-ship lag distribution per order priority: join + datediff +
+# clamped yearly buckets. (The fixture's dates are independent, so the
+# lag spans +/-7 years — the HISTOGRAM mechanics, bucket clamping and
+# exact integer day-sums are the point, not logistics realism.)
+@query(
+    "q_ship_lag",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(greatest(least(
+             CAST(floor(datediff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) / 365.0)
+                  AS BIGINT), 7), -7) AS BIGINT) AS lag_years,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_fround(
+               "CAST(sum(datediff('day', CAST(o.o_orderdate AS DATE),"
+               " CAST(l.l_shipdate AS DATE))) AS DOUBLE) / count(*)", 4
+           )} AS avg_lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="order-to-ship lag histogram per order priority (clamped "
+    "yearly buckets, exact integer day sums — floor(x/365.0) on both "
+    "engines, because DuckDB's integer // truncates toward zero "
+    "while Spark floors, which splits the negative-lag buckets). Scale: one equi-join shuffle on orderkey (orders side "
+    "broadcastable at fixture scale, bucketed co-location at 100 TB) "
+    "+ one bounded (priority x bucket) aggregate.",
+)
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    lag = F.datediff(F.col("ship"), F.col("od"))
+    bucket = F.greatest(
+        F.least(F.floor(lag / 365).cast("long"), F.lit(7)), F.lit(-7)
+    )
+    return (
+        j.select("o_orderpriority", lag.alias("lag"), bucket.alias("lag_years"))
+        .groupBy("o_orderpriority", "lag_years")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            fround(
+                F.sum("lag").cast("double") / F.count("*"), 4
+            ).alias("avg_lag_days"),
+        )
+    )

@@ -464,3 +464,13 @@ class TestRound7ClosingPlans:
         plan = _plan(spark, "q_anomaly_days")
         assert "Join" not in plan  # rollup -> window, no joins at all
         assert "Python" not in plan
+
+    def test_ship_lag_orders_broadcast(self, spark):
+        plan = _plan(spark, "q_ship_lag")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+
+    def test_rfm_single_customer_aggregate(self, spark):
+        plan = _plan(spark, "q_rfm_segments")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan

@@ -495,3 +495,35 @@ class TestAnomalyDays:
         }
         assert got == expect
         assert got  # threshold actually fires on the fixture
+
+
+class TestRfmSegments:
+    def test_quintiles_balanced_and_rules_applied(self, spark):
+        rows = _q("q_rfm_segments")(spark, SF_SMALL).collect()
+        n = len(rows)
+        assert n == 150  # customers at sf0.001
+        from collections import Counter
+
+        for col in ("r_score", "f_score", "m_score"):
+            c = Counter(getattr(r, col) for r in rows)
+            assert set(c) == {1, 2, 3, 4, 5}
+            assert max(c.values()) - min(c.values()) <= 1  # ntile balance
+        for r in rows:
+            if r.segment == "champion":
+                assert r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4
+            if r.segment == "hibernating":
+                assert r.r_score <= 2 and r.f_score <= 2
+        assert {r.segment for r in rows} >= {"champion", "hibernating"}
+
+
+class TestShipLag:
+    def test_buckets_clamped_and_counts_conserve(self, spark):
+        import duckdb
+
+        rows = _q("q_ship_lag")(spark, SF_SMALL).collect()
+        assert all(-7 <= r.lag_years <= 7 for r in rows)
+        total = sum(r.n_lines for r in rows)
+        n_li = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_SMALL}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert total == n_li  # every line lands in exactly one bucket
