@@ -578,6 +578,30 @@ def graph_probe(scales, repeats: int) -> dict:
             runs["id_oriented"]["out_rows"]
             == runs["degree_oriented"]["out_rows"]
         ), runs
+        # round-7 additions: iterative per-vertex ops on the same
+        # skewed graph — LPA (count shuffle + top-1 window per round)
+        # and multi-source BFS from the 5 hub ids (frontier joins)
+        from huckli_spark.operators.graph import bfs_layers, label_propagation
+
+        runs["label_prop"] = _run(
+            spark,
+            "label_prop",
+            lambda: label_propagation(edges, iterations=4)
+            .agg(F.count("*"), F.count_distinct("label"))
+            .collect()[0][0],
+            repeats,
+            None,
+        )
+        hub_seeds = spark.createDataFrame(
+            [(h * 3943 + 2500,) for h in range(5)], "v: long"
+        )
+        runs["bfs_hubs"] = _run(
+            spark,
+            "bfs_hubs",
+            lambda: bfs_layers(edges, hub_seeds, hops=3).count(),
+            repeats,
+            None,
+        )
         results["scales"][str(scale)] = {
             "n_edges": n_edges,
             "max_degree": top_deg,
