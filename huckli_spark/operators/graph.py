@@ -308,8 +308,14 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, hops: int = 4) -> DataFrame:
     otherwise deepens linearly with hop count. For billion-edge
     graphs the frontier stays a fraction of |V| and the anti-join
     shuffles on the vertex key only."""
-    und = edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
-        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    # cut the edge relation's lineage ONCE: every round joins against
+    # und, and an un-cut lineage re-executes the caller's edge
+    # derivation (often an expensive self-join) once per round —
+    # measured 6.2 -> 2.9 s at sf0.1 on the co-supply graph
+    und = (
+        edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionAll(edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .localCheckpoint()
     )
     visited = seeds.select("v", F.lit(0).alias("hop")).localCheckpoint()
     frontier = visited.select("v")
