@@ -178,6 +178,40 @@ def _scaled_events(spark: SparkSession, base: DataFrame, scale: int) -> str:
     return os.path.dirname(path)
 
 
+def _hll_users(spark: SparkSession, ev_dir: str) -> int:
+    """q_hll_registers' register-build shape over the scaled events'
+    user_id (the fixture query keys on lineitem; the scaled relation
+    here is events, so the probe re-derives the same dataflow)."""
+    ev = spark.read.parquet(f"{ev_dir}/events.parquet")
+    hx = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    stripped = F.expr("trim(LEADING '0' FROM substring(hx, 3, 13))")
+    first = F.substring(stripped, 1, 1)
+    rho = (
+        F.when(stripped == "", F.lit(53))
+        .otherwise(
+            (13 - F.length(stripped)) * 4
+            + F.when(first.isin(*"89abcdef"), 0)
+            .when(first.isin(*"4567"), 1)
+            .when(first.isin("2", "3"), 2)
+            .otherwise(3)
+            + 1
+        )
+    )
+    regs = (
+        ev.select("event_type", hx.alias("hx"))
+        .select(
+            "event_type",
+            (F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % 64).alias(
+                "bucket"
+            ),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    return regs.count()
+
+
 BM25_PROBE_TERMS = ["spark", "join", "filter"]
 
 
@@ -363,6 +397,30 @@ def probe(scales, repeats: int, only=None) -> dict:
             spark,
             "event_transitions",
             lambda: _q["q_event_transitions"].build(spark, ev_dir).count(),
+            repeats,
+            only,
+        )
+        runs["pca_power"] = _run(
+            spark,
+            "pca_power",
+            # the corpus-touched-once claim: the covariance aggregate
+            # scales with rows, the 8 squaring rounds run on the d^2
+            # relation regardless — wall should barely move; embeddings
+            # dir doubles as a fixture dir for the registry query
+            lambda: _q["q_pca_power"]
+            .build(spark, os.path.dirname(epath))
+            .agg(F.sum(F.abs(F.col("loading_micro"))))
+            .collect()[0][0],
+            repeats,
+            only,
+        )
+        runs["hll_user_registers"] = _run(
+            spark,
+            "hll_user_registers",
+            # bounded-sketch claim: register relation <= groups x 64
+            # rows at ANY input size (here: distinct user cardinality
+            # grows 10x, the shuffle does not)
+            lambda: _hll_users(spark, ev_dir),
             repeats,
             only,
         )
