@@ -138,7 +138,7 @@ _GATE_PRIORITY: list[str] = [
 # q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
 # q_pca_power, q_winsorize, q_label_prop, q_stream_dq,
 # q_decay_score, q_cms_join_size, q_anomaly_days,
-# q_rfm_segments, q_ship_lag.
+# q_rfm_segments, q_ship_lag, q_stream_leaderboard.
 
 
 def all_queries() -> dict[str, QuerySpec]:

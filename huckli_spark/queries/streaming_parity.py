@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from huckli_spark.functions.portable import sql_fround
+from huckli_spark.functions.portable import fround, sql_fround
 from huckli_spark.operators.retrieval import sql_bm25
 from huckli_spark.queries import query
 from huckli_spark.session import load_table as _t
@@ -636,3 +636,57 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_user"),
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "q_stream_leaderboard",
+    f"""
+    WITH agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_vm
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, n_events, total_vm,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk
+      FROM agg
+    )
+    SELECT user_id, n_events, total_vm,
+           {sql_fround('total_vm / 1000000.0', 4)} AS total_value,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="STREAMING leaderboard: per-user running counters (count + "
+    "exact fixed-point value total) accumulate as a complete-mode "
+    "streaming aggregate — state bounded by |users| rows however "
+    "long the stream runs — drained availableNow; the top-10 rank "
+    "is applied to the drained state as the batch serving step (the "
+    "dashboard split: the stream maintains counters, the read path "
+    "ranks). Hash-matched to the batch oracle end to end.",
+)
+def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        stage_table_stream,
+    )
+
+    stream_dir = stage_table_stream(sf_dir, "events")
+    ev = events_stream(spark, stream_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("total_vm"),
+    )
+    drained = run_to_memory(agg, "complete")
+    wr = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        drained.withColumn("total_value", fround(F.col("total_vm") / 1000000.0, 4))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "n_events", "total_vm", "total_value", "rank")
+    )
