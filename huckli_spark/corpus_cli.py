@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("tokenize", help="train BPE merges + tokenize")
     common(s)
     s.add_argument("--merges", type=int, default=32)
+
+    s = sub.add_parser(
+        "export", help="sharded corpus export + checksummed MANIFEST.json"
+    )
+    common(s)
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument(
+        "--out-format", choices=["jsonl", "parquet"], default="jsonl"
+    )
     return p
 
 
@@ -132,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
         summary |= {"docs_in": n_in, "docs_kept": n_out,
                     "removed": n_in - n_out, "method": args.method}
 
+    elif args.cmd == "export":
+        summary |= _export(spark, docs, args.out, args.shards, args.out_format)
+
     elif args.cmd == "pack":
         from huckli_spark.operators.packing import pack_sequences
 
@@ -185,3 +197,89 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
+    """Deterministic sharded export with a checksummed manifest — the
+    corpus-shipping step after prep: consumers verify shard integrity
+    from MANIFEST.json without trusting the transport.
+
+    Sharding is the portable hash (same as q_shard_assign), rows sort
+    by doc_id within each shard, and repartition(n, shard) pins every
+    shard to exactly one task — so each shard directory holds ONE
+    file whose bytes are identical across reruns on the same data
+    (manifest checksums are reproducible, not just descriptive).
+    Checksums are computed driver-side over the written files (IO
+    bound; at 100 TB move the hashing into a binaryFile scan +
+    mapInPandas so each executor checksums its own shards)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from huckli_spark.functions.portable import h60
+
+    data_dir = os.path.join(out, "data")
+    sharded = (
+        docs.withColumn(
+            "shard",
+            F.pmod(
+                h60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+    )
+    writer = sharded.write.mode("overwrite").partitionBy("shard")
+    if out_format == "jsonl":
+        writer.json(data_dir)
+    else:
+        writer.parquet(data_dir)
+
+    rows_per_shard = {
+        int(r["shard"]): int(r["n"])
+        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    shards = []
+    total_bytes = 0
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("shard="):
+            continue
+        sid = int(name.split("=", 1)[1])
+        d = os.path.join(data_dir, name)
+        files = sorted(
+            f for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+        for f in files:
+            fp = os.path.join(d, f)
+            h = hashlib.sha256()
+            with open(fp, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            size = os.path.getsize(fp)
+            total_bytes += size
+            shards.append(
+                {
+                    "shard": sid,
+                    "file": os.path.join(name, f),
+                    "bytes": size,
+                    "rows": rows_per_shard.get(sid, 0),
+                    "sha256": h.hexdigest(),
+                }
+            )
+    manifest = {
+        "format": out_format,
+        "n_shards": n_shards,
+        "total_rows": sum(rows_per_shard.values()),
+        "total_bytes": total_bytes,
+        "shards": shards,
+    }
+    with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return {
+        "docs": manifest["total_rows"],
+        "shards_written": len(shards),
+        "bytes": total_bytes,
+        "manifest": os.path.join(out, "MANIFEST.json"),
+    }

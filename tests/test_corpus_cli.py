@@ -91,3 +91,58 @@ class TestCorpusCli:
         assert s["merges"] == 6 and s["words"] > 0 and s["tokens"] > 0
         merges = json.load(open(os.path.join(tok, "merges.json")))
         assert len(merges) == 6 and all(len(m) == 2 for m in merges)
+
+
+class TestExport:
+    def test_manifest_checksums_and_determinism(
+        self, spark, tmp_path, jsonl_corpus, capsys
+    ):
+        import hashlib
+
+        out = str(tmp_path / "exported")
+        rc = main(
+            [
+                "export", "--in", jsonl_corpus, "--format", "jsonl",
+                "--out", out, "--shards", "4",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        man = json.load(open(os.path.join(out, "MANIFEST.json")))
+        assert summary["docs"] == man["total_rows"] == 4
+        assert sum(s["rows"] for s in man["shards"]) >= man["total_rows"]
+        # every checksum verifies against the actual bytes
+        for sh in man["shards"]:
+            fp = os.path.join(out, "data", sh["file"])
+            h = hashlib.sha256(open(fp, "rb").read()).hexdigest()
+            assert h == sh["sha256"], sh
+            assert os.path.getsize(fp) == sh["bytes"]
+        # re-export on the same data reproduces the manifest EXACTLY
+        out2 = str(tmp_path / "exported2")
+        assert main(
+            [
+                "export", "--in", jsonl_corpus, "--format", "jsonl",
+                "--out", out2, "--shards", "4",
+            ]
+        ) == 0
+        man2 = json.load(open(os.path.join(out2, "MANIFEST.json")))
+        assert [s["sha256"] for s in man["shards"]] == [
+            s["sha256"] for s in man2["shards"]
+        ]
+
+    def test_jsonl_shards_readable_and_complete(
+        self, spark, tmp_path, jsonl_corpus, capsys
+    ):
+        out = str(tmp_path / "exp")
+        assert main(
+            [
+                "export", "--in", jsonl_corpus, "--format", "jsonl",
+                "--out", out, "--shards", "2",
+            ]
+        ) == 0
+        man = json.load(open(os.path.join(out, "MANIFEST.json")))
+        seen = set()
+        for sh in man["shards"]:
+            for line in open(os.path.join(out, "data", sh["file"])):
+                seen.add(json.loads(line)["doc_id"])
+        assert seen == {0, 1, 2, 3}
