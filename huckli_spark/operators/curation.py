@@ -1,0 +1,326 @@
+"""Corpus-curation operators from the published LLM-data literature.
+
+Two selection methods a large-scale training-data pipeline runs after
+the syntactic dedup / quality passes already in this repo:
+
+* **SemDeDup** (Abbas et al. 2023, arXiv:2303.09540) — semantic
+  deduplication: k-means-cluster the document embeddings, then compare
+  cosine similarity only *within* each cluster and drop all but one
+  member of every near-duplicate group. The clustering bounds the
+  pairwise stage to O(sum cluster_size^2) instead of O(n^2) — at web
+  scale the paper uses ~100k clusters so each cluster holds ~1k docs
+  and the quadratic term stays flat per cluster.
+
+* **DSIR** (Xie et al. 2023, arXiv:2302.03169) — data selection via
+  importance resampling on hashed n-gram features: build bag-of-ngram
+  (unigram+bigram) distributions for a small *target* corpus and the
+  full *raw* corpus over B hash buckets, score every raw document by
+  sum(count_b * log(p_target[b] / p_raw[b])), and keep the top-scoring
+  documents. Both distributions are B-sized (B=256 here), so the whole
+  scorer is one explode + two B-sized aggregates + one broadcast join.
+
+Both follow this repo's exact-fixed-point portability discipline
+(see ``operators/clustering.py``, ``queries/governance.py``): every
+float that crosses an aggregation boundary is floored to a micro-unit
+BIGINT first, so per-doc sums are exact integer arithmetic and the
+DuckDB oracles replay bit-identically on any partitioning.
+
+Reference parity note: the reference engine (huckli — 2,445 LoC of
+Rust ingest/schema code, /root/reference/huckli-import/src) has no
+curation layer; these operators extend the LLM-pipeline surface the
+project brief mandates beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from huckli_spark.functions.portable import fround, h60
+from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
+from huckli_spark.operators.simsearch import cosine
+
+DSIR_BUCKETS = 256
+MICRO = 1_000_000
+
+
+def _micro(col: F.Column) -> F.Column:
+    """floor(x * 1e6 + 0.5) as BIGINT — the portable fixed-point cast
+    (identical for negative values in Spark and DuckDB: both floor)."""
+    return F.floor(col * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-dedup keep/drop decisions: (id, cid, is_dup).
+
+    A vector is a duplicate iff some *lower-id* vector in the SAME
+    k-means cluster has portably-rounded cosine similarity >= ``tau``
+    (pairwise SemDeDup with lowest-id-wins representative selection —
+    deterministic on any engine; the paper keeps the member farthest
+    from the centroid, an arbitrary-but-fixed choice we replace with
+    an id tiebreak so the oracle can replay it).
+
+    Scale: ``kmeans_fit`` is the exact fixed-point trainer (map-only
+    assignment, one map-combined groupBy per iteration; driver holds
+    k*dim cells). The pairwise stage self-joins on ``cid`` only, so
+    shuffle and compare cost are bounded by the largest cluster, not
+    the corpus: at 100 TB you raise k until clusters are ~1k docs
+    (the paper's operating point) and the per-cluster quadratic term
+    is constant. Skewed (giant) clusters are the hazard — mitigate by
+    raising k or re-clustering oversized clusters; the cluster-size
+    histogram from ``kmeans_table`` is the monitor.
+    """
+    cents = kmeans_fit(emb, k, iterations, id_col, vec_col)
+    assign = kmeans_assign(emb, cents, id_col, vec_col)  # (id, cid)
+    v = emb.select(F.col(id_col), F.col(vec_col))
+    membered = assign.join(v, id_col)
+    a = membered.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cid"),
+        F.col(vec_col).alias("__ea"),
+    )
+    b = membered.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cid"),
+        F.col(vec_col).alias("__eb"),
+    )
+    # within-cluster ordered pairs; a is the lower (surviving) side
+    pairs = a.join(b, "cid").where(F.col("__ida") < F.col("__idb"))
+    sim = fround(cosine("__ea", "__eb"), 6)
+    dups = (
+        pairs.where(sim >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def sql_semdedup(k: int = 8, iterations: int = 2, tau: float = 0.45) -> str:
+    """DuckDB oracle: replays the fixed-point k-means training
+    (``sql_kmeans_ctes``), the exact-integer final assignment, and the
+    within-cluster cosine pass with the same fround(…, 6) threshold."""
+    from huckli_spark.functions.portable import sql_fround
+    from huckli_spark.operators.clustering import sql_kmeans_ctes
+
+    last = f"c{iterations}"
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return f"""
+    WITH {sql_kmeans_ctes(k, iterations)},
+    fd AS (
+      SELECT vm.vec_id, {last}.cid,
+             sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
+      FROM vm JOIN {last} ON {last}.dim = vm.dim
+      GROUP BY 1, 2
+    ), fa AS (
+      SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+        SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+        FROM fd
+      ) WHERE d = md GROUP BY vec_id
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), m AS (
+      SELECT fa.vec_id, fa.cid, v.e FROM fa JOIN v USING (vec_id)
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {sql_fround(cos, 6)} >= {tau}
+    )
+    SELECT m.vec_id, m.cid,
+           (m.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+    FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+def _feature_col(words: str) -> F.Column:
+    """unigram + bigram feature strings for a split-word array column:
+    'u:w' for every word, 'b:w1 w2' for every adjacent pair."""
+    uni = f"transform({words}, x -> concat('u:', x))"
+    big = (
+        f"transform(sequence(1, size({words}) - 1),"
+        f" i -> concat('b:', element_at({words}, i), ' ',"
+        f" element_at({words}, i + 1)))"
+    )
+    return F.expr(
+        f"concat({uni}, CASE WHEN size({words}) >= 2 THEN {big}"
+        f" ELSE array() END)"
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: F.Column,
+    buckets: int = DSIR_BUCKETS,
+    keep: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights + top-``keep`` selection:
+    (doc_id, n_feats, w_micro, selected).
+
+    ``target`` is a boolean column over ``docs`` marking the target
+    (quality-proxy) subset. Weights are exact integers: the per-bucket
+    log ratio ln((tc+1)/(tt+B)) - ln((rc+1)/(rt+B)) floors to
+    micro-nats once, then per-doc weights are integer dot products of
+    (bucket count x micro log-ratio) — partition-order free.
+
+    Scale: one explode over the corpus, ONE map-combined groupBy down
+    to B=256 bucket rows (conditional sums fold target and raw counts
+    in the same pass), a broadcast of those 256 rows back onto the
+    per-doc feature counts, and a broadcast scalar threshold from a
+    TakeOrdered top-``keep`` (per-partition top-k + driver merge — no
+    global sort shuffle). The corpus is scanned twice (features,
+    scoring join) and never reshuffled on a data-sized key. At 100 TB
+    ``keep`` becomes a weight-quantile threshold; the rest is
+    unchanged.
+    """
+    base = docs.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.split(F.col(text_col), " ").alias("__w"),
+    )
+    feats = (
+        base.select(
+            F.col(id_col),
+            F.col("__is_t"),
+            F.explode(_feature_col("__w")).alias("__f"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__is_t"),
+            (h60(F.col("__f")) % F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    byb = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("__is_t"), F.col("cnt")).otherwise(0)).alias("tc"),
+    )
+    totals = byb.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    )
+    lr = (
+        byb.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            _micro(
+                F.log((F.col("tc") + 1.0) / (F.col("tt") + F.lit(buckets)))
+                - F.log((F.col("rc") + 1.0) / (F.col("rt") + F.lit(buckets)))
+            ).alias("lr_micro"),
+        )
+    )
+    weights = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("long").alias(
+                "w_micro"
+            ),
+        )
+    )
+    # threshold = last row of the (w desc, id asc) top-`keep` prefix:
+    # TakeOrderedAndProject in both directions, never a full sort.
+    thr = (
+        weights.orderBy(F.desc("w_micro"), F.asc(id_col))
+        .limit(keep)
+        .orderBy(F.asc("w_micro"), F.desc(id_col))
+        .limit(1)
+        .select(
+            F.col("w_micro").alias("__tw"), F.col(id_col).alias("__tid")
+        )
+    )
+    return weights.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        "n_feats",
+        "w_micro",
+        (
+            (F.col("w_micro") > F.col("__tw"))
+            | (
+                (F.col("w_micro") == F.col("__tw"))
+                & (F.col(id_col) <= F.col("__tid"))
+            )
+        ).alias("selected"),
+    )
+
+
+def sql_dsir_select(
+    target_pred: str, buckets: int = DSIR_BUCKETS, keep: int = 100
+) -> str:
+    """DuckDB oracle twin of dsir_select over ``documents`` with
+    ``target_pred`` as the SQL target predicate."""
+    from huckli_spark.functions.portable import sql_h60
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({target_pred}) AS is_t,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), fstr AS (
+      SELECT doc_id, is_t, unnest(
+        list_concat(
+          list_transform(w, x -> 'u:' || x),
+          CASE WHEN len(w) >= 2 THEN
+            list_transform(range(1, len(w)), i -> 'b:' || w[i] || ' ' || w[i + 1])
+          ELSE [] END
+        )
+      ) AS f
+      FROM base
+    ), feats AS (
+      SELECT doc_id, is_t, {sql_h60('f')} % {buckets} AS bucket,
+             count(*) AS cnt
+      FROM fstr GROUP BY 1, 2, 3
+    ), byb AS (
+      SELECT bucket, sum(cnt) AS rc,
+             sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS tc
+      FROM feats GROUP BY 1
+    ), totals AS (
+      SELECT sum(rc) AS rt, sum(tc) AS tt FROM byb
+    ), lr AS (
+      SELECT bucket,
+             CAST(floor((ln((tc + 1.0) / (tt + {buckets}))
+                         - ln((rc + 1.0) / (rt + {buckets})))
+                        * 1000000 + 0.5) AS BIGINT) AS lr_micro
+      FROM byb CROSS JOIN totals
+    ), weights AS (
+      SELECT feats.doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_feats,
+             CAST(sum(cnt * lr_micro) AS BIGINT) AS w_micro
+      FROM feats JOIN lr USING (bucket)
+      GROUP BY 1
+    ), thr AS (
+      SELECT w_micro AS tw, doc_id AS tid FROM (
+        SELECT doc_id, w_micro FROM weights
+        ORDER BY w_micro DESC, doc_id ASC LIMIT {keep}
+      ) ORDER BY w_micro ASC, doc_id DESC LIMIT 1
+    )
+    SELECT doc_id, n_feats, w_micro,
+           (w_micro > thr.tw
+            OR (w_micro = thr.tw AND doc_id <= thr.tid)) AS selected
+    FROM weights CROSS JOIN thr
+    """

@@ -138,7 +138,8 @@ _GATE_PRIORITY: list[str] = [
 # q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
 # q_pca_power, q_winsorize, q_label_prop, q_stream_dq,
 # q_decay_score, q_cms_join_size, q_anomaly_days,
-# q_rfm_segments, q_ship_lag, q_stream_leaderboard.
+# q_rfm_segments, q_ship_lag, q_stream_leaderboard, q_semdedup,
+# q_dsir_select.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -156,6 +157,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from huckli_spark.queries import analytics_extras  # noqa: F401
     from huckli_spark.queries import retrieval  # noqa: F401
     from huckli_spark.queries import warehouse_ops  # noqa: F401
+    from huckli_spark.queries import curation  # noqa: F401
 
     front = [n for n in _GATE_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]

@@ -1,0 +1,78 @@
+"""Curation parity queries: semantic dedup (SemDeDup) and importance
+resampling (DSIR) — the embedding-level and distribution-level
+selection passes of an LLM training-data pipeline, downstream of the
+syntactic dedup / quality signals elsewhere in this registry.
+
+Both oracles replay the full computation relationally in DuckDB:
+``q_semdedup`` re-trains the exact fixed-point k-means (the same CTE
+chain the q_kmeans / trained-IVF gates use) before the within-cluster
+cosine pass, and ``q_dsir_select`` rebuilds the hashed-ngram
+distributions from the portable 60-bit md5 hash. See
+``operators/curation.py`` for the papers and the 100 TB notes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.curation import (
+    dsir_select,
+    semdedup,
+    sql_dsir_select,
+    sql_semdedup,
+)
+from huckli_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_TAU = 0.45  # fixture similarity ceiling ~0.51 (see q_dedup_embed_cosine)
+
+
+@query(
+    "q_semdedup",
+    sql_semdedup(k=8, iterations=2, tau=_TAU),
+    doc="SemDeDup (arXiv:2303.09540): exact fixed-point k-means "
+    "clusters the embeddings, then cosine near-dup detection runs "
+    "only within clusters — the pairwise stage is bounded by the "
+    "largest cluster, never O(n^2) on the corpus. Output is one "
+    "keep/drop row per vector (vec_id, cid, is_dup); a vector is a "
+    "dup iff a lower-id same-cluster member has fround(cos,6) >= "
+    f"{_TAU}. The oracle replays the whole chain: training "
+    "iterations, integer argmin assignment, pair scan. Scale: "
+    "training is map-only + k*dim driver cells; the self-join "
+    "shuffles on cid only, so raising k (paper: ~100k clusters at "
+    "web scale) keeps per-cluster work constant.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(_emb(spark, sf_dir), k=8, iterations=2, tau=_TAU)
+
+
+_DSIR_TARGET = F.col("lang") == "en"
+_DSIR_TARGET_SQL = "lang = 'en'"
+
+
+@query(
+    "q_dsir_select",
+    sql_dsir_select(_DSIR_TARGET_SQL, keep=100),
+    doc="DSIR (arXiv:2302.03169): hashed-ngram importance resampling. "
+    "Unigram+bigram features hash (portable 60-bit md5) into 256 "
+    "buckets; target (lang='en') vs raw bucket distributions give "
+    "per-bucket log ratios floored to micro-nats; per-doc weights "
+    "are exact integer dot products; the top-100 (weight desc, "
+    "doc_id asc) are selected via a broadcast scalar threshold. "
+    "Scale: one corpus explode, ONE 256-row conditional-sum groupBy, "
+    "a 256-row broadcast back, and a TakeOrdered threshold — the "
+    "corpus never shuffles on a data-sized key.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(_docs(spark, sf_dir), _DSIR_TARGET, keep=100)

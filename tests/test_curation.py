@@ -1,0 +1,159 @@
+"""Curation operator tests: SemDeDup keep/drop semantics and DSIR
+importance-weight behavior on hand-built corpora. Cross-engine value
+parity is covered by the gate queries (q_semdedup / q_dsir_select)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.curation import dsir_select, semdedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+
+
+class TestSemDeDup:
+    def test_exact_duplicates_keep_lowest_id(self, spark):
+        # two identical pairs + two singletons, two well-separated blobs
+        out = {
+            r["vec_id"]: r["is_dup"]
+            for r in semdedup(
+                _emb(
+                    spark,
+                    [
+                        [1.0, 0.0, 0.0, 0.0],
+                        [1.0, 0.0, 0.0, 0.0],  # dup of 0
+                        [0.0, 1.0, 0.0, 0.0],
+                        [0.0, 1.0, 0.0, 0.0],  # dup of 2
+                        [0.0, 0.0, 1.0, 0.0],
+                        [0.0, 0.0, 0.0, 1.0],
+                    ],
+                ),
+                k=2,
+                iterations=2,
+                tau=0.99,
+            ).collect()
+        }
+        assert out[0] is False and out[1] is True
+        assert out[2] is False and out[3] is True
+        assert out[4] is False and out[5] is False
+
+    def test_cross_cluster_near_dups_not_compared(self, spark):
+        # vectors 0 and 1 are identical, but k-means with k=2 on this
+        # layout puts them in different clusters only if they separate;
+        # here they CANNOT separate (identical), so they land together
+        # and are flagged. The orthogonal blob must never be flagged.
+        e = _emb(
+            spark,
+            [
+                [1.0, 0.0],
+                [1.0, 0.0],
+                [0.0, 1.0],
+                [0.0, 1.0],
+                [0.0, 1.0],
+            ],
+        )
+        out = semdedup(e, k=2, iterations=2, tau=0.999)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        # identical vectors share a cluster by construction
+        assert rows[0]["cid"] == rows[1]["cid"]
+        assert rows[1]["is_dup"] is True
+        # within the second blob the two higher ids dup against id 2
+        assert rows[2]["is_dup"] is False
+        assert rows[3]["is_dup"] is True and rows[4]["is_dup"] is True
+
+    def test_threshold_boundary(self, spark):
+        # cos([4,3],[3,4]) = 24/25 = 0.96 exactly; tau at the value
+        # flags (>= semantics), tau just above does not
+        e = _emb(spark, [[4.0, 3.0], [3.0, 4.0]])
+        flagged = semdedup(e, k=1, iterations=1, tau=0.96)
+        assert flagged.where("is_dup").count() == 1
+        strict = semdedup(e, k=1, iterations=1, tau=0.960001)
+        assert strict.where("is_dup").count() == 0
+
+    def test_output_one_row_per_vector(self, spark):
+        e = _emb(spark, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]])
+        out = semdedup(e, k=2, iterations=1, tau=0.5)
+        assert out.count() == 3
+        assert out.select("vec_id").distinct().count() == 3
+
+
+class TestDSIR:
+    def test_target_like_docs_rank_higher(self, spark):
+        # target = lang 'en'; docs sharing the target's vocabulary must
+        # outscore docs sharing the background-only vocabulary
+        docs = _docs(
+            spark,
+            [
+                ("alpha beta gamma alpha beta", "en"),
+                ("alpha beta gamma gamma beta", "en"),
+                ("alpha beta delta", "xx"),  # target-like raw doc
+                ("omega psi chi phi", "xx"),  # background-only doc
+            ],
+        )
+        out = {
+            r["doc_id"]: r["w_micro"]
+            for r in dsir_select(
+                docs, F.col("lang") == "en", keep=3
+            ).collect()
+        }
+        assert out[2] > out[3]
+
+    def test_selection_is_topk_by_weight_then_id(self, spark):
+        docs = _docs(
+            spark,
+            [("alpha beta", "en")] * 2
+            + [("alpha beta", "xx")] * 3
+            + [("omega psi", "xx")] * 3,
+        )
+        out = dsir_select(docs, F.col("lang") == "en", keep=4)
+        rows = sorted(
+            (r["doc_id"], r["w_micro"], r["selected"]) for r in out.collect()
+        )
+        sel = [d for d, _, s in rows if s]
+        # the five 'alpha beta' docs tie on weight; keep=4 must take
+        # the four lowest doc_ids among them (deterministic tiebreak)
+        assert sel == [0, 1, 2, 3]
+
+    def test_weights_are_exact_integers_and_stable(self, spark):
+        docs = _docs(
+            spark,
+            [
+                ("alpha beta gamma", "en"),
+                ("delta epsilon zeta eta", "xx"),
+                ("alpha delta", "xx"),
+            ],
+        )
+        a = dsir_select(docs, F.col("lang") == "en", keep=2)
+        b = dsir_select(
+            docs.repartition(7), F.col("lang") == "en", keep=2
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_n_feats_counts_unigrams_plus_bigrams(self, spark):
+        docs = _docs(spark, [("a b c", "en")])
+        row = dsir_select(docs, F.col("lang") == "en", keep=1).collect()[0]
+        assert row["n_feats"] == 5  # 3 unigrams + 2 bigrams
+
+    def test_single_word_doc_has_no_bigrams(self, spark):
+        docs = _docs(spark, [("solo", "en"), ("a b", "xx")])
+        rows = {
+            r["doc_id"]: r["n_feats"]
+            for r in dsir_select(
+                docs, F.col("lang") == "en", keep=1
+            ).collect()
+        }
+        assert rows[0] == 1 and rows[1] == 3
