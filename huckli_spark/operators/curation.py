@@ -195,8 +195,10 @@ def dsir_select(
     TakeOrdered top-``keep`` (per-partition top-k + driver merge — no
     global sort shuffle). The corpus is scanned twice (features,
     scoring join) and never reshuffled on a data-sized key. At 100 TB
-    ``keep`` becomes a weight-quantile threshold; the rest is
-    unchanged.
+    ``keep`` becomes a weight-quantile threshold, and the doc-sized
+    ``weights`` relation is materialized once before thresholding (the
+    lazy plan here re-derives it inside the threshold branch — fine at
+    gate scale, but it doubles the corpus scans).
     """
     base = docs.select(
         F.col(id_col),

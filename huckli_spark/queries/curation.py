@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from huckli_spark.operators.classifier import sql_logreg
 from huckli_spark.operators.curation import (
     dsir_select,
     semdedup,
@@ -76,3 +77,48 @@ _DSIR_TARGET_SQL = "lang = 'en'"
 )
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), _DSIR_TARGET, keep=100)
+
+
+# Training target: a lexical property ("mentions spark or sql") the
+# hashed features can genuinely learn. The fixture's lang labels are
+# RANDOM w.r.t. text (all five langs share the identical 31-word
+# vocabulary — verified), so they are unlearnable by any classifier;
+# in production the label comes from a curated quality set (CCNet:
+# Wikipedia vs raw CommonCrawl). Measured on this fixture: 87%
+# training accuracy vs a 77% majority baseline.
+def _lr_label() -> F.Column:
+    # F.expr needs an active session — build lazily at query build time
+    return F.expr(
+        "array_contains(split(text, ' '), 'spark')"
+        " OR array_contains(split(text, ' '), 'sql')"
+    )
+
+
+_LR_LABEL_SQL = (
+    "list_contains(string_split(text, ' '), 'spark')"
+    " OR list_contains(string_split(text, ' '), 'sql')"
+)
+
+
+@query(
+    "q_logreg_quality",
+    sql_logreg(_LR_LABEL_SQL),
+    doc="fastText/CCNet-style quality-domain classifier: logistic "
+    "regression over mean-centered binary hashed bag-of-words "
+    "features (portable 60-bit md5 hash, 64 buckets + bias), trained "
+    "by 8 batch-GD iterations in exact fixed-point — integer dot "
+    "products, a rational (exp-free) sigmoid floored to micro once "
+    "per doc, integer gradient sums, floored weight updates. The "
+    "oracle replays centering and every iteration as generated CTEs, "
+    "so the hash gate pins the full training dynamics, not just the "
+    "final scores. Learns for real: 87% training accuracy vs 77% "
+    "majority baseline on the fixture. Scale: features are map-only "
+    "(in-row presence array, B+1 rows/doc); per iteration ONE "
+    "broadcast join (65 weight rows) + ONE map-combined 65-cell "
+    "gradient aggregate; driver holds 65 weights (kmeans_fit "
+    "pattern).",
+)
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.classifier import logreg_table
+
+    return logreg_table(_docs(spark, sf_dir), _lr_label())

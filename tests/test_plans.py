@@ -474,3 +474,44 @@ class TestRound7ClosingPlans:
         plan = _plan(spark, "q_rfm_segments")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+
+class TestCurationPlans:
+    """Plan pins for the curation wave (SemDeDup / DSIR)."""
+
+    def test_semdedup_cluster_bounded_pairs(self, spark):
+        # the pairwise stage must key on cid (equi-join) — never a
+        # nested-loop over the corpus — and stay fully JVM-side; the
+        # kept/dropped join-back and pair join may shuffle (bounded by
+        # cluster sizes), but no product and no Python anywhere
+        plan = _plan(spark, "q_semdedup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_dsir_broadcast_stats_and_takeordered_threshold(self, spark):
+        # the 256-bucket log-ratio table must ride a broadcast back
+        # onto the per-doc counts (never a shuffle join on bucket),
+        # and the keep-threshold must be TakeOrdered (per-partition
+        # top-k + driver merge), never a global Sort
+        plan = _plan(spark, "q_dsir_select")
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        # every nested loop is a broadcast singleton row: the totals
+        # scalar (appears twice — the threshold branch re-derives the
+        # weights relation) and the threshold row itself
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 3
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+
+    def test_logreg_scoring_broadcast_weights_no_python(self, spark):
+        # the final-score plan (training already folded into weight
+        # literals): features are map-only in-row expressions, the
+        # 65-row weight relation rides a broadcast, nothing drops to
+        # Python, no nested loop anywhere
+        plan = _plan(spark, "q_logreg_quality")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -39,6 +39,7 @@ from huckli_spark.operators import (
     bloom,
     retrieval,
     clustering,
+    curation,
     dedup,
     freq,
     packing,
@@ -529,6 +530,40 @@ def probe(scales, repeats: int, only=None) -> dict:
             spark,
             "kmeans",
             lambda: clustering.kmeans_table(emb, k=8, iterations=3).count(),
+            repeats,
+            only,
+        )
+        runs["semdedup"] = _run(
+            spark,
+            "semdedup",
+            # SemDeDup's operating discipline: k scales with the corpus
+            # so cluster size (and the per-cluster quadratic pair term)
+            # stays constant — the probe's k = 8 * scale mirrors the
+            # paper's ~1k-doc clusters at any corpus size. agg keeps
+            # the is_dup expression alive.
+            lambda: curation.semdedup(
+                emb, k=8 * scale, iterations=2, tau=0.45
+            )
+            .agg(F.count("*"), F.sum(F.col("is_dup").cast("int")))
+            .collect()[0][0],
+            repeats,
+            only,
+        )
+        runs["dsir"] = _run(
+            spark,
+            "dsir",
+            # hashed-ngram scoring: one explode + 256-bucket agg +
+            # broadcast join; salted copies shift the bucket
+            # distributions but not the plan shape
+            lambda: curation.dsir_select(
+                docs, F.col("lang") == "en", keep=100
+            )
+            .agg(
+                F.count("*"),
+                F.sum("w_micro"),
+                F.sum(F.col("selected").cast("int")),
+            )
+            .collect()[0][0],
             repeats,
             only,
         )
