@@ -218,6 +218,9 @@ def main() -> None:
         "q_label_prop",
         "q_bfs_layers",
         "q_winsorize",
+        # curation wave (semdedup/logreg are training-heavy — their
+        # walls are driver-iteration bound, measured in SCALE.md)
+        "q_dsir_select",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -293,3 +293,97 @@ def char_entropy(
             "entropy_nats"
         ),
     )
+
+
+# Gopher/MassiveText document-filter rule set (Rae et al. 2021,
+# arXiv:2112.11446 Appendix A1.1): the published thresholds, applied
+# per document. The required-stopword list is the paper's.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_words: int = GOPHER_MIN_WORDS,
+) -> DataFrame:
+    """Per-document Gopher rule verdicts: the measured signals plus
+    one boolean per published rule and the conjunction (``passes``).
+
+    Every signal is computed in-row from the split-word array (sum of
+    word lengths, alphabetic-word fraction, '#'/'...' symbol counts,
+    distinct-stopword hits) with ratios floored to micro ints once —
+    portable and partition-free. Scale: pure map stage, zero shuffle,
+    whole-stage codegen end to end; at 100 TB this is the first,
+    cheapest gate in the filter chain (run it before anything that
+    shuffles).
+    """
+    w = f"split({text_col}, ' ')"
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in stopwords) + ")"
+    sig = df.select(
+        F.col(id_col),
+        F.expr(f"size({w})").cast("bigint").alias("n_words"),
+        F.expr(f"aggregate(transform({w}, x -> length(x)), 0L, (a, x) -> a + x)")
+        .alias("__chars"),
+        F.expr(f"size(filter({w}, x -> x rlike '[a-zA-Z]'))")
+        .cast("bigint")
+        .alias("__alpha"),
+        # '#' and '…'/'...' occurrences anywhere in the text
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+            + (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+            )
+            / F.lit(3)
+        )
+        .cast("bigint")
+        .alias("__symbols"),
+        F.expr(f"size(array_intersect(array_distinct({w}), {stop_arr}))")
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    mean_len = F.floor(
+        F.col("__chars") * F.lit(1000000.0) / F.col("n_words") + F.lit(0.5)
+    ).cast("bigint")
+    alpha = F.floor(
+        F.col("__alpha") * F.lit(1000000.0) / F.col("n_words") + F.lit(0.5)
+    ).cast("bigint")
+    symr = F.floor(
+        F.col("__symbols") * F.lit(1000000.0) / F.col("n_words") + F.lit(0.5)
+    ).cast("bigint")
+    out = sig.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len_micro"),
+        alpha.alias("alpha_frac_micro"),
+        symr.alias("symbol_ratio_micro"),
+        "stop_hits",
+    )
+    r_wc = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_ml = (
+        F.col("mean_word_len_micro") >= int(GOPHER_MIN_MEAN_LEN * 1000000)
+    ) & (F.col("mean_word_len_micro") <= int(GOPHER_MAX_MEAN_LEN * 1000000))
+    r_al = F.col("alpha_frac_micro") > int(GOPHER_MIN_ALPHA_FRAC * 1000000)
+    r_sy = F.col("symbol_ratio_micro") < int(GOPHER_MAX_SYMBOL_RATIO * 1000000)
+    r_st = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return out.select(
+        "*",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_al.alias("r_alpha"),
+        r_sy.alias("r_symbol"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_ml & r_al & r_sy & r_st).alias("passes"),
+    )

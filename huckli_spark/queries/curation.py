@@ -122,3 +122,73 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.classifier import logreg_table
 
     return logreg_table(_docs(spark, sf_dir), _lr_label())
+
+
+# The published required-stopword list ({the, be, to, of, and, that,
+# have, with} — the operator default) is degenerate on this fixture:
+# its 31-word vocabulary contains only 'the', so every doc would fail
+# the >=2 rule and `passes` would pin false. The gate uses the
+# fixture's two function words so the conjunction actually varies;
+# production uses the operator default.
+_GSTOP = ("the", "a")
+_GSTOP_SQL = "['the', 'a']"
+
+
+@query(
+    "q_gopher_rules",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x))) AS chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(regexp_replace(text, '\\.\\.\\.',
+                                                       '', 'g'))) / 3
+               AS symbols,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {_GSTOP_SQL})) AS stop_hits
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(floor(chars * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS mean_word_len_micro,
+             CAST(floor(alpha * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS alpha_frac_micro,
+             CAST(floor(symbols * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS symbol_ratio_micro,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM sig
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+           (mean_word_len_micro >= 3000000
+            AND mean_word_len_micro <= 10000000) AS r_meanlen,
+           (alpha_frac_micro > 800000) AS r_alpha,
+           (symbol_ratio_micro < 100000) AS r_symbol,
+           (stop_hits >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len_micro >= 3000000
+                 AND mean_word_len_micro <= 10000000)
+            AND (alpha_frac_micro > 800000)
+            AND (symbol_ratio_micro < 100000)
+            AND (stop_hits >= 2)) AS passes
+    FROM m
+    """,
+    doc="Gopher/MassiveText document-filter rules (arXiv:2112.11446 "
+    "A1.1): per-doc measured signals (word count, mean word length, "
+    "alphabetic-word fraction, #/ellipsis symbol ratio, required-"
+    "stopword hits) with one boolean verdict per published rule and "
+    "the conjunction. All ratios floor to micro ints once — portable "
+    "and partition-free. Stopword list adapted to the fixture's "
+    "function words (see _GSTOP note); thresholds are the paper's. "
+    "Scale: pure map stage, zero shuffle, whole-stage codegen end to "
+    "end — the first, cheapest gate in a 100 TB filter chain.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), stopwords=_GSTOP)

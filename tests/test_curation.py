@@ -157,3 +157,51 @@ class TestDSIR:
             ).collect()
         }
         assert rows[0] == 1 and rows[1] == 3
+
+
+class TestGopherRules:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+
+    def test_rule_verdicts(self, spark):
+        from huckli_spark.operators.textstats import gopher_rules
+
+        long_good = " ".join(["the", "of"] + ["word"] * 60)
+        short = "the of tiny"
+        no_stops = " ".join(["word"] * 60)
+        symbols = " ".join(["the", "of"] + ["#"] * 30 + ["word"] * 30)
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(
+                self._docs(spark, [long_good, short, no_stops, symbols])
+            ).collect()
+        }
+        assert out[0]["passes"] is True
+        assert out[1]["r_wordcount"] is False and out[1]["passes"] is False
+        assert out[2]["r_stopwords"] is False and out[2]["passes"] is False
+        assert out[3]["r_symbol"] is False and out[3]["passes"] is False
+        # short-word spam trips the mean-length floor
+        spam = " ".join(["the", "of"] + ["a"] * 60)
+        row = gopher_rules(self._docs(spark, [spam])).collect()[0]
+        assert row["r_meanlen"] is False
+
+    def test_custom_stopword_list(self, spark):
+        from huckli_spark.operators.textstats import gopher_rules
+
+        doc = " ".join(["foo", "bar"] + ["word"] * 60)
+        default = gopher_rules(self._docs(spark, [doc])).collect()[0]
+        custom = gopher_rules(
+            self._docs(spark, [doc]), stopwords=("foo", "bar")
+        ).collect()[0]
+        assert default["r_stopwords"] is False
+        assert custom["r_stopwords"] is True and custom["passes"] is True
+
+    def test_map_only_plan(self, spark):
+        from huckli_spark.operators.textstats import gopher_rules
+
+        df = gopher_rules(self._docs(spark, ["the of " + "w " * 60]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
