@@ -113,10 +113,14 @@ def semdedup(
     )
 
 
-def sql_semdedup(k: int = 8, iterations: int = 2, tau: float = 0.45) -> str:
-    """DuckDB oracle: replays the fixed-point k-means training
-    (``sql_kmeans_ctes``), the exact-integer final assignment, and the
-    within-cluster cosine pass with the same fround(…, 6) threshold."""
+def sql_semdedup_ctes(
+    k: int = 8, iterations: int = 2, tau: float = 0.45
+) -> str:
+    """The semdedup oracle's CTE text (no WITH, no final SELECT):
+    replays the fixed-point k-means training (``sql_kmeans_ctes``),
+    the exact-integer final assignment (``fa``), the member relation
+    (``m``: vec_id, cid, e) and the within-cluster dup set (``dups``)
+    — composable into larger pipelines."""
     from huckli_spark.functions.portable import sql_fround
     from huckli_spark.operators.clustering import sql_kmeans_ctes
 
@@ -126,8 +130,7 @@ def sql_semdedup(k: int = 8, iterations: int = 2, tau: float = 0.45) -> str:
         " / (sqrt(list_dot_product(a.e, a.e))"
         " * sqrt(list_dot_product(b.e, b.e)))"
     )
-    return f"""
-    WITH {sql_kmeans_ctes(k, iterations)},
+    return f"""{sql_kmeans_ctes(k, iterations)},
     fd AS (
       SELECT vm.vec_id, {last}.cid,
              sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
@@ -146,7 +149,13 @@ def sql_semdedup(k: int = 8, iterations: int = 2, tau: float = 0.45) -> str:
       SELECT DISTINCT b.vec_id
       FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {sql_fround(cos, 6)} >= {tau}
-    )
+    )"""
+
+
+def sql_semdedup(k: int = 8, iterations: int = 2, tau: float = 0.45) -> str:
+    """DuckDB oracle for the full semdedup keep/drop table."""
+    return f"""
+    WITH {sql_semdedup_ctes(k, iterations, tau)}
     SELECT m.vec_id, m.cid,
            (m.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
     FROM m
@@ -271,18 +280,22 @@ def dsir_select(
     )
 
 
-def sql_dsir_select(
-    target_pred: str, buckets: int = DSIR_BUCKETS, keep: int = 100
+def sql_dsir_ctes(
+    target_pred: str,
+    buckets: int = DSIR_BUCKETS,
+    keep: int = 100,
+    source: str = "documents",
 ) -> str:
-    """DuckDB oracle twin of dsir_select over ``documents`` with
-    ``target_pred`` as the SQL target predicate."""
+    """The DSIR oracle's CTE text (no WITH, no final SELECT) over
+    ``source`` (a table or prior CTE with doc_id + text + the columns
+    ``target_pred`` reads) — ends with ``weights`` and ``thr``;
+    composable into larger pipelines."""
     from huckli_spark.functions.portable import sql_h60
 
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, ({target_pred}) AS is_t,
              string_split(text, ' ') AS w
-      FROM documents
+      FROM {source}
     ), fstr AS (
       SELECT doc_id, is_t, unnest(
         list_concat(
@@ -320,9 +333,119 @@ def sql_dsir_select(
         SELECT doc_id, w_micro FROM weights
         ORDER BY w_micro DESC, doc_id ASC LIMIT {keep}
       ) ORDER BY w_micro ASC, doc_id DESC LIMIT 1
-    )
+    )"""
+
+
+DSIR_FINAL_SELECT = """
     SELECT doc_id, n_feats, w_micro,
            (w_micro > thr.tw
             OR (w_micro = thr.tw AND doc_id <= thr.tid)) AS selected
     FROM weights CROSS JOIN thr
+"""
+
+
+def sql_dsir_select(
+    target_pred: str, buckets: int = DSIR_BUCKETS, keep: int = 100
+) -> str:
+    """DuckDB oracle twin of dsir_select over ``documents`` with
+    ``target_pred`` as the SQL target predicate."""
+    return (
+        "\n    WITH "
+        + sql_dsir_ctes(target_pred, buckets, keep)
+        + DSIR_FINAL_SELECT
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling
+# ---------------------------------------------------------------------------
+def diversity_sample(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving selection after dedup: k-means-cluster the
+    embeddings, then keep ceil(sqrt(cluster_size)) members per cluster
+    in a deterministic pseudo-random order (portable 60-bit hash of
+    the id, id tiebreak). Square-root allocation over-samples small
+    clusters relative to proportional sampling — the standard
+    diversity/coverage trade (big homogeneous clusters contribute
+    little marginal information per extra doc).
+
+    Output: (id, cid, cluster_size, rk, selected) — one row per
+    vector so the gate hashes the full decision, not just the sample.
+
+    Scale: training is the fixed-point kmeans_fit (map-only
+    assignment); sizes are one groupBy to k rows; the rank is a
+    window partitioned BY CLUSTER — at production k (~thousands) the
+    window never sees a data-sized single partition. sqrt/ceil are
+    single IEEE ops on exact integers, identical in both engines.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(emb, k, iterations, id_col, vec_col)
+    assign = kmeans_assign(emb, cents, id_col, vec_col)
+    sizes = assign.groupBy("cid").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    quota = F.ceil(F.sqrt(F.col("cluster_size").cast("double"))).cast("long")
+    rk = F.row_number().over(
+        Window.partitionBy("cid").orderBy(
+            h60(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            "cluster_size",
+            rk.alias("rk"),
+        )
+        .select(
+            id_col,
+            "cid",
+            "cluster_size",
+            "rk",
+            (F.col("rk") <= quota).alias("selected"),
+        )
+    )
+
+
+def sql_diversity_sample(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB oracle: kmeans replay + exact-integer assignment +
+    sqrt-quota ranked selection."""
+    from huckli_spark.functions.portable import sql_h60
+    from huckli_spark.operators.clustering import sql_kmeans_ctes
+
+    last = f"c{iterations}"
+    return f"""
+    WITH {sql_kmeans_ctes(k, iterations)},
+    fd AS (
+      SELECT vm.vec_id, {last}.cid,
+             sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
+      FROM vm JOIN {last} ON {last}.dim = vm.dim
+      GROUP BY 1, 2
+    ), fa AS (
+      SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+        SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+        FROM fd
+      ) WHERE d = md GROUP BY vec_id
+    ), sz AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM fa GROUP BY 1
+    ), ranked AS (
+      SELECT fa.vec_id, fa.cid, sz.cluster_size,
+             CAST(row_number() OVER (
+               PARTITION BY fa.cid
+               ORDER BY {sql_h60('CAST(fa.vec_id AS VARCHAR)')}, fa.vec_id
+             ) AS BIGINT) AS rk
+      FROM fa JOIN sz USING (cid)
+    )
+    SELECT vec_id, cid, cluster_size, rk,
+           (rk <= CAST(ceil(sqrt(CAST(cluster_size AS DOUBLE)))
+                       AS BIGINT)) AS selected
+    FROM ranked
     """

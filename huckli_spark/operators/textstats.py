@@ -387,3 +387,54 @@ def gopher_rules(
         r_st.alias("r_stopwords"),
         (r_wc & r_ml & r_al & r_sy & r_st).alias("passes"),
     )
+
+
+def sql_gopher_ctes(
+    source: str = "documents",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    prefix: str = "g_",
+) -> str:
+    """DuckDB CTE twin of gopher_rules over ``source`` (a table name
+    or prior CTE with doc_id + text). Emits ``{prefix}m`` holding
+    doc_id plus the five micro-int signals; compose rule verdicts with
+    ``sql_gopher_passes``."""
+    stop_sql = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
+    return f"""{prefix}sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x))) AS chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(regexp_replace(text, '\\.\\.\\.',
+                                                       '', 'g'))) / 3
+               AS symbols,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {stop_sql})) AS stop_hits
+      FROM {source}
+    ), {prefix}m AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(floor(chars * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS mean_word_len_micro,
+             CAST(floor(alpha * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS alpha_frac_micro,
+             CAST(floor(symbols * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS symbol_ratio_micro,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM {prefix}sig
+    )"""
+
+
+def sql_gopher_passes(min_words: int = GOPHER_MIN_WORDS) -> str:
+    """The rule-conjunction boolean over a ``sql_gopher_ctes`` m-CTE's
+    columns (thresholds are the paper's; micro-int comparisons)."""
+    return (
+        f"((n_words >= {min_words} AND n_words <= {GOPHER_MAX_WORDS})"
+        " AND (mean_word_len_micro >= 3000000"
+        " AND mean_word_len_micro <= 10000000)"
+        " AND (alpha_frac_micro > 800000)"
+        " AND (symbol_ratio_micro < 100000)"
+        f" AND (stop_hits >= {GOPHER_MIN_STOP_HITS}))"
+    )

@@ -22,8 +22,13 @@ from huckli_spark.operators.classifier import sql_logreg
 from huckli_spark.operators.curation import (
     dsir_select,
     semdedup,
+    sql_diversity_sample,
     sql_dsir_select,
     sql_semdedup,
+)
+from huckli_spark.operators.textstats import (
+    sql_gopher_ctes,
+    sql_gopher_passes,
 )
 from huckli_spark.queries import query
 
@@ -58,7 +63,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_emb(spark, sf_dir), k=8, iterations=2, tau=_TAU)
 
 
-_DSIR_TARGET = F.col("lang") == "en"
+# F.col needs an active SparkContext in this PySpark build, and this
+# module is imported by all_queries() possibly before any session
+# exists (e.g. pytest collection) — build the Column lazily.
+def _dsir_target() -> F.Column:
+    return F.col("lang") == "en"
+
+
 _DSIR_TARGET_SQL = "lang = 'en'"
 
 
@@ -76,7 +87,7 @@ _DSIR_TARGET_SQL = "lang = 'en'"
     "corpus never shuffles on a data-sized key.",
 )
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dsir_select(_docs(spark, sf_dir), _DSIR_TARGET, keep=100)
+    return dsir_select(_docs(spark, sf_dir), _dsir_target(), keep=100)
 
 
 # Training target: a lexical property ("mentions spark or sql") the
@@ -131,38 +142,12 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture's two function words so the conjunction actually varies;
 # production uses the operator default.
 _GSTOP = ("the", "a")
-_GSTOP_SQL = "['the', 'a']"
 
 
 @query(
     "q_gopher_rules",
     f"""
-    WITH sig AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_words,
-             list_sum(list_transform(string_split(text, ' '),
-                                     x -> length(x))) AS chars,
-             len(list_filter(string_split(text, ' '),
-                             x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
-             (length(text) - length(replace(text, '#', '')))
-               + (length(text) - length(regexp_replace(text, '\\.\\.\\.',
-                                                       '', 'g'))) / 3
-               AS symbols,
-             len(list_intersect(list_distinct(string_split(text, ' ')),
-                                {_GSTOP_SQL})) AS stop_hits
-      FROM documents
-    ), m AS (
-      SELECT doc_id,
-             CAST(n_words AS BIGINT) AS n_words,
-             CAST(floor(chars * 1000000.0 / n_words + 0.5) AS BIGINT)
-               AS mean_word_len_micro,
-             CAST(floor(alpha * 1000000.0 / n_words + 0.5) AS BIGINT)
-               AS alpha_frac_micro,
-             CAST(floor(symbols * 1000000.0 / n_words + 0.5) AS BIGINT)
-               AS symbol_ratio_micro,
-             CAST(stop_hits AS BIGINT) AS stop_hits
-      FROM sig
-    )
+    WITH {sql_gopher_ctes(stopwords=_GSTOP, prefix='')}
     SELECT *,
            (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
            (mean_word_len_micro >= 3000000
@@ -170,12 +155,7 @@ _GSTOP_SQL = "['the', 'a']"
            (alpha_frac_micro > 800000) AS r_alpha,
            (symbol_ratio_micro < 100000) AS r_symbol,
            (stop_hits >= 2) AS r_stopwords,
-           ((n_words >= 50 AND n_words <= 100000)
-            AND (mean_word_len_micro >= 3000000
-                 AND mean_word_len_micro <= 10000000)
-            AND (alpha_frac_micro > 800000)
-            AND (symbol_ratio_micro < 100000)
-            AND (stop_hits >= 2)) AS passes
+           {sql_gopher_passes()} AS passes
     FROM m
     """,
     doc="Gopher/MassiveText document-filter rules (arXiv:2112.11446 "
@@ -192,3 +172,90 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.textstats import gopher_rules
 
     return gopher_rules(_docs(spark, sf_dir), stopwords=_GSTOP)
+
+
+@query(
+    "q_diversity_sample",
+    sql_diversity_sample(k=8, iterations=2),
+    doc="cluster-balanced diversity sampling: after dedup, keep "
+    "ceil(sqrt(cluster_size)) members per k-means cluster in a "
+    "deterministic hash-ranked order — sqrt allocation over-samples "
+    "small clusters (coverage) relative to proportional sampling. "
+    "One row per vector with the full decision (rank, quota verdict) "
+    "so the gate hashes the selection process, not just the sample. "
+    "The oracle replays the fixed-point training, the exact-integer "
+    "assignment, and the ranked quota cut. Scale: window partitioned "
+    "by cluster — at production k the per-partition work is "
+    "cluster-sized, never corpus-sized.",
+)
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.curation import diversity_sample
+
+    return diversity_sample(_emb(spark, sf_dir), k=8, iterations=2)
+
+
+def _curation_pipeline_oracle() -> str:
+    from huckli_spark.operators.curation import (
+        DSIR_FINAL_SELECT,
+        sql_dsir_ctes,
+        sql_semdedup_ctes,
+    )
+
+    return (
+        "\n    WITH "
+        + sql_semdedup_ctes(k=8, iterations=2, tau=_TAU)
+        + """,
+    keepers AS (
+      SELECT vec_id AS doc_id FROM m
+      WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    ), sdocs AS (
+      SELECT d.* FROM documents d JOIN keepers USING (doc_id)
+    ),
+    """
+        + sql_gopher_ctes(source="sdocs", stopwords=_GSTOP, prefix="g_")
+        + f""",
+    qdocs AS (
+      SELECT doc_id FROM g_m WHERE {sql_gopher_passes()}
+    ), pool AS (
+      SELECT d.* FROM documents d JOIN qdocs USING (doc_id)
+    ),
+    """
+        + sql_dsir_ctes(_DSIR_TARGET_SQL, keep=50, source="pool")
+        + DSIR_FINAL_SELECT
+    )
+
+
+@query(
+    "q_curation_pipeline",
+    _curation_pipeline_oracle(),
+    doc="the END-TO-END curation pipeline as ONE gated query — the "
+    "curation counterpart of q_hybrid_retrieval: SemDeDup drops "
+    "semantic near-dups (fixed-point k-means + within-cluster "
+    "cosine), the Gopher rule conjunction gates quality on the "
+    "survivors, and DSIR importance-ranks the surviving pool against "
+    "the lang='en' target with a top-50 threshold selection. The "
+    "oracle replays the WHOLE chain relationally: k-means training, "
+    "integer assignment, the dup pair scan, every rule signal, the "
+    "hashed-ngram distributions and the threshold cut — one hash "
+    "covers the full pipeline's composition semantics (each stage "
+    "sees exactly the prior stage's survivors). Scale: each stage "
+    "keeps its own probe-verified shape; the inter-stage joins are "
+    "keep-list semi-joins on doc_id (digest-sized relations, "
+    "broadcastable at any corpus scale).",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    sd = semdedup(_emb(spark, sf_dir), k=8, iterations=2, tau=_TAU)
+    keepers = sd.where(~F.col("is_dup")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    sdocs = docs.join(keepers, "doc_id")
+    qdocs = (
+        gopher_rules(sdocs, stopwords=_GSTOP)
+        .where("passes")
+        .select("doc_id")
+    )
+    pool = docs.join(qdocs, "doc_id")
+    return dsir_select(pool, _dsir_target(), keep=50)

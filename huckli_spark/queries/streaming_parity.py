@@ -690,3 +690,73 @@ def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("user_id", "n_events", "total_vm", "total_value", "rank")
     )
+
+
+@query(
+    "q_stream_quality_gate",
+    # identical computation to q_gopher_rules' oracle (fixture
+    # stopword list — see queries/curation.py::_GSTOP)
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x))) AS chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(regexp_replace(text, '\\.\\.\\.',
+                                                       '', 'g'))) / 3
+               AS symbols,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['the', 'a'])) AS stop_hits
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(floor(chars * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS mean_word_len_micro,
+             CAST(floor(alpha * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS alpha_frac_micro,
+             CAST(floor(symbols * 1000000.0 / n_words + 0.5) AS BIGINT)
+               AS symbol_ratio_micro,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM sig
+    )
+    SELECT doc_id,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len_micro >= 3000000
+                 AND mean_word_len_micro <= 10000000)
+            AND (alpha_frac_micro > 800000)
+            AND (symbol_ratio_micro < 100000)
+            AND (stop_hits >= 2)) AS passes
+    FROM m
+    """,
+    doc="STREAMING quality gate: the Gopher-rules filter applied to a "
+    "documents file stream — stateless map-only select, streamable in "
+    "append mode with no watermark or state, drained availableNow and "
+    "hash-matched against the batch oracle. This is the production "
+    "ingest shape: rule verdicts at arrival time, byte-identical to a "
+    "batch backfill, so a doc admitted by the live gate is exactly "
+    "the doc a batch re-audit would admit.",
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.textstats import gopher_rules
+    from huckli_spark.streaming.windows import run_to_memory
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    gated = gopher_rules(stream, stopwords=("the", "a"))
+    out = run_to_memory(gated.select("doc_id", "passes"), output_mode="append")
+    return out

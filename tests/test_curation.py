@@ -205,3 +205,34 @@ class TestGopherRules:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestDiversitySample:
+    def test_quota_is_ceil_sqrt_per_cluster(self, spark):
+        from huckli_spark.operators.curation import diversity_sample
+
+        # 9 identical vectors in one blob, 2 in another: quotas 3 and 2
+        e = _emb(
+            spark,
+            [[1.0, 0.0]] * 9 + [[0.0, 1.0]] * 2,
+        )
+        out = diversity_sample(e, k=2, iterations=1)
+        import math
+
+        by_cid = {}
+        for r in out.collect():
+            by_cid.setdefault(r["cid"], []).append(r)
+        for cid, rows in by_cid.items():
+            n = rows[0]["cluster_size"]
+            quota = math.ceil(math.sqrt(n))
+            assert sum(r["selected"] for r in rows) == min(quota, n)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from huckli_spark.operators.curation import diversity_sample
+
+        e = _emb(spark, [[float(i % 3), float(i % 5)] for i in range(20)])
+        a = diversity_sample(e, k=2, iterations=1)
+        b = diversity_sample(e.repartition(7), k=2, iterations=1)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
