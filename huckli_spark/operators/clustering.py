@@ -213,9 +213,9 @@ def sql_kmeans_chain(
     return ",\n".join(parts)
 
 
-def sql_kmeans_vm_cte(source: str = "embeddings") -> str:
+def sql_kmeans_vm_cte(source: str = "embeddings", name: str = "vm") -> str:
     """The micro fixed-point (vec_id, dim, val) CTE body."""
-    return f"""vm AS (
+    return f"""{name} AS (
           SELECT vec_id, dim - 1 AS dim,
                  CAST(floor(v * {float(MICRO)} + 0.5) AS BIGINT) AS val
           FROM (

@@ -449,3 +449,155 @@ def sql_diversity_sample(k: int = 8, iterations: int = 2) -> str:
                        AS BIGINT)) AS selected
     FROM ranked
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup (new batch screened against an existing corpus)
+# ---------------------------------------------------------------------------
+def semdedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Screen a NEW embedding batch against an existing corpus — the
+    production shape of SemDeDup as a corpus grows: the coarse
+    quantizer trains on the EXISTING corpus only (frozen between
+    periodic retrains), new vectors assign to it map-only, and each
+    new vector compares (a) against existing same-cluster members —
+    corpus always wins, no id ordering — and (b) against lower-id
+    same-cluster members of its own batch.
+
+    Output: one row per batch vector —
+    (id, cid, dup_vs_corpus, dup_in_batch, is_dup).
+
+    Scale: training cost is amortized across batches (frozen
+    centroids); the screening joins key on cid, so per-batch work is
+    |batch| x cluster-density, never corpus-quadratic; the existing
+    side streams through the join without re-shuffling the corpus on
+    any data-sized key.
+    """
+    cents = kmeans_fit(existing, k, iterations, id_col, vec_col)
+    em = (
+        kmeans_assign(existing, cents, id_col, vec_col)
+        .join(existing.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(id_col).alias("__ida"),
+            "cid",
+            F.col(vec_col).alias("__ea"),
+        )
+    )
+    bm = (
+        kmeans_assign(batch, cents, id_col, vec_col)
+        .join(batch.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(id_col).alias("__idb"),
+            "cid",
+            F.col(vec_col).alias("__eb"),
+        )
+    )
+    sim = fround(cosine("__ea", "__eb"), 6)
+    dup_corpus = (
+        bm.join(em, "cid")
+        .where(sim >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dc", F.lit(True))
+    )
+    a = bm.select(
+        F.col("__idb").alias("__ida"), "cid", F.col("__eb").alias("__ea")
+    )
+    dup_batch = (
+        a.join(bm, "cid")
+        .where((F.col("__ida") < F.col("__idb")) & (sim >= F.lit(tau)))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__db", F.lit(True))
+    )
+    base = bm.select(F.col("__idb").alias(id_col), "cid")
+    return (
+        base.join(dup_corpus, id_col, "left")
+        .join(dup_batch, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.coalesce(F.col("__dc"), F.lit(False)).alias("dup_vs_corpus"),
+            F.coalesce(F.col("__db"), F.lit(False)).alias("dup_in_batch"),
+            (
+                F.coalesce(F.col("__dc"), F.lit(False))
+                | F.coalesce(F.col("__db"), F.lit(False))
+            ).alias("is_dup"),
+        )
+    )
+
+
+def sql_semdedup_incremental(
+    existing_pred: str,
+    batch_pred: str,
+    k: int = 8,
+    iterations: int = 2,
+    tau: float = 0.45,
+) -> str:
+    """DuckDB oracle: k-means replay on the existing subset only, then
+    both screening passes with the same fround(…, 6) threshold."""
+    from huckli_spark.functions.portable import sql_fround
+    from huckli_spark.operators.clustering import (
+        sql_kmeans_chain,
+        sql_kmeans_vm_cte,
+    )
+
+    last = f"c{iterations}"
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    ex_src = f"(SELECT * FROM embeddings WHERE {existing_pred})"
+    b_src = f"(SELECT * FROM embeddings WHERE {batch_pred})"
+    return f"""
+    WITH {sql_kmeans_vm_cte(ex_src)},
+    {sql_kmeans_chain(k, iterations)},
+    {sql_kmeans_vm_cte(b_src, name="bvm")},
+    efd AS (
+      SELECT vm.vec_id, {last}.cid,
+             sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
+      FROM vm JOIN {last} ON {last}.dim = vm.dim GROUP BY 1, 2
+    ), efa AS (
+      SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+        SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+        FROM efd
+      ) WHERE d = md GROUP BY vec_id
+    ), bfd AS (
+      SELECT bvm.vec_id, {last}.cid,
+             sum((bvm.val - {last}.c) * (bvm.val - {last}.c)) AS d
+      FROM bvm JOIN {last} ON {last}.dim = bvm.dim GROUP BY 1, 2
+    ), bfa AS (
+      SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+        SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+        FROM bfd
+      ) WHERE d = md GROUP BY vec_id
+    ), em AS (
+      SELECT efa.vec_id, efa.cid, v.embedding::DOUBLE[] AS e
+      FROM efa JOIN embeddings v USING (vec_id)
+    ), bm AS (
+      SELECT bfa.vec_id, bfa.cid, v.embedding::DOUBLE[] AS e
+      FROM bfa JOIN embeddings v USING (vec_id)
+    ), dc AS (
+      SELECT DISTINCT b.vec_id
+      FROM bm b JOIN em a ON a.cid = b.cid
+      WHERE {sql_fround(cos, 6)} >= {tau}
+    ), db AS (
+      SELECT DISTINCT b.vec_id
+      FROM bm b JOIN bm a ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {sql_fround(cos, 6)} >= {tau}
+    )
+    SELECT bm.vec_id, bm.cid,
+           (bm.vec_id IN (SELECT vec_id FROM dc)) AS dup_vs_corpus,
+           (bm.vec_id IN (SELECT vec_id FROM db)) AS dup_in_batch,
+           (bm.vec_id IN (SELECT vec_id FROM dc)
+            OR bm.vec_id IN (SELECT vec_id FROM db)) AS is_dup
+    FROM bm
+    """

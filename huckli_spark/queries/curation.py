@@ -25,6 +25,7 @@ from huckli_spark.operators.curation import (
     sql_diversity_sample,
     sql_dsir_select,
     sql_semdedup,
+    sql_semdedup_incremental,
 )
 from huckli_spark.operators.textstats import (
     sql_gopher_ctes,
@@ -259,3 +260,32 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = docs.join(qdocs, "doc_id")
     return dsir_select(pool, _dsir_target(), keep=50)
+
+
+@query(
+    "q_semdedup_incremental",
+    sql_semdedup_incremental(
+        "vec_id < 400", "vec_id >= 400", k=8, iterations=2, tau=_TAU
+    ),
+    doc="incremental SemDeDup — the corpus-growth shape: the coarse "
+    "quantizer trains on the EXISTING corpus only (vec_id < 400, "
+    "frozen between periodic retrains), the new batch (vec_id >= "
+    "400) assigns map-only, and each new vector is screened against "
+    "existing same-cluster members (corpus always wins) AND against "
+    "lower-id batch members. Output: per-batch-vector verdicts with "
+    "the dup source split out (dup_vs_corpus / dup_in_batch). The "
+    "oracle replays training on the existing subset plus both "
+    "screening passes. Scale: training amortizes across batches; "
+    "screening is |batch| x cluster-density, never corpus-quadratic.",
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.curation import semdedup_incremental
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_incremental(
+        emb.where(F.col("vec_id") < 400),
+        emb.where(F.col("vec_id") >= 400),
+        k=8,
+        iterations=2,
+        tau=_TAU,
+    )

@@ -236,3 +236,49 @@ class TestDiversitySample:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestSemDeDupIncremental:
+    def test_batch_screened_against_corpus_and_itself(self, spark):
+        from huckli_spark.operators.curation import semdedup_incremental
+
+        existing = _emb(
+            spark,
+            [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],
+        )
+        # batch: 10 dups existing cluster 0; 11+12 dup each other (new
+        # direction-ish but assigns somewhere deterministic); 13 unique
+        batch = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0]),   # dup of corpus
+                (11, [0.0, 1.0]),   # dup of corpus
+                (12, [0.0, 1.0]),   # dup of corpus AND of 11 in batch
+                (13, [0.7, 0.7]),   # near both, cos vs axes ~0.707
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r["vec_id"]: r
+            for r in semdedup_incremental(
+                existing, batch, k=2, iterations=2, tau=0.99
+            ).collect()
+        }
+        assert out[10]["dup_vs_corpus"] is True
+        assert out[11]["dup_vs_corpus"] is True
+        assert out[12]["dup_vs_corpus"] is True
+        assert out[12]["dup_in_batch"] is True  # 11 < 12, same cluster
+        assert out[11]["dup_in_batch"] is False
+        assert out[13]["is_dup"] is False  # cos 0.707 < 0.99
+
+    def test_corpus_never_flagged(self, spark):
+        from huckli_spark.operators.curation import semdedup_incremental
+
+        existing = _emb(spark, [[1.0, 0.0], [0.0, 1.0]])
+        batch = spark.createDataFrame(
+            [(5, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        out = semdedup_incremental(
+            existing, batch, k=2, iterations=1, tau=0.99
+        )
+        # output contains ONLY batch rows
+        assert {r["vec_id"] for r in out.collect()} == {5}
