@@ -1,0 +1,187 @@
+"""ANN index persistence — the index lifecycle a serving deployment
+needs: train once, SAVE the quantizers and codes, reload in another
+session (or on another cluster) and serve bit-identical results
+without retraining.
+
+Layout under an index directory (atomic publish: built in a ``_tmp``
+sibling and ``os.replace``d into place, the same write-audit-publish
+discipline as ``ingest/txlog`` and ``ingest/delta_export``):
+
+* ``manifest.json`` — geometry (dim, k, m, n_codes, sub) + a content
+  checksum per artifact (md5 over the canonical float reprs — doubles
+  round-trip parquet exactly, so equal checksums mean bit-equal
+  quantizers).
+* ``centroids.parquet`` — (cid, dim, val) long form, the IVF coarse
+  quantizer.
+* ``codebooks.parquet`` — (s, c, dim, val) long form, the PQ
+  codebooks.
+* ``codes.parquet`` (optional) — the encoded corpus (vec_id, packed
+  BIGINT code) so serving skips re-encoding.
+* ``posting.parquet`` (optional) — the IVF storage assignment
+  (vec_id, cid).
+
+Scale: quantizers are k*dim / m*n_codes*sub cells — driver-sized by
+design (they broadcast at query time). Codes/posting are corpus-sized
+parquet written and read distributed; nothing here collects the
+corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 1
+MANIFEST = "manifest.json"
+
+
+def _checksum_nested(vals) -> str:
+    """md5 over canonical float reprs, order-significant."""
+    h = hashlib.md5()
+
+    def feed(v):
+        if isinstance(v, (list, tuple)):
+            h.update(b"[")
+            for x in v:
+                feed(x)
+            h.update(b"]")
+        else:
+            h.update(repr(float(v)).encode())
+            h.update(b",")
+
+    feed(vals)
+    return h.hexdigest()
+
+
+def save_ann_index(
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    codes: DataFrame | None = None,
+    posting: DataFrame | None = None,
+) -> dict:
+    """Persist a trained index atomically; returns the manifest."""
+    tmp = path.rstrip("/") + "._tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    dim = len(centroids[0][1])
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "dim": dim,
+        "k": len(centroids),
+        "m": m,
+        "n_codes": n_codes,
+        "sub": sub,
+        "centroids_md5": _checksum_nested(
+            [c for _, c in sorted(centroids)]
+        ),
+        "codebooks_md5": _checksum_nested(codebooks),
+        "has_codes": codes is not None,
+        "has_posting": posting is not None,
+    }
+
+    # quantizers are driver-sized; write via pandas/pyarrow directly
+    import pandas as pd
+
+    cent_rows = [
+        (int(cid), int(d), float(v))
+        for cid, c in centroids
+        for d, v in enumerate(c)
+    ]
+    pd.DataFrame(cent_rows, columns=["cid", "dim", "val"]).to_parquet(
+        os.path.join(tmp, "centroids.parquet"), index=False
+    )
+    cb_rows = [
+        (s, c, d, float(v))
+        for s, cb in enumerate(codebooks)
+        for c, code in enumerate(cb)
+        for d, v in enumerate(code)
+    ]
+    pd.DataFrame(cb_rows, columns=["s", "c", "dim", "val"]).to_parquet(
+        os.path.join(tmp, "codebooks.parquet"), index=False
+    )
+    if codes is not None:
+        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes.parquet"))
+    if posting is not None:
+        posting.write.mode("overwrite").parquet(
+            os.path.join(tmp, "posting.parquet")
+        )
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    return manifest
+
+
+class IndexIntegrityError(RuntimeError):
+    pass
+
+
+def load_ann_index(
+    path: str, spark: SparkSession
+) -> tuple[
+    list[tuple[int, list[float]]],
+    list[list[list[float]]],
+    DataFrame | None,
+    DataFrame | None,
+]:
+    """Load and VERIFY a saved index: geometry and checksums must
+    match the manifest or loading raises ``IndexIntegrityError`` —
+    a silently-corrupted quantizer would serve wrong neighbors with
+    no error, the worst failure mode an index store can have."""
+    import pandas as pd
+
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    if man.get("format_version") != FORMAT_VERSION:
+        raise IndexIntegrityError(
+            f"unsupported index format {man.get('format_version')}"
+        )
+
+    cent_pdf = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+    cents: dict[int, list[float]] = {}
+    for cid, grp in cent_pdf.sort_values(["cid", "dim"]).groupby("cid"):
+        cents[int(cid)] = [float(v) for v in grp["val"]]
+    centroids = sorted(cents.items())
+    if len(centroids) != man["k"] or any(
+        len(c) != man["dim"] for _, c in centroids
+    ):
+        raise IndexIntegrityError("centroid geometry mismatch vs manifest")
+    if _checksum_nested([c for _, c in centroids]) != man["centroids_md5"]:
+        raise IndexIntegrityError("centroid checksum mismatch")
+
+    cb_pdf = pd.read_parquet(os.path.join(path, "codebooks.parquet"))
+    codebooks: list[list[list[float]]] = []
+    for s in range(man["m"]):
+        sb = cb_pdf[cb_pdf["s"] == s].sort_values(["c", "dim"])
+        cb = [
+            [float(v) for v in sb[sb["c"] == c]["val"]]
+            for c in range(man["n_codes"])
+        ]
+        codebooks.append(cb)
+    if any(
+        len(code) != man["sub"] for cb in codebooks for code in cb
+    ):
+        raise IndexIntegrityError("codebook geometry mismatch vs manifest")
+    if _checksum_nested(codebooks) != man["codebooks_md5"]:
+        raise IndexIntegrityError("codebook checksum mismatch")
+
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes.parquet"))
+        if man.get("has_codes")
+        else None
+    )
+    posting = (
+        spark.read.parquet(os.path.join(path, "posting.parquet"))
+        if man.get("has_posting")
+        else None
+    )
+    return centroids, codebooks, codes, posting

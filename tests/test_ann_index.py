@@ -1,0 +1,126 @@
+"""ANN index persistence tests: trained-index save/load round-trip
+serves bit-identical results, and corruption/geometry drift is caught
+at load time instead of silently serving wrong neighbors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from huckli_spark.operators import simsearch
+from huckli_spark.operators.ann_index import (
+    IndexIntegrityError,
+    load_ann_index,
+    save_ann_index,
+)
+from huckli_spark.operators.clustering import kmeans_fit
+
+
+def _emb(spark, n=40, dim=16):
+    # deterministic synthetic corpus, clustered-ish by construction
+    return spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 13) / 13.0 + (i % 4) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, tmp_path_factory):
+    emb = _emb(spark)
+    cents_micro = kmeans_fit(emb, k=4, iterations=2)
+    centroids = [
+        (cid, [v / 1e6 for v in c]) for cid, c in enumerate(cents_micro)
+    ]
+    codebooks = simsearch.pq_codebooks(emb, m=4, n_codes=8)
+    codes = simsearch.pq_encode(emb, codebooks)
+    posting = simsearch.ivf_assign(emb, centroids).select("vec_id", "cid")
+    path = str(tmp_path_factory.mktemp("idx") / "ann_index")
+    man = save_ann_index(path, centroids, codebooks, codes, posting)
+    return emb, centroids, codebooks, path, man
+
+
+class TestRoundTrip:
+    def test_manifest_geometry(self, saved_index):
+        _, centroids, codebooks, _, man = saved_index
+        assert man["k"] == 4 and man["dim"] == 16
+        assert man["m"] == 4 and man["n_codes"] == 8 and man["sub"] == 4
+        assert man["has_codes"] and man["has_posting"]
+
+    def test_quantizers_bit_equal_after_reload(self, spark, saved_index):
+        _, centroids, codebooks, path, _ = saved_index
+        lc, lcb, codes, posting = load_ann_index(path, spark)
+        assert lc == centroids
+        assert lcb == codebooks
+        assert codes is not None and posting is not None
+
+    def test_served_results_identical(self, spark, saved_index):
+        emb, centroids, codebooks, path, _ = saved_index
+        lc, lcb, lcodes, _ = load_ann_index(path, spark)
+        queries = emb.where(F.col("vec_id") < 3)
+        fresh = simsearch.pq_adc_topk(
+            simsearch.pq_encode(emb, codebooks), queries, codebooks, k=3
+        )
+        served = simsearch.pq_adc_topk(lcodes, queries, lcb, k=3)
+        assert sorted(map(tuple, fresh.collect())) == sorted(
+            map(tuple, served.collect())
+        )
+        ivf_fresh = simsearch.ivf_topk(
+            emb, queries, nprobe=2, k=3, centroids=centroids
+        )
+        ivf_served = simsearch.ivf_topk(
+            emb, queries, nprobe=2, k=3, centroids=lc
+        )
+        assert sorted(map(tuple, ivf_fresh.collect())) == sorted(
+            map(tuple, ivf_served.collect())
+        )
+
+
+class TestIntegrity:
+    def _copy(self, path, tmp_path):
+        import shutil
+
+        dst = str(tmp_path / "tampered")
+        shutil.copytree(path, dst)
+        return dst
+
+    def test_tampered_codebook_rejected(self, spark, saved_index, tmp_path):
+        import pandas as pd
+
+        _, _, _, path, _ = saved_index
+        dst = self._copy(path, tmp_path)
+        p = os.path.join(dst, "codebooks.parquet")
+        pdf = pd.read_parquet(p)
+        pdf.loc[0, "val"] = pdf.loc[0, "val"] + 0.25
+        pdf.to_parquet(p, index=False)
+        with pytest.raises(IndexIntegrityError, match="codebook checksum"):
+            load_ann_index(dst, spark)
+
+    def test_manifest_geometry_drift_rejected(
+        self, spark, saved_index, tmp_path
+    ):
+        _, _, _, path, _ = saved_index
+        dst = self._copy(path, tmp_path)
+        mp = os.path.join(dst, "manifest.json")
+        man = json.load(open(mp))
+        man["dim"] = 99
+        json.dump(man, open(mp, "w"))
+        with pytest.raises(IndexIntegrityError, match="geometry"):
+            load_ann_index(dst, spark)
+
+    def test_future_format_version_rejected(
+        self, spark, saved_index, tmp_path
+    ):
+        _, _, _, path, _ = saved_index
+        dst = self._copy(path, tmp_path)
+        mp = os.path.join(dst, "manifest.json")
+        man = json.load(open(mp))
+        man["format_version"] = 999
+        json.dump(man, open(mp, "w"))
+        with pytest.raises(IndexIntegrityError, match="format"):
+            load_ann_index(dst, spark)
