@@ -221,6 +221,7 @@ def main() -> None:
         # curation wave (semdedup/logreg are training-heavy — their
         # walls are driver-iteration bound, measured in SCALE.md)
         "q_dsir_select",
+        "q_gopher_rules",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -462,6 +462,7 @@ def semdedup_incremental(
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[int]] | None = None,
 ) -> DataFrame:
     """Screen a NEW embedding batch against an existing corpus — the
     production shape of SemDeDup as a corpus grows: the coarse
@@ -479,8 +480,13 @@ def semdedup_incremental(
     |batch| x cluster-density, never corpus-quadratic; the existing
     side streams through the join without re-shuffling the corpus on
     any data-sized key.
+
+    Pass ``cents`` (micro-int centroid lists, kmeans_fit's output) to
+    reuse a frozen quantizer across many batches — the amortization
+    that makes the incremental path cheap in production.
     """
-    cents = kmeans_fit(existing, k, iterations, id_col, vec_col)
+    if cents is None:
+        cents = kmeans_fit(existing, k, iterations, id_col, vec_col)
     em = (
         kmeans_assign(existing, cents, id_col, vec_col)
         .join(existing.select(F.col(id_col), F.col(vec_col)), id_col)

@@ -282,3 +282,21 @@ class TestSemDeDupIncremental:
         )
         # output contains ONLY batch rows
         assert {r["vec_id"] for r in out.collect()} == {5}
+
+    def test_frozen_quantizer_equals_trained_path(self, spark):
+        from huckli_spark.operators.clustering import kmeans_fit
+        from huckli_spark.operators.curation import semdedup_incremental
+
+        existing = _emb(
+            spark, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]
+        )
+        batch = spark.createDataFrame(
+            [(7, [1.0, 0.05]), (8, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = kmeans_fit(existing, k=2, iterations=2)
+        a = semdedup_incremental(existing, batch, k=2, iterations=2, tau=0.9)
+        b = semdedup_incremental(existing, batch, tau=0.9, cents=cents)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )

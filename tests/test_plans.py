@@ -505,6 +505,27 @@ class TestCurationPlans:
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 3
         assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
 
+    def test_gopher_rules_map_only(self, spark):
+        # the cheapest gate in the chain must stay a pure map stage:
+        # no exchange, no join, no Python anywhere
+        plan = _plan(spark, "q_gopher_rules")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
+
+    def test_curation_pipeline_no_product_no_python(self, spark):
+        # inter-stage keep-lists are equi-joins on doc_id; the only
+        # nested loops are the DSIR singleton broadcasts
+        plan = _plan(spark, "q_curation_pipeline")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_semdedup_incremental_equi_joins_only(self, spark):
+        plan = _plan(spark, "q_semdedup_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
     def test_logreg_scoring_broadcast_weights_no_python(self, spark):
         # the final-score plan (training already folded into weight
         # literals): features are map-only in-row expressions, the

@@ -549,6 +549,28 @@ def probe(scales, repeats: int, only=None) -> dict:
             repeats,
             only,
         )
+        # SCREENING cost with a frozen quantizer: the first 200 base
+        # vectors are the batch at every scale, the scaled corpus is
+        # "existing", centroids precomputed OUTSIDE the timer (the
+        # production amortization). k scales with the corpus so
+        # cluster density is constant -> the screening joins should
+        # stay ~flat while the corpus grows 10x.
+        if only is None or "semdedup_incremental_screen" in only:
+            _frozen_cents = clustering.kmeans_fit(
+                emb, k=8 * scale, iterations=2
+            )
+            _screen_batch = emb.where(F.col("vec_id") < 200)
+            runs["semdedup_incremental_screen"] = _run(
+                spark,
+                "semdedup_incremental_screen",
+                lambda: curation.semdedup_incremental(
+                    emb, _screen_batch, tau=0.45, cents=_frozen_cents
+                )
+                .agg(F.count("*"), F.sum(F.col("is_dup").cast("int")))
+                .collect()[0][0],
+                repeats,
+                only,
+            )
         runs["dsir"] = _run(
             spark,
             "dsir",
