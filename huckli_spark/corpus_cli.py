@@ -76,6 +76,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--merges", type=int, default=32)
 
     s = sub.add_parser(
+        "curate",
+        help="Gopher rule gate -> DSIR importance top-K selection",
+    )
+    common(s)
+    s.add_argument(
+        "--target-lang",
+        default="en",
+        help="DSIR target subset = docs with this lang value",
+    )
+    s.add_argument("--keep", type=int, default=1000)
+    s.add_argument(
+        "--stopwords",
+        default=None,
+        help="comma-separated required-stopword list (default: the "
+        "published Gopher list)",
+    )
+
+    s = sub.add_parser(
         "export", help="sharded corpus export + checksummed MANIFEST.json"
     )
     common(s)
@@ -140,6 +158,42 @@ def main(argv: list[str] | None = None) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
         summary |= {"docs_in": n_in, "docs_kept": n_out,
                     "removed": n_in - n_out, "method": args.method}
+
+    elif args.cmd == "curate":
+        from huckli_spark.operators.curation import dsir_select
+        from huckli_spark.operators.textstats import (
+            GOPHER_STOPWORDS,
+            gopher_rules,
+        )
+
+        stops = (
+            tuple(s for s in args.stopwords.split(",") if s)
+            if args.stopwords
+            else GOPHER_STOPWORDS
+        )
+        n_in = docs.count()
+        passing = (
+            gopher_rules(docs, stopwords=stops)
+            .where("passes")
+            .select("doc_id")
+        )
+        pool = docs.join(passing, "doc_id")
+        ranked = dsir_select(
+            pool, F.col("lang") == args.target_lang, keep=args.keep
+        )
+        kept = pool.join(
+            ranked.where("selected").select("doc_id"), "doc_id"
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_pool = pool.count()
+        n_out = spark.read.parquet(args.out).count()
+        summary |= {
+            "docs_in": n_in,
+            "rule_pass": n_pool,
+            "selected": n_out,
+            "target_lang": args.target_lang,
+            "keep": args.keep,
+        }
 
     elif args.cmd == "export":
         summary |= _export(spark, docs, args.out, args.shards, args.out_format)

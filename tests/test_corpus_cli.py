@@ -146,3 +146,40 @@ class TestExport:
             for line in open(os.path.join(out, "data", sh["file"])):
                 seen.add(json.loads(line)["doc_id"])
         assert seen == {0, 1, 2, 3}
+
+
+class TestCurate:
+    def test_curate_gates_and_selects(self, spark, tmp_path, capsys):
+        import json as _json
+
+        p = tmp_path / "raw2"
+        p.mkdir()
+        long_en = "the of " + " ".join(["alpha beta gamma"] * 20)
+        long_xx = "the of " + " ".join(["omega psi chi"] * 20)
+        docs = [
+            {"doc_id": 0, "text": long_en, "lang": "en", "source": "s",
+             "n_chars": len(long_en)},
+            {"doc_id": 1, "text": long_en + " delta", "lang": "en",
+             "source": "s", "n_chars": len(long_en) + 6},
+            {"doc_id": 2, "text": long_xx, "lang": "xx", "source": "s",
+             "n_chars": len(long_xx)},
+            # too short -> fails the word-count rule, never reaches DSIR
+            {"doc_id": 3, "text": "the of tiny", "lang": "en", "source": "s",
+             "n_chars": 11},
+        ]
+        with open(p / "docs.jsonl", "w") as fh:
+            for d in docs:
+                fh.write(_json.dumps(d) + "\n")
+        out = str(tmp_path / "curated")
+        s = _run(capsys, [
+            "curate", "--in", str(p), "--out", out, "--format", "jsonl",
+            "--target-lang", "en", "--keep", "2",
+            "--stopwords", "the,of",
+        ])
+        assert s["docs_in"] == 4
+        assert s["rule_pass"] == 3      # doc 3 fails word count
+        assert s["selected"] == 2       # DSIR top-2 of the pool
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert 3 not in kept
+        # the en-vocab docs outrank the background-only doc
+        assert kept == {0, 1}
