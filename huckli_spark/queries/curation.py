@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from huckli_spark.functions.portable import fround, sql_fround
+
 from huckli_spark.operators.classifier import sql_logreg
 from huckli_spark.operators.curation import (
     dsir_select,
@@ -288,4 +290,104 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         iterations=2,
         tau=_TAU,
+    )
+
+
+_DRIFT_SPLIT = 250  # fixture snapshots: vec_id < 250 = reference
+
+
+@query(
+    "q_embedding_drift",
+    f"""
+    WITH vm AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) - 1 AS INT)
+               AS dim,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5)
+                  AS BIGINT) AS val,
+             (vec_id < {_DRIFT_SPLIT}) AS is_ref
+      FROM embeddings
+    ), agg AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN is_ref THEN val ELSE 0 END) AS BIGINT)
+               AS rsum,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS rn,
+             CAST(sum(CASE WHEN is_ref THEN val * val ELSE 0 END) AS BIGINT)
+               AS rssq,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE val END) AS BIGINT)
+               AS csum,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      FROM vm GROUP BY 1
+    )
+    SELECT dim,
+           CAST(floor(rsum * 1.0 / rn + 0.5) AS BIGINT) AS ref_mean_micro,
+           CAST(floor(csum * 1.0 / cn + 0.5) AS BIGINT) AS cur_mean_micro,
+           {sql_fround("abs(csum * 1.0 / cn - rsum * 1.0 / rn) / (sqrt((rn * rssq - rsum * rsum) * 1.0) / rn)", 4)}
+             AS z_shift,
+           ({sql_fround("abs(csum * 1.0 / cn - rsum * 1.0 / rn) / (sqrt((rn * rssq - rsum * rsum) * 1.0) / rn)", 4)} > 0.1)
+             AS flagged
+    FROM agg
+    """,
+    doc="embedding distribution drift monitor: per-dimension exact "
+    "fixed-point moments of a reference snapshot (vec_id < 250) vs "
+    "the current corpus, standardized mean shift z = |d_mean| / "
+    "ref_std with the variance numerator kept as the exact integer "
+    "n*ssq - sum^2 (one sqrt + one division — single IEEE ops, "
+    "portable). The production check before retraining quantizers / "
+    "classifiers on a grown corpus: a flagged dim means the frozen "
+    "index's geometry has drifted. Scale: ONE map-combined groupBy to "
+    "dim-count rows (conditional sums fold both snapshots in one "
+    "pass); nothing else touches the corpus.",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    vm = emb.select(
+        F.col("vec_id"),
+        (F.col("vec_id") < _DRIFT_SPLIT).alias("is_ref"),
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x AS double))")
+        ).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "is_ref",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    agg = vm.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("val")).otherwise(0))
+        .cast("long")
+        .alias("rsum"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("rn"),
+        F.sum(
+            F.when(F.col("is_ref"), F.col("val") * F.col("val")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rssq"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("val")))
+        .cast("long")
+        .alias("csum"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("long")
+        .alias("cn"),
+    )
+    ref_mean = F.col("rsum") * F.lit(1.0) / F.col("rn")
+    cur_mean = F.col("csum") * F.lit(1.0) / F.col("cn")
+    std = (
+        F.sqrt(
+            (F.col("rn") * F.col("rssq") - F.col("rsum") * F.col("rsum"))
+            * F.lit(1.0)
+        )
+        / F.col("rn")
+    )
+    z = fround(F.abs(cur_mean - ref_mean) / std, 4)
+    return agg.select(
+        "dim",
+        F.floor(ref_mean + F.lit(0.5)).cast("long").alias("ref_mean_micro"),
+        F.floor(cur_mean + F.lit(0.5)).cast("long").alias("cur_mean_micro"),
+        z.alias("z_shift"),
+        (z > F.lit(0.1)).alias("flagged"),
     )
