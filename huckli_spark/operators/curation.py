@@ -187,6 +187,7 @@ def dsir_select(
     keep: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR importance weights + top-``keep`` selection:
     (doc_id, n_feats, w_micro, selected).
@@ -204,10 +205,14 @@ def dsir_select(
     TakeOrdered top-``keep`` (per-partition top-k + driver merge — no
     global sort shuffle). The corpus is scanned twice (features,
     scoring join) and never reshuffled on a data-sized key. At 100 TB
-    ``keep`` becomes a weight-quantile threshold, and the doc-sized
-    ``weights`` relation is materialized once before thresholding (the
-    lazy plan here re-derives it inside the threshold branch — fine at
-    gate scale, but it doubles the corpus scans).
+    ``keep`` becomes a weight-quantile threshold.
+
+    ``materialize`` (default) persists the doc-sized ``weights``
+    relation before thresholding and eager-releases the result (the
+    operators.cache lifecycle) so the corpus explodes ONCE; pass
+    ``materialize=False`` to get the lazy plan (used by the plan-shape
+    tests) — it re-derives weights inside the threshold branch,
+    doubling the corpus scans.
     """
     base = docs.select(
         F.col(id_col),
@@ -255,29 +260,38 @@ def dsir_select(
             ),
         )
     )
-    # threshold = last row of the (w desc, id asc) top-`keep` prefix:
-    # TakeOrderedAndProject in both directions, never a full sort.
-    thr = (
-        weights.orderBy(F.desc("w_micro"), F.asc(id_col))
-        .limit(keep)
-        .orderBy(F.asc("w_micro"), F.desc(id_col))
-        .limit(1)
-        .select(
-            F.col("w_micro").alias("__tw"), F.col(id_col).alias("__tid")
-        )
-    )
-    return weights.crossJoin(F.broadcast(thr)).select(
-        F.col(id_col),
-        "n_feats",
-        "w_micro",
-        (
-            (F.col("w_micro") > F.col("__tw"))
-            | (
-                (F.col("w_micro") == F.col("__tw"))
-                & (F.col(id_col) <= F.col("__tid"))
+    def _flagged(w: DataFrame) -> DataFrame:
+        # threshold = last row of the (w desc, id asc) top-`keep`
+        # prefix: TakeOrderedAndProject both ways, never a full sort.
+        thr = (
+            w.orderBy(F.desc("w_micro"), F.asc(id_col))
+            .limit(keep)
+            .orderBy(F.asc("w_micro"), F.desc(id_col))
+            .limit(1)
+            .select(
+                F.col("w_micro").alias("__tw"), F.col(id_col).alias("__tid")
             )
-        ).alias("selected"),
-    )
+        )
+        return w.crossJoin(F.broadcast(thr)).select(
+            F.col(id_col),
+            "n_feats",
+            "w_micro",
+            (
+                (F.col("w_micro") > F.col("__tw"))
+                | (
+                    (F.col("w_micro") == F.col("__tw"))
+                    & (F.col(id_col) <= F.col("__tid"))
+                )
+            ).alias("selected"),
+        )
+
+    if not materialize:
+        return _flagged(weights)
+    from huckli_spark.operators.cache import eager_release, persist_scope
+
+    with persist_scope() as s:
+        w = s.persist(weights)
+        return eager_release(_flagged(w))
 
 
 def sql_dsir_ctes(

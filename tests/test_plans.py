@@ -493,8 +493,22 @@ class TestCurationPlans:
         # the 256-bucket log-ratio table must ride a broadcast back
         # onto the per-doc counts (never a shuffle join on bucket),
         # and the keep-threshold must be TakeOrdered (per-partition
-        # top-k + driver merge), never a global Sort
-        plan = _plan(spark, "q_dsir_select")
+        # top-k + driver merge), never a global Sort. Inspect the LAZY
+        # operator plan — the gate query materializes eagerly
+        # (operators.cache lifecycle), so its registry plan is a
+        # scratch scan.
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.curation import dsir_select
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        df = dsir_select(
+            docs, F.col("lang") == "en", keep=100, materialize=False
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
         assert "BroadcastHashJoin" in plan
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
