@@ -760,3 +760,105 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = gopher_rules(stream, stopwords=("the", "a"))
     out = run_to_memory(gated.select("doc_id", "passes"), output_mode="append")
     return out
+
+
+def _stream_screen_oracle() -> str:
+    # corpus-screening arm of the incremental semdedup oracle only:
+    # the within-batch arm needs cross-row state (not stateless) and
+    # stays batch-only — scope documented in the query doc.
+    from huckli_spark.operators.curation import sql_semdedup_incremental
+
+    full = sql_semdedup_incremental(
+        "vec_id < 400", "vec_id >= 400", k=8, iterations=2, tau=0.45
+    )
+    # reuse the full oracle and project the corpus-screening columns
+    return (
+        "WITH inc AS (" + full + ")"
+        " SELECT vec_id, cid, dup_vs_corpus FROM inc"
+    )
+
+
+@query(
+    "q_stream_semdedup_screen",
+    _stream_screen_oracle(),
+    doc="STREAMING semantic-dedup screening: a live embedding batch "
+    "(vec_id >= 400) assigns map-only to the FROZEN quantizer "
+    "(trained on the existing corpus before the stream starts) and "
+    "is screened against the static member relation via stream-"
+    "static semi/anti joins on cid + cosine — stateless, append "
+    "mode, no state store. Emitted verdicts hash-match the batch "
+    "incremental screen's dup_vs_corpus arm. Scope: the within-batch "
+    "arm needs cross-row comparisons (state) and remains batch-only; "
+    "production runs the streaming screen at ingest and the batch "
+    "pass at compaction. Scale: quantizer + member relation are "
+    "broadcast/static; per-micro-batch work is batch x cluster-"
+    "density (probed flat at 10x corpus).",
+)
+def q_stream_semdedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.functions.portable import fround
+    from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from huckli_spark.operators.simsearch import cosine
+    from huckli_spark.streaming.windows import run_to_memory
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    existing = emb.where(F.col("vec_id") < 400)
+    cents = kmeans_fit(existing, k=8, iterations=2)
+    members = (
+        kmeans_assign(existing, cents)
+        .join(existing.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("vec_id").alias("__ida"),
+            "cid",
+            F.col("embedding").alias("__ea"),
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("label", T.IntegerType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .where(F.col("vec_id") >= 400)
+    )
+    # kmeans_assign's two-step select would make the vector join a
+    # stream-stream join (state) — derive cid + vector in ONE select
+    from huckli_spark.operators.clustering import _assign_expr, _vm_expr
+
+    b = stream.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__eb"),
+        F.expr(_vm_expr("embedding")).alias("__vm"),
+    ).select(
+        "__idb", "__eb", F.expr(_assign_expr(cents)).alias("cid")
+    )
+    sim = fround(cosine("__ea", "__eb"), 6)
+    cond = (F.col("__cm.cid") == F.col("__b.cid")) & (sim >= F.lit(0.45))
+    dup = (
+        b.alias("__b")
+        .join(F.broadcast(members.alias("__cm")), cond, "left_semi")
+        .select(
+            F.col("__idb").alias("vec_id"),
+            "cid",
+            F.lit(True).alias("dup_vs_corpus"),
+        )
+    )
+    clean = (
+        b.alias("__b")
+        .join(F.broadcast(members.alias("__cm")), cond, "left_anti")
+        .select(
+            F.col("__idb").alias("vec_id"),
+            "cid",
+            F.lit(False).alias("dup_vs_corpus"),
+        )
+    )
+    return run_to_memory(dup.unionByName(clean), output_mode="append")
