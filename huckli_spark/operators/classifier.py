@@ -273,3 +273,202 @@ def sql_logreg(
            (y = 1) AS is_target
     FROM zf
     """
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation (train split -> score everything)
+# ---------------------------------------------------------------------------
+def logreg_holdout_table(
+    docs: DataFrame,
+    label: F.Column,
+    train: F.Column,
+    buckets: int = B_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    lr: float = LR_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train on the ``train`` subset only, score EVERY doc:
+    (doc_id, is_train, p_micro, pred, is_target). Leakage-free by
+    construction: the per-bucket centering means AND the gradient
+    sums see only training rows; held-out rows are scored with the
+    frozen weights — the held-out accuracy is the number a production
+    filter is actually deployed on."""
+    h = "cast(conv(substring(md5(t), 1, 15), 16, 10) AS long)"
+    base = docs.select(
+        F.col(id_col),
+        label.cast("int").alias("y"),
+        train.cast("boolean").alias("is_train"),
+        F.expr(
+            f"array_distinct(transform(split({text_col}, ' '),"
+            f" t -> int({h} % {buckets})))"
+        ).alias("__b"),
+    )
+    raw = base.select(
+        id_col,
+        "y",
+        "is_train",
+        F.explode(F.expr(f"sequence(0, {buckets - 1})")).alias("dim"),
+        F.col("__b"),
+    ).select(
+        id_col,
+        "y",
+        "is_train",
+        "dim",
+        F.when(F.expr("array_contains(__b, dim)"), F.lit(MICRO))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("x_raw"),
+    )
+    n_train = base.where("is_train").count()
+    mu = (
+        raw.where("is_train")
+        .groupBy("dim")
+        .agg(
+            F.floor(
+                F.sum("x_raw").cast("double") / F.lit(float(n_train))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mu")
+        )
+    )
+    centered = raw.join(F.broadcast(mu), "dim").select(
+        id_col,
+        "y",
+        "is_train",
+        "dim",
+        (F.col("x_raw") - F.col("mu")).alias("x_micro"),
+    )
+    bias = base.select(
+        F.col(id_col),
+        "y",
+        "is_train",
+        F.lit(buckets).cast("int").alias("dim"),
+        F.lit(MICRO).cast("long").alias("x_micro"),
+    )
+    feats = centered.unionByName(bias)
+
+    # training loop over the train rows only
+    w = [0] * (buckets + 1)
+    tfeats = feats.where("is_train").drop("is_train")
+    for _ in range(iterations):
+        p = _scores(tfeats, w, id_col)
+        grads = (
+            p.join(tfeats, [id_col, "y"])
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (F.col("p_micro") - F.col("y") * F.lit(MICRO))
+                    * F.col("x_micro")
+                ).alias("g")
+            )
+            .collect()
+        )
+        gmap = {r["dim"]: r["g"] for r in grads}
+        w = [
+            w[j]
+            - int(math.floor(lr * gmap.get(j, 0) / (n_train * MICRO) + 0.5))
+            for j in range(buckets + 1)
+        ]
+
+    spark = docs.sparkSession
+    vals = ", ".join(f"({d}, {int(v)}L)" for d, v in enumerate(w))
+    wdf = spark.sql(f"SELECT col1 AS dim, col2 AS w FROM VALUES {vals}")
+    z = (
+        feats.join(F.broadcast(wdf), "dim")
+        .groupBy(id_col, "y", "is_train")
+        .agg(F.sum(F.col("w") * F.col("x_micro")).alias("__z"))
+    )
+    return z.select(
+        F.col(id_col),
+        "is_train",
+        _p_micro(F.col("__z")).alias("p_micro"),
+        (_p_micro(F.col("__z")) >= F.lit(MICRO // 2)).alias("pred"),
+        (F.col("y") == 1).alias("is_target"),
+    )
+
+
+def sql_logreg_holdout(
+    label_pred: str,
+    train_pred: str,
+    buckets: int = B_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    lr: float = LR_DEFAULT,
+) -> str:
+    """DuckDB oracle for logreg_holdout_table: centering means and
+    gradient sums over the train subset only; scoring over all."""
+    sig = (
+        "CAST(floor((0.5 * (1 + (z/1000000000000.0)"
+        " / (1 + abs(z/1000000000000.0)))) * 1000000 + 0.5) AS BIGINT)"
+    )
+    hb = f"CAST({sql_h60('t')} % {buckets} AS INT)"
+    parts = [
+        f"""base AS (
+          SELECT doc_id, CAST(({label_pred}) AS INT) AS y,
+                 CAST(({train_pred}) AS BOOLEAN) AS is_train,
+                 list_distinct(list_transform(string_split(text, ' '),
+                               t -> {hb})) AS b
+          FROM documents
+        ), nn AS (SELECT count(*) AS n FROM base WHERE is_train),
+        raw2 AS (
+          SELECT doc_id, y, is_train, dim,
+                 CASE WHEN list_contains(b, dim)
+                      THEN {MICRO} ELSE 0 END AS x_raw
+          FROM (
+            SELECT doc_id, y, is_train,
+                   CAST(unnest(range({buckets})) AS INT) AS dim, b
+            FROM base
+          )
+        ), mu AS (
+          SELECT dim,
+                 CAST(floor(CAST(sum(x_raw) AS DOUBLE) / nn.n + 0.5)
+                      AS BIGINT) AS mu
+          FROM raw2 CROSS JOIN nn WHERE is_train GROUP BY dim, nn.n
+        ), feats AS (
+          SELECT doc_id, y, is_train, dim, x_raw - mu AS x
+          FROM raw2 JOIN mu USING (dim)
+          UNION ALL
+          SELECT doc_id, y, is_train, {buckets} AS dim, {MICRO} AS x
+          FROM base
+        ),
+        w0 AS (
+          SELECT CAST(unnest(range({buckets + 1})) AS INT) AS dim,
+                 CAST(0 AS BIGINT) AS w
+        )"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""p{i} AS (
+              SELECT doc_id, y, {sig} AS p FROM (
+                SELECT f.doc_id, f.y, CAST(sum(w.w * f.x) AS BIGINT) AS z
+                FROM feats f JOIN w{i} w USING (dim)
+                WHERE f.is_train GROUP BY 1, 2
+              )
+            ), g{i} AS (
+              SELECT f.dim,
+                     CAST(sum((p{i}.p - p{i}.y * {MICRO}) * f.x) AS BIGINT)
+                       AS grad
+              FROM p{i} JOIN feats f USING (doc_id, y)
+              WHERE f.is_train
+              GROUP BY 1
+            ), w{i + 1} AS (
+              SELECT w.dim,
+                     w.w - CAST(floor({lr} * coalesce(g.grad, 0)
+                                      / (nn.n * {MICRO}.0) + 0.5)
+                                AS BIGINT) AS w
+              FROM w{i} w LEFT JOIN g{i} g USING (dim) CROSS JOIN nn
+            )"""
+        )
+    last = f"w{iterations}"
+    return f"""
+    WITH {','.join(parts)},
+    zf AS (
+      SELECT f.doc_id, f.is_train, f.y, CAST(sum(w.w * f.x) AS BIGINT) AS z
+      FROM feats f JOIN {last} w USING (dim) GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, is_train, {sig} AS p_micro,
+           ({sig} >= 500000) AS pred,
+           (y = 1) AS is_target
+    FROM zf
+    """
