@@ -59,3 +59,34 @@ class TestLogReg:
         docs = _docs(spark, ["marker a", "b c"])
         out = logreg_table(docs, LABEL(), iterations=0).collect()
         assert {r["p_micro"] for r in out} == {MICRO // 2}
+
+
+class TestLogRegHoldout:
+    def test_holdout_rows_do_not_influence_training(self, spark):
+        from huckli_spark.operators.classifier import logreg_holdout_table
+
+        train_docs = [
+            "marker alpha beta", "marker gamma delta",
+            "zeta eta theta", "iota kappa lam",
+        ]
+        a = _docs(spark, train_docs + ["marker holdout words"])
+        b = _docs(spark, train_docs + ["entirely different text here"])
+        is_train = F.col("doc_id") < 4
+        ra = logreg_holdout_table(a, LABEL(), is_train, iterations=4)
+        rb = logreg_holdout_table(b, LABEL(), is_train, iterations=4)
+        # training rows score identically whatever the held-out text is
+        ta = sorted(map(tuple, ra.where("is_train").collect()))
+        tb = sorted(map(tuple, rb.where("is_train").collect()))
+        assert ta == tb
+
+    def test_output_covers_both_splits(self, spark):
+        from huckli_spark.operators.classifier import logreg_holdout_table
+
+        docs = _docs(spark, ["marker a", "b c", "marker d", "e f"])
+        out = logreg_holdout_table(
+            docs, LABEL(), F.col("doc_id") < 2, iterations=2
+        ).collect()
+        assert len(out) == 4
+        assert {r["doc_id"]: r["is_train"] for r in out} == {
+            0: True, 1: True, 2: False, 3: False,
+        }
