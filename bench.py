@@ -222,6 +222,7 @@ def main() -> None:
         # walls are driver-iteration bound, measured in SCALE.md)
         "q_dsir_select",
         "q_gopher_rules",
+        "q_embedding_drift",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:
