@@ -540,6 +540,21 @@ class TestCurationPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan
 
+    def test_embedding_drift_single_aggregate(self, spark):
+        # one conditional-sum groupBy to dim rows; no join at all
+        plan = _plan(spark, "q_embedding_drift")
+        assert "Join" not in plan
+        assert "Python" not in plan
+
+    def test_diversity_sample_cluster_partitioned_window(self, spark):
+        # the rank window partitions BY CLUSTER (never a single global
+        # partition) and sizes ride a broadcast
+        plan = _plan(spark, "q_diversity_sample")
+        assert "Window" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
     def test_logreg_scoring_broadcast_weights_no_python(self, spark):
         # the final-score plan (training already folded into weight
         # literals): features are map-only in-row expressions, the
