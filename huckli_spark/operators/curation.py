@@ -53,6 +53,35 @@ def _micro(col: F.Column) -> F.Column:
 # ---------------------------------------------------------------------------
 # SemDeDup
 # ---------------------------------------------------------------------------
+def _cluster_dup_pairs(
+    emb: DataFrame,
+    assign: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster ordered near-dup pairs (d1 < d2) at
+    fround(cos, 6) >= tau — the shared pair stage of the semdedup
+    family. Self-join keys on cid only (cluster-bounded)."""
+    v = emb.select(F.col(id_col), F.col(vec_col))
+    membered = assign.join(v, id_col)
+    a = membered.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cid"),
+        F.col(vec_col).alias("__ea"),
+    )
+    b = membered.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cid"),
+        F.col(vec_col).alias("__eb"),
+    )
+    pairs = a.join(b, "cid").where(F.col("__ida") < F.col("__idb"))
+    sim = fround(cosine("__ea", "__eb"), 6)
+    return pairs.where(sim >= F.lit(tau)).select(
+        F.col("__ida").alias("d1"), F.col("__idb").alias("d2")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -82,24 +111,9 @@ def semdedup(
     """
     cents = kmeans_fit(emb, k, iterations, id_col, vec_col)
     assign = kmeans_assign(emb, cents, id_col, vec_col)  # (id, cid)
-    v = emb.select(F.col(id_col), F.col(vec_col))
-    membered = assign.join(v, id_col)
-    a = membered.select(
-        F.col(id_col).alias("__ida"),
-        F.col("cid"),
-        F.col(vec_col).alias("__ea"),
-    )
-    b = membered.select(
-        F.col(id_col).alias("__idb"),
-        F.col("cid"),
-        F.col(vec_col).alias("__eb"),
-    )
-    # within-cluster ordered pairs; a is the lower (surviving) side
-    pairs = a.join(b, "cid").where(F.col("__ida") < F.col("__idb"))
-    sim = fround(cosine("__ea", "__eb"), 6)
+    dpairs = _cluster_dup_pairs(emb, assign, tau, id_col, vec_col)
     dups = (
-        pairs.where(sim >= F.lit(tau))
-        .select(F.col("__idb").alias(id_col))
+        dpairs.select(F.col("d2").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
@@ -145,10 +159,12 @@ def sql_semdedup_ctes(
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), m AS (
       SELECT fa.vec_id, fa.cid, v.e FROM fa JOIN v USING (vec_id)
-    ), dups AS (
-      SELECT DISTINCT b.vec_id
+    ), dpairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
       FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {sql_fround(cos, 6)} >= {tau}
+    ), dups AS (
+      SELECT DISTINCT d2 AS vec_id FROM dpairs
     )"""
 
 
@@ -620,4 +636,72 @@ def sql_semdedup_incremental(
            (bm.vec_id IN (SELECT vec_id FROM dc)
             OR bm.vec_id IN (SELECT vec_id FROM db)) AS is_dup
     FROM bm
+    """
+
+
+def semdedup_components(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Component-based SemDeDup — the paper's actual formulation: the
+    within-cluster near-dup PAIRS form a graph, each connected
+    component is one semantic-duplicate group, and exactly one member
+    per component (the smallest id) survives. Fixes the pairwise
+    rule's chain artifact: with a~b and b~c but a!~c, pairwise
+    lowest-id-wins drops BOTH b and c; components keep a and drop the
+    rest of the a-b-c chain as one group, which is the documented
+    SemDeDup semantics.
+
+    Output: (id, cid, cluster_id, is_keeper) — cluster_id is the
+    component representative (self for clean vectors).
+
+    Scale: the pair graph holds only duplicates (orders of magnitude
+    smaller than the corpus); ``connected_components`` solves it via
+    driver union-find under ``small_graph_max`` edges, distributed
+    min-label propagation above.
+    """
+    from huckli_spark.operators.dedup import connected_components
+
+    cents = kmeans_fit(emb, k, iterations, id_col, vec_col)
+    assign = kmeans_assign(emb, cents, id_col, vec_col)
+    dpairs = _cluster_dup_pairs(emb, assign, tau, id_col, vec_col)
+    comp = connected_components(
+        dpairs, src="d1", dst="d2", id_out=id_col, comp_out="cluster_id"
+    )
+    return assign.join(comp, id_col, "left").select(
+        F.col(id_col),
+        "cid",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        (
+            F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)
+        ).alias("is_keeper"),
+    )
+
+
+def sql_semdedup_components(
+    k: int = 8, iterations: int = 2, tau: float = 0.45
+) -> str:
+    """DuckDB oracle: the semdedup CTE chain plus a recursive-CTE
+    closure over the dup-pair graph (the q_dup_clusters pattern)."""
+    return f"""
+    WITH RECURSIVE {sql_semdedup_ctes(k, iterations, tau)},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM dpairs
+      UNION
+      SELECT d2, d1 FROM dpairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT m.vec_id, m.cid,
+           coalesce(comp.cluster_id, m.vec_id) AS cluster_id,
+           (coalesce(comp.cluster_id, m.vec_id) = m.vec_id) AS is_keeper
+    FROM m LEFT JOIN comp USING (vec_id)
     """

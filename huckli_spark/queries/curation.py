@@ -25,6 +25,7 @@ from huckli_spark.operators.curation import (
     dsir_select,
     semdedup,
     sql_diversity_sample,
+    sql_semdedup_components,
     sql_dsir_select,
     sql_semdedup,
     sql_semdedup_incremental,
@@ -416,3 +417,24 @@ def q_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_holdout_table(
         _docs(spark, sf_dir), _lr_label(), F.expr("doc_id % 5 <> 0")
     )
+
+
+@query(
+    "q_semdedup_clusters",
+    sql_semdedup_components(k=8, iterations=2, tau=_TAU),
+    doc="component-based SemDeDup — the paper's actual formulation: "
+    "within-cluster near-dup pairs form a graph, each connected "
+    "component is one semantic-duplicate group, exactly one member "
+    "(smallest id) survives. Fixes the pairwise rule's chain "
+    "artifact (a~b, b~c, a!~c: pairwise drops b AND c; components "
+    "keep a as the one representative of the chain). Spark solves "
+    "the dup-only pair graph via union-find/label-propagation "
+    "(connected_components); the oracle is the recursive-CTE "
+    "closure over the replayed training + pair scan. Scale: the "
+    "pair graph holds only duplicates — orders of magnitude smaller "
+    "than the corpus.",
+)
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.curation import semdedup_components
+
+    return semdedup_components(_emb(spark, sf_dir), k=8, iterations=2, tau=_TAU)

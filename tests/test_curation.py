@@ -300,3 +300,39 @@ class TestSemDeDupIncremental:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestSemDeDupComponents:
+    def test_chain_keeps_one_representative(self, spark):
+        from huckli_spark.operators.curation import semdedup_components
+
+        # a ~ b and b ~ c but a !~ c (chain): components keep ONLY a;
+        # pairwise lowest-id would also drop both b and c, but here
+        # all three share cluster_id = 0
+        # unit-ish vectors at 0deg, 17deg, 34deg: adjacent cosines
+        # ~0.956 (dup), end-to-end cosine ~0.829 (below tau)
+        e = _emb(
+            spark,
+            [
+                [1.0, 0.0],        # a
+                [0.956, 0.292],    # b
+                [0.829, 0.559],    # c
+            ],
+        )
+        out = {
+            r["vec_id"]: r
+            for r in semdedup_components(
+                e, k=1, iterations=1, tau=0.94
+            ).collect()
+        }
+        assert out[0]["is_keeper"] is True
+        assert out[1]["is_keeper"] is False and out[1]["cluster_id"] == 0
+        assert out[2]["is_keeper"] is False and out[2]["cluster_id"] == 0
+
+    def test_clean_vectors_are_their_own_cluster(self, spark):
+        from huckli_spark.operators.curation import semdedup_components
+
+        e = _emb(spark, [[1.0, 0.0], [0.0, 1.0]])
+        out = semdedup_components(e, k=1, iterations=1, tau=0.99).collect()
+        assert all(r["is_keeper"] for r in out)
+        assert {r["cluster_id"] for r in out} == {0, 1}
