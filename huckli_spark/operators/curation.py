@@ -705,3 +705,166 @@ def sql_semdedup_components(
            (coalesce(comp.cluster_id, m.vec_id) = m.vec_id) AS is_keeper
     FROM m LEFT JOIN comp USING (vec_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) SemDeDup — the skew mitigation
+# ---------------------------------------------------------------------------
+def semdedup_two_level(
+    emb: DataFrame,
+    k: int = 4,
+    k2: int = 4,
+    iterations: int = 2,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with hierarchical clustering: a top-level k-means
+    splits the corpus, then EVERY top-level cluster trains its own
+    k2-means over its members — the pair stage runs within (cid,
+    sub_cid) cells, so the quadratic term is bounded by the largest
+    SUB-cluster even when the top level is skewed (a giant top
+    cluster gets k2-way split instead of a quadratic blowup). This is
+    the documented skew mitigation made concrete; the trade is dup
+    recall at sub-cluster boundaries, same as raising k.
+
+    Output: (id, cid, sub_cid, is_dup) — pairwise lowest-id rule
+    within cells.
+
+    Scale: k+1 trainings, each map-only + k2*dim driver cells (the
+    per-subspace PQ trainer shape); the driver loop is k iterations
+    over bounded work. Pair joins key on (cid, sub_cid).
+    """
+    cents = kmeans_fit(emb, k, iterations, id_col, vec_col)
+    assign = kmeans_assign(emb, cents, id_col, vec_col)
+    membered = assign.join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    subs = []
+    for cid in range(k):
+        members = membered.where(F.col("cid") == cid).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        if members.limit(1).count() == 0:
+            continue
+        sub_cents = kmeans_fit(members, k2, iterations, id_col, vec_col)
+        sub_assign = kmeans_assign(members, sub_cents, id_col, vec_col)
+        subs.append(
+            sub_assign.select(
+                F.col(id_col),
+                F.lit(cid).cast("int").alias("__topcid"),
+                F.col("cid").cast("int").alias("sub_cid"),
+            )
+        )
+    full = subs[0]
+    for s_ in subs[1:]:
+        full = full.unionByName(s_)
+    full = full.withColumnRenamed("__topcid", "cid")
+    # pair stage within (cid, sub_cid) cells
+    v = emb.select(F.col(id_col), F.col(vec_col))
+    m2 = full.join(v, id_col)
+    a = m2.select(
+        F.col(id_col).alias("__ida"), "cid", "sub_cid",
+        F.col(vec_col).alias("__ea"),
+    )
+    b = m2.select(
+        F.col(id_col).alias("__idb"), "cid", "sub_cid",
+        F.col(vec_col).alias("__eb"),
+    )
+    sim = fround(cosine("__ea", "__eb"), 6)
+    dups = (
+        a.join(b, ["cid", "sub_cid"])
+        .where((F.col("__ida") < F.col("__idb")) & (sim >= F.lit(tau)))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return full.join(dups, id_col, "left").select(
+        F.col(id_col),
+        "cid",
+        "sub_cid",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def sql_semdedup_two_level(
+    k: int = 4, k2: int = 4, iterations: int = 2, tau: float = 0.45
+) -> str:
+    """DuckDB oracle: top-level chain + one sub-chain per top cluster
+    (the per-subspace PQ oracle pattern), pair scan within cells."""
+    from huckli_spark.functions.portable import sql_fround
+    from huckli_spark.operators.clustering import (
+        sql_kmeans_chain,
+        sql_kmeans_vm_cte,
+    )
+
+    last = f"c{iterations}"
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    parts = [
+        sql_kmeans_vm_cte(),
+        sql_kmeans_chain(k, iterations),
+        f"""fd AS (
+          SELECT vm.vec_id, {last}.cid,
+                 sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
+          FROM vm JOIN {last} ON {last}.dim = vm.dim GROUP BY 1, 2
+        ), fa AS (
+          SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
+            SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+            FROM fd
+          ) WHERE d = md GROUP BY vec_id
+        )""",
+    ]
+    for cid in range(k):
+        p = f"s{cid}_"
+        parts.append(
+            f"""{p}vm AS (
+              SELECT vm.* FROM vm JOIN fa USING (vec_id)
+              WHERE fa.cid = {cid}
+            )"""
+        )
+        parts.append(sql_kmeans_chain(k2, iterations, p, f"{p}vm"))
+        parts.append(
+            f"""{p}fd AS (
+              SELECT {p}vm.vec_id, {p}{last}.cid,
+                     sum(({p}vm.val - {p}{last}.c)
+                         * ({p}vm.val - {p}{last}.c)) AS d
+              FROM {p}vm JOIN {p}{last} ON {p}{last}.dim = {p}vm.dim
+              GROUP BY 1, 2
+            ), {p}fa AS (
+              SELECT vec_id, CAST(min(cid) AS INT) AS sub_cid FROM (
+                SELECT vec_id, cid, d,
+                       min(d) OVER (PARTITION BY vec_id) AS md
+                FROM {p}fd
+              ) WHERE d = md GROUP BY vec_id
+            )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, {cid} AS cid, sub_cid FROM s{cid}_fa"
+        for cid in range(k)
+    )
+    parts.append(f"full2 AS ({union})")
+    parts.append(
+        """v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), m2 AS (
+          SELECT full2.vec_id, full2.cid, full2.sub_cid, v.e
+          FROM full2 JOIN v USING (vec_id)
+        )"""
+    )
+    return f"""
+    WITH {','.join(parts)},
+    dups2 AS (
+      SELECT DISTINCT b.vec_id
+      FROM m2 a JOIN m2 b
+        ON a.cid = b.cid AND a.sub_cid = b.sub_cid
+       AND a.vec_id < b.vec_id
+      WHERE {sql_fround(cos, 6)} >= {tau}
+    )
+    SELECT m2.vec_id, CAST(m2.cid AS INT) AS cid, m2.sub_cid,
+           (m2.vec_id IN (SELECT vec_id FROM dups2)) AS is_dup
+    FROM m2
+    """

@@ -26,6 +26,7 @@ from huckli_spark.operators.curation import (
     semdedup,
     sql_diversity_sample,
     sql_semdedup_components,
+    sql_semdedup_two_level,
     sql_dsir_select,
     sql_semdedup,
     sql_semdedup_incremental,
@@ -438,3 +439,24 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.curation import semdedup_components
 
     return semdedup_components(_emb(spark, sf_dir), k=8, iterations=2, tau=_TAU)
+
+
+@query(
+    "q_semdedup_two_level",
+    sql_semdedup_two_level(k=4, k2=4, iterations=2, tau=_TAU),
+    doc="two-level (hierarchical) SemDeDup — the skew mitigation made "
+    "concrete: a top-level 4-means splits the corpus, EVERY top "
+    "cluster trains its own 4-means over its members, and the pair "
+    "stage runs within (cid, sub_cid) cells — bounded by the largest "
+    "SUB-cluster even when the top level is skewed. The oracle "
+    "replays all 5 trainings (top + 4 sub-chains, the per-subspace "
+    "PQ oracle pattern) and the cell-local pair scan. Trade "
+    "documented: dup recall at sub-cluster boundaries, same as "
+    "raising k.",
+)
+def q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.curation import semdedup_two_level
+
+    return semdedup_two_level(
+        _emb(spark, sf_dir), k=4, k2=4, iterations=2, tau=_TAU
+    )
