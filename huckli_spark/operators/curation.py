@@ -811,7 +811,7 @@ def sql_semdedup_two_level(
           SELECT vm.vec_id, {last}.cid,
                  sum((vm.val - {last}.c) * (vm.val - {last}.c)) AS d
           FROM vm JOIN {last} ON {last}.dim = vm.dim GROUP BY 1, 2
-        ), fa AS (
+        ), fa AS MATERIALIZED (
           SELECT vec_id, CAST(min(cid) AS INT) AS cid FROM (
             SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
             FROM fd
@@ -821,7 +821,7 @@ def sql_semdedup_two_level(
     for cid in range(k):
         p = f"s{cid}_"
         parts.append(
-            f"""{p}vm AS (
+            f"""{p}vm AS MATERIALIZED (
               SELECT vm.* FROM vm JOIN fa USING (vec_id)
               WHERE fa.cid = {cid}
             )"""
