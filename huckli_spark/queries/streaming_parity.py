@@ -862,3 +862,130 @@ def q_stream_semdedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(dup.unionByName(clean), output_mode="append")
+
+
+def _stream_dsir_oracle() -> str:
+    from huckli_spark.operators.curation import sql_dsir_ctes
+
+    return (
+        "WITH "
+        + sql_dsir_ctes("lang = 'en'", keep=100)
+        + " SELECT doc_id, n_feats, w_micro FROM weights"
+    )
+
+
+@query(
+    "q_stream_dsir",
+    _stream_dsir_oracle(),
+    doc="STREAMING DSIR scoring against FROZEN distribution stats — "
+    "the serving split of importance resampling (q_stream_bm25's "
+    "shape): the 256-row bucket log-ratio table comes from the "
+    "static reference corpus — collected (256 bounded cells) and "
+    "baked as an array literal — and the live document stream scores "
+    "with a pure IN-ROW fold: no streaming aggregation, no state "
+    "store, append mode. Emitted weights "
+    "hash-match the batch scorer; the top-K selection threshold is "
+    "a batch/compaction step (needs the full weight distribution), "
+    "documented scope.",
+)
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.curation import (
+        DSIR_BUCKETS,
+        MICRO,
+        _feature_col,
+    )
+    from huckli_spark.functions.portable import h60
+    from huckli_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # frozen stats from the static corpus (identical arithmetic to
+    # dsir_select's bucket/log-ratio derivation)
+    base = docs.select(
+        F.col("doc_id"),
+        (F.col("lang") == "en").alias("__is_t"),
+        F.split(F.col("text"), " ").alias("__w"),
+    )
+    feats = (
+        base.select(
+            "doc_id", "__is_t", F.explode(_feature_col("__w")).alias("__f")
+        )
+        .select(
+            "doc_id",
+            "__is_t",
+            (h60(F.col("__f")) % F.lit(DSIR_BUCKETS)).alias("bucket"),
+        )
+        .groupBy("doc_id", "__is_t", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    byb = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("__is_t"), F.col("cnt")).otherwise(0)).alias("tc"),
+    )
+    totals = byb.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+
+    # ALL 256 buckets (missing ones get the zero-count ratio) so the
+    # frozen table is total; computed by Spark (same engine arithmetic
+    # as the batch scorer), then collected — 256 bounded cells — and
+    # baked as an array literal for in-row lookup
+    all_b = spark.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    lr_full = (
+        all_b.join(byb, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + F.lit(DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                        / (F.col("rt") + F.lit(DSIR_BUCKETS))
+                    )
+                )
+                * F.lit(float(MICRO))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    lr_map = {r["bucket"]: r["lr_micro"] for r in lr_full.collect()}
+    lr_lit = ", ".join(f"{lr_map[b]}L" for b in range(DSIR_BUCKETS))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    h = "cast(conv(substring(md5(f), 1, 15), 16, 10) AS long)"
+    scored = stream.select(
+        F.col("doc_id"),
+        F.split(F.col("text"), " ").alias("__w"),
+    ).select(
+        "doc_id",
+        _feature_col("__w").alias("__fs"),
+    ).select(
+        "doc_id",
+        F.expr("cast(size(__fs) AS long)").alias("n_feats"),
+        F.expr(
+            f"aggregate(transform(__fs, f -> element_at(array({lr_lit}),"
+            f" cast({h} % {DSIR_BUCKETS} AS int) + 1)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("w_micro"),
+    )
+    return run_to_memory(scored, output_mode="append")
+

@@ -336,3 +336,22 @@ class TestSemDeDupComponents:
         out = semdedup_components(e, k=1, iterations=1, tau=0.99).collect()
         assert all(r["is_keeper"] for r in out)
         assert {r["cluster_id"] for r in out} == {0, 1}
+
+
+class TestSemDeDupTwoLevel:
+    def test_one_row_per_vector_and_cell_local_pairs(self, spark):
+        from huckli_spark.operators.curation import semdedup_two_level
+
+        e = _emb(
+            spark,
+            [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0],
+             [0.7, 0.7], [0.7, 0.7]],
+        )
+        out = semdedup_two_level(e, k=2, k2=2, iterations=1, tau=0.99)
+        rows = out.collect()
+        assert len(rows) == 6
+        assert {r["vec_id"] for r in rows} == set(range(6))
+        # identical twins always share a cell -> higher id flagged
+        flags = {r["vec_id"]: r["is_dup"] for r in rows}
+        assert flags[1] and flags[3] and flags[5]
+        assert not flags[0] and not flags[2] and not flags[4]
