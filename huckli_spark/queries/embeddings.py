@@ -744,7 +744,10 @@ def _pq_trained_common() -> list[str]:
     for s in range(8):
         off = s * 8
         parts.append(
-            f"""svm{s} AS (
+            # MATERIALIZED: each sub-chain references its slice many
+            # times per iteration; DuckDB re-evaluates unmaterialized
+            # CTEs per reference (measured 18.3 s -> see CI log)
+            f"""svm{s} AS MATERIALIZED (
               SELECT vec_id, dim - {off} AS dim, val
               FROM vm WHERE dim >= {off} AND dim < {off + 8}
             )"""
