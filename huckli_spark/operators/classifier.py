@@ -229,7 +229,7 @@ def sql_logreg(
                  CAST(floor(CAST(sum(x_raw) AS DOUBLE) / nn.n + 0.5)
                       AS BIGINT) AS mu
           FROM raw2 CROSS JOIN nn GROUP BY dim, nn.n
-        ), feats AS (
+        ), feats AS MATERIALIZED (
           SELECT doc_id, y, dim, x_raw - mu AS x
           FROM raw2 JOIN mu USING (dim)
           UNION ALL
@@ -242,18 +242,18 @@ def sql_logreg(
     ]
     for i in range(iterations):
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
               SELECT doc_id, y, {sig} AS p FROM (
                 SELECT f.doc_id, f.y, CAST(sum(w.w * f.x) AS BIGINT) AS z
                 FROM feats f JOIN w{i} w USING (dim) GROUP BY 1, 2
               )
-            ), g{i} AS (
+            ), g{i} AS MATERIALIZED (
               SELECT f.dim,
                      CAST(sum((p{i}.p - p{i}.y * {MICRO}) * f.x) AS BIGINT)
                        AS grad
               FROM p{i} JOIN feats f USING (doc_id, y)
               GROUP BY 1
-            ), w{i + 1} AS (
+            ), w{i + 1} AS MATERIALIZED (
               SELECT w.dim,
                      w.w - CAST(floor({lr} * coalesce(g.grad, 0)
                                       / (nn.n * {MICRO}.0) + 0.5)
@@ -425,7 +425,7 @@ def sql_logreg_holdout(
                  CAST(floor(CAST(sum(x_raw) AS DOUBLE) / nn.n + 0.5)
                       AS BIGINT) AS mu
           FROM raw2 CROSS JOIN nn WHERE is_train GROUP BY dim, nn.n
-        ), feats AS (
+        ), feats AS MATERIALIZED (
           SELECT doc_id, y, is_train, dim, x_raw - mu AS x
           FROM raw2 JOIN mu USING (dim)
           UNION ALL
@@ -439,20 +439,20 @@ def sql_logreg_holdout(
     ]
     for i in range(iterations):
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
               SELECT doc_id, y, {sig} AS p FROM (
                 SELECT f.doc_id, f.y, CAST(sum(w.w * f.x) AS BIGINT) AS z
                 FROM feats f JOIN w{i} w USING (dim)
                 WHERE f.is_train GROUP BY 1, 2
               )
-            ), g{i} AS (
+            ), g{i} AS MATERIALIZED (
               SELECT f.dim,
                      CAST(sum((p{i}.p - p{i}.y * {MICRO}) * f.x) AS BIGINT)
                        AS grad
               FROM p{i} JOIN feats f USING (doc_id, y)
               WHERE f.is_train
               GROUP BY 1
-            ), w{i + 1} AS (
+            ), w{i + 1} AS MATERIALIZED (
               SELECT w.dim,
                      w.w - CAST(floor({lr} * coalesce(g.grad, 0)
                                       / (nn.n * {MICRO}.0) + 0.5)
