@@ -754,7 +754,7 @@ def _pq_trained_common() -> list[str]:
         )
         parts.append(sql_kmeans_chain(16, _PQT_ITERS, f"s{s}_", f"svm{s}"))
         parts.append(
-            f"""cbl{s} AS (
+            f"""cbl{s} AS MATERIALIZED (
               SELECT cid, list(c / 1000000.0 ORDER BY dim) AS cv
               FROM s{s}_c{_PQT_ITERS} GROUP BY cid
             )"""

@@ -186,7 +186,7 @@ def _mmr_oracle() -> str:
       FROM embeddings WHERE vec_id < 10
     ), c AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-    ), rel AS (
+    ), rel AS MATERIALIZED (
       SELECT query_id, cid, rel_micro FROM (
         SELECT q.query_id, c.cid,
                """
@@ -200,7 +200,7 @@ def _mmr_oracle() -> str:
                ) AS rn
         FROM q CROSS JOIN c WHERE c.cid <> q.query_id
       ) WHERE rn <= 20
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT r1.query_id, r1.cid AS a, r2.cid AS b,
              """
         + micro.format(a="ca.cv", b="cb.cv")
@@ -209,7 +209,7 @@ def _mmr_oracle() -> str:
       JOIN rel r2 ON r2.query_id = r1.query_id AND r2.cid <> r1.cid
       JOIN c ca ON ca.cid = r1.cid
       JOIN c cb ON cb.cid = r2.cid
-    ), s1 AS (
+    ), s1 AS MATERIALIZED (
       SELECT query_id, cid, 1 AS mmr_rank, rel_micro AS score_micro
       FROM (
         SELECT query_id, cid, rel_micro,
@@ -230,7 +230,7 @@ def _mmr_oracle() -> str:
       FROM pairs p JOIN sel{t} s
         ON s.query_id = p.query_id AND s.cid = p.b
       GROUP BY 1, 2
-    ), s{t} AS (
+    ), s{t} AS MATERIALIZED (
       SELECT query_id, cid, {t} AS mmr_rank, score_micro FROM (
         SELECT r.query_id, r.cid,
                r.rel_micro - m.maxsim_micro AS score_micro,
@@ -481,7 +481,7 @@ def _hybrid_oracle() -> str:
       FROM top20 ta JOIN top20 tb ON tb.doc_id <> ta.doc_id
       JOIN v va ON va.vec_id = ta.doc_id
       JOIN v vb ON vb.vec_id = tb.doc_id
-    ), s1 AS (
+    ), s1 AS MATERIALIZED (
       SELECT cid, 1 AS mmr_rank, rel_micro AS score_micro FROM (
         SELECT cid, rel_micro,
                row_number() OVER (ORDER BY rel_micro DESC, cid) AS rn
@@ -499,7 +499,7 @@ def _hybrid_oracle() -> str:
       SELECT p.a AS cid, max(p.sim_micro) AS maxsim_micro
       FROM pairs p JOIN sel{t} s ON s.cid = p.b
       GROUP BY 1
-    ), s{t} AS (
+    ), s{t} AS MATERIALIZED (
       SELECT cid, {t} AS mmr_rank, score_micro FROM (
         SELECT r.cid, r.rel_micro - m.maxsim_micro AS score_micro,
                row_number() OVER (
