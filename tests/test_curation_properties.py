@@ -1,0 +1,191 @@
+"""Property tests for the curation family against pure-Python
+references (the segment-dedup property-suite pattern): hypothesis
+generates small corpora, a straightforward Python implementation of
+the SAME exact fixed-point arithmetic produces the expected rows, and
+the Spark operators must match tuple-for-tuple. Catches drift between
+the operator and its documented arithmetic that example tests miss."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.curation import (
+    DSIR_BUCKETS,
+    dsir_select,
+    semdedup,
+)
+
+MICRO = 1_000_000
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ------------------------------------------------------------------ DSIR ref
+def _dsir_ref(rows, keep):
+    """(doc_id, n_feats, w_micro, selected) — pure-Python DSIR with the
+    operator's exact arithmetic (hash, smoothing, micro floors)."""
+    feats = {}
+    for did, text, is_t in rows:
+        w = text.split(" ")
+        fs = [f"u:{x}" for x in w]
+        if len(w) >= 2:
+            fs += [f"b:{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+        cnt = {}
+        for f_ in fs:
+            b = _h60(f_) % DSIR_BUCKETS
+            cnt[b] = cnt.get(b, 0) + 1
+        feats[did] = (cnt, is_t)
+    rc, tc = {}, {}
+    for cnt, is_t in feats.values():
+        for b, c in cnt.items():
+            rc[b] = rc.get(b, 0) + c
+            if is_t:
+                tc[b] = tc.get(b, 0) + c
+    rt, tt = sum(rc.values()), sum(tc.values())
+    lr = {
+        b: math.floor(
+            (
+                math.log((tc.get(b, 0) + 1.0) / (tt + DSIR_BUCKETS))
+                - math.log((rc[b] + 1.0) / (rt + DSIR_BUCKETS))
+            )
+            * 1000000
+            + 0.5
+        )
+        for b in rc
+    }
+    weights = {
+        did: (
+            sum(cnt.values()),
+            sum(c * lr[b] for b, c in cnt.items()),
+        )
+        for did, (cnt, _) in feats.items()
+    }
+    order = sorted(weights, key=lambda d: (-weights[d][1], d))
+    chosen = set(order[:keep])
+    if chosen:
+        tw = min(weights[d][1] for d in chosen)
+        tid = max(d for d in chosen if weights[d][1] == tw)
+    out = []
+    for did, (nf, w) in weights.items():
+        sel = bool(chosen) and (w > tw or (w == tw and did <= tid))
+        out.append((did, nf, w, sel))
+    return sorted(out)
+
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "omega", "psi", "the", "spark"]
+)
+_text = st.lists(_word, min_size=1, max_size=6).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_text, min_size=2, max_size=8),
+    tmask=st.lists(st.booleans(), min_size=8, max_size=8),
+    keep=st.integers(min_value=1, max_value=5),
+)
+def test_dsir_matches_python_reference(spark, texts, tmask, keep):
+    rows = [
+        (i, t, tmask[i % len(tmask)]) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en" if m else "xx") for d, t, m in rows],
+        "doc_id long, text string, lang string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in dsir_select(
+            df, F.col("lang") == "en", keep=keep
+        ).collect()
+    )
+    assert got == _dsir_ref(rows, keep)
+
+
+# -------------------------------------------------------------- SemDeDup ref
+def _kmeans_ref(vecs, k, iterations):
+    """kmeans_fit's exact fixed-point arithmetic in pure Python."""
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    vm = {
+        i: [math.floor(v * MICRO + 0.5) for v in vecs[i]] for i in ids
+    }
+    cents = [list(vm[i]) for i in ids[:k]]
+    for _ in range(iterations):
+        assign = {}
+        for i in ids:
+            best, bd = None, None
+            for cid, c in enumerate(cents):
+                d = sum((vm[i][j] - c[j]) ** 2 for j in range(dim))
+                if bd is None or d < bd or (d == bd and cid < best):
+                    best, bd = cid, d
+            assign[i] = best
+        for cid in range(len(cents)):
+            members = [i for i in ids if assign[i] == cid]
+            if not members:
+                continue
+            cents[cid] = [
+                math.floor(
+                    sum(vm[i][j] for i in members) / len(members) + 0.5
+                )
+                for j in range(dim)
+            ]
+    return cents, vm
+
+
+def _semdedup_ref(vecs, k, iterations, tau):
+    cents, vm = _kmeans_ref(vecs, k, iterations)
+    dim = len(next(iter(vecs.values())))
+    assign = {}
+    for i, v in vm.items():
+        best, bd = None, None
+        for cid, c in enumerate(cents):
+            d = sum((v[j] - c[j]) ** 2 for j in range(dim))
+            if bd is None or d < bd or (d == bd and cid < best):
+                best, bd = cid, d
+        assign[i] = best
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        c = num / (da * db)
+        return math.floor(c * 1e6 + 0.5) / 1e6
+    ids = sorted(vecs)
+    dups = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if assign[a] == assign[b] and cos(vecs[a], vecs[b]) >= tau:
+                dups.add(b)
+    return sorted((i, assign[i], i in dups) for i in ids)
+
+
+_coord = st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(_coord, _coord, _coord).filter(lambda v: any(v)),
+        min_size=3,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_semdedup_matches_python_reference(spark, vecs, k):
+    vd = {i: list(v) for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vd.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r["vec_id"], r["cid"], r["is_dup"])
+        for r in semdedup(df, k=k, iterations=2, tau=0.9).collect()
+    )
+    assert got == _semdedup_ref(vd, k, 2, 0.9)
