@@ -183,3 +183,40 @@ class TestCurate:
         assert 3 not in kept
         # the en-vocab docs outrank the background-only doc
         assert kept == {0, 1}
+
+    def test_curate_pack_export_chain(self, spark, tmp_path, capsys):
+        import json as _json
+
+        p = tmp_path / "raw3"
+        p.mkdir()
+        base = "the of " + " ".join(["alpha beta gamma"] * 20)
+        docs = [
+            {"doc_id": i, "text": base + f" extra{i}", "lang": "en",
+             "source": "s", "n_chars": len(base) + 7}
+            for i in range(6)
+        ] + [
+            {"doc_id": 6, "text": "the of tiny", "lang": "en", "source": "s",
+             "n_chars": 11},  # fails word count
+        ]
+        with open(p / "docs.jsonl", "w") as fh:
+            for d in docs:
+                fh.write(_json.dumps(d) + "\n")
+        curated = str(tmp_path / "c1")
+        s1 = _run(capsys, [
+            "curate", "--in", str(p), "--out", curated, "--format", "jsonl",
+            "--target-lang", "en", "--keep", "4", "--stopwords", "the,of",
+        ])
+        assert s1["rule_pass"] == 6 and s1["selected"] == 4
+        packed = str(tmp_path / "c2")
+        s2 = _run(capsys, [
+            "pack", "--in", curated, "--out", packed,
+            "--budget", "64", "--shards", "2",
+        ])
+        assert s2["docs"] == 4 and s2["tokens"] > 0
+        exported = str(tmp_path / "c3")
+        s3 = _run(capsys, [
+            "export", "--in", curated, "--out", exported, "--shards", "2",
+        ])
+        assert s3["docs"] == 4 and s3["shards_written"] == 2
+        man = _json.load(open(f"{exported}/MANIFEST.json"))
+        assert len(man["shards"]) == 2
