@@ -1,14 +1,25 @@
-"""Curation parity queries: semantic dedup (SemDeDup) and importance
-resampling (DSIR) — the embedding-level and distribution-level
-selection passes of an LLM training-data pipeline, downstream of the
-syntactic dedup / quality signals elsewhere in this registry.
+"""Curation parity queries — the selection layer of an LLM
+training-data pipeline, downstream of the syntactic dedup / quality
+signals elsewhere in this registry:
 
-Both oracles replay the full computation relationally in DuckDB:
-``q_semdedup`` re-trains the exact fixed-point k-means (the same CTE
-chain the q_kmeans / trained-IVF gates use) before the within-cluster
-cosine pass, and ``q_dsir_select`` rebuilds the hashed-ngram
-distributions from the portable 60-bit md5 hash. See
-``operators/curation.py`` for the papers and the 100 TB notes.
+* SemDeDup family: pairwise (q_semdedup), transitive components
+  (q_semdedup_clusters), two-level skew-bounded (q_semdedup_two_level),
+  incremental vs a frozen quantizer (q_semdedup_incremental).
+* DSIR importance resampling (q_dsir_select).
+* Fixed-point logistic-regression quality classifier
+  (q_logreg_quality) + leakage-free held-out eval (q_logreg_holdout).
+* Gopher/MassiveText rule filter (q_gopher_rules).
+* Cluster-balanced diversity sampling (q_diversity_sample).
+* Embedding drift monitor (q_embedding_drift).
+* The composed end-to-end chain (q_curation_pipeline).
+
+Every oracle replays the full computation relationally in DuckDB —
+k-means trainings via the shared CTE chains, GD iterations as
+generated CTEs, hashed-ngram distributions from the portable 60-bit
+md5 hash. See ``operators/curation.py`` / ``operators/classifier.py``
+for the papers and the 100 TB notes. Streaming twins live in
+``queries/streaming_parity.py`` (q_stream_quality_gate,
+q_stream_semdedup_screen, q_stream_dsir).
 """
 
 from __future__ import annotations
