@@ -143,7 +143,7 @@ _GATE_PRIORITY: list[str] = [
 # q_stream_quality_gate, q_diversity_sample, q_curation_pipeline,
 # q_semdedup_incremental, q_embedding_drift, q_stream_semdedup_screen,
 # q_logreg_holdout, q_semdedup_clusters, q_semdedup_two_level,
-# q_stream_dsir.
+# q_stream_dsir, q_data_card.
 
 
 def all_queries() -> dict[str, QuerySpec]:

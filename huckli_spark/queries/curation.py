@@ -471,3 +471,73 @@ def q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_two_level(
         _emb(spark, sf_dir), k=4, k2=4, iterations=2, tau=_TAU
     )
+
+
+@query(
+    "q_data_card",
+    f"""
+    WITH {sql_gopher_ctes(stopwords=_GSTOP, prefix="dc_")},
+    verdicts AS (
+      SELECT doc_id, {sql_gopher_passes()} AS passes FROM dc_m
+    ), per_doc AS (
+      SELECT d.source, d.doc_id, d.lang,
+             len(string_split(d.text, ' ')) AS n_tok,
+             md5(d.text) AS th,
+             v.passes
+      FROM documents d JOIN verdicts v USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_exact_dups,
+           CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass,
+           CAST(floor(sum(CASE WHEN passes THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*) + 0.5) AS BIGINT)
+             AS pass_rate_micro
+    FROM per_doc
+    GROUP BY source
+    """,
+    doc="per-source data card — the corpus report a dataset release "
+    "ships with: document/token counts, language spread, exact-"
+    "duplicate count (md5 text collisions within the source), and "
+    "the Gopher-rule quality pass rate, one row per source. Composes "
+    "the rule verdicts (map-only) with a single per-source aggregate; "
+    "ratios floor to micro ints once. Scale: one scan through the "
+    "verdict map stage, ONE map-combined groupBy to source-count "
+    "rows; the distinct-hash dedup count shuffles digests only.",
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    verdicts = gopher_rules(docs, stopwords=_GSTOP).select(
+        "doc_id", "passes"
+    )
+    per_doc = docs.join(verdicts, "doc_id").select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("th"),
+        "passes",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.count_distinct("th"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_pass"),
+        F.floor(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            * F.lit(1000000.0)
+            / F.count("*")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pass_rate_micro"),
+    )
