@@ -144,6 +144,11 @@ _GATE_PRIORITY: list[str] = [
 # q_semdedup_incremental, q_embedding_drift, q_stream_semdedup_screen,
 # q_logreg_holdout, q_semdedup_clusters, q_semdedup_two_level,
 # q_stream_dsir, q_data_card.
+# NOTE for round 8: the queue above (~46 names) exceeds the 30
+# rotatable slots. Prioritize (a) the curation wave (newest, never
+# driver-graded), (b) the TPC-H battery, (c) the analytics close
+# wave; the remainder rotates in round 9. Replica covers everything
+# every round regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:
