@@ -571,6 +571,28 @@ def probe(scales, repeats: int, only=None) -> dict:
                 repeats,
                 only,
             )
+        runs["logreg_train"] = _run(
+            spark,
+            "logreg_train",
+            # full fixed-point GD training (8 iterations, 64 buckets)
+            # on the scaled corpus; per-iteration cost is one corpus
+            # scan down to 65 gradient cells — expect ~linear wall
+            lambda: (
+                lambda df: len(
+                    __import__(
+                        "huckli_spark.operators.classifier",
+                        fromlist=["logreg_table"],
+                    ).logreg_table(
+                        df,
+                        F.expr(
+                            "array_contains(split(text, ' '), 'spark')"
+                        ),
+                    ).collect()
+                )
+            )(docs),
+            repeats,
+            only,
+        )
         runs["dsir"] = _run(
             spark,
             "dsir",
