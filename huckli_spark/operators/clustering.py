@@ -125,6 +125,129 @@ def kmeans_assign(
     ).select(F.col(id_col), F.expr(_assign_expr(cents)).alias("cid"))
 
 
+def kmeans_fit_grouped(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "cid",
+) -> dict[int, list[list[int]]]:
+    """Train an independent k-means PER GROUP in shared Spark jobs —
+    the de-serialized form of ``for g in groups: kmeans_fit(...)``
+    (VERDICT r07 #3). Same batching trick as ``pq_codebooks_trained``:
+    each iteration runs ONE assignment+update pass where the
+    assignment expression dispatches on the row's group
+    (``CASE WHEN group = g THEN argmin(cents[g]) ...``), so the driver
+    pays ``iterations + 1`` job waves total regardless of the number
+    of groups, instead of ``n_groups * (iterations + 1)``.
+
+    Bit-identity with the sequential loop (pinned in
+    ``tests/test_curation.py``): init is the k lowest-id vectors
+    WITHIN each group (one window job), assignment/update use the
+    exact same fixed-point arithmetic as ``kmeans_fit``, empty
+    clusters persist their previous centroid, and a non-empty group
+    with fewer than k rows raises the same ValueError the sequential
+    trainer would.
+
+    Returns {group: centroids} for every group present in ``df``.
+    Driver state: n_groups * k * dim centroid cells — bounded by the
+    clustering geometry, never by the corpus.
+    """
+    from pyspark.sql import Window
+
+    vm = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col),
+        F.expr(_vm_expr(vec_col)).alias("__vm"),
+    ).persist()
+    try:
+        w = Window.partitionBy("__g").orderBy(id_col)
+        seed = (
+            vm.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select("__g", "__rn", "__vm")
+            .collect()
+        )
+        cents: dict[int, list[list[int]]] = {}
+        for r in sorted(seed, key=lambda r: (r["__g"], r["__rn"])):
+            cents.setdefault(int(r["__g"]), []).append(
+                [int(x) for x in r["__vm"]]
+            )
+        short = {g: len(c) for g, c in cents.items() if len(c) < k}
+        if short:
+            # mirror kmeans_fit's loud under-k failure, per group
+            g, n = next(iter(sorted(short.items())))
+            raise ValueError(
+                f"kmeans_fit_grouped: k={k} requested but group {g} has "
+                f"only {n} row(s); supply k <= smallest group size"
+            )
+        if not cents:
+            raise ValueError("kmeans_fit_grouped: empty input")
+        dim = len(next(iter(cents.values()))[0])
+        for _ in range(iterations):
+            assign = (
+                "CASE "
+                + " ".join(
+                    f"WHEN __g = {g} THEN ({_assign_expr(cents[g])})"
+                    for g in sorted(cents)
+                )
+                + " END"
+            )
+            aggs = [F.count("*").alias("n")] + [
+                F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"s{j}")
+                for j in range(dim)
+            ]
+            cells = (
+                vm.select("__g", F.expr(assign).alias("cid"), "__vm")
+                .groupBy("__g", "cid")
+                .agg(*aggs)
+                .collect()
+            )
+            nxt = {g: [list(c) for c in cs] for g, cs in cents.items()}
+            for r in cells:
+                n = r["n"]
+                nxt[int(r["__g"])][r["cid"]] = [
+                    int(math.floor(r[f"s{j}"] / n + 0.5)) for j in range(dim)
+                ]
+            cents = nxt
+    finally:
+        vm.unpersist()
+    return cents
+
+
+def kmeans_assign_grouped(
+    df: DataFrame,
+    cents: dict[int, list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "cid",
+    out_col: str = "sub_cid",
+) -> DataFrame:
+    """(id, group, sub-assignment): one MAP-ONLY pass assigning every
+    row against its own group's centroids — the grouped twin of
+    ``kmeans_assign`` (same CASE dispatch as the grouped trainer)."""
+    assign = (
+        "CASE "
+        + " ".join(
+            f"WHEN {group_col} = {g} THEN ({_assign_expr(cents[g])})"
+            for g in sorted(cents)
+        )
+        + " END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(_vm_expr(vec_col)).alias("__vm"),
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(assign).cast("int").alias(out_col),
+    )
+
+
 def kmeans_table(
     df: DataFrame,
     k: int = 8,
