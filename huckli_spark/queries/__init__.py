@@ -70,48 +70,59 @@ _GATE_PRIORITY: list[str] = [
     "q_decimal_default",
     "q_ts_heuristic",
     # --- flagships: one per operator family stays graded every round
-    # (ANN family's graded rep this round is the trained IVF/PQ wave)
-    "q_sessionize",
-    "q_multimodal_pipeline",
+    # (streaming's graded reps this round are the curation-wave
+    # streaming queries below)
     "q_dedup_minhash",
-    # --- semantics CHANGED in round 7 (phone-regex bare 11-13 digit
-    # arm, ADVICE r6) — must carry a fresh graded row
-    "q_pii_redact",
-    # --- semantics changed r6, keep one more graded round
-    "q_bloom_decontaminate",
-    # --- events-dependent (fixture drift risk, r3 lesson)
-    "q_asof_join",
-    "q_range_join",
-    # --- round-7 wave, first graded this round (replace 10 r6-carried
-    # slots that all hold green r6 rows; replica still covers those)
-    "q_merge_upsert",
-    "q_scd2_history",
-    "q_table_changes",
-    "q_event_funnel",
-    "q_stream_bm25",
-    "q_containment_dup",
-    "q_pq_refine_recall",
-    "q_kcore",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    # --- round-6 new wave (first graded r6, keep)
-    "q_pq_recall_trained",
-    "q_bm25_topk",
-    "q_rrf_fusion",
-    "q_chunk_windows",
-    "q_triangle_count",
-    "q_profile_table",
-    # --- round-7 rotation: the 6 round-6-registered queries never
-    # driver-graded (VERDICT r06 #1)
-    "q_bpe_encode",
-    "q_mmr_rerank",
-    "q_char_entropy",
-    "q_stream_chunks",
-    "q_hard_negatives",
-    "q_ngram_novelty",
-    # --- new in round 7: the end-to-end hybrid retrieval composition
+    "q_multimodal_pipeline",
     "q_hybrid_retrieval",
+    # --- round-8 rotation part (a): the 16-query curation wave,
+    # registered round 7, first graded now (VERDICT r07 #1). Note
+    # q_semdedup_two_level's trainer was DE-SERIALIZED this round
+    # (grouped k-means, bit-identity pinned) — fresh graded row
+    # certifies the rewrite.
+    "q_semdedup",
+    "q_semdedup_clusters",
+    "q_semdedup_two_level",
+    "q_semdedup_incremental",
+    "q_stream_semdedup_screen",
+    "q_dsir_select",
+    "q_stream_dsir",
+    "q_logreg_quality",
+    "q_logreg_holdout",
+    "q_gopher_rules",
+    "q_stream_quality_gate",
+    "q_diversity_sample",
+    "q_curation_pipeline",
+    "q_embedding_drift",
+    "q_data_card",
+    "q_vocab_coverage",
+    # --- round-8 rotation part (b): the TPC-H battery (VERDICT r07
+    # #7) — driver-certifies the standard join/agg/subquery shapes
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    # --- new in round 8: train-once-serve-many hybrid retrieval from
+    # the persisted ANN index (VERDICT r07 #4); shares
+    # q_hybrid_retrieval's oracle so a green row certifies the
+    # save/load round trip
+    "q_hybrid_serve",
 ]
+# Rotated out for round 8 (ALL driver-graded green in r7; local
+# replica still covers them every round): q_sessionize, q_pii_redact,
+# q_bloom_decontaminate, q_asof_join, q_range_join, q_merge_upsert,
+# q_scd2_history, q_table_changes, q_event_funnel, q_stream_bm25,
+# q_containment_dup, q_pq_refine_recall, q_kcore, q_tpch_q17,
+# q_tpch_q22, q_pq_recall_trained, q_bm25_topk, q_rrf_fusion,
+# q_chunk_windows, q_triangle_count, q_profile_table, q_bpe_encode,
+# q_mmr_rerank, q_char_entropy, q_stream_chunks, q_hard_negatives,
+# q_ngram_novelty.
 # Rotated out for round 7 (ALL driver-graded green in r6; local
 # replica still covers them every round): q_countmin_topk,
 # q_weighted_sample, q_zscore_outliers, q_fuzzy_join,
@@ -129,26 +140,19 @@ _GATE_PRIORITY: list[str] = [
 # q_decontaminate, q_sequence_pack, q_stream_time_bucket,
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# Round-8 rotation queue (registered round 7, replica-green, not yet
-# driver-graded): q_vocab_coverage, q_tpch_q7, q_tpch_q8, q_tpch_q11,
-# q_tpch_q13, q_tpch_q15, q_tpch_q18, q_tpch_q6, q_tpch_q10,
-# q_tpch_q14, q_tpch_q19, q_event_paths, q_event_transitions,
-# q_mad_outliers, q_timeseries_fill, q_common_neighbors,
-# q_segment_dedup, q_pmi_cooccur, q_hll_registers, q_attribution,
-# q_kmv_set_ops, q_bfs_layers, q_dq_audit, q_group_split,
-# q_pca_power, q_winsorize, q_label_prop, q_stream_dq,
-# q_decay_score, q_cms_join_size, q_anomaly_days,
-# q_rfm_segments, q_ship_lag, q_stream_leaderboard, q_semdedup,
-# q_dsir_select, q_logreg_quality, q_gopher_rules,
-# q_stream_quality_gate, q_diversity_sample, q_curation_pipeline,
-# q_semdedup_incremental, q_embedding_drift, q_stream_semdedup_screen,
-# q_logreg_holdout, q_semdedup_clusters, q_semdedup_two_level,
-# q_stream_dsir, q_data_card.
-# NOTE for round 8: the queue above (~46 names) exceeds the 30
-# rotatable slots. Prioritize (a) the curation wave (newest, never
-# driver-graded), (b) the TPC-H battery, (c) the analytics close
-# wave; the remainder rotates in round 9. Replica covers everything
-# every round regardless.
+# Round-9 rotation queue (registered round 7, replica-green, never
+# yet driver-graded — the analytics close wave; VERDICT r07 #1 said
+# two rounds to drain, this is the second): q_event_paths,
+# q_event_transitions, q_mad_outliers, q_timeseries_fill,
+# q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
+# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers,
+# q_dq_audit, q_group_split, q_pca_power, q_winsorize, q_label_prop,
+# q_stream_dq, q_decay_score, q_cms_join_size, q_anomaly_days,
+# q_rfm_segments, q_ship_lag, q_stream_leaderboard — plus any
+# round-8-registered queries. That is 23 names for 30 slots; the
+# remaining slots should re-grade flagships and any query whose
+# semantics changed in round 8. Replica covers everything every
+# round regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -591,6 +591,92 @@ def hybrid_vec_arm(em: DataFrame) -> DataFrame:
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
 
 
+def build_hybrid_index(em: DataFrame, path: str) -> dict:
+    """Train-once half of the serving lifecycle (VERDICT r07 #4): run
+    the exact trainings ``hybrid_vec_arm`` performs in-query — coarse
+    k-means (k=8, 3 iters), IVF storage assignment, per-subspace PQ
+    codebooks, corpus encode — and persist all four artifacts through
+    ``ann_index.save_ann_index`` (atomic publish + checksummed
+    manifest). Returns the manifest."""
+    from huckli_spark.operators import simsearch
+    from huckli_spark.operators.ann_index import save_ann_index
+    from huckli_spark.operators.clustering import kmeans_fit
+    from huckli_spark.queries.embeddings import _PQT_ITERS
+
+    cents_micro = kmeans_fit(em, k=8, iterations=3)
+    cents = [
+        (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
+    ]
+    posting = simsearch.ivf_assign(em, cents, nprobe=1).select(
+        "vec_id", "cid"
+    )
+    cbs = simsearch.pq_codebooks_trained(em, iterations=_PQT_ITERS)
+    codes = simsearch.pq_encode(em, cbs).select("vec_id", "code_word")
+    return save_ann_index(path, cents, cbs, codes=codes, posting=posting)
+
+
+def hybrid_vec_arm_from_index(
+    spark: SparkSession, em: DataFrame, index_path: str
+) -> DataFrame:
+    """Serve-many half: the SAME vector arm as ``hybrid_vec_arm`` but
+    every trained artifact comes from the persisted index — zero
+    training jobs, zero corpus encodes at query time. The coarse
+    quantizer + codebooks reload as exact doubles (parquet round-trips
+    IEEE754 bit-exactly; the manifest checksum verifies it), so serving
+    is bit-identical to the in-session pipeline — q_hybrid_serve's
+    oracle is literally q_hybrid_retrieval's, and the driver's hash
+    gate proves the round trip. At scale this is the ANN serving
+    shape: quantizers broadcast from the manifest, codes/posting are
+    distributed parquet scanned once per query batch."""
+    from huckli_spark.operators import simsearch
+    from huckli_spark.operators.ann_index import load_ann_index
+
+    cents, cbs, codes, posting = load_ann_index(index_path, spark)
+    probe_cids = simsearch.ivf_assign(
+        em.where(F.col("vec_id") == 0), cents, nprobe=2
+    ).select("cid")
+    cand_ids = (
+        posting.join(F.broadcast(probe_cids), "cid")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    codes = codes.join(cand_ids, "vec_id")
+    return simsearch.pq_adc_topk(
+        codes, em.where(F.col("vec_id") == 0), cbs, k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+
+@query(
+    "q_hybrid_serve",
+    _hybrid_oracle(),
+    doc="train-once-serve-many hybrid retrieval (VERDICT r07 #4): the "
+    "query BUILDS the ANN index (coarse k-means, IVF posting, trained "
+    "PQ codebooks, packed codes), PERSISTS it via the checksummed "
+    "atomic ann_index store, RELOADS it, and serves the full hybrid "
+    "pipeline (BM25 + loaded-index ADC -> RRF -> MMR) from the loaded "
+    "artifacts — no retraining, no re-encode on the serve side. The "
+    "oracle is q_hybrid_retrieval's: persisted-index serving must "
+    "hash-match the retrain-in-session pipeline exactly, so a green "
+    "row certifies the save/load round trip end to end. Serving "
+    "scale: quantizers broadcast, codes/posting stream from parquet, "
+    "ADC bounded to the probed clusters; SCALE_PROBE records frozen-"
+    "index serving wall at 10x corpus.",
+)
+def q_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs, em = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    # the index outlives this function (the returned DataFrame scans
+    # its codes/posting parquet lazily), so it lands under a fresh
+    # OS-managed tempdir rather than being cleaned up here
+    path = os.path.join(tempfile.mkdtemp(prefix="hybrid_index_"), "index")
+    build_hybrid_index(em, path)
+    lex = hybrid_lex_arm(docs, em)
+    vec = hybrid_vec_arm_from_index(spark, em, path)
+    return hybrid_downstream(em, lex, vec)
+
+
 def hybrid_downstream(
     em: DataFrame, lex: DataFrame, vec: DataFrame
 ) -> DataFrame:

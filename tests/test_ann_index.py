@@ -124,3 +124,37 @@ class TestIntegrity:
         json.dump(man, open(mp, "w"))
         with pytest.raises(IndexIntegrityError, match="format"):
             load_ann_index(dst, spark)
+
+
+class TestHybridServeFromIndex:
+    """VERDICT r07 #4 pin: the full hybrid pipeline served from a
+    PERSISTED index must be bit-identical to the retrain-in-session
+    pipeline (q_hybrid_retrieval). The gate enforces this via the
+    shared oracle; this test pins it Spark-vs-Spark at fixture scale
+    so a divergence is caught without DuckDB in the loop."""
+
+    def test_serve_equals_retrain(self, spark, tmp_path):
+        from huckli_spark.queries.retrieval import (
+            _docs,
+            _emb,
+            build_hybrid_index,
+            hybrid_downstream,
+            hybrid_lex_arm,
+            hybrid_vec_arm,
+            hybrid_vec_arm_from_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs, em = _docs(spark, sf), _emb(spark, sf)
+        path = str(tmp_path / "index")
+        man = build_hybrid_index(em, path)
+        assert man["has_codes"] and man["has_posting"]
+
+        lex = hybrid_lex_arm(docs, em).localCheckpoint()
+        served = hybrid_downstream(
+            em, lex, hybrid_vec_arm_from_index(spark, em, path)
+        ).collect()
+        retrained = hybrid_downstream(
+            em, lex, hybrid_vec_arm(em)
+        ).collect()
+        assert sorted(map(tuple, served)) == sorted(map(tuple, retrained))
