@@ -80,17 +80,33 @@ def _merge_expr(a: str, b: str) -> str:
 
 
 def bpe_train(
-    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 25,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merges. Returns (merge table in rank
-    order, final (word, syms, freq) DataFrame)."""
+    order, final (word, syms, freq) DataFrame).
+
+    Real tokenizers run thousands of merges, and although ``persist``
+    truncates RECOMPUTATION each iteration, the logical plan still
+    deepens by one projection per merge — Catalyst re-analyzes the
+    whole lineage every iteration, an O(n_merges^2) driver tax that
+    dominated past ~100 merges. ``localCheckpoint`` every
+    ``checkpoint_every`` merges cuts the lineage (the PCA / PageRank
+    / BFS discipline in this repo), bounding plan depth by the
+    checkpoint interval regardless of merge count; the checkpointed
+    blocks also serve as the persisted copy. Merge output is
+    unchanged — SCALE_PROBE_bpe_merges.json records wall vs merge
+    count to 300 and tests pin local-reference equality across a
+    checkpoint boundary."""
     words = word_freqs(df, text_col).select(
         "word", F.expr(_chars_expr("word")).alias("syms"), "freq"
     )
     words = words.persist()
     words.count()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for i in range(n_merges):
         top = (
             pair_counts(words)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -103,8 +119,12 @@ def bpe_train(
         merges.append((a, b))
         nxt = words.select(
             "word", F.expr(_merge_expr(a, b)).alias("syms"), "freq"
-        ).persist()
-        nxt.count()
+        )
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()  # eager; cuts lineage
+        else:
+            nxt = nxt.persist()
+            nxt.count()
         words.unpersist()
         words = nxt
     return merges, words

@@ -42,6 +42,23 @@ class TestBpeDifferential:
         got = {r["word"]: list(r["syms"]) for r in dist_words.collect()}
         assert got == ref_words
 
+    def test_checkpoint_interval_does_not_change_merges(self, spark):
+        # lineage checkpointing is a pure driver-side optimization:
+        # training across several checkpoint boundaries must produce
+        # the identical merge table and word table
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "wide wider widest wide wide wide",
+        ]
+        ck_merges, ck_words = bpe_train(
+            _corpus(spark, texts), n_merges=8, checkpoint_every=3
+        )
+        ref_merges, ref_words = bpe_train_local(_local_freqs(texts), n_merges=8)
+        assert ck_merges == ref_merges
+        got = {r["word"]: list(r["syms"]) for r in ck_words.collect()}
+        assert got == ref_words
+
     def test_fixture_corpus_differential(self, spark):
         import os
 
