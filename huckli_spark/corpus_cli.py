@@ -62,9 +62,23 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("dedup", help="near-dup removal, keep lowest doc_id")
     common(s)
     s.add_argument(
-        "--method", choices=["exact", "minhash", "simhash"], default="minhash"
+        "--method",
+        choices=["exact", "minhash", "simhash", "semdedup"],
+        default="minhash",
     )
     s.add_argument("--threshold", type=float, default=0.9)
+    s.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet of (vec_id, embedding) with vec_id == doc_id; "
+        "required for --method semdedup",
+    )
+    s.add_argument(
+        "--clusters", type=int, default=8,
+        help="semdedup k-means cluster count (raise with corpus size "
+        "to keep per-cluster membership constant)",
+    )
+    s.add_argument("--tau", type=float, default=0.45)
 
     s = sub.add_parser("pack", help="training-sequence packing")
     common(s)
@@ -143,6 +157,20 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.method == "exact":
             kept = dd.dedup_exact(docs, ["text"], order_col="doc_id")
+        elif args.method == "semdedup":
+            from huckli_spark.operators.curation import semdedup
+
+            if not args.embeddings:
+                raise SystemExit("--method semdedup requires --embeddings")
+            emb = spark.read.parquet(args.embeddings)
+            drop = (
+                semdedup(
+                    emb, k=args.clusters, iterations=2, tau=args.tau
+                )
+                .where("is_dup")
+                .select(F.col("vec_id").alias("doc_id"))
+            )
+            kept = docs.join(drop, "doc_id", "left_anti")
         else:
             pairs = (
                 sketch.minhash_dedup_pairs(docs, threshold=args.threshold)

@@ -83,23 +83,25 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
-    checkpoint_every: int = 25,
+    checkpoint_every: int = 10,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merges. Returns (merge table in rank
     order, final (word, syms, freq) DataFrame).
 
-    Real tokenizers run thousands of merges, and although ``persist``
-    truncates RECOMPUTATION each iteration, the logical plan still
-    deepens by one projection per merge — Catalyst re-analyzes the
-    whole lineage every iteration, an O(n_merges^2) driver tax that
-    dominated past ~100 merges. ``localCheckpoint`` every
-    ``checkpoint_every`` merges cuts the lineage (the PCA / PageRank
-    / BFS discipline in this repo), bounding plan depth by the
-    checkpoint interval regardless of merge count; the checkpointed
-    blocks also serve as the persisted copy. Merge output is
-    unchanged — SCALE_PROBE_bpe_merges.json records wall vs merge
-    count to 300 and tests pin local-reference equality across a
-    checkpoint boundary."""
+    Real tokenizers run thousands of merges, but ``persist`` only
+    truncates RECOMPUTATION — the logical plan still deepens by one
+    ``_merge_expr`` projection per merge, and each level references
+    ``syms`` ~6 times, so Catalyst's plan handling (canonicalization
+    for cache lookup, UI plan strings) blows up superlinearly:
+    measured on the sf0.01 fixture, 15 uncheckpointed merges took
+    47 s and 20 merges OOMed an 8 GiB driver outright.
+    ``localCheckpoint`` every ``checkpoint_every`` merges CUTS the
+    lineage (the PCA / PageRank / BFS discipline in this repo),
+    bounding plan depth by the interval regardless of merge count —
+    30 merges in 8 s at interval 10, flat per-merge wall to 300
+    (SCALE_PROBE_bpe_merges.json). The checkpointed blocks double as
+    the persisted copy. Merge OUTPUT is unchanged — tests pin
+    local-reference equality across checkpoint boundaries."""
     words = word_freqs(df, text_col).select(
         "word", F.expr(_chars_expr("word")).alias("syms"), "freq"
     )

@@ -148,16 +148,20 @@ _GATE_PRIORITY: list[str] = [
 # q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers,
 # q_dq_audit, q_group_split, q_pca_power, q_winsorize, q_label_prop,
 # q_stream_dq, q_decay_score, q_cms_join_size, q_anomaly_days,
-# q_rfm_segments, q_ship_lag, q_stream_leaderboard — plus any
-# round-8-registered queries. That is 23 names for 30 slots; the
-# remaining slots should re-grade flagships and any query whose
-# semantics changed in round 8. Replica covers everything every
-# round regardless.
+# q_rfm_segments, q_ship_lag, q_stream_leaderboard — plus the
+# round-8-registered TPC-H battery completion (q_tpch_q1, q_tpch_q2,
+# q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q9, q_tpch_q12, q_tpch_q16,
+# q_tpch_q20, q_tpch_q21 — closing all 22 TPC-H shapes). That is 33
+# names for 30 slots: grade the 23-query analytics close wave plus
+# 7 of the new TPC-H battery, and the remaining 3 TPC-H rows rotate
+# in r10 alongside flagship re-grades. Replica covers everything
+# every round regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect registration; lazy to avoid cycles.
     from huckli_spark.queries import tpch_parity  # noqa: F401
+    from huckli_spark.queries import tpch_battery  # noqa: F401
     from huckli_spark.queries import text_pipeline  # noqa: F401
     from huckli_spark.queries import embeddings  # noqa: F401
     from huckli_spark.queries import dedup_sketch  # noqa: F401

@@ -74,6 +74,33 @@ class TestCorpusCli:
                           "--method", "minhash", "--threshold", "0.9"])
         assert s["docs_kept"] == 3  # the exact dup is also a minhash dup
 
+    def test_dedup_semdedup(self, spark, tmp_path, jsonl_corpus, capsys):
+        clean = str(tmp_path / "clean")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        # embeddings keyed by doc_id: docs 0/1 collinear (semantic
+        # dup), 2/3 orthogonal singletons
+        emb = str(tmp_path / "emb")
+        spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+             (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(emb)
+        kept = str(tmp_path / "kept_sd")
+        s = _run(capsys, ["dedup", "--in", clean, "--out", kept,
+                          "--method", "semdedup", "--embeddings", emb,
+                          "--clusters", "2", "--tau", "0.95"])
+        assert s["method"] == "semdedup"
+        assert s["docs_in"] == 4 and s["docs_kept"] == 3
+        ids = {r["doc_id"] for r in spark.read.parquet(kept).collect()}
+        assert ids == {0, 2, 3}  # doc 1 is the semantic dup (higher id)
+
+    def test_dedup_semdedup_requires_embeddings(self, tmp_path, jsonl_corpus,
+                                                capsys):
+        with pytest.raises(SystemExit):
+            main(["dedup", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--method", "semdedup"])
+
     def test_quality(self, spark, tmp_path, jsonl_corpus, capsys):
         clean = str(tmp_path / "clean")
         _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
