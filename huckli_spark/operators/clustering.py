@@ -125,6 +125,55 @@ def kmeans_assign(
     ).select(F.col(id_col), F.expr(_assign_expr(cents)).alias("cid"))
 
 
+# Above this many total centroid cells (n_groups * k * dim) the
+# grouped CASE-of-literals assignment expression stops being free:
+# plan/codegen size is O(cells). Past the bound the centroids travel
+# as a broadcast payload instead (one row of array<struct>), keeping
+# the plan O(1) — same trade, same arithmetic, as kmeans_assign_join
+# / ivf_assign_join (crossover discussion in SCALE.md round 6).
+GROUPED_LITERAL_CELL_BOUND = 20_000
+
+
+def _grouped_case_expr(cents: dict[int, list[list[int]]],
+                       group_expr: str = "__g") -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {group_expr} = {g} THEN ({_assign_expr(cents[g])})"
+            for g in sorted(cents)
+        )
+        + " END"
+    )
+
+
+_GROUPED_BCAST_ASSIGN = (
+    "element_at(array_sort(transform(filter(__cents, c -> c.g = __g),"
+    " c -> named_struct('d', aggregate(zip_with(__vm, c.cv,"
+    " (x, y) -> (x - y) * (x - y)), cast(0 AS bigint),"
+    " (acc, v) -> acc + v), 'cid', c.cid)),"
+    " (l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1"
+    " WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1).cid"
+)
+
+
+def _grouped_cents_onerow(spark, cents: dict[int, list[list[int]]]):
+    rows = [
+        (int(g), int(cid), [int(v) for v in c])
+        for g, cs in cents.items()
+        for cid, c in enumerate(cs)
+    ]
+    return spark.createDataFrame(
+        rows, "g int, cid int, cv array<bigint>"
+    ).agg(F.collect_list(F.struct("g", "cid", "cv")).alias("__cents"))
+
+
+def _use_broadcast(cents: dict[int, list[list[int]]], plan_form: str) -> bool:
+    if plan_form in ("literal", "broadcast"):
+        return plan_form == "broadcast"
+    cells = sum(len(cs) * len(cs[0]) for cs in cents.values())
+    return cells > GROUPED_LITERAL_CELL_BOUND
+
+
 def kmeans_fit_grouped(
     df: DataFrame,
     k: int = 8,
@@ -132,15 +181,24 @@ def kmeans_fit_grouped(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str = "cid",
+    plan_form: str = "auto",
 ) -> dict[int, list[list[int]]]:
     """Train an independent k-means PER GROUP in shared Spark jobs —
     the de-serialized form of ``for g in groups: kmeans_fit(...)``
     (VERDICT r07 #3). Same batching trick as ``pq_codebooks_trained``:
     each iteration runs ONE assignment+update pass where the
-    assignment expression dispatches on the row's group
-    (``CASE WHEN group = g THEN argmin(cents[g]) ...``), so the driver
-    pays ``iterations + 1`` job waves total regardless of the number
-    of groups, instead of ``n_groups * (iterations + 1)``.
+    assignment dispatches on the row's group, so the driver pays
+    ``iterations + 1`` job waves total regardless of the number of
+    groups, instead of ``n_groups * (iterations + 1)``.
+
+    ``plan_form``: 'literal' bakes the centroids into a CASE of
+    ``_assign_expr``s (fastest at small geometry), 'broadcast' ships
+    them as one broadcast array<struct<g,cid,cv>> row with an in-row
+    filter+argmin (plan size O(1) — required when n_groups is in the
+    hundreds, where the literal plan alone is n_groups*k*dim cells),
+    'auto' switches on GROUPED_LITERAL_CELL_BOUND. Both forms use the
+    exact integer arithmetic of ``_assign_expr`` and are bit-identical
+    (pinned in tests/test_curation.py).
 
     Bit-identity with the sequential loop (pinned in
     ``tests/test_curation.py``): init is the k lowest-id vectors
@@ -156,6 +214,7 @@ def kmeans_fit_grouped(
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     vm = df.select(
         F.col(group_col).alias("__g"),
         F.col(id_col),
@@ -185,27 +244,29 @@ def kmeans_fit_grouped(
         if not cents:
             raise ValueError("kmeans_fit_grouped: empty input")
         dim = len(next(iter(cents.values()))[0])
+        bcast = _use_broadcast(cents, plan_form)
         for _ in range(iterations):
-            assign = (
-                "CASE "
-                + " ".join(
-                    f"WHEN __g = {g} THEN ({_assign_expr(cents[g])})"
-                    for g in sorted(cents)
+            if bcast:
+                assigned = vm.crossJoin(
+                    F.broadcast(_grouped_cents_onerow(spark, cents))
+                ).select(
+                    "__g",
+                    F.expr(_GROUPED_BCAST_ASSIGN).alias("cid"),
+                    "__vm",
                 )
-                + " END"
-            )
+            else:
+                assigned = vm.select(
+                    "__g",
+                    F.expr(_grouped_case_expr(cents)).alias("cid"),
+                    "__vm",
+                )
             aggs = [F.count("*").alias("n")] + [
                 F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
                 .cast("double")
                 .alias(f"s{j}")
                 for j in range(dim)
             ]
-            cells = (
-                vm.select("__g", F.expr(assign).alias("cid"), "__vm")
-                .groupBy("__g", "cid")
-                .agg(*aggs)
-                .collect()
-            )
+            cells = assigned.groupBy("__g", "cid").agg(*aggs).collect()
             nxt = {g: [list(c) for c in cs] for g, cs in cents.items()}
             for r in cells:
                 n = r["n"]
@@ -225,26 +286,30 @@ def kmeans_assign_grouped(
     vec_col: str = "embedding",
     group_col: str = "cid",
     out_col: str = "sub_cid",
+    plan_form: str = "auto",
 ) -> DataFrame:
     """(id, group, sub-assignment): one MAP-ONLY pass assigning every
     row against its own group's centroids — the grouped twin of
-    ``kmeans_assign`` (same CASE dispatch as the grouped trainer)."""
-    assign = (
-        "CASE "
-        + " ".join(
-            f"WHEN {group_col} = {g} THEN ({_assign_expr(cents[g])})"
-            for g in sorted(cents)
-        )
-        + " END"
-    )
-    return df.select(
+    ``kmeans_assign`` / ``kmeans_assign_join`` (same ``plan_form``
+    trade as the grouped trainer; the broadcast form's crossJoin is a
+    broadcast of ONE row, still zero shuffle)."""
+    vm = df.select(
         F.col(id_col),
         F.col(group_col),
         F.expr(_vm_expr(vec_col)).alias("__vm"),
-    ).select(
+    )
+    if _use_broadcast(cents, plan_form):
+        onerow = _grouped_cents_onerow(df.sparkSession, cents)
+        expr = _GROUPED_BCAST_ASSIGN.replace("c.g = __g", f"c.g = {group_col}")
+        return vm.crossJoin(F.broadcast(onerow)).select(
+            F.col(id_col),
+            F.col(group_col),
+            F.expr(expr).cast("int").alias(out_col),
+        )
+    return vm.select(
         F.col(id_col),
         F.col(group_col),
-        F.expr(assign).cast("int").alias(out_col),
+        F.expr(_grouped_case_expr(cents, group_col)).cast("int").alias(out_col),
     )
 
 

@@ -408,6 +408,31 @@ class TestSemDeDupTwoLevel:
             )
             assert grouped[g] == seq, f"group {g} centroids diverge"
 
+    def test_grouped_kmeans_broadcast_form_bit_identical(self, spark):
+        # the large-n_groups plan form (centroids as a broadcast
+        # payload, in-row filter+argmin) must train and assign exactly
+        # like the literal CASE form
+        from huckli_spark.operators.clustering import (
+            kmeans_assign_grouped,
+            kmeans_fit_grouped,
+        )
+
+        rows = []
+        for i in range(36):
+            g = i % 4
+            rows.append((g, i, [float(g) + 0.05 * (i % 5), 0.1 * (i % 3)]))
+        df = spark.createDataFrame(
+            rows, "cid int, vec_id long, embedding array<float>"
+        )
+        lit = kmeans_fit_grouped(df, k=2, iterations=3, plan_form="literal")
+        bc = kmeans_fit_grouped(df, k=2, iterations=3, plan_form="broadcast")
+        assert lit == bc
+        a_lit = kmeans_assign_grouped(df, lit, plan_form="literal")
+        a_bc = kmeans_assign_grouped(df, lit, plan_form="broadcast")
+        assert sorted(map(tuple, a_lit.collect())) == sorted(
+            map(tuple, a_bc.collect())
+        )
+
     def test_grouped_kmeans_short_group_raises(self, spark):
         import pytest
 

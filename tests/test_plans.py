@@ -565,3 +565,63 @@ class TestCurationPlans:
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTpchBatteryPlans:
+    """Plan pins for the round-8 TPC-H completion (Q1-Q5, Q9, Q12,
+    Q16, Q20, Q21): the shapes these queries exist to exercise must
+    survive in the physical plan."""
+
+    def test_q1_single_exchange_wide_agg(self, spark):
+        # pricing summary: one scan, partial agg, ONE exchange on the
+        # two group keys; the date filter reaches the parquet scan
+        plan = _plan(spark, "q_tpch_q1")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert re.search(r"PushedFilters: .*LessThanOrEqual\(l_shipdate", plan)
+        assert "Python" not in plan
+
+    def test_q2_correlated_min_decorrelates(self, spark):
+        # the correlated scalar MIN must plan as aggregate + join —
+        # never a per-row subquery; dims broadcast
+        plan = _plan(spark, "q_tpch_q2")
+        assert "HashAggregate" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q3_topk_never_global_sorts(self, spark):
+        plan = _plan(spark, "q_tpch_q3")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q4_exists_plans_as_semi_join(self, spark):
+        # non-equi correlated EXISTS -> left semi carrying the date
+        # condition, not a subquery per order
+        plan = _plan(spark, "q_tpch_q4")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q5_snowflake_dims_broadcast(self, spark):
+        # region/nation/supplier/customer broadcast; no cross product
+        # despite the 6-way FROM list
+        plan = _plan(spark, "q_tpch_q5")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q16_not_in_stays_bounded(self, spark):
+        # NOT IN over a nullable-free dim column plans as an anti join
+        # (null-aware variants degrade to BNLJ only when the column is
+        # nullable AND the optimizer can't prove otherwise; either way
+        # the build side is the 100-row supplier dim — assert no
+        # CartesianProduct and a distinct-count aggregate)
+        plan = _plan(spark, "q_tpch_q16")
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+    def test_q21_one_groupby_over_order_supplier(self, spark):
+        # the decorrelated form: no lineitem self-join — lineitem is
+        # scanned once, aggregated twice, supplier broadcasts
+        plan = _plan(spark, "q_tpch_q21")
+        # lineitem + orders + supplier, each exactly once
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3, plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
