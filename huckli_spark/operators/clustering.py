@@ -59,16 +59,56 @@ def _assign_expr(cents: list[list[int]]) -> str:
     )
 
 
+# Above this many centroid cells (k * dim) the literal assignment
+# expression stops being free: plan/codegen size is O(cells). Past
+# the bound the codebook travels as a broadcast payload (one row of
+# array<struct<cid,cv>>) with an in-row argmin — plan O(1), still
+# map-only. Same trade and bit-identical arithmetic as
+# kmeans_assign_join / ivf_assign_join.
+LITERAL_CELL_BOUND = 20_000
+
+_FLAT_BCAST_ASSIGN = (
+    "element_at(array_sort(transform(__cents, c -> named_struct("
+    "'d', aggregate(zip_with(__vm, c.cv, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 AS bigint), (acc, v) -> acc + v), 'cid', c.cid)),"
+    " (l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1"
+    " WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1).cid"
+)
+
+
+def _flat_cents_onerow(spark, cents: list[list[int]]):
+    cent_df = spark.createDataFrame(
+        [(cid, [int(v) for v in c]) for cid, c in enumerate(cents)],
+        "cid int, cv array<bigint>",
+    )
+    return cent_df.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+
+
+def _flat_use_broadcast(cents: list[list[int]], plan_form: str) -> bool:
+    if plan_form in ("literal", "broadcast"):
+        return plan_form == "broadcast"
+    return len(cents) * len(cents[0]) > LITERAL_CELL_BOUND
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plan_form: str = "auto",
 ) -> list[list[int]]:
     """Train k centroids (micro fixed-point ints). Init = the k
     lowest-id vectors (deterministic; any seeding works — production
-    would use k-means|| — the ARITHMETIC is what must be portable)."""
+    would use k-means|| — the ARITHMETIC is what must be portable).
+
+    ``plan_form``: 'literal' bakes centroids into the per-iteration
+    assignment expression (fastest at small k*dim), 'broadcast' ships
+    them as data (plan O(1) — the SemDeDup paper's k~100k regime would
+    otherwise build a 6M-literal expression per iteration), 'auto'
+    switches on LITERAL_CELL_BOUND. Bit-identical either way (pinned
+    in tests/test_clustering.py)."""
+    spark = df.sparkSession
     vm = df.select(F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm"))
     vm = vm.persist()
     # init = the k LOWEST ids (not ids < k: a filtered corpus need not
@@ -83,24 +123,28 @@ def kmeans_fit(
             f"{len(cents)} row(s); supply k <= corpus size"
         )
     dim = len(cents[0])
+    bcast = _flat_use_broadcast(cents, plan_form)
     try:
         for _ in range(iterations):
             # update via `dim` per-dimension sum aggregates on the
             # UNEXPLODED rows: a posexplode formulation multiplies the
             # row count by `dim` before the combine and measured 4.6x
             # slower at the 10x probe scale for identical centroids
+            if bcast:
+                assigned = vm.crossJoin(
+                    F.broadcast(_flat_cents_onerow(spark, cents))
+                ).select(F.expr(_FLAT_BCAST_ASSIGN).alias("cid"), "__vm")
+            else:
+                assigned = vm.select(
+                    F.expr(_assign_expr(cents)).alias("cid"), "__vm"
+                )
             aggs = [F.count("*").alias("n")] + [
                 F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
                 .cast("double")
                 .alias(f"s{j}")
                 for j in range(dim)
             ]
-            cells = (
-                vm.select(F.expr(_assign_expr(cents)).alias("cid"), "__vm")
-                .groupBy("cid")
-                .agg(*aggs)
-                .collect()
-            )
+            cells = assigned.groupBy("cid").agg(*aggs).collect()
             nxt = [list(c) for c in cents]  # empty clusters persist
             for r in cells:
                 n = r["n"]
@@ -118,8 +162,13 @@ def kmeans_assign(
     cents: list[list[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plan_form: str = "auto",
 ) -> DataFrame:
-    """(id, cid): map-only exact-integer assignment."""
+    """(id, cid): map-only exact-integer assignment. Delegates to
+    ``kmeans_assign_join`` (codebook as a broadcast payload, plan
+    O(1)) when k*dim exceeds LITERAL_CELL_BOUND — identical output."""
+    if _flat_use_broadcast(cents, plan_form):
+        return kmeans_assign_join(df, cents, id_col, vec_col)
     return df.select(
         F.col(id_col), F.expr(_vm_expr(vec_col)).alias("__vm")
     ).select(F.col(id_col), F.expr(_assign_expr(cents)).alias("cid"))

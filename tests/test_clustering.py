@@ -193,6 +193,27 @@ class TestAssignJoinVariant:
              for r in ss.ivf_assign_join(df, cents, nprobe=2).collect()}
         assert a == b
 
+    def test_fit_broadcast_form_bit_identical(self, spark):
+        # TRAINING with the codebook-as-data plan form (required at
+        # the k~100k regime where a literal assignment expression is
+        # millions of plan nodes) must produce the identical centroids
+        df = _clustered(spark, n_clusters=4, per=30, seed=11)
+        lit = km.kmeans_fit(df, k=4, iterations=3, plan_form="literal")
+        bc = km.kmeans_fit(df, k=4, iterations=3, plan_form="broadcast")
+        assert lit == bc
+
+    def test_assign_auto_delegates_above_cell_bound(self, spark):
+        # a codebook past LITERAL_CELL_BOUND must route to the join
+        # variant (no k*dim literal expression in the plan)
+        df = _clustered(spark, n_clusters=2, per=5, dim=64, seed=13)
+        big_k = km.LITERAL_CELL_BOUND // 64 + 1
+        cents = [[i] * 64 for i in range(big_k)]
+        plan = (
+            km.kmeans_assign(df, cents)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+
     def test_join_variant_plan_has_no_corpus_shuffle(self, spark):
         # map-only claim: the corpus flows scan -> project -> broadcast
         # nested-loop over ONE centroid row. The only Exchange allowed
