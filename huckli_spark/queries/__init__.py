@@ -149,13 +149,14 @@ _GATE_PRIORITY: list[str] = [
 # q_dq_audit, q_group_split, q_pca_power, q_winsorize, q_label_prop,
 # q_stream_dq, q_decay_score, q_cms_join_size, q_anomaly_days,
 # q_rfm_segments, q_ship_lag, q_stream_leaderboard — plus the
-# round-8-registered TPC-H battery completion (q_tpch_q1, q_tpch_q2,
-# q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q9, q_tpch_q12, q_tpch_q16,
-# q_tpch_q20, q_tpch_q21 — closing all 22 TPC-H shapes). That is 33
-# names for 30 slots: grade the 23-query analytics close wave plus
-# 7 of the new TPC-H battery, and the remaining 3 TPC-H rows rotate
-# in r10 alongside flagship re-grades. Replica covers everything
-# every round regardless.
+# round-8-registered queries: the TPC-H battery completion
+# (q_tpch_q1, q_tpch_q2, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q9,
+# q_tpch_q12, q_tpch_q16, q_tpch_q20, q_tpch_q21 — closing all 22
+# TPC-H shapes) and q_stream_ann_serve (online ANN from the frozen
+# IVF index). That is 34 names for 30 slots: grade the 23-query
+# analytics close wave + q_stream_ann_serve + 6 TPC-H rows; the
+# remaining 4 TPC-H rows rotate in r10 alongside flagship re-grades.
+# Replica covers everything every round regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -989,3 +989,122 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(scored, output_mode="append")
 
+
+
+# --------------------------------------------------------------------------
+# Streaming ANN serving from a frozen IVF index (round 8)
+# --------------------------------------------------------------------------
+def _stream_ann_oracle() -> str:
+    from huckli_spark.operators.clustering import sql_kmeans_ctes
+
+    sim = sql_fround(
+        "list_dot_product(v.e, cent.c)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(cent.c, cent.c)))",
+        6,
+    )
+    return (
+        "WITH "
+        + sql_kmeans_ctes(k=8, iterations=3).replace(
+            "vm AS (", "vm AS MATERIALIZED (", 1
+        )
+        + f""",
+    cent AS MATERIALIZED (
+      SELECT cid, list(c / 1000000.0 ORDER BY dim) AS c
+      FROM c3 GROUP BY cid
+    ), v AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), corpus_sims AS MATERIALIZED (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id ORDER BY {sim} DESC, cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, cid FROM corpus_sims WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid
+      FROM corpus_sims WHERE vec_id < 20 AND rn <= 2
+    )
+    SELECT p.query_id, po.neighbor_id, p.cid,
+           CAST(floor(list_sum(list_transform(range(1, 65), j ->
+             (vq.e[j] - vn.e[j]) * (vq.e[j] - vn.e[j])
+           )) * 1000000.0 + 0.5) AS BIGINT) AS d_micro
+    FROM probes p
+    JOIN posting po ON po.cid = p.cid
+    JOIN v vq ON vq.vec_id = p.query_id
+    JOIN v vn ON vn.vec_id = po.neighbor_id
+    WHERE po.neighbor_id <> p.query_id
+    """
+    )
+
+
+@query(
+    "q_stream_ann_serve",
+    _stream_ann_oracle(),
+    doc="STREAMING ANN serving from a FROZEN IVF index — the online "
+    "retrieval split: the coarse quantizer and posting lists are "
+    "trained/frozen before the stream starts; live query vectors "
+    "(vec_id < 20 of the staged embedding feed) assign to their "
+    "nprobe=2 clusters MAP-ONLY (literal quantizer on the stream), "
+    "candidates arrive via a stateless stream-static equi-join on "
+    "cid against the broadcast posting relation, and every "
+    "(query, candidate) pair scores an exact micro-integer L2 in-row "
+    "— append mode, zero streaming state. The oracle replays the "
+    "quantizer training and the whole serve relationally; the rank "
+    "cut stays a batch/sink step (the q_stream_dsir discipline: "
+    "ranking needs cross-row state that belongs in the serving "
+    "layer). Scale: per-query work is nprobe x cluster size — flat "
+    "in the corpus at constant cluster geometry (the "
+    "SCALE_PROBE_hybrid_serve economics, here as a live feed).",
+)
+def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators import simsearch
+    from huckli_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents_micro = kmeans_fit(emb, k=8, iterations=3)
+    cents = [
+        (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
+    ]
+    posting = simsearch.ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid"),
+        F.col("embedding").alias("__nv"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("label", T.IntegerType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .where(F.col("vec_id") < 20)
+    )
+    q = simsearch.ivf_assign(stream, cents, nprobe=2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid"),
+        F.col("embedding").alias("__qv"),
+    )
+    d = (
+        "cast(floor(aggregate(zip_with(__qv, __nv,"
+        " (x, y) -> (cast(x AS double) - cast(y AS double))"
+        " * (cast(x AS double) - cast(y AS double))),"
+        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
+        " AS bigint)"
+    )
+    scored = (
+        q.join(F.broadcast(posting), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cid", F.expr(d).alias("d_micro"))
+    )
+    return run_to_memory(scored, output_mode="append")
