@@ -152,11 +152,14 @@ _GATE_PRIORITY: list[str] = [
 # round-8-registered queries: the TPC-H battery completion
 # (q_tpch_q1, q_tpch_q2, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q9,
 # q_tpch_q12, q_tpch_q16, q_tpch_q20, q_tpch_q21 — closing all 22
-# TPC-H shapes) and q_stream_ann_serve (online ANN from the frozen
-# IVF index). That is 34 names for 30 slots: grade the 23-query
-# analytics close wave + q_stream_ann_serve + 6 TPC-H rows; the
-# remaining 4 TPC-H rows rotate in r10 alongside flagship re-grades.
-# Replica covers everything every round regardless.
+# TPC-H shapes), q_stream_ann_serve (online ANN from the frozen
+# IVF index), q_training_triplets (contrastive triplet mining),
+# q_quality_budget (quality-vs-token-budget curve) and
+# q_bpe_fertility (per-language tokenizer fertility). That is 37
+# names for 30 slots: grade the 23-query analytics close wave + the
+# 4 round-8 composition queries + 3 TPC-H rows; the remaining 7
+# TPC-H rows rotate in r10 alongside flagship re-grades. Replica
+# covers everything every round regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -541,3 +541,205 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pass_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (round 8)
+# ---------------------------------------------------------------------------
+_TRIPLET_TAU_MICRO = 450_000  # fround(cos, 6) >= 0.45, as exact micro ints
+
+
+def _triplets_oracle() -> str:
+    from huckli_spark.operators.curation import sql_semdedup_ctes
+
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return f"""
+    WITH {sql_semdedup_ctes(8, 2, 0.45)},
+    pairs AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS other,
+             CAST(floor(({cos}) * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ), pos AS (
+      SELECT anchor, other AS positive, sim_micro AS pos_sim_micro,
+             row_number() OVER (
+               PARTITION BY anchor ORDER BY sim_micro DESC, other
+             ) AS rn
+      FROM pairs WHERE sim_micro >= {_TRIPLET_TAU_MICRO}
+    ), neg AS (
+      SELECT anchor, other AS negative, sim_micro AS neg_sim_micro,
+             row_number() OVER (
+               PARTITION BY anchor ORDER BY sim_micro DESC, other
+             ) AS rn
+      FROM pairs WHERE sim_micro < {_TRIPLET_TAU_MICRO}
+    )
+    SELECT p.anchor, p.positive, n.negative,
+           p.pos_sim_micro, n.neg_sim_micro
+    FROM pos p JOIN neg n ON n.anchor = p.anchor AND n.rn = 1
+    WHERE p.rn = 1
+    """
+
+
+@query(
+    "q_training_triplets",
+    _triplets_oracle(),
+    doc="contrastive triplet mining for embedding-model training "
+    "(SimCSE/DPR-style dataset construction): within each k-means "
+    "cluster, every anchor that has a semantic near-dup pairs its "
+    "highest-cosine duplicate as the POSITIVE and its highest-cosine "
+    "same-cluster NON-duplicate as the hard NEGATIVE — close enough "
+    "to be confusable, below the dup threshold, exactly the examples "
+    "contrastive losses need. All similarities are exact micro "
+    "integers; ties break on id. The oracle replays the quantizer "
+    "training and both rank windows. Scale: pairs key on cid only "
+    "(cluster-bounded, the SemDeDup discipline) and each anchor "
+    "keeps two rows — output is O(n), never O(n^2).",
+)
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from huckli_spark.operators.simsearch import cosine
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    m = kmeans_assign(emb, cents).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = m.select(
+        F.col("vec_id").alias("anchor"), "cid",
+        F.col("embedding").alias("__ea"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("other"), "cid",
+        F.col("embedding").alias("__eb"),
+    )
+    sim = F.floor(cosine("__ea", "__eb") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("anchor") != F.col("other"))
+        .select("anchor", "other", sim.alias("sim_micro"))
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("sim_micro"), F.asc("other")
+    )
+    pos = (
+        pairs.where(F.col("sim_micro") >= _TRIPLET_TAU_MICRO)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("positive"),
+            F.col("sim_micro").alias("pos_sim_micro"),
+        )
+    )
+    neg = (
+        pairs.where(F.col("sim_micro") < _TRIPLET_TAU_MICRO)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("negative"),
+            F.col("sim_micro").alias("neg_sim_micro"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "positive", "negative", "pos_sim_micro", "neg_sim_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-vs-token-budget curve (round 8)
+# ---------------------------------------------------------------------------
+_QB_SCORE_SQL = """
+    scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_ch,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+               AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((
+               CASE WHEN n_tokens >= 40 THEN 1.0 ELSE n_tokens / 40.0 END * 0.5
+               + CASE WHEN n_tokens > 0
+                      THEN (n_stop * 1.0 / n_tokens) * 2.0 ELSE 0 END * 0.3
+               + CASE WHEN n_ch > 0
+                      THEN (1.0 - n_punct * 1.0 / n_ch) ELSE 0 END * 0.2
+             ) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+      FROM scored
+    )
+"""
+
+
+@query(
+    "q_quality_budget",
+    f"""
+    WITH {_QB_SCORE_SQL},
+    tiled AS (
+      SELECT doc_id, n_tokens, score_micro,
+             ntile(10) OVER (ORDER BY score_micro DESC, doc_id) AS decile
+      FROM q
+    ), per AS (
+      SELECT CAST(decile AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(min(score_micro) AS BIGINT) AS min_score_micro
+      FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_docs, tokens,
+           CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+           min_score_micro
+    FROM per
+    """,
+    doc="quality-vs-token-budget curve — the data-selection decision "
+    "artifact: docs rank into deciles by the heuristic quality score "
+    "(micro-int, so the NTILE order is exact on both engines; ties "
+    "on doc_id), and each decile reports docs, tokens, CUMULATIVE "
+    "tokens and its score floor — read off 'train on the top X "
+    "deciles' directly against a token budget. Scale: one scan + one "
+    "rank window + a 10-row aggregate; at 100 TB the window "
+    "partitions by a salt-free global order over a 2-column relation "
+    "(score, count) — or approximates with quantile cuts — while the "
+    "decision table stays 10 rows.",
+)
+def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = quality_score(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    wt = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    per = (
+        q.withColumn("decile", F.ntile(10).over(wt).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.min("score_micro").cast("long").alias("min_score_micro"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(wc).cast("long").alias("cum_tokens"),
+        "min_score_micro",
+    )

@@ -653,3 +653,87 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ------------------------------------------------ tokenizer fertility (r8)
+def _fertility_oracle() -> str:
+    from huckli_spark.operators.bpe import sql_bpe_apply
+
+    tok_sql = sql_bpe_apply(
+        "SELECT DISTINCT w AS word FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+        ") WHERE length(w) > 0",
+        BPE_FIXTURE_MERGES,
+    )
+    return f"""
+    WITH tok AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+      FROM ({tok_sql}) GROUP BY word
+    ), wl AS (
+      SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) > 0 GROUP BY 1, 2
+    )
+    SELECT wl.lang,
+           CAST(sum(wl.cnt * tok.n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(wl.cnt) AS BIGINT) AS total_words,
+           CAST(floor(sum(wl.cnt * tok.n_tok) * 1000000.0
+                      / sum(wl.cnt) + 0.5) AS BIGINT) AS fertility_micro
+    FROM wl JOIN tok USING (word)
+    GROUP BY wl.lang
+    """
+
+
+@query(
+    "q_bpe_fertility",
+    _fertility_oracle(),
+    doc="tokenizer fertility by language — tokens-per-word under the "
+    "frozen 8-merge BPE table, the standard metric for judging "
+    "whether a tokenizer under-serves a language (high fertility = "
+    "more tokens per word = worse compression and higher training "
+    "cost for that language). The corpus collapses to its distinct "
+    "vocabulary ONCE; the Arrow-batched tokenizer runs per distinct "
+    "word, then occurrence-weighted per-language sums are exact "
+    "integers (fertility floored to micro). The oracle replays the "
+    "merges with the gaps-and-islands relational formulation — the "
+    "same cross-formulation differential as q_bpe_encode, extended "
+    "through the weighted aggregate. Scale: tokenization cost is "
+    "vocab-sized, not corpus-sized; the weighting join is "
+    "vocab-by-(lang,word) — both collapse before anything shuffles.",
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.bpe import bpe_apply
+
+    docs = _docs(spark, sf_dir)
+    wl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab = wl.select("word").distinct().select(F.col("word").alias("text"))
+    tok = (
+        bpe_apply(vocab, BPE_FIXTURE_MERGES)
+        .select(F.col("__w").alias("word"), F.size("syms").alias("__nt"))
+        .groupBy("word")
+        .agg(F.sum("__nt").cast("long").alias("n_tok"))
+    )
+    return (
+        wl.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_tok"))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum("cnt").cast("long").alias("total_words"),
+            F.floor(
+                F.sum(F.col("cnt") * F.col("n_tok"))
+                * F.lit(1000000.0)
+                / F.sum("cnt")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+    )
