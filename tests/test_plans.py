@@ -625,3 +625,62 @@ class TestTpchBatteryPlans:
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3, plan
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound8CompositionPlans:
+    def test_triplets_cluster_keyed_no_python(self, spark):
+        # pair stage keys on cid (the SemDeDup discipline): no product,
+        # no Python, rank windows partition by anchor
+        plan = _plan(spark, "q_training_triplets")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        assert "Window" in plan
+
+    def test_quality_budget_single_scan(self, spark):
+        # one documents scan feeds the decile window; the decision
+        # table is a 10-row aggregate (global NTILE is the documented
+        # fixture-scale form — see the query doc for the 100 TB shape)
+        plan = _plan(spark, "q_quality_budget")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "Python" not in plan
+
+    def test_fertility_python_only_on_vocab_side(self, spark):
+        # the Arrow tokenizer runs AFTER the distinct-word collapse:
+        # the corpus-sized (lang, word) branch must stay JVM-only, so
+        # exactly one Python stage appears (the vocab tokenizer)
+        plan = _plan(spark, "q_bpe_fertility")
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+        assert "CartesianProduct" not in plan
+
+    def test_stream_ann_serve_static_side_broadcasts(self, spark):
+        # the BATCH equivalent of the serve join (posting broadcast,
+        # equi-join on cid): inspect the lazy operator plan — the
+        # streaming query itself drains eagerly in the registry
+        import os
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators import simsearch
+        from huckli_spark.operators.clustering import kmeans_fit
+
+        emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        cents_micro = kmeans_fit(emb, k=4, iterations=1)
+        cents = [
+            (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
+        ]
+        posting = simsearch.ivf_assign(emb, cents, nprobe=1).select(
+            F.col("vec_id").alias("neighbor_id"), "cid",
+            F.col("embedding").alias("__nv"),
+        )
+        q = simsearch.ivf_assign(
+            emb.where(F.col("vec_id") < 5), cents, nprobe=2
+        ).select(
+            F.col("vec_id").alias("query_id"), "cid",
+            F.col("embedding").alias("__qv"),
+        )
+        df = q.join(F.broadcast(posting), "cid").where(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        plan = _lazy_plan(spark, df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
