@@ -154,10 +154,11 @@ _GATE_PRIORITY: list[str] = [
 # q_tpch_q12, q_tpch_q16, q_tpch_q20, q_tpch_q21 — closing all 22
 # TPC-H shapes), q_stream_ann_serve (online ANN from the frozen
 # IVF index), q_training_triplets (contrastive triplet mining),
-# q_quality_budget (quality-vs-token-budget curve) and
-# q_bpe_fertility (per-language tokenizer fertility). That is 37
+# q_quality_budget (quality-vs-token-budget curve), q_bpe_fertility
+# (per-language tokenizer fertility) and q_ccnet_buckets (CCNet
+# head/middle/tail LM terciles per language). That is 38
 # names for 30 slots: grade the 23-query analytics close wave + the
-# 4 round-8 composition queries + 3 TPC-H rows; the remaining 7
+# 5 round-8 composition queries + 2 TPC-H rows; the remaining 8
 # TPC-H rows rotate in r10 alongside flagship re-grades. Replica
 # covers everything every round regardless.
 

@@ -737,3 +737,145 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_micro"),
         )
     )
+
+
+# ------------------------------------------ CCNet-style LM buckets (r8)
+@query(
+    "q_ccnet_buckets",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(w)),
+                    i -> [w[i], w[i + 1]])) AS bg
+      FROM base WHERE array_length(w) >= 2
+    ), pairs AS (
+      SELECT doc_id, bg[1] AS ctx, bg[2] AS nxt FROM big
+    ), cb AS (
+      SELECT ctx, nxt, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), cc AS (
+      SELECT ctx, count(*) AS n FROM pairs GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(w) AS x FROM base)
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(floor(ln((cb.c + 1.0) / (cc.n + vocab.v))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM pairs p
+      JOIN cb ON cb.ctx = p.ctx AND cb.nxt = p.nxt
+      JOIN cc ON cc.ctx = p.ctx
+      CROSS JOIN vocab
+    ), doc_lp AS (
+      SELECT doc_id,
+             CAST(floor(sum(lp_micro) * 1.0 / count(*) + 0.5)
+                  AS BIGINT) AS avg_lp_micro
+      FROM scored GROUP BY doc_id
+    ), per_doc AS (
+      SELECT d.doc_id, b.lang,
+             CAST(array_length(b.w) AS BIGINT) AS n_words,
+             d.avg_lp_micro
+      FROM doc_lp d JOIN base b ON b.doc_id = d.doc_id
+    ), tiled AS (
+      SELECT lang, n_words, avg_lp_micro,
+             ntile(3) OVER (
+               PARTITION BY lang ORDER BY avg_lp_micro DESC, doc_id
+             ) AS t
+      FROM per_doc
+    )
+    SELECT lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(min(avg_lp_micro) AS BIGINT) AS floor_lp_micro
+    FROM tiled GROUP BY lang, t
+    """,
+    doc="CCNet-style language-model buckets (Wenzek et al. 2020, "
+    "arXiv:1911.00359): per-language head/middle/tail terciles by "
+    "bigram-LM score — CCNet trains KenLM per language and keeps the "
+    "low-perplexity 'head' slice; this replays the split with the "
+    "repo's add-one-smoothed bigram LM (q_bigram_logprob's exact "
+    "micro-nat arithmetic), ranking docs per language by average "
+    "log-prob as deterministic micro ints with doc_id tiebreaks. "
+    "Output: per (lang, bucket) doc count, word volume, and the "
+    "bucket's score floor — the cut table a per-language corpus "
+    "release publishes. Scale: LM stats are two count shuffles + a "
+    "vocab scalar; the tercile window partitions BY LANGUAGE (never "
+    "one global sort); the decision table is 3 rows per language.",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    pairs = (
+        base.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS ctx,"
+                    " element_at(w, i + 1) AS nxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.ctx", "p.nxt")
+    )
+    cb = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
+    cc = pairs.groupBy("ctx").agg(F.count("*").alias("n"))
+    vocab = base.select(F.explode("w").alias("x")).agg(
+        F.count_distinct("x").alias("v")
+    )
+    scored = (
+        pairs.join(cb, ["ctx", "nxt"])
+        .join(cc, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum("lp_micro") * F.lit(1.0) / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_lp_micro")
+        )
+        .join(
+            base.select(
+                "doc_id", "lang", F.size("w").cast("long").alias("n_words")
+            ),
+            "doc_id",
+        )
+    )
+    wt = Window.partitionBy("lang").orderBy(
+        F.desc("avg_lp_micro"), F.asc("doc_id")
+    )
+    tiled = per_doc.withColumn("t", F.ntile(3).over(wt))
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.groupBy("lang", "t").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.min("avg_lp_micro").cast("long").alias("floor_lp_micro"),
+    ).select(
+        "lang",
+        bucket.alias("bucket"),
+        "n_docs",
+        "words",
+        "floor_lp_micro",
+    )
