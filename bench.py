@@ -255,6 +255,12 @@ def main() -> None:
         "q_dsir_select",
         "q_gopher_rules",
         "q_embedding_drift",
+        # round-8 composition wave
+        "q_quality_budget",
+        "q_ccnet_buckets",
+        "q_bpe_fertility",
+        "q_training_triplets",
+        "q_stream_ann_serve",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

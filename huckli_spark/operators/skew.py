@@ -63,3 +63,69 @@ def salted_join(
     replicated = small.select("*", salts)
     out = salted_big.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    score_col: str,
+    id_col: str,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact NTILE over (score DESC, id ASC) WITHOUT a single-partition
+    global sort — the distributed-ranking decomposition:
+
+        rank(row) = (# rows with a strictly higher score)      [histogram]
+                  + row_number within the row's score group     [window]
+
+    The histogram is one groupBy to at most |score domain| rows (the
+    micro-int quality scores are bounded by construction: <= 1e6 + 1
+    distinct values regardless of corpus size) with an exclusive
+    running sum over those rows; it then broadcasts back onto the
+    corpus, and the only corpus-sized window PARTITIONS BY SCORE —
+    per-partition work is bounded by the largest tie group instead of
+    the whole table. The tile number derives from the rank in-row
+    with the standard NTILE split (first n MOD t tiles get the extra
+    row), so the result is bit-identical to
+    ``ntile(t) OVER (ORDER BY score DESC, id)``: Spark's global-window
+    NTILE executes in ONE task over ALL rows, which is exactly the
+    plan that cannot survive a 100 TB corpus.
+
+    Caveat (documented, inherent): a pathologically common single
+    score still concentrates its tie group in one partition — ties
+    are the irreducible sequential part of exact ranking. For
+    tie-free or bounded-tie scores this is fully parallel.
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    hist = df.groupBy(score_col).agg(F.count("*").alias("__c"))
+    wh = Window.orderBy(F.desc(score_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        score_col,
+        F.coalesce(F.sum("__c").over(wh), F.lit(0)).alias("__higher"),
+    )
+    wg = Window.partitionBy(score_col).orderBy(F.asc(id_col))
+    ranked = df.join(F.broadcast(hist), score_col).withColumn(
+        "__rank", (F.col("__higher") + F.row_number().over(wg)).cast("long")
+    )
+    q, r = divmod(n, n_tiles)
+    if q == 0:
+        tile = F.col("__rank")  # fewer rows than tiles: tile i = rank i
+    else:
+        big = F.lit(r * (q + 1))
+        tile = (
+            F.when(
+                F.col("__rank") <= big,
+                F.floor((F.col("__rank") - 1) / F.lit(q + 1)) + 1,
+            ).otherwise(
+                F.lit(r)
+                + F.floor((F.col("__rank") - big - 1) / F.lit(q))
+                + 1
+            )
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__higher", "__rank"
+    )

@@ -703,18 +703,21 @@ _QB_SCORE_SQL = """
     """,
     doc="quality-vs-token-budget curve — the data-selection decision "
     "artifact: docs rank into deciles by the heuristic quality score "
-    "(micro-int, so the NTILE order is exact on both engines; ties "
-    "on doc_id), and each decile reports docs, tokens, CUMULATIVE "
+    "(micro-int, so the order is exact on both engines; ties on "
+    "doc_id), and each decile reports docs, tokens, CUMULATIVE "
     "tokens and its score floor — read off 'train on the top X "
-    "deciles' directly against a token budget. Scale: one scan + one "
-    "rank window + a 10-row aggregate; at 100 TB the window "
-    "partitions by a salt-free global order over a 2-column relation "
-    "(score, count) — or approximates with quantile cuts — while the "
-    "decision table stays 10 rows.",
+    "deciles' directly against a token budget. The Spark side uses "
+    "skew.exact_ntile — the distributed-ranking decomposition "
+    "(score-domain-bounded histogram + per-score-group windows), "
+    "bit-identical to NTILE over (score DESC, doc_id) but with NO "
+    "single-partition global sort; the oracle uses plain NTILE, so "
+    "the hash match PROVES the decomposition. The decision table "
+    "stays 10 rows at any corpus size.",
 )
 def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from huckli_spark.operators.skew import exact_ntile
     from huckli_spark.operators.textstats import quality_score
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -725,9 +728,10 @@ def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_micro"),
     )
-    wt = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     per = (
-        q.withColumn("decile", F.ntile(10).over(wt).cast("int"))
+        exact_ntile(
+            q, 10, score_col="score_micro", id_col="doc_id", out_col="decile"
+        )
         .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -636,13 +636,19 @@ class TestRound8CompositionPlans:
         assert "Python" not in plan
         assert "Window" in plan
 
-    def test_quality_budget_single_scan(self, spark):
-        # one documents scan feeds the decile window; the decision
-        # table is a 10-row aggregate (global NTILE is the documented
-        # fixture-scale form — see the query doc for the 100 TB shape)
+    def test_quality_budget_no_global_ntile(self, spark):
+        # the decile assignment must use exact_ntile's decomposition:
+        # no ntile() global window anywhere — the corpus-sized
+        # row_number window partitions by the score group, and the
+        # only unpartitioned window runs over the score-domain-bounded
+        # histogram relation (post-aggregate)
         plan = _plan(spark, "q_quality_budget")
-        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "ntile" not in plan, plan
         assert "Python" not in plan
+        m = re.search(
+            r"row_number\(\)[^\n]*windowspecdefinition\(([^,]*),", plan
+        )
+        assert m and "score_micro" in m.group(1), plan
 
     def test_fertility_python_only_on_vocab_side(self, spark):
         # the Arrow tokenizer runs AFTER the distinct-word collapse:

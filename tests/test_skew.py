@@ -66,3 +66,53 @@ def test_row_salt_is_deterministic_and_bounded(spark):
     s2 = with_row_salt(li, 8).collect()
     assert s1 == s2
     assert all(0 <= r["__salt"] < 8 for r in s1)
+
+
+class TestExactNtile:
+    """exact_ntile's distributed-ranking decomposition must be
+    bit-identical to Spark's global-window NTILE over
+    (score DESC, id ASC) — including tie groups and the uneven
+    first-buckets split."""
+
+    def _fixture(self, spark, n=97):
+        # scores with heavy ties (mod 7) so tie groups straddle tile
+        # boundaries, plus a few unique outliers
+        rows = [(i, (i * 31) % 7 if i % 10 else 1000 + i) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, score long")
+
+    def test_matches_global_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.skew import exact_ntile
+
+        df = self._fixture(spark)
+        for t in (1, 3, 10, 96, 97, 150):
+            got = {
+                r["doc_id"]: r["tile"]
+                for r in exact_ntile(
+                    df, t, score_col="score", id_col="doc_id"
+                ).collect()
+            }
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            want = {
+                r["doc_id"]: r["t"]
+                for r in df.withColumn(
+                    "t", F.ntile(t).over(w)
+                ).collect()
+            }
+            assert got == want, f"n_tiles={t}"
+
+    def test_rank_window_partitions_by_score(self, spark):
+        # the scale contract: the corpus-sized window must partition
+        # by the score group — a single global partition is the plan
+        # this operator exists to avoid
+        from huckli_spark.operators.skew import exact_ntile
+
+        df = self._fixture(spark)
+        out = exact_ntile(df, 10, score_col="score", id_col="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        m = _re.search(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]*),", plan)
+        assert m and "score" in m.group(1), plan
