@@ -1,0 +1,591 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training.
+
+The OTHER canonical subword algorithm (Kudo 2018, arXiv:1804.10959;
+the SentencePiece default): score every candidate piece with a unigram
+language model and segment each word with the Viterbi-best (lowest
+total cost) piece sequence. Training is hard-EM: E-step = Viterbi
+segmentation of the corpus under the current piece costs, M-step =
+re-estimate piece probabilities from the segmentation counts, plus a
+pruning step that keeps the vocabulary at ``vocab_size``. Complements
+:mod:`huckli_spark.operators.bpe` (greedy merges) with the
+probabilistic trainer real pipelines choose between.
+
+Distribution shape (the part that matters at 100 TB):
+- The corpus collapses to a (word, freq) relation ONCE (the same
+  collapse ``bpe_train`` uses) — every EM iteration touches
+  vocab-/word-table-sized data, never the corpus again.
+- The E-step is MAP-ONLY: the piece table travels as one broadcast
+  row holding a ``map<piece, cost>`` (the broadcast-codebook idiom of
+  ``clustering.kmeans_fit``), and the whole Viterbi DP — forward keys
+  and backtrack — runs as in-row higher-order folds (JVM, whole-stage
+  codegen, no Python). The only shuffle per iteration is the
+  vocab-sized piece-count groupBy (map-side combined).
+- Nothing is quadratic: candidates are bounded by ``max_piece_len``
+  substrings per word position, the DP is O(len * max_piece_len) per
+  word, and every rank cut is a TakeOrdered (no global sort).
+
+Fixed-point portability: piece costs are integer micro-nats
+(``-floor(ln(p_smoothed) * 1e6 + 0.5)``, the house discipline of
+q_unigram_logprob), so Viterbi comparisons, tie-breaks, and counts are
+exact integer arithmetic — bit-identical across engines and
+partitionings. The Viterbi tie-break is encoded IN the DP key:
+``key = total_cost * JSHIFT + j`` (j = start of the last piece), so
+``min`` picks lowest cost, then the longest final piece. Words are
+truncated to ``WCAP`` chars identically in both engines (the fixture
+max is 8; the cap is a documented contract, not an assumption).
+
+Verification: ``unigram_fit_local`` is a pure-Python single-node
+reference trained differentially in tests/test_unigram_lm.py (vocab,
+costs, and tokenizations must match exactly); the full trainer +
+final corpus segmentation is SQL-oracle-gated end to end
+(q_unigram_tokenize) via :func:`unigram_oracle_sql`, which unrolls
+the Viterbi DP as generated forward/backtrack CTEs.
+
+Reference scope note: the reference engine (huckli) ships no
+tokenizer — this operator is part of the training-data toolkit the
+build brief adds beyond reference parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Words are truncated to WCAP chars in BOTH engines before any
+# statistics (identical truncation => identical results even if a
+# longer word appears; fixture max word length is 8).
+WCAP = 16
+# DP key = cost * JSHIFT + j. JSHIFT > WCAP so j never collides;
+# costs stay < 2^40 so the key fits comfortably in BIGINT.
+JSHIFT = 32
+
+
+# ------------------------------------------------------------------ words
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): corpus collapsed once, words capped at WCAP."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .select(F.substring("w", 1, WCAP).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+# ------------------------------------------------------- candidate seeding
+def _candidate_pieces(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, score): every substring of length 1..max_piece_len of
+    every word, scored by frequency-weighted occurrence count (each
+    start position counts — the suffix-array seed statistic of the
+    paper, computed relationally)."""
+    slots = F.expr(
+        f"flatten(transform(sequence(1, {max_piece_len}), l -> "
+        "CASE WHEN length(word) >= l THEN "
+        "transform(sequence(1, length(word) - l + 1), "
+        "s -> named_struct('s', s, 'l', l)) "
+        "ELSE cast(array() as array<struct<s:int,l:int>>) END))"
+    )
+    return (
+        words.select(F.explode(slots).alias("sl"), "word", "freq")
+        .select(
+            F.expr("substring(word, sl.s, sl.l)").alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("score"))
+    )
+
+
+def _costed(vocab_scored: DataFrame, score_col: str) -> DataFrame:
+    """M-step: (piece, cost) with cost = -floor(ln((s+1)/(tot+V))*1e6
+    + 0.5) — add-one smoothing over the KEPT vocabulary, so every
+    piece (even count-0 survivors) has a finite cost."""
+    tot = vocab_scored.agg(
+        F.sum(score_col).cast("double").alias("__tot"),
+        F.count("*").cast("double").alias("__v"),
+    )
+    return (
+        vocab_scored.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            (
+                -F.floor(
+                    F.log(
+                        (F.col(score_col) + F.lit(1.0))
+                        / (F.col("__tot") + F.col("__v"))
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+
+
+def _keep_top(scored: DataFrame, score_col: str, vocab_size: int,
+              n_chars: int) -> DataFrame:
+    """Prune to vocab_size: ALL single chars (segmentability
+    guarantee) + the top multi-char pieces by (score desc, piece asc)
+    — a TakeOrdered cut, never a global sort."""
+    chars = scored.where(F.length("piece") == 1)
+    k = max(vocab_size - n_chars, 0)
+    multi = (
+        scored.where(F.length("piece") > 1)
+        .orderBy(F.desc(score_col), F.asc("piece"))
+        .limit(k)
+    )
+    return chars.unionByName(multi)
+
+
+# ------------------------------------------------------------ Viterbi fold
+def _forward_expr(max_piece_len: int) -> str:
+    """Forward DP as one in-row fold. acc[pos+1] = best key reaching
+    pos; key = cost * JSHIFT + j (min => lowest cost, then smallest
+    j = longest last piece). Map lookups hit the broadcast __vc."""
+    return (
+        "aggregate(sequence(1, length(word)), array(cast(0 as bigint)),"
+        " (acc, t) -> acc || array(array_min(filter(transform("
+        f"sequence(greatest(0, t - {max_piece_len}), t - 1),"
+        " j -> CASE WHEN try_element_at(__vc, substring(word, j + 1, t - j))"
+        " IS NOT NULL THEN"
+        f" (element_at(acc, j + 1) div {JSHIFT}"
+        " + try_element_at(__vc, substring(word, j + 1, t - j)))"
+        f" * {JSHIFT} + j"
+        " ELSE cast(null as bigint) END), x -> x IS NOT NULL))))"
+    )
+
+
+_BACKTRACK = (
+    "reverse(aggregate(sequence(1, length(word)),"
+    " named_struct('pos', cast(length(word) as int),"
+    " 'ps', cast(array() as array<string>)),"
+    " (st, i) -> CASE WHEN st.pos <= 0 THEN st ELSE named_struct("
+    f" 'pos', cast(element_at(__best, st.pos + 1) % {JSHIFT} as int),"
+    " 'ps', st.ps || array(substring(word,"
+    f" cast(element_at(__best, st.pos + 1) % {JSHIFT} as int) + 1,"
+    f" st.pos - cast(element_at(__best, st.pos + 1) % {JSHIFT} as int))))"
+    " END, st -> st.ps))"
+)
+
+
+def _vocab_onerow(vocab: DataFrame) -> DataFrame:
+    """Piece table as ONE broadcast row of map<piece, cost> — plan
+    size O(1) regardless of vocab size (the kmeans broadcast-codebook
+    trade: a 100k-piece vocab must not bake a 100k-literal plan)."""
+    return vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "cost"))).alias(
+            "__vc"
+        )
+    )
+
+
+def segment_words(words: DataFrame, vocab: DataFrame,
+                  max_piece_len: int) -> DataFrame:
+    """(word, freq, pieces): Viterbi-best segmentation of every word
+    under the (piece, cost) table. Map-only: broadcast vocab row +
+    two in-row folds. Every corpus char is a single-char piece of the
+    vocab by construction, so the DP always completes."""
+    return (
+        words.crossJoin(F.broadcast(_vocab_onerow(vocab)))
+        .withColumn("__best", F.expr(_forward_expr(max_piece_len)))
+        .select("word", "freq", F.expr(_BACKTRACK).alias("pieces"))
+    )
+
+
+def piece_counts(words: DataFrame, vocab: DataFrame,
+                 max_piece_len: int) -> DataFrame:
+    """E-step statistics: (piece, c) frequency-weighted usage counts
+    under the Viterbi segmentation. One map-side-combined groupBy —
+    the iteration's only shuffle."""
+    return (
+        segment_words(words, vocab, max_piece_len)
+        .select(F.explode("pieces").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+# ------------------------------------------------------------------- train
+def unigram_fit(
+    docs: DataFrame,
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the unigram-LM piece table; returns (piece, cost) with
+    integer micro-nat costs. Entirely dataflow — the vocabulary never
+    visits the driver (it travels as a broadcast map row)."""
+    words = word_table(docs, text_col).persist()
+    words.count()  # materialize once; every iteration re-reads it
+    try:
+        cand = _candidate_pieces(words, max_piece_len)
+        # chars never change across iterations (always kept)
+        n_chars = cand.where(F.length("piece") == 1).count()
+        vocab = _costed(
+            _keep_top(cand, "score", vocab_size, n_chars), "score"
+        ).localCheckpoint(eager=True)
+        for _ in range(n_iters):
+            counts = piece_counts(words, vocab, max_piece_len)
+            joined = vocab.join(counts, "piece", "left").select(
+                "piece", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+            )
+            vocab = _costed(
+                _keep_top(joined, "c", vocab_size, n_chars), "c"
+            ).localCheckpoint(eager=True)  # cut per-iteration lineage
+        return vocab
+    finally:
+        words.unpersist()
+
+
+def unigram_table(
+    docs: DataFrame,
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gate relation: final (piece, cost_micro, corpus_count) — the
+    trained table plus one final segmentation pass, so the output
+    hash covers training AND encoding."""
+    vocab = unigram_fit(docs, vocab_size, n_iters, max_piece_len, text_col)
+    words = word_table(docs, text_col)
+    final_counts = piece_counts(words, vocab, max_piece_len)
+    return vocab.join(final_counts, "piece", "left").select(
+        "piece",
+        F.col("cost").alias("cost_micro"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("corpus_count"),
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens, n_tokens): tokenize documents under a frozen
+    (piece, cost) table. Words segment map-only (broadcast vocab);
+    the one shuffle reassembles tokens in word order per document."""
+    pos_words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).where(F.length("w") > 0).select(
+        id_col, "pos", F.substring("w", 1, WCAP).alias("word")
+    )
+    seg = pos_words.crossJoin(F.broadcast(_vocab_onerow(vocab))).withColumn(
+        "__best", F.expr(_forward_expr(max_piece_len))
+    ).select(id_col, "pos", F.expr(_BACKTRACK).alias("pieces"))
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+    )
+
+
+# --------------------------------------------------- pure-Python reference
+def _viterbi_local(word: str, cost: dict, max_piece_len: int) -> list:
+    word = word[:WCAP]
+    best = [0]
+    for t in range(1, len(word) + 1):
+        cands = []
+        for j in range(max(0, t - max_piece_len), t):
+            piece = word[j:t]
+            if piece in cost:
+                cands.append((best[j] // JSHIFT + cost[piece]) * JSHIFT + j)
+        best.append(min(cands))
+    pieces, pos = [], len(word)
+    while pos > 0:
+        j = best[pos] % JSHIFT
+        pieces.append(word[j:pos])
+        pos = j
+    return list(reversed(pieces))
+
+
+def unigram_fit_local(
+    texts: list,
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+) -> dict:
+    """Single-node reference with the same integer arithmetic —
+    the differential twin of ``unigram_fit``."""
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                w = w[:WCAP]
+                freqs[w] = freqs.get(w, 0) + 1
+
+    def costed(scored: dict) -> dict:
+        tot = float(sum(scored.values()))
+        v = float(len(scored))
+        return {
+            p: -math.floor(math.log((s + 1.0) / (tot + v)) * 1000000 + 0.5)
+            for p, s in scored.items()
+        }
+
+    def keep_top(scored: dict, n_chars: int) -> dict:
+        chars = {p: s for p, s in scored.items() if len(p) == 1}
+        multi = sorted(
+            ((p, s) for p, s in scored.items() if len(p) > 1),
+            key=lambda ps: (-ps[1], ps[0]),
+        )[: max(vocab_size - n_chars, 0)]
+        out = dict(chars)
+        out.update(dict(multi))
+        return out
+
+    cand: dict = {}
+    for w, f in freqs.items():
+        for ln in range(1, max_piece_len + 1):
+            for s in range(len(w) - ln + 1):
+                p = w[s : s + ln]
+                cand[p] = cand.get(p, 0) + f
+    n_chars = sum(1 for p in cand if len(p) == 1)
+    vocab = costed(keep_top(cand, n_chars))
+    for _ in range(n_iters):
+        counts = {p: 0 for p in vocab}
+        for w, f in freqs.items():
+            for p in _viterbi_local(w, vocab, max_piece_len):
+                counts[p] += f
+        vocab = costed(keep_top(counts, n_chars))
+    return vocab
+
+
+def unigram_counts_local(texts: list, vocab: dict,
+                         max_piece_len: int = 4) -> dict:
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                w = w[:WCAP]
+                freqs[w] = freqs.get(w, 0) + 1
+    counts = {p: 0 for p in vocab}
+    for w, f in freqs.items():
+        for p in _viterbi_local(w, vocab, max_piece_len):
+            counts[p] += f
+    return counts
+
+
+def word_stats(words: DataFrame, vocab: DataFrame,
+               max_piece_len: int) -> DataFrame:
+    """(word, np, wcost): per-distinct-word token count and total
+    Viterbi cost under the frozen table — computed ONCE per word,
+    then joinable back to documents (never re-derived per
+    occurrence)."""
+    return (
+        words.crossJoin(F.broadcast(_vocab_onerow(vocab)))
+        .withColumn("__best", F.expr(_forward_expr(max_piece_len)))
+        .select(
+            "word",
+            F.expr(f"element_at(__best, length(word) + 1) div {JSHIFT}")
+            .cast("long")
+            .alias("wcost"),
+            F.size(F.expr(_BACKTRACK)).cast("long").alias("np"),
+        )
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+def _oracle_parts(
+    vocab_size: int,
+    n_iters: int,
+    max_piece_len: int,
+    table: str,
+    text_col: str,
+) -> list:
+    """Shared CTE prefix of both oracles: seeding, every EM iteration
+    (forward DP + backtrack as unrolled CTEs), pruning, M-step, and a
+    final segmentation pass under vocab{n_iters}. The same
+    generated-unrolled-iteration pattern as the logreg / pagerank
+    oracles; AS MATERIALIZED keeps DuckDB from re-evaluating shared
+    CTEs (the round-7 CTE lesson)."""
+    L, W, S = max_piece_len, WCAP, JSHIFT
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT substr(w, 1, {W}) AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table}
+  ) WHERE length(w) > 0 GROUP BY 1
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT substr(word, s, l) AS piece, CAST(sum(freq) AS BIGINT) AS score
+  FROM words, range(1, {L + 1}) t(l), range(1, {W + 1}) ts(s)
+  WHERE s + l - 1 <= length(word)
+  GROUP BY 1
+)""",
+        """nch AS (SELECT count(*) AS n FROM cand WHERE length(piece) = 1)""",
+    ]
+
+    def keep(src: str, score: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT piece, {score} AS s FROM {src} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, s FROM (
+    SELECT piece, {score} AS s,
+           row_number() OVER (ORDER BY {score} DESC, piece) AS rnk
+    FROM {src} WHERE length(piece) > 1)
+  WHERE rnk <= {vocab_size} - (SELECT n FROM nch)
+)"""
+
+    def costed(src: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT piece,
+         -CAST(floor(ln((s * 1.0 + 1) / (tot + v)) * 1000000 + 0.5)
+               AS BIGINT) AS cost
+  FROM {src}, (SELECT sum(s) * 1.0 AS tot, count(*) * 1.0 AS v FROM {src})
+)"""
+
+    parts.append(keep("cand", "score", "keep0"))
+    parts.append(costed("keep0", "vocab0"))
+
+    def dp_block(i: int, vocab: str) -> list:
+        blk = [
+            f"""b{i}_0 AS (SELECT word, CAST(0 AS BIGINT) AS k FROM words)"""
+        ]
+        for t in range(1, W + 1):
+            arms = []
+            for j in range(max(0, t - L), t):
+                arms.append(
+                    f"""    SELECT b.word,
+           (b.k // {S} + vc.cost) * {S} + {j} AS cnd
+    FROM b{i}_{j} b JOIN {vocab} vc
+      ON vc.piece = substr(b.word, {j + 1}, {t - j})
+    WHERE length(b.word) >= {t}"""
+                )
+            body = "\n    UNION ALL\n".join(arms)
+            blk.append(
+                f"""b{i}_{t} AS MATERIALIZED (
+  SELECT word, MIN(cnd) AS k FROM (
+{body}
+  ) GROUP BY word
+)"""
+            )
+        dp_union = "\n    UNION ALL\n".join(
+            f"    SELECT word, {t} AS pos, k FROM b{i}_{t}"
+            for t in range(1, W + 1)
+        )
+        blk.append(
+            f"""dp{i} AS MATERIALIZED (
+{dp_union}
+)"""
+        )
+        blk.append(
+            f"""w{i}_0 AS (SELECT word, freq,
+  CAST(length(word) AS BIGINT) AS pos FROM words)"""
+        )
+        for s_ in range(1, W + 1):
+            blk.append(
+                f"""w{i}_{s_} AS MATERIALIZED (
+  SELECT w.word, w.freq, d.k % {S} AS pos,
+         substr(w.word, CAST(d.k % {S} AS INT) + 1,
+                CAST(w.pos - d.k % {S} AS INT)) AS piece
+  FROM w{i}_{s_ - 1} w JOIN dp{i} d
+    ON d.word = w.word AND d.pos = w.pos
+  WHERE w.pos > 0
+)"""
+            )
+        emit = "\n    UNION ALL\n".join(
+            f"    SELECT piece, freq FROM w{i}_{s_}" for s_ in range(1, W + 1)
+        )
+        blk.append(
+            f"""counts{i} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+{emit}
+  ) GROUP BY 1
+)"""
+        )
+        return blk
+
+    for i in range(n_iters):
+        parts.extend(dp_block(i, f"vocab{i}"))
+        parts.append(
+            f"""jn{i} AS MATERIALIZED (
+  SELECT v.piece, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM vocab{i} v LEFT JOIN counts{i} c ON c.piece = v.piece
+)"""
+        )
+        parts.append(keep(f"jn{i}", "c", f"keep{i + 1}"))
+        parts.append(costed(f"keep{i + 1}", f"vocab{i + 1}"))
+
+    parts.extend(dp_block(n_iters, f"vocab{n_iters}"))
+    return parts
+
+
+def unigram_oracle_sql(
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of the whole trainer; output = the gate relation
+    of :func:`unigram_table` (piece, cost_micro, corpus_count)."""
+    parts = _oracle_parts(vocab_size, n_iters, max_piece_len, table, text_col)
+    final = f"""SELECT v.piece AS piece, v.cost AS cost_micro,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS corpus_count
+FROM vocab{n_iters} v LEFT JOIN counts{n_iters} c ON c.piece = v.piece"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def unigram_encode_oracle_sql(
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of training + per-document encoding: (doc_id,
+    n_tokens, cost_micro) — token count and total Viterbi cost per
+    document under the trained table. Per-word stats come from the
+    final DP block's relations (finals = cost at the word's last
+    position; np = emitted-piece count), joined back to the document
+    word stream."""
+    n, W, S = n_iters, WCAP, JSHIFT
+    parts = _oracle_parts(vocab_size, n_iters, max_piece_len, table, text_col)
+    emit = "\n    UNION ALL\n".join(
+        f"    SELECT word FROM w{n}_{s_}" for s_ in range(1, W + 1)
+    )
+    parts.append(
+        f"""npieces AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS np FROM (
+{emit}
+  ) GROUP BY 1
+)"""
+    )
+    parts.append(
+        f"""finals AS MATERIALIZED (
+  SELECT d.word, CAST(d.k // {S} AS BIGINT) AS wcost
+  FROM dp{n} d JOIN words w ON w.word = d.word
+  WHERE d.pos = length(d.word)
+)"""
+    )
+    parts.append(
+        f"""docw AS (
+  SELECT {id_col}, substr(w, 1, {W}) AS word FROM (
+    SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {table}
+  ) WHERE length(w) > 0
+)"""
+    )
+    final = f"""SELECT dw.{id_col} AS doc_id,
+       CAST(sum(np.np) AS BIGINT) AS n_tokens,
+       CAST(sum(f.wcost) AS BIGINT) AS cost_micro
+FROM docw dw
+JOIN npieces np ON np.word = dw.word
+JOIN finals f ON f.word = dw.word
+GROUP BY 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -879,3 +879,82 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         "floor_lp_micro",
     )
+
+
+# ------------------------------------------- unigram-LM tokenizer (Kudo)
+# The SentencePiece-default trainer, as a pure-dataflow operator: see
+# operators/unigram_lm.py for the algorithm and the 100 TB shape
+# (corpus collapses to (word, freq) once; E-step is map-only via a
+# broadcast map<piece,cost> row + in-row Viterbi folds; one
+# vocab-sized shuffle per EM iteration). Both gates replay the WHOLE
+# trainer in DuckDB — seeding, every unrolled Viterbi DP, pruning,
+# M-step — via generated CTEs (the logreg/pagerank oracle pattern).
+_UNI = dict(vocab_size=60, n_iters=2, max_piece_len=4)
+
+
+@query(
+    "q_unigram_tokenize",
+    None,  # filled below: the generator needs the params tuple
+    doc="unigram-LM (SentencePiece-style) tokenizer training, "
+    "hard-EM with Viterbi E-step: final (piece, cost_micro, "
+    "corpus_count) after 2 EM iterations at vocab_size=60 — the hash "
+    "covers seeding, both EM iterations (integer micro-nat Viterbi, "
+    "tie-break baked into the DP key), pruning, M-step smoothing, "
+    "AND the final corpus segmentation. Differential twin: "
+    "tests/test_unigram_lm.py trains the same corpora with a pure-"
+    "Python reference.",
+)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import unigram_lm as U
+
+    return U.unigram_table(_docs(spark, sf_dir), **_UNI)
+
+
+@query(
+    "q_unigram_encode",
+    None,
+    doc="per-document encoding under the trained unigram-LM table: "
+    "(doc_id, n_tokens, cost_micro) — token count and total Viterbi "
+    "cost per document. Per-word stats are computed ONCE on the "
+    "distinct-word relation and joined back to the document word "
+    "stream (never re-derived per occurrence); the oracle replays "
+    "training + encoding end to end.",
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import unigram_lm as U
+
+    d = _docs(spark, sf_dir)
+    vocab = U.unigram_fit(d, **_UNI)
+    stats = U.word_stats(U.word_table(d), vocab, _UNI["max_piece_len"])
+    docw = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .select("doc_id", F.substring("w", 1, U.WCAP).alias("word"))
+    )
+    return (
+        docw.join(stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").cast("long").alias("n_tokens"),
+            F.sum("wcost").cast("long").alias("cost_micro"),
+        )
+    )
+
+
+def _fill_unigram_oracles() -> None:
+    from huckli_spark.operators import unigram_lm as U
+    from huckli_spark.queries import _REGISTRY, QuerySpec
+
+    for name, sql in (
+        ("q_unigram_tokenize", U.unigram_oracle_sql(**_UNI)),
+        ("q_unigram_encode", U.unigram_encode_oracle_sql(**_UNI)),
+    ):
+        old = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(
+            name=name, build=old.build, oracle=sql, doc=old.doc
+        )
+
+
+_fill_unigram_oracles()

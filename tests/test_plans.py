@@ -690,3 +690,51 @@ class TestRound8CompositionPlans:
         plan = _lazy_plan(spark, df)
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestUnigramLmPlans:
+    def test_estep_map_only_and_jvm(self, spark):
+        # the Viterbi E-step: vocab travels as ONE broadcast row
+        # (BroadcastNestedLoopJoin against a single-row side is a
+        # broadcast payload, not a product) and the whole DP is
+        # in-row JVM folds — no Python stage anywhere; the only
+        # word-table movement is the piece-count groupBy exchange
+        from huckli_spark.operators.unigram_lm import (
+            piece_counts,
+            unigram_fit,
+            word_table,
+        )
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        vocab = unigram_fit(docs, vocab_size=40, n_iters=1)
+        plan = _lazy_plan(
+            spark, piece_counts(word_table(docs), vocab, 4)
+        )
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        # partial (map-side combined) aggregation before the exchange
+        assert plan.count("HashAggregate") >= 2
+
+    def test_tokenize_gate_no_python(self, spark):
+        # NOTE: unigram_fit localCheckpoints each trained vocab, so
+        # the gate's visible plan starts at the checkpointed table —
+        # the training-internal shapes are pinned by the tests below
+        plan = _plan(spark, "q_unigram_tokenize")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_prune_is_takeordered(self, spark):
+        # multi-char pruning is a TakeOrdered cut, never a global sort
+        from huckli_spark.operators.unigram_lm import (
+            _candidate_pieces,
+            _keep_top,
+            word_table,
+        )
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        cand = _candidate_pieces(word_table(docs), 4)
+        plan = _lazy_plan(spark, _keep_top(cand, "score", 60, 20))
+        assert "TakeOrderedAndProject" in plan
+        assert "Python" not in plan

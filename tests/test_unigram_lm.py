@@ -1,0 +1,176 @@
+"""Distributed unigram-LM trainer vs the pure-Python reference:
+vocabularies, micro-nat costs, and Viterbi tokenizations must match
+EXACTLY, on crafted corpora (richer than the 31-word fixture) and on
+the fixture itself. Also pins: determinism across partitionings, the
+WCAP truncation contract, and the single-char segmentability
+guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.unigram_lm import (
+    JSHIFT,
+    WCAP,
+    _viterbi_local,
+    piece_counts,
+    segment_words,
+    unigram_encode,
+    unigram_counts_local,
+    unigram_fit,
+    unigram_fit_local,
+    unigram_table,
+    word_stats,
+    word_table,
+)
+
+RICH = [
+    "internationalization internationalize international nation nation",
+    "tokenization tokenize token token token nationalization",
+    "segmentation segment segmented nation international seg",
+    "the quick brown fox jumps over the lazy dog token",
+    "zebra quartz jinx fjord waltz nymph international",
+]
+
+
+def _corpus(spark, texts, partitions=None):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return df.repartition(partitions) if partitions else df
+
+
+def _spark_vocab(spark, texts, **kw):
+    rows = unigram_fit(_corpus(spark, texts), **kw).collect()
+    return {r.piece: r.cost for r in rows}
+
+
+class TestViterbiLocal:
+    def test_prefers_cheaper_decomposition(self):
+        cost = {"a": 5, "b": 7, "ab": 9, "abab": 20}
+        assert _viterbi_local("abab", cost, 4) == ["ab", "ab"]
+
+    def test_tiebreak_longest_last_piece(self):
+        # equal total cost: [a][ab] vs [ab][b] vs ... key tie-break
+        # (cost, then smallest start of last piece) picks the longest
+        # FINAL piece deterministically
+        cost = {"a": 5, "b": 5, "ab": 10, "aab": 15}
+        out = _viterbi_local("aab", cost, 4)
+        assert sum(cost[p] for p in out) == 15
+        assert out == ["aab"]
+
+    def test_wcap_truncation(self):
+        cost = {c: 3 for c in "abcdefghijklmnopqrstuvwxyz"}
+        out = _viterbi_local("abcdefghijklmnopqrstuvwxyz", cost, 4)
+        assert len(out) == WCAP  # truncated before the DP
+
+
+class TestDifferential:
+    def test_rich_corpus_matches_local(self, spark):
+        ref = unigram_fit_local(RICH, vocab_size=80, n_iters=3,
+                                max_piece_len=5)
+        got = _spark_vocab(spark, RICH, vocab_size=80, n_iters=3,
+                           max_piece_len=5)
+        assert got == ref
+
+    def test_final_counts_match_local(self, spark):
+        ref_vocab = unigram_fit_local(RICH, vocab_size=80, n_iters=2,
+                                      max_piece_len=4)
+        ref_counts = unigram_counts_local(RICH, ref_vocab, 4)
+        rows = unigram_table(_corpus(spark, RICH), vocab_size=80,
+                             n_iters=2, max_piece_len=4).collect()
+        got = {r.piece: (r.cost_micro, r.corpus_count) for r in rows}
+        assert got == {p: (ref_vocab[p], ref_counts[p]) for p in ref_vocab}
+
+    def test_fixture_corpus_matches_local(self, spark):
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        texts = [r.text for r in docs.select("text").collect()]
+        ref = unigram_fit_local(texts, vocab_size=60, n_iters=2,
+                                max_piece_len=4)
+        rows = unigram_fit(docs, vocab_size=60, n_iters=2,
+                           max_piece_len=4).collect()
+        assert {r.piece: r.cost for r in rows} == ref
+
+    def test_partitioning_invariance(self, spark):
+        a = _spark_vocab(spark, RICH, vocab_size=70, n_iters=2)
+        rows = unigram_fit(
+            _corpus(spark, RICH, partitions=7), vocab_size=70, n_iters=2
+        ).collect()
+        assert {r.piece: r.cost for r in rows} == a
+
+
+class TestSegmentation:
+    def test_every_word_segmentable(self, spark):
+        # chars are always kept, so no word can fail the DP
+        words = word_table(_corpus(spark, RICH))
+        vocab = unigram_fit(_corpus(spark, RICH), vocab_size=40,
+                            n_iters=1)
+        seg = segment_words(words, vocab, 4)
+        bad = seg.where(
+            F.expr("exists(pieces, p -> p IS NULL)")
+            | F.col("pieces").isNull()
+            | (F.expr("concat_ws('', pieces)") != F.col("word"))
+        )
+        assert bad.count() == 0  # pieces reassemble the exact word
+
+    def test_piece_counts_weighted_by_freq(self, spark):
+        texts = ["aa aa aa", "aa bb"]
+        vocab = unigram_fit(_corpus(spark, texts), vocab_size=10,
+                            n_iters=1, max_piece_len=2)
+        words = word_table(_corpus(spark, texts))
+        counts = {r.piece: r.c for r in
+                  piece_counts(words, vocab, 2).collect()}
+        ref_vocab = unigram_fit_local(texts, vocab_size=10, n_iters=1,
+                                      max_piece_len=2)
+        ref = unigram_counts_local(texts, ref_vocab, 2)
+        assert counts == {p: c for p, c in ref.items() if c > 0}
+
+    def test_word_stats_consistent_with_segmentation(self, spark):
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=60, n_iters=1)
+        words = word_table(docs)
+        st = {r.word: (r.np, r.wcost) for r in
+              word_stats(words, vocab, 4).collect()}
+        vdict = {r.piece: r.cost for r in vocab.collect()}
+        for w, (np_, wc) in st.items():
+            pieces = _viterbi_local(w, vdict, 4)
+            assert np_ == len(pieces)
+            assert wc == sum(vdict[p] for p in pieces)
+
+
+class TestEncode:
+    def test_encode_round_trips_documents(self, spark):
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=2)
+        enc = unigram_encode(docs, vocab, 4)
+        rows = {r.doc_id: r for r in enc.collect()}
+        assert set(rows) == set(range(len(RICH)))
+        vdict = {r.piece: r.cost for r in vocab.collect()}
+        for i, t in enumerate(RICH):
+            want = []
+            for w in t.split(" "):
+                if w:
+                    want.extend(_viterbi_local(w, vdict, 4))
+            assert list(rows[i].tokens) == want
+            assert rows[i].n_tokens == len(want)
+
+
+class TestEdges:
+    def test_key_headroom(self):
+        # worst case: WCAP max-cost pieces still fit the BIGINT key
+        assert (30_000_000 * WCAP) * JSHIFT < 2**63
+
+    def test_single_row_corpus(self, spark):
+        rows = unigram_fit(_corpus(spark, ["ab"]), vocab_size=5,
+                           n_iters=2).collect()
+        ref = unigram_fit_local(["ab"], vocab_size=5, n_iters=2)
+        assert {r.piece: r.cost for r in rows} == ref
+
+    def test_vocab_size_smaller_than_charset_keeps_chars(self, spark):
+        rows = unigram_fit(_corpus(spark, ["abcdef fedcba"]),
+                           vocab_size=3, n_iters=1).collect()
+        pieces = {r.piece for r in rows}
+        assert pieces == set("abcdef")  # chars always survive pruning
