@@ -747,3 +747,46 @@ def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").over(wc).cast("long").alias("cum_tokens"),
         "min_score_micro",
     )
+
+
+# ------------------------------------------------ DoReMi domain mixture
+@query(
+    "q_doremi_mixture",
+    None,  # filled below (the generator shares _LR_LABEL_SQL)
+    doc="DoReMi-style domain-mixture optimization (arXiv:2305.10429, "
+    "Group DRO): reference logreg trained uniform, proxy logreg "
+    "continued per round under domain-weighted batch GD, per-domain "
+    "EXCESS log-loss (micro-nats, clamped sigmoid) drives a "
+    "linearized multiplicative-weights update with floor-integer "
+    "normalization and uniform smoothing. Output = the full "
+    "(round, domain) trajectory, so the hash pins reference "
+    "training, every weighted proxy step, every loss pass, and "
+    "every lambda update. Domains = lang (5). Scale: all aggregates "
+    "land on bounded relations (B+1 gradient cells, |domains| loss/ "
+    "weight rows); the corpus is scanned per inner step, never "
+    "shuffled on a data-sized key.",
+)
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.mixture import doremi_mixture
+
+    label = F.expr(
+        "array_contains(split(text, ' '), 'spark')"
+        " OR array_contains(split(text, ' '), 'sql')"
+    )
+    return doremi_mixture(_docs(spark, sf_dir), label)
+
+
+def _fill_doremi_oracle() -> None:
+    from huckli_spark.operators.mixture import sql_doremi
+    from huckli_spark.queries import _REGISTRY, QuerySpec
+
+    old = _REGISTRY["q_doremi_mixture"]
+    _REGISTRY["q_doremi_mixture"] = QuerySpec(
+        name=old.name,
+        build=old.build,
+        oracle=sql_doremi(_LR_LABEL_SQL),
+        doc=old.doc,
+    )
+
+
+_fill_doremi_oracle()

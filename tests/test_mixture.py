@@ -1,0 +1,109 @@
+"""DoReMi domain-mixture optimizer: trajectory invariants,
+reweighting behavior, and partitioning invariance. Engine parity
+(Spark vs the generated DuckDB replay) is gated by
+q_doremi_mixture's oracle in the registry/replica."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huckli_spark.operators.mixture import doremi_mixture
+
+def LABEL():
+    return F.expr(
+        "array_contains(split(text, ' '), 'aa')"
+        " OR array_contains(split(text, ' '), 'bb')"
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def _fixture_docs(spark):
+    # 3 domains with different vocab/label structure: d0 is easy
+    # (label words everywhere), d2 is hard (label never co-occurs
+    # with its own vocabulary pattern)
+    rows = []
+    for i in range(30):
+        rows.append((i, "aa bb cc dd aa", "d0"))
+    for i in range(30, 60):
+        rows.append((i, "ee ff gg hh" + (" aa" if i % 2 else ""), "d1"))
+    for i in range(60, 90):
+        rows.append((i, "ii jj kk ll mm nn" + (" bb" if i % 5 == 0 else ""),
+                     "d2"))
+    return _docs(spark, rows)
+
+
+class TestTrajectory:
+    def test_invariants(self, spark):
+        out = doremi_mixture(
+            _fixture_docs(spark), LABEL(), rounds=3, inner_iters=1,
+            ref_iters=3
+        ).collect()
+        assert len(out) == 9  # 3 rounds x 3 domains
+        uni = 100 // 3
+        by_round: dict = {}
+        for r in out:
+            assert r.excess_micro >= 0
+            assert r.lam_out_milli >= uni  # smoothing floor
+            by_round.setdefault(r.round, []).append(r)
+        for r, rows in by_round.items():
+            s = sum(x.lam_out_milli for x in rows)
+            assert 900 <= s <= 1000  # floored normalization
+        # round r's lam_out is round r+1's lam_in
+        for r in range(2):
+            a = {x.dom: x.lam_out_milli for x in by_round[r]}
+            b = {x.dom: x.lam_in_milli for x in by_round[r + 1]}
+            assert a == b
+
+    def test_worst_domain_gains_weight(self, spark):
+        out = doremi_mixture(
+            _fixture_docs(spark), LABEL(), rounds=1, inner_iters=1,
+            ref_iters=3
+        ).collect()
+        rows = {r.dom: r for r in out}
+        worst = max(rows.values(), key=lambda r: r.excess_micro)
+        if worst.excess_micro > 0:
+            others = [r for r in rows.values() if r.dom != worst.dom]
+            assert all(
+                worst.lam_out_milli >= o.lam_out_milli
+                or o.excess_micro > 0
+                for o in others
+            )
+
+    def test_eta_zero_keeps_uniform(self, spark):
+        out = doremi_mixture(
+            _fixture_docs(spark), LABEL(), rounds=2, inner_iters=1,
+            ref_iters=2, eta_milli=0
+        ).collect()
+        # mult = 1 for every domain: normalize+smooth is the identity
+        # on the uniform start (333 -> 299+33 = 332 after flooring)
+        lams = {(r.round, r.dom): r.lam_out_milli for r in out}
+        assert len(set(lams.values())) == 1
+
+    def test_partitioning_invariance(self, spark):
+        docs = _fixture_docs(spark)
+        a = sorted(tuple(r) for r in
+                   doremi_mixture(docs, LABEL(), rounds=2).collect())
+        b = sorted(
+            tuple(r)
+            for r in doremi_mixture(
+                docs.repartition(7), LABEL(), rounds=2
+            ).collect()
+        )
+        assert a == b
+
+    def test_fixture_lang_domains(self, spark):
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        label = F.expr(
+            "array_contains(split(text, ' '), 'spark')"
+            " OR array_contains(split(text, ' '), 'sql')"
+        )
+        out = doremi_mixture(docs, label).collect()
+        assert len(out) == 15  # 3 rounds x 5 langs
+        assert {r.dom for r in out} == {"de", "en", "es", "fr", "zh"}

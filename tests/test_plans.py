@@ -738,3 +738,50 @@ class TestUnigramLmPlans:
         plan = _lazy_plan(spark, _keep_top(cand, "score", 60, 20))
         assert "TakeOrderedAndProject" in plan
         assert "Python" not in plan
+
+
+class TestDoremiPlans:
+    def test_weighted_step_broadcast_small_relations(self, spark):
+        # one weighted GD step: the lambda table and the weight
+        # vector are broadcast VALUES relations; the corpus-sized
+        # feature relation is never shuffled on a data-sized key
+        # beyond the doc-keyed score join; no Python anywhere
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.classifier import logreg_features
+        from huckli_spark.operators.mixture import _weighted_fit_step
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        label = F.expr("array_contains(split(text, ' '), 'spark')")
+        feats = logreg_features(docs, label, 64, n=500)
+        dom = docs.select("doc_id", F.col("lang").alias("dom"))
+        # reproduce the step's gradient relation lazily
+        from huckli_spark.operators.classifier import MICRO, _scores
+
+        p = _scores(feats, [0] * 65, "doc_id")
+        ldf = spark.sql(
+            "SELECT col1 AS dom, col2 AS lam FROM VALUES"
+            " ('de', 200L), ('en', 200L), ('es', 200L),"
+            " ('fr', 200L), ('zh', 200L)"
+        )
+        weighted = (
+            p.join(dom, "doc_id")
+            .join(F.broadcast(ldf), "dom")
+            .select("doc_id", "y", "lam", "p_micro")
+        )
+        g = (
+            weighted.join(feats, ["doc_id", "y"])
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("lam")
+                    * (F.col("p_micro") - F.col("y") * F.lit(MICRO))
+                    * F.col("x_micro")
+                ).alias("g")
+            )
+        )
+        plan = _lazy_plan(spark, g)
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
