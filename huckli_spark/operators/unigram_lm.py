@@ -142,34 +142,82 @@ def _keep_top(scored: DataFrame, score_col: str, vocab_size: int,
 
 
 # ------------------------------------------------------------ Viterbi fold
-def _forward_expr(max_piece_len: int) -> str:
+def _forward_expr(max_piece_len: int, word: str = "word",
+                  vc: str = "__vc") -> str:
     """Forward DP as one in-row fold. acc[pos+1] = best key reaching
     pos; key = cost * JSHIFT + j (min => lowest cost, then smallest
-    j = longest last piece). Map lookups hit the broadcast __vc."""
+    j = longest last piece). ``word``/``vc`` are the SQL expressions
+    for the word and the piece-cost map — column references in the
+    batch path, lambda variables / literals in the streaming in-row
+    path."""
     return (
-        "aggregate(sequence(1, length(word)), array(cast(0 as bigint)),"
+        f"aggregate(sequence(1, length({word})), array(cast(0 as bigint)),"
         " (acc, t) -> acc || array(array_min(filter(transform("
         f"sequence(greatest(0, t - {max_piece_len}), t - 1),"
-        " j -> CASE WHEN try_element_at(__vc, substring(word, j + 1, t - j))"
+        f" j -> CASE WHEN try_element_at({vc}, substring({word}, j + 1, t - j))"
         " IS NOT NULL THEN"
         f" (element_at(acc, j + 1) div {JSHIFT}"
-        " + try_element_at(__vc, substring(word, j + 1, t - j)))"
+        f" + try_element_at({vc}, substring({word}, j + 1, t - j)))"
         f" * {JSHIFT} + j"
         " ELSE cast(null as bigint) END), x -> x IS NOT NULL))))"
     )
 
 
-_BACKTRACK = (
-    "reverse(aggregate(sequence(1, length(word)),"
-    " named_struct('pos', cast(length(word) as int),"
-    " 'ps', cast(array() as array<string>)),"
-    " (st, i) -> CASE WHEN st.pos <= 0 THEN st ELSE named_struct("
-    f" 'pos', cast(element_at(__best, st.pos + 1) % {JSHIFT} as int),"
-    " 'ps', st.ps || array(substring(word,"
-    f" cast(element_at(__best, st.pos + 1) % {JSHIFT} as int) + 1,"
-    f" st.pos - cast(element_at(__best, st.pos + 1) % {JSHIFT} as int))))"
-    " END, st -> st.ps))"
-)
+def _backtrack_expr(word: str = "word", best: str = "__best") -> str:
+    return (
+        f"reverse(aggregate(sequence(1, length({word})),"
+        f" named_struct('pos', cast(length({word}) as int),"
+        " 'ps', cast(array() as array<string>)),"
+        " (st, i) -> CASE WHEN st.pos <= 0 THEN st ELSE named_struct("
+        f" 'pos', cast(element_at({best}, st.pos + 1) % {JSHIFT} as int),"
+        f" 'ps', st.ps || array(substring({word},"
+        f" cast(element_at({best}, st.pos + 1) % {JSHIFT} as int) + 1,"
+        f" st.pos - cast(element_at({best}, st.pos + 1) % {JSHIFT} as int))))"
+        " END, st -> st.ps))"
+    )
+
+
+_BACKTRACK = _backtrack_expr()
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def frozen_vocab_expr(vocab_rows: list) -> str:
+    """Bake a trained (piece, cost) table as a map literal for
+    stateless streaming serving (the q_stream_dsir baked-table
+    pattern). Plan size is O(vocab); fine at serving vocabs in the
+    thousands — at 100k+ pieces production serves via foreachBatch
+    with the broadcast map row instead (documented trade)."""
+    entries = ", ".join(
+        f"{_sql_str(p)}, {int(c)}L" for p, c in sorted(vocab_rows)
+    )
+    return f"map({entries})"
+
+
+def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
+                       text_col: str = "text") -> str:
+    """Whole-document tokenization as ONE stateless in-row
+    expression: split to words (WCAP-truncated), per-word forward DP
+    + backtrack against the baked vocab literal. Returns a
+    struct(tokens array<string>, cost_micro bigint) expression."""
+    vc = frozen_vocab_expr(vocab_rows)
+    words = (
+        f"transform(filter(split({text_col}, ' '), x -> x <> ''),"
+        f" x -> substring(x, 1, {WCAP}))"
+    )
+    staged = (
+        f"transform({words}, w -> named_struct('w', w,"
+        f" 'best', {_forward_expr(max_piece_len, 'w', vc)}))"
+    )
+    return (
+        f"named_struct('tokens', flatten(transform({staged},"
+        f" s -> {_backtrack_expr('s.w', 's.best')})),"
+        f" 'cost_micro', aggregate({staged}, cast(0 as bigint),"
+        " (acc, s) -> acc + element_at(s.best, length(s.w) + 1)"
+        f" div {JSHIFT}))"
+    )
 
 
 def _vocab_onerow(vocab: DataFrame) -> DataFrame:

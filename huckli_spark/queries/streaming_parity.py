@@ -1108,3 +1108,56 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cid", F.expr(d).alias("d_micro"))
     )
     return run_to_memory(scored, output_mode="append")
+
+
+def _stream_unigram_oracle() -> str:
+    from huckli_spark.operators.unigram_lm import unigram_encode_oracle_sql
+
+    return unigram_encode_oracle_sql(vocab_size=60, n_iters=2,
+                                     max_piece_len=4)
+
+
+@query(
+    "q_stream_unigram_encode",
+    _stream_unigram_oracle(),
+    doc="STREAMING tokenization under a FROZEN unigram-LM table: the "
+    "table trains in batch before the stream starts, then bakes as a "
+    "map literal and every live document tokenizes with a pure "
+    "in-row Viterbi fold (per-word forward DP + backtrack inside one "
+    "expression) — stateless, append mode, zero state store, the "
+    "q_stream_dsir baked-table pattern. Emitted (doc_id, n_tokens, "
+    "cost_micro) rows hash-match the BATCH encode oracle, which "
+    "replays training + encoding relationally. Scale: per-doc work "
+    "is O(words x WCAP x max_piece_len); the baked literal is "
+    "O(vocab) plan weight — fine at serving vocabs in the "
+    "thousands, above that production tokenizes in foreachBatch "
+    "with the broadcast map row (documented in "
+    "operators/unigram_lm.py).",
+)
+def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators import unigram_lm as U
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = U.unigram_fit(docs, vocab_size=60, n_iters=2, max_piece_len=4)
+    vrows = [(r.piece, r.cost) for r in vocab.collect()]
+    expr = U.tokens_in_row_expr(vrows, 4)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    toks = stream.select("doc_id", F.expr(expr).alias("tk")).select(
+        "doc_id",
+        F.size("tk.tokens").cast("long").alias("n_tokens"),
+        F.col("tk.cost_micro").alias("cost_micro"),
+    )
+    return run_to_memory(toks, output_mode="append")

@@ -174,3 +174,35 @@ class TestEdges:
                            vocab_size=3, n_iters=1).collect()
         pieces = {r.piece for r in rows}
         assert pieces == set("abcdef")  # chars always survive pruning
+
+
+class TestInRowServing:
+    def test_in_row_expr_matches_batch_encode(self, spark):
+        # the baked-literal in-row tokenizer (streaming serving path)
+        # must reproduce the batch encode exactly
+        from huckli_spark.operators.unigram_lm import tokens_in_row_expr
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=2)
+        vrows = [(r.piece, r.cost) for r in vocab.collect()]
+        inrow = docs.select(
+            "doc_id", F.expr(tokens_in_row_expr(vrows, 4)).alias("tk")
+        ).select(
+            "doc_id",
+            F.col("tk.tokens").alias("tokens"),
+            F.col("tk.cost_micro").alias("cost_micro"),
+        )
+        batch = unigram_encode(docs, vocab, 4)
+        a = {r.doc_id: list(r.tokens) for r in inrow.collect()}
+        b = {r.doc_id: list(r.tokens) for r in batch.collect()}
+        assert a == b
+
+    def test_vocab_literal_escaping(self, spark):
+        from huckli_spark.operators.unigram_lm import frozen_vocab_expr
+
+        expr = frozen_vocab_expr([("a'b", 5), ("c\\d", 7)])
+        row = spark.range(1).select(
+            F.expr(f"try_element_at({expr}, \"a'b\")").alias("x"),
+            F.expr(f"element_at({expr}, 'c\\\\d')").alias("y"),
+        ).collect()[0]
+        assert (row.x, row.y) == (5, 7)
