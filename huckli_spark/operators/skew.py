@@ -129,3 +129,70 @@ def exact_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop(
         "__higher", "__rank"
     )
+
+
+def exact_ntile_grouped(
+    df: DataFrame,
+    n_tiles: int,
+    score_col: str,
+    id_col: str,
+    group_col: str,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Per-group exact NTILE over (score DESC, id ASC) WITHOUT a
+    one-task-per-group window — the grouped form of
+    :func:`exact_ntile`.
+
+    ``ntile(t) OVER (PARTITION BY g ORDER BY ...)`` looks distributed
+    but executes each group in ONE task: with a handful of languages
+    over a 100 TB corpus that is 20 TB per task. Same decomposition
+    as the ungrouped version, everything keyed by group:
+
+        rank = (# rows in MY group with a strictly higher score)
+             + row_number within (group, score)
+
+    The histogram aggregates to |groups x score domain| rows (micro
+    scores are domain-bounded), its running sum windows over the
+    HISTOGRAM partitioned by group, and the only corpus-sized window
+    partitions by (group, score) — bounded by the largest tie group.
+    Per-group row counts join in so the NTILE split (first n MOD t
+    tiles get the extra row) evaluates in-row; the result is
+    bit-identical to the partitioned-window NTILE (pinned in
+    tests/test_skew.py)."""
+    from pyspark.sql import Window
+
+    gn = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("__c"))
+    wh = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        group_col,
+        score_col,
+        F.coalesce(F.sum("__c").over(wh), F.lit(0)).alias("__higher"),
+    )
+    wg = Window.partitionBy(group_col, score_col).orderBy(F.asc(id_col))
+    ranked = (
+        df.join(F.broadcast(hist), [group_col, score_col])
+        .join(F.broadcast(gn), group_col)
+        .withColumn(
+            "__rank",
+            (F.col("__higher") + F.row_number().over(wg)).cast("long"),
+        )
+    )
+    q = (F.col("__n") / n_tiles).cast("long")  # floor: __n, t >= 0
+    r = F.col("__n") % n_tiles
+    big = r * (q + 1)
+    tile = (
+        F.when(q == 0, F.col("__rank"))
+        .when(
+            F.col("__rank") <= big,
+            F.floor((F.col("__rank") - 1) / (q + 1)) + 1,
+        )
+        .otherwise(r + F.floor((F.col("__rank") - big - 1) / q) + 1)
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__higher", "__rank", "__n"
+    )

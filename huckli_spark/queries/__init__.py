@@ -156,11 +156,16 @@ _GATE_PRIORITY: list[str] = [
 # IVF index), q_training_triplets (contrastive triplet mining),
 # q_quality_budget (quality-vs-token-budget curve), q_bpe_fertility
 # (per-language tokenizer fertility) and q_ccnet_buckets (CCNet
-# head/middle/tail LM terciles per language). That is 38
-# names for 30 slots: grade the 23-query analytics close wave + the
-# 5 round-8 composition queries + 2 TPC-H rows; the remaining 8
-# TPC-H rows rotate in r10 alongside flagship re-grades. Replica
-# covers everything every round regardless.
+# head/middle/tail LM terciles per language) — plus the round-8
+# continuation wave: q_unigram_tokenize + q_unigram_encode
+# (SentencePiece-style unigram-LM trainer, full DuckDB DP replay),
+# q_doremi_mixture (Group-DRO domain mixture), and
+# q_stream_unigram_encode (frozen-table streaming tokenization).
+# That is 42 names for 30 slots: grade the 23-query analytics close
+# wave + the 4 continuation flagships + 3 composition queries; the
+# remaining TPC-H rows and composition tail rotate in r10 alongside
+# flagship re-grades. Replica covers everything every round
+# regardless.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -806,8 +806,6 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one global sort); the decision table is 3 rows per language.",
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     base = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
     pairs = (
@@ -859,10 +857,17 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
-    wt = Window.partitionBy("lang").orderBy(
-        F.desc("avg_lp_micro"), F.asc("doc_id")
+    # round-8 continuation: the per-language tercile used
+    # ntile OVER (PARTITION BY lang) — ONE task per language, i.e.
+    # corpus/5 rows in a single task at scale. exact_ntile_grouped
+    # is the distributed decomposition, hash-pinned bit-identical to
+    # the partitioned-window NTILE (oracle below is unchanged).
+    from huckli_spark.operators.skew import exact_ntile_grouped
+
+    tiled = exact_ntile_grouped(
+        per_doc, 3, score_col="avg_lp_micro", id_col="doc_id",
+        group_col="lang", out_col="t",
     )
-    tiled = per_doc.withColumn("t", F.ntile(3).over(wt))
     bucket = (
         F.when(F.col("t") == 1, "head")
         .when(F.col("t") == 2, "middle")

@@ -785,3 +785,19 @@ class TestDoremiPlans:
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestCcnetPlans:
+    def test_ccnet_no_partitioned_ntile(self, spark):
+        # round-8 continuation: the per-language tercile must use the
+        # grouped exact-rank decomposition — a partitioned-window
+        # ntile runs each language in ONE task (corpus/5 rows at
+        # scale). The only corpus-sized window partitions by
+        # (lang, score group).
+        plan = _plan(spark, "q_ccnet_buckets")
+        assert "ntile" not in plan, plan
+        m = re.findall(
+            r"row_number\(\)[^\n]*windowspecdefinition\(([^)]*?),"
+            r" avg_lp_micro", plan
+        )
+        assert m, plan

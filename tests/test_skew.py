@@ -116,3 +116,44 @@ class TestExactNtile:
 
         m = _re.search(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]*),", plan)
         assert m and "score" in m.group(1), plan
+
+
+class TestExactNtileGrouped:
+    """exact_ntile_grouped must be bit-identical to the partitioned-
+    window NTILE per group — including tie groups, uneven splits, and
+    groups smaller than the tile count."""
+
+    def _fixture(self, spark):
+        rows = []
+        for g, size in (("a", 97), ("b", 40), ("c", 2)):
+            for i in range(size):
+                rows.append(
+                    (g, i, (i * 31) % 7 if i % 10 else 1000 + i)
+                )
+        return spark.createDataFrame(
+            rows, "lang string, doc_id long, score long"
+        )
+
+    def test_matches_partitioned_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.skew import exact_ntile_grouped
+
+        df = self._fixture(spark)
+        for t in (1, 3, 10, 50):
+            got = {
+                (r["lang"], r["doc_id"]): r["tile"]
+                for r in exact_ntile_grouped(
+                    df, t, score_col="score", id_col="doc_id",
+                    group_col="lang",
+                ).collect()
+            }
+            w = Window.partitionBy("lang").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            want = {
+                (r["lang"], r["doc_id"]): r["t"]
+                for r in df.withColumn("t", F.ntile(t).over(w)).collect()
+            }
+            assert got == want, f"t={t}"
