@@ -65,15 +65,62 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _exclusive_prefix(
+    hist: DataFrame, order, val_col: str, out_col: str
+) -> DataFrame:
+    """Two-phase distributed exclusive prefix sum over ``hist`` in
+    ``order``: range-partition, scan each partition locally, collect
+    per-partition totals (bounded by the shuffle-partition count),
+    broadcast the exclusive offsets back. The range boundaries come
+    from Spark's sampling and are NOT deterministic — but the prefix
+    VALUE at each row is boundary-independent, so the result is."""
+    from pyspark.sql import Window
+
+    h = hist.repartitionByRange(order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # pid assignment must not be recomputed across actions (a rerun
+    # could re-sample different range boundaries): materialize once
+    h = h.withColumn(
+        "__loc", F.coalesce(F.sum(val_col).over(wloc), F.lit(0))
+    ).localCheckpoint(eager=True)
+    totals = sorted(
+        (r["__pid"], r["__t"])
+        for r in h.groupBy("__pid")
+        .agg(F.sum(val_col).alias("__t"))
+        .collect()
+    )
+    off, acc = {}, 0
+    for pid, t in totals:
+        off[pid] = acc
+        acc += t
+    offdf = h.sparkSession.createDataFrame(
+        [(int(p), int(v)) for p, v in off.items()], "__pid int, __off long"
+    )
+    return (
+        h.join(F.broadcast(offdf), "__pid")
+        .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
+        .drop("__pid", "__loc", "__off", val_col)
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     n_tiles: int,
     score_col: str,
     id_col: str,
     out_col: str = "tile",
+    ascending: bool = False,
 ) -> DataFrame:
     """Exact NTILE over (score DESC, id ASC) WITHOUT a single-partition
-    global sort — the distributed-ranking decomposition:
+    global sort (``ascending=True`` flips to score ASC — same
+    decomposition, 'higher' becomes 'lower') — the
+    distributed-ranking decomposition:
 
         rank(row) = (# rows with a strictly higher score)      [histogram]
                   + row_number within the row's score group     [window]
@@ -91,6 +138,17 @@ def exact_ntile(
     NTILE executes in ONE task over ALL rows, which is exactly the
     plan that cannot survive a 100 TB corpus.
 
+    The histogram's exclusive running sum is itself DISTRIBUTED
+    (round-8 continuation): range-partition the histogram by score
+    order, scan locally per partition, collect only the per-partition
+    TOTALS (bounded by the shuffle-partition count), and broadcast
+    the exclusive offsets back — the classic two-phase parallel
+    prefix sum. That removes the earlier one-task bound for
+    high-cardinality scores (e.g. near-unique monetary values in
+    q_rfm_segments); range boundaries come from sampling but cannot
+    affect the RESULT, only the split points. The prefix value at a
+    score is boundary-independent.
+
     Caveat (documented, inherent): a pathologically common single
     score still concentrates its tie group in one partition — ties
     are the irreducible sequential part of exact ranking. For
@@ -99,14 +157,9 @@ def exact_ntile(
     from pyspark.sql import Window
 
     n = df.count()
+    order = F.asc(score_col) if ascending else F.desc(score_col)
     hist = df.groupBy(score_col).agg(F.count("*").alias("__c"))
-    wh = Window.orderBy(F.desc(score_col)).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    hist = hist.select(
-        score_col,
-        F.coalesce(F.sum("__c").over(wh), F.lit(0)).alias("__higher"),
-    )
+    hist = _exclusive_prefix(hist, order, "__c", "__higher")
     wg = Window.partitionBy(score_col).orderBy(F.asc(id_col))
     ranked = df.join(F.broadcast(hist), score_col).withColumn(
         "__rank", (F.col("__higher") + F.row_number().over(wg)).cast("long")
@@ -138,6 +191,7 @@ def exact_ntile_grouped(
     id_col: str,
     group_col: str,
     out_col: str = "tile",
+    ascending: bool = False,
 ) -> DataFrame:
     """Per-group exact NTILE over (score DESC, id ASC) WITHOUT a
     one-task-per-group window — the grouped form of
@@ -162,10 +216,11 @@ def exact_ntile_grouped(
     from pyspark.sql import Window
 
     gn = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    order = F.asc(score_col) if ascending else F.desc(score_col)
     hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("__c"))
     wh = (
         Window.partitionBy(group_col)
-        .orderBy(F.desc(score_col))
+        .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hist = hist.select(

@@ -815,18 +815,25 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.asc("last_order"), F.asc("custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
-    m = F.ntile(5).over(
-        Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
-    )
-    scored = base.select(
+    # round-8 continuation: the three quintiles used global-window
+    # ntile — ONE task over the whole customer relation each.
+    # exact_ntile (ascending form) is the distributed decomposition,
+    # bit-identical to ntile over (metric ASC, custkey); the oracle
+    # below keeps plain NTILE, so the green hash PROVES equivalence.
+    from huckli_spark.operators.skew import exact_ntile
+
+    scored = base
+    for col, out in (("last_order", "r_score"), ("frequency", "f_score"),
+                     ("monetary_cents", "m_score")):
+        scored = exact_ntile(scored, 5, score_col=col, id_col="custkey",
+                             out_col=out, ascending=True)
+    scored = scored.select(
         "custkey",
         F.col("frequency").cast("long").alias("frequency"),
         "monetary_cents",
-        r.cast("int").alias("r_score"),
-        f.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
     )
     seg = (
         F.when(
