@@ -99,8 +99,15 @@ def _exclusive_prefix(
     for pid, t in totals:
         off[pid] = acc
         acc += t
-    offdf = h.sparkSession.createDataFrame(
-        [(int(p), int(v)) for p, v in off.items()], "__pid int, __off long"
+    if not off:
+        return h.withColumn(out_col, F.lit(0).cast("long")).drop(
+            "__pid", "__loc", val_col
+        )
+    # JVM LocalRelation (not a Python RDD): keeps the plan free of
+    # applySchemaToPythonRDD scans (the classifier _scores pattern)
+    vals = ", ".join(f"({int(p)}, {int(v)}L)" for p, v in off.items())
+    offdf = h.sparkSession.sql(
+        f"SELECT col1 AS __pid, col2 AS __off FROM VALUES {vals}"
     )
     return (
         h.join(F.broadcast(offdf), "__pid")
