@@ -38,11 +38,18 @@ def pack_sequences(
     budget: int = 512,
     n_shards: int = 8,
     eos_tokens: int = 1,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Assign every document a (shard, seq_idx, offset_in_seq).
 
     ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separator.
     Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq).
+
+    ``order_cols``: ordering Columns applied WITHIN each shard before
+    the id tiebreak (curriculum packing — e.g. quality DESC so every
+    shard streams best-first); default is the deterministic hash
+    order (uniform shuffle). Columns named there must be present on
+    ``df`` and are carried through the token-count projection.
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(
@@ -50,13 +57,16 @@ def pack_sequences(
         )
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    extra = [c for c in df.columns if c not in (id_col, text_col)]
     d = df.select(
         F.col(id_col),
         (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens)).alias("n_tokens"),
         F.pmod(h60(key), F.lit(n_shards)).alias("shard"),
         h60(okey).alias("__ok"),
+        *extra,
     )
-    w = Window.partitionBy("shard").orderBy("__ok", id_col)
+    order = list(order_cols) if order_cols else [F.col("__ok")]
+    w = Window.partitionBy("shard").orderBy(*order, id_col)
     cum_before = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

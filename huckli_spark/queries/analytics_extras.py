@@ -1552,3 +1552,85 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("med2") / 2000000.0, 4).alias("baseline_median"),
         fround(2.0 * F.col("vm") / F.col("med2"), 4).alias("ratio"),
     )
+
+
+# ------------------------------------------------- hash-sample quantiles
+_HQ_K = 1024
+_HQ_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+@query(
+    "q_hash_quantiles",
+    f"""
+    WITH keyed AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             {sql_h60("'q:' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")}
+               AS h
+      FROM lineitem
+    ), samp AS (
+      SELECT k, v FROM keyed ORDER BY h, k LIMIT {_HQ_K}
+    ), ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, k) AS r,
+             count(*) OVER () AS sz
+      FROM samp
+    ), pcts AS (
+      SELECT unnest([{', '.join(str(p) for p in _HQ_PCTS)}]) AS pct
+    )
+    SELECT p.pct,
+           CAST(r.sz AS BIGINT) AS sample_size,
+           r.v AS est_cents
+    FROM pcts p JOIN ranked r
+      ON r.r = greatest(1, CAST(ceil(p.pct * r.sz / 100.0) AS BIGINT))
+    """,
+    doc="deterministic sampled quantiles: a bottom-k sample by the "
+    "portable 60-bit hash of the row key (k=1024 — a uniform, "
+    "MERGEABLE, engine-reproducible sample: the union of two "
+    "partitions' bottom-k IS the corpus bottom-k) + nearest-rank "
+    "quantiles over the sample. THE scalable quantile pattern when "
+    "an exact global sort is off the table: the corpus-side work is "
+    "one TakeOrdered; everything after runs on 1024 rows. Values in "
+    "exact integer cents; est error vs the true quantile is "
+    "O(1/sqrt(k)) in rank.",
+)
+def q_hash_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        h60(
+            F.concat(
+                F.lit("q:"),
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                    "string"
+                ),
+            )
+        ).alias("h"),
+    )
+    samp = keyed.orderBy(F.asc("h"), F.asc("k")).limit(_HQ_K)
+    wr = Window.orderBy(F.asc("v"), F.asc("k"))
+    ranked = samp.select(
+        "v",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("sz"),
+    )
+    pcts = spark.sql(
+        "SELECT col1 AS pct FROM VALUES "
+        + ", ".join(f"({p})" for p in _HQ_PCTS)
+    )
+    return pcts.join(
+        ranked,
+        ranked["r"]
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("pct") * F.col("sz") / 100.0).cast("long"),
+        ),
+    ).select(
+        "pct",
+        F.col("sz").cast("long").alias("sample_size"),
+        F.col("v").alias("est_cents"),
+    )

@@ -963,3 +963,91 @@ def _fill_unigram_oracles() -> None:
 
 
 _fill_unigram_oracles()
+
+
+# ------------------------------------------------------ curriculum packing
+@query(
+    "q_curriculum_pack",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM w GROUP BY w
+    ), n AS (
+      SELECT count(*) AS n FROM w
+    ), scored AS (
+      SELECT w.doc_id,
+             CAST(floor(ln(freq.c * 1.0 / n.n) * 1000000 + 0.5) AS BIGINT)
+               AS lp_micro
+      FROM w JOIN freq USING (w) CROSS JOIN n
+    ), doc_score AS (
+      SELECT doc_id,
+             CAST(floor(sum(lp_micro) * 1.0 / count(*) + 0.5) AS BIGINT)
+               AS score_micro
+      FROM scored GROUP BY doc_id
+    ), d AS (
+      SELECT s.doc_id,
+             array_length(string_split(t.text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(s.doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard,
+             s.score_micro
+      FROM doc_score s JOIN documents t ON t.doc_id = s.doc_id
+    ), packed AS (
+      SELECT doc_id, n_tokens, shard, score_micro,
+             row_number() OVER (
+               PARTITION BY shard ORDER BY score_micro DESC, doc_id)
+               AS pack_rank,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY score_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT doc_id, n_tokens, shard, score_micro, pack_rank,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM packed
+    """,
+    doc="CURRICULUM packing: per-doc unigram-LM quality score (exact "
+    "micro-nat mean, q_unigram_logprob's arithmetic) ordering each "
+    "shard best-first before the concat-and-chunk pass — shards stay "
+    "hash-assigned (uniform across the curriculum), so every shard "
+    "streams its own quality-descending curriculum. Same all-integer "
+    "pack arithmetic as q_sequence_pack (one window pass, exclusive "
+    "offset, integer division). Docs with no tokens never score and "
+    "are excluded in both engines. Scale: score = one freq join; "
+    "pack = one shuffle by shard.",
+)
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    n = words.select(F.count("*").alias("n"))
+    score = (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.floor(F.log(F.col("c") / F.col("n")) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("lp_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum("lp_micro") * 1.0 / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro")
+        )
+    )
+    scored_docs = d.select("doc_id", "text").join(score, "doc_id")
+    packed = pack_sequences(
+        scored_docs,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        order_cols=[F.desc("score_micro")],
+    )
+    return packed.join(score, "doc_id").select(
+        "doc_id", "n_tokens", "shard", "score_micro", "pack_rank",
+        "seq_idx", "offset_in_seq",
+    )

@@ -928,3 +928,59 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("long").alias("tokens_covered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency-capped dedup (keep at most K members per near-dup cluster)
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_cap",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jpairs
+      UNION
+      SELECT d2, d1 FROM jpairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(row_number() OVER (
+             PARTITION BY cluster_id ORDER BY doc_id) AS BIGINT)
+             AS rank_in_cluster,
+           (row_number() OVER (
+             PARTITION BY cluster_id ORDER BY doc_id) <= 2) AS kept
+    FROM comp
+    """,
+    doc="frequency-CAPPED near-dup dedup: keep at most K=2 members "
+    "per transitive duplicate cluster (rank by doc_id within "
+    "cluster) instead of exactly one — the soft-dedup policy "
+    "pipelines use when limited duplication is wanted (e.g. "
+    "up-weighting high-quality sources without unbounded repeats). "
+    "Output = the full per-member decision table over the dup-pair "
+    "membership (docs outside any pair are implicitly kept). Scale: "
+    "the decision relation is O(duplicates), never corpus-sized; "
+    "the cluster window partitions by cluster id.",
+)
+def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3,
+        threshold=0.8,
+    )
+    comp = connected_components(pairs)
+    wr = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
+    rk = F.row_number().over(wr).cast("long")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        rk.alias("rank_in_cluster"),
+        (rk <= 2).alias("kept"),
+    )

@@ -801,3 +801,35 @@ class TestCcnetPlans:
             r" avg_lp_micro", plan
         )
         assert m, plan
+
+
+class TestContinuationWave2Plans:
+    def test_curriculum_pack_shard_partitioned_window(self, spark):
+        # the pack window must partition by shard (the parallelism
+        # knob) — no global window, no Python
+        plan = _plan(spark, "q_curriculum_pack")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert re.search(
+            r"row_number\(\)[^\n]*windowspecdefinition\(shard", plan
+        ), plan
+
+    def test_dedup_cap_window_partitions_by_cluster(self, spark):
+        # (connected_components at fixture scale takes the
+        # small_graph_max driver path, which plans its result as a
+        # local Python relation — expected; the cap window is the
+        # thing under test here)
+        plan = _plan(spark, "q_dedup_cap")
+        m = re.search(
+            r"row_number\(\)[^\n]*windowspecdefinition\(cluster_id", plan
+        )
+        assert m, plan
+        assert "CartesianProduct" not in plan
+
+    def test_hash_quantiles_sample_is_takeordered(self, spark):
+        # the ONLY corpus-sized operation is the bottom-k TakeOrdered;
+        # every window runs on the 1024-row sample
+        plan = _plan(spark, "q_hash_quantiles")
+        assert "TakeOrderedAndProject" in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
