@@ -206,3 +206,71 @@ class TestInRowServing:
             F.expr(f"element_at({expr}, 'c\\\\d')").alias("y"),
         ).collect()[0]
         assert (row.x, row.y) == (5, 7)
+
+
+class TestViterbiProperty:
+    def test_dp_matches_bruteforce_enumeration(self):
+        # the DP (with its key-encoded tie-break) must agree with
+        # exhaustive enumeration over ALL segmentations under the
+        # same total order: (cost, start-of-last-piece chain)
+        from hypothesis import given, settings, strategies as st
+
+        @st.composite
+        def case(draw):
+            word = draw(st.text(alphabet="abc", min_size=1, max_size=9))
+            L = draw(st.integers(min_value=1, max_value=4))
+            pieces = set(word[i] for i in range(len(word)))
+            for _ in range(draw(st.integers(0, 6))):
+                i = draw(st.integers(0, len(word) - 1))
+                j = draw(st.integers(i + 1, min(i + L, len(word))))
+                pieces.add(word[i:j])
+            cost = {
+                p: draw(st.integers(min_value=1, max_value=50))
+                for p in sorted(pieces)
+            }
+            return word, cost, L
+
+        def enumerate_best(word, cost, L):
+            # all segmentations via DFS; order by (total cost, then
+            # the DP's backward tie-break: prefer the segmentation
+            # whose LAST piece starts earliest, recursively)
+            segs = []
+
+            def rec(pos, acc):
+                if pos == len(word):
+                    segs.append(list(acc))
+                    return
+                for ln in range(1, min(L, len(word) - pos) + 1):
+                    p = word[pos : pos + ln]
+                    if p in cost:
+                        acc.append(p)
+                        rec(pos + ln, acc)
+                        acc.pop()
+
+            rec(0, [])
+            assert segs  # single chars always present
+
+            def key(seg):
+                # reconstruct the DP's tie-break: walking from the
+                # END, earlier start (longer piece) wins at each step
+                starts = []
+                pos = len(word)
+                for p in reversed(seg):
+                    starts.append(pos - len(p))
+                    pos -= len(p)
+                return (sum(cost[p] for p in seg), starts)
+
+            return min(segs, key=key)
+
+        @settings(max_examples=300, deadline=None)
+        @given(case())
+        def run(c):
+            word, cost, L = c
+            got = _viterbi_local(word, cost, L)
+            want = enumerate_best(word, cost, L)
+            assert sum(cost[p] for p in got) == sum(
+                cost[p] for p in want
+            )
+            assert got == want, (word, cost, L)
+
+        run()
