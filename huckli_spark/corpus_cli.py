@@ -84,10 +84,24 @@ def build_parser() -> argparse.ArgumentParser:
     common(s)
     s.add_argument("--budget", type=int, default=2048)
     s.add_argument("--shards", type=int, default=64)
+    s.add_argument(
+        "--curriculum",
+        action="store_true",
+        help="order each shard best-first by the exact unigram-LM "
+        "quality score (default: deterministic hash order)",
+    )
 
-    s = sub.add_parser("tokenize", help="train BPE merges + tokenize")
+    s = sub.add_parser(
+        "tokenize", help="train a tokenizer + tokenize the corpus"
+    )
     common(s)
-    s.add_argument("--merges", type=int, default=32)
+    s.add_argument(
+        "--method", choices=["bpe", "unigram"], default="bpe"
+    )
+    s.add_argument("--merges", type=int, default=32, help="bpe only")
+    s.add_argument("--vocab-size", type=int, default=120,
+                   help="unigram only")
+    s.add_argument("--iters", type=int, default=2, help="unigram only")
 
     s = sub.add_parser(
         "curate",
@@ -229,8 +243,36 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "pack":
         from huckli_spark.operators.packing import pack_sequences
 
+        order_cols = None
+        pack_in = docs
+        if args.curriculum:
+            words = docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("w")
+            )
+            freq = words.groupBy("w").agg(F.count("*").alias("c"))
+            n = words.select(F.count("*").alias("n"))
+            score = (
+                words.join(freq, "w")
+                .crossJoin(F.broadcast(n))
+                .select(
+                    "doc_id",
+                    F.floor(
+                        F.log(F.col("c") / F.col("n")) * 1000000
+                        + F.lit(0.5)
+                    ).cast("long").alias("lp"),
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.floor(
+                        F.sum("lp") * 1.0 / F.count("*") + F.lit(0.5)
+                    ).cast("long").alias("score_micro")
+                )
+            )
+            pack_in = docs.select("doc_id", "text").join(score, "doc_id")
+            order_cols = [F.desc("score_micro")]
         packed = pack_sequences(
-            docs, budget=args.budget, n_shards=args.shards
+            pack_in, budget=args.budget, n_shards=args.shards,
+            order_cols=order_cols,
         )
         packed.write.mode("overwrite").parquet(args.out)
         agg = spark.read.parquet(args.out).agg(
@@ -246,23 +288,77 @@ def main(argv: list[str] | None = None) -> int:
         }
 
     elif args.cmd == "tokenize":
-        from huckli_spark.operators.bpe import bpe_apply, bpe_train
-
-        merges, _words = bpe_train(docs, n_merges=args.merges)
-        with open(os.path.join(args.out, "merges.json"), "w") as fh:
-            json.dump([list(m) for m in merges], fh)
-        tok = bpe_apply(docs, merges).select(
-            "doc_id", F.col("__w").alias("word"), "syms"
+        from huckli_spark.operators.tokenizer_store import (
+            bpe_table,
+            save_tokenizer,
         )
-        tok.write.mode("overwrite").parquet(os.path.join(args.out, "tokens"))
-        agg = spark.read.parquet(os.path.join(args.out, "tokens")).agg(
-            F.count("*").alias("words"), F.sum(F.size("syms")).alias("tokens")
-        ).collect()[0]
-        summary |= {
-            "merges": len(merges),
-            "words": agg["words"],
-            "tokens": int(agg["tokens"]),
-        }
+
+        if args.method == "bpe":
+            from huckli_spark.operators.bpe import bpe_apply, bpe_train
+
+            merges, _words = bpe_train(docs, n_merges=args.merges)
+            with open(os.path.join(args.out, "merges.json"), "w") as fh:
+                json.dump([list(m) for m in merges], fh)
+            man = save_tokenizer(
+                os.path.join(args.out, "tokenizer"),
+                "bpe",
+                bpe_table(spark, merges),
+                params={"n_merges": args.merges},
+            )
+            tok = bpe_apply(docs, merges).select(
+                "doc_id", F.col("__w").alias("word"), "syms"
+            )
+            tok.write.mode("overwrite").parquet(
+                os.path.join(args.out, "tokens")
+            )
+            agg = spark.read.parquet(
+                os.path.join(args.out, "tokens")
+            ).agg(
+                F.count("*").alias("words"),
+                F.sum(F.size("syms")).alias("tokens"),
+            ).collect()[0]
+            summary |= {
+                "method": "bpe",
+                "merges": len(merges),
+                "words": agg["words"],
+                "tokens": int(agg["tokens"]),
+                "tokenizer_checksum": man["checksum"],
+            }
+        else:
+            from huckli_spark.operators.unigram_lm import (
+                unigram_encode,
+                unigram_fit,
+            )
+
+            vocab = unigram_fit(
+                docs, vocab_size=args.vocab_size, n_iters=args.iters
+            )
+            man = save_tokenizer(
+                os.path.join(args.out, "tokenizer"),
+                "unigram",
+                vocab,
+                params={
+                    "vocab_size": args.vocab_size,
+                    "n_iters": args.iters,
+                },
+            )
+            enc = unigram_encode(docs, vocab)
+            enc.write.mode("overwrite").parquet(
+                os.path.join(args.out, "tokens")
+            )
+            agg = spark.read.parquet(
+                os.path.join(args.out, "tokens")
+            ).agg(
+                F.count("*").alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+            ).collect()[0]
+            summary |= {
+                "method": "unigram",
+                "vocab": man["n_rows"],
+                "docs": agg["docs"],
+                "tokens": int(agg["tokens"]),
+                "tokenizer_checksum": man["checksum"],
+            }
 
     # quarantine is written LAST: the command outputs above use
     # overwrite mode on args.out and would wipe an earlier write

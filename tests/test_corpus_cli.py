@@ -118,6 +118,46 @@ class TestCorpusCli:
         assert s["merges"] == 6 and s["words"] > 0 and s["tokens"] > 0
         merges = json.load(open(os.path.join(tok, "merges.json")))
         assert len(merges) == 6 and all(len(m) == 2 for m in merges)
+        # the checksummed tokenizer store publishes alongside
+        assert s["tokenizer_checksum"]
+        assert os.path.exists(
+            os.path.join(tok, "tokenizer", "manifest.json")
+        )
+
+    def test_tokenize_unigram(self, spark, tmp_path, jsonl_corpus, capsys):
+        from huckli_spark.operators.tokenizer_store import load_tokenizer
+
+        tok = str(tmp_path / "tok_uni")
+        s = _run(capsys, ["tokenize", "--in", jsonl_corpus,
+                          "--format", "jsonl", "--out", tok,
+                          "--method", "unigram", "--vocab-size", "30",
+                          "--iters", "1"])
+        assert s["method"] == "unigram"
+        assert s["docs"] > 0 and s["tokens"] > 0
+        table, man = load_tokenizer(
+            spark, os.path.join(tok, "tokenizer"), expect_kind="unigram"
+        )
+        assert man["checksum"] == s["tokenizer_checksum"]
+        assert table.count() == s["vocab"]
+
+    def test_pack_curriculum_orders_by_quality(
+        self, spark, tmp_path, jsonl_corpus, capsys
+    ):
+        out = str(tmp_path / "packed_cur")
+        s = _run(capsys, ["pack", "--in", jsonl_corpus, "--format",
+                          "jsonl", "--out", out, "--budget", "64",
+                          "--shards", "1", "--curriculum"])
+        assert s["docs"] > 0
+        rows = sorted(
+            spark.read.parquet(out).collect(),
+            key=lambda r: r["pack_rank"],
+        )
+        # within the single shard, offsets must be the running sum in
+        # pack_rank order (curriculum order is internally consistent)
+        off = 0
+        for r in rows:
+            assert r["seq_idx"] * 64 + r["offset_in_seq"] == off
+            off += r["n_tokens"]
 
 
 class TestExport:
