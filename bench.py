@@ -261,6 +261,11 @@ def main() -> None:
         "q_bpe_fertility",
         "q_training_triplets",
         "q_stream_ann_serve",
+        # round-8 continuation wave (unigram/doremi are
+        # training-heavy — probed in SCALE.md instead)
+        "q_curriculum_pack",
+        "q_dedup_cap",
+        "q_hash_quantiles",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

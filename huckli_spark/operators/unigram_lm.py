@@ -221,31 +221,41 @@ def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
 
 
 def _vocab_onerow(vocab: DataFrame) -> DataFrame:
-    """Piece table as ONE broadcast row of map<piece, cost> — plan
-    size O(1) regardless of vocab size (the kmeans broadcast-codebook
-    trade: a 100k-piece vocab must not bake a 100k-literal plan)."""
+    """Piece table as ONE broadcast row of map<piece, cost> (+ the
+    vocab's max piece length) — plan size O(1) regardless of vocab
+    size (the kmeans broadcast-codebook trade: a 100k-piece vocab
+    must not bake a 100k-literal plan)."""
     return vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "cost"))).alias(
             "__vc"
-        )
+        ),
+        F.max(F.length("piece")).alias("__vmax"),
     )
 
 
+def _lspec(max_piece_len) -> str:
+    """The DP's lookback bound: an explicit int, or None to derive
+    it from the broadcast vocab row itself (``__vmax``) — eliminates
+    the train-with-L-6-encode-with-L-4 silent-mismatch hazard."""
+    return str(max_piece_len) if max_piece_len is not None else "__vmax"
+
+
 def segment_words(words: DataFrame, vocab: DataFrame,
-                  max_piece_len: int) -> DataFrame:
+                  max_piece_len: int | None) -> DataFrame:
     """(word, freq, pieces): Viterbi-best segmentation of every word
     under the (piece, cost) table. Map-only: broadcast vocab row +
     two in-row folds. Every corpus char is a single-char piece of the
-    vocab by construction, so the DP always completes."""
+    vocab by construction, so the DP always completes.
+    ``max_piece_len=None`` derives the lookback from the vocab."""
     return (
         words.crossJoin(F.broadcast(_vocab_onerow(vocab)))
-        .withColumn("__best", F.expr(_forward_expr(max_piece_len)))
+        .withColumn("__best", F.expr(_forward_expr(_lspec(max_piece_len))))
         .select("word", "freq", F.expr(_BACKTRACK).alias("pieces"))
     )
 
 
 def piece_counts(words: DataFrame, vocab: DataFrame,
-                 max_piece_len: int) -> DataFrame:
+                 max_piece_len: int | None) -> DataFrame:
     """E-step statistics: (piece, c) frequency-weighted usage counts
     under the Viterbi segmentation. One map-side-combined groupBy —
     the iteration's only shuffle."""
@@ -313,7 +323,7 @@ def unigram_table(
 def unigram_encode(
     docs: DataFrame,
     vocab: DataFrame,
-    max_piece_len: int = 4,
+    max_piece_len: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -327,7 +337,7 @@ def unigram_encode(
         id_col, "pos", F.substring("w", 1, WCAP).alias("word")
     )
     seg = pos_words.crossJoin(F.broadcast(_vocab_onerow(vocab))).withColumn(
-        "__best", F.expr(_forward_expr(max_piece_len))
+        "__best", F.expr(_forward_expr(_lspec(max_piece_len)))
     ).select(id_col, "pos", F.expr(_BACKTRACK).alias("pieces"))
     return (
         seg.groupBy(id_col)
@@ -430,14 +440,14 @@ def unigram_counts_local(texts: list, vocab: dict,
 
 
 def word_stats(words: DataFrame, vocab: DataFrame,
-               max_piece_len: int) -> DataFrame:
+               max_piece_len: int | None) -> DataFrame:
     """(word, np, wcost): per-distinct-word token count and total
     Viterbi cost under the frozen table — computed ONCE per word,
     then joinable back to documents (never re-derived per
     occurrence)."""
     return (
         words.crossJoin(F.broadcast(_vocab_onerow(vocab)))
-        .withColumn("__best", F.expr(_forward_expr(max_piece_len)))
+        .withColumn("__best", F.expr(_forward_expr(_lspec(max_piece_len))))
         .select(
             "word",
             F.expr(f"element_at(__best, length(word) + 1) div {JSHIFT}")
