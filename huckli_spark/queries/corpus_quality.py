@@ -505,3 +505,159 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(wr).cast("int")).where(
         F.col("rank") <= 20
     )
+
+
+# --------------------------------------------------- corpus BLEU (eval gate)
+# Candidate = the document with every 5th word replaced by a
+# deterministic doc-keyed token (both engines plant identically), so
+# n-gram precisions are non-trivial; reference = the original text.
+# BLEU+1 smoothing ((m+1)/(t+1)) keeps every log finite; the brevity
+# penalty stays in log space — corpus BLEU needs NO exp() anywhere.
+@query(
+    "q_bleu_eval",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ref FROM documents
+      WHERE array_length(string_split(text, ' ')) >= 4
+    ), pairs AS (
+      SELECT doc_id, ref,
+             list_transform(range(1, array_length(ref) + 1),
+               i -> CASE WHEN (i - 1) % 5 = 0
+                    THEN 'zz' || CAST(doc_id % 7 AS VARCHAR)
+                    ELSE ref[i] END) AS cand
+      FROM base
+    ), cc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM (
+        SELECT doc_id, t.n AS n,
+               array_to_string(cand[i + 1:i + t.n], ' ') AS gram
+        FROM pairs, range(1, 5) t(n),
+             unnest(range(0, greatest(array_length(cand) - t.n + 1, 0)))
+               ix(i)
+      ) GROUP BY 1, 2, 3
+    ), rc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM (
+        SELECT doc_id, t.n AS n,
+               array_to_string(ref[i + 1:i + t.n], ' ') AS gram
+        FROM pairs, range(1, 5) t(n),
+             unnest(range(0, greatest(array_length(ref) - t.n + 1, 0)))
+               ix(i)
+      ) GROUP BY 1, 2, 3
+    ), matched AS (
+      SELECT cc.n,
+             CAST(sum(least(cc.c, coalesce(rc.c, 0))) AS BIGINT) AS m,
+             CAST(sum(cc.c) AS BIGINT) AS t
+      FROM cc LEFT JOIN rc
+        ON rc.doc_id = cc.doc_id AND rc.n = cc.n AND rc.gram = cc.gram
+      GROUP BY cc.n
+    ), lens AS (
+      SELECT CAST(sum(array_length(cand)) AS BIGINT) AS c_len,
+             CAST(sum(array_length(ref)) AS BIGINT) AS r_len
+      FROM pairs
+    ), logp AS (
+      SELECT n, m, t,
+             CAST(floor(ln((m + 1.0) / (t + 1.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM matched
+    )
+    SELECT l.c_len, l.r_len,
+           CAST(least(0, floor((1.0 - l.r_len * 1.0 / l.c_len) * 1000000
+                               + 0.5)) AS BIGINT) AS bp_log_micro,
+           CAST(sum(p.lp_micro) // 4
+                + least(0, floor((1.0 - l.r_len * 1.0 / l.c_len)
+                                 * 1000000 + 0.5)) AS BIGINT)
+             AS log_bleu_micro,
+           CAST(sum(CASE WHEN p.n = 1 THEN p.m END) AS BIGINT) AS m1,
+           CAST(sum(CASE WHEN p.n = 1 THEN p.t END) AS BIGINT) AS t1,
+           CAST(sum(CASE WHEN p.n = 4 THEN p.m END) AS BIGINT) AS m4,
+           CAST(sum(CASE WHEN p.n = 4 THEN p.t END) AS BIGINT) AS t4
+    FROM logp p CROSS JOIN lens l
+    GROUP BY l.c_len, l.r_len
+    """,
+    doc="corpus-level BLEU in exact fixed point (the MT/eval-suite "
+    "metric as dataflow): per-pair clipped n-gram matches (n=1..4) "
+    "via one counts join, BLEU+1 smoothing so every log is finite, "
+    "log-space brevity penalty — corpus BLEU needs no exp() at all, "
+    "so micro-nat integers stay engine-portable. The gate plants a "
+    "deterministic candidate (every 5th word replaced doc-keyed) "
+    "against the original reference; output = corpus totals + "
+    "log-BLEU. Scale: grams shuffle once on (doc, n, gram) digest-"
+    "sized rows; everything downstream is 4 rows + a scalar pair.",
+)
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", F.split("text", " ").alias("ref")).where(
+        F.size("ref") >= 4
+    )
+    cand = F.expr(
+        "transform(ref, (w, i) -> CASE WHEN i % 5 = 0"
+        " THEN concat('zz', cast(doc_id % 7 as string)) ELSE w END)"
+    )
+    pairs = base.select("doc_id", "ref", cand.alias("cand"))
+
+    def ngrams(col: str, side: str):
+        return pairs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, 4), n ->"
+                    f" CASE WHEN size({col}) >= n THEN"
+                    f" transform(sequence(0, size({col}) - n),"
+                    f" i -> named_struct('n', n, 'gram',"
+                    f" concat_ws(' ', slice({col}, i + 1, n)))) ELSE"
+                    " cast(array() as"
+                    " array<struct<n:int,gram:string>>) END))"
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+        ).groupBy("doc_id", "n", "gram").agg(
+            F.count("*").alias(f"c_{side}")
+        )
+    cc = ngrams("cand", "c")
+    rc = ngrams("ref", "r")
+    matched = (
+        cc.join(rc, ["doc_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("c_c"), F.coalesce(F.col("c_r"), F.lit(0))))
+            .cast("long")
+            .alias("m"),
+            F.sum("c_c").cast("long").alias("t"),
+        )
+    )
+    lens = pairs.agg(
+        F.sum(F.size("cand")).cast("long").alias("c_len"),
+        F.sum(F.size("ref")).cast("long").alias("r_len"),
+    )
+    logp = matched.select(
+        "n",
+        "m",
+        "t",
+        F.floor(
+            F.log((F.col("m") + 1.0) / (F.col("t") + 1.0)) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    bp = F.least(
+        F.lit(0),
+        F.floor(
+            (F.lit(1.0) - F.col("r_len") * 1.0 / F.col("c_len")) * 1000000
+            + F.lit(0.5)
+        ),
+    ).cast("long")
+    return (
+        logp.crossJoin(F.broadcast(lens))
+        .groupBy("c_len", "r_len")
+        .agg(
+            F.max(bp).alias("bp_log_micro"),
+            (
+                F.expr("sum(lp_micro) div 4") + F.max(bp)
+            ).cast("long").alias("log_bleu_micro"),
+            F.sum(F.when(F.col("n") == 1, F.col("m"))).cast("long").alias("m1"),
+            F.sum(F.when(F.col("n") == 1, F.col("t"))).cast("long").alias("t1"),
+            F.sum(F.when(F.col("n") == 4, F.col("m"))).cast("long").alias("m4"),
+            F.sum(F.when(F.col("n") == 4, F.col("t"))).cast("long").alias("t4"),
+        )
+    )

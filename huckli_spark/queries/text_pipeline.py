@@ -984,3 +984,88 @@ def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         rk.alias("rank_in_cluster"),
         (rk <= 2).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source overlap matrix (pairwise contamination report)
+# ---------------------------------------------------------------------------
+@query(
+    "q_source_overlap",
+    f"""
+    WITH words AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             {sql_h60('sh_str')} AS sh
+      FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(0, greatest(array_length(w) - 2, 0)),
+                 i -> array_to_string(w[i + 1:i + 3], ' '))) AS sh_str
+        FROM words WHERE array_length(w) >= 3
+      )
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ), p AS (
+      SELECT x.source AS src_a, y.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST((p.shared * 1000000)
+                // (ta.n + tb.n - p.shared) AS BIGINT) AS jaccard_micro,
+           CAST((p.shared * 1000000)
+                // least(ta.n, tb.n) AS BIGINT) AS containment_micro
+    FROM p JOIN tot ta ON ta.source = p.src_a
+    JOIN tot tb ON tb.source = p.src_b
+    """,
+    doc="pairwise SOURCE overlap matrix: distinct word-3-gram "
+    "shingle digests per source, pair counts via one equi-join on "
+    "the 60-bit digest, per-pair Jaccard + containment in floored "
+    "integer micros — the cross-benchmark / cross-source "
+    "contamination report a dataset release publishes (the "
+    "one-vs-corpus form is q_decontaminate; this is the all-pairs "
+    "matrix). Scale: the shuffle carries (source, digest) rows "
+    "only; per-shingle pair fan-out is bounded by sources^2, and "
+    "per-source totals broadcast (|sources| rows).",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.functions.portable import h60
+    from huckli_spark.operators.dedup import shingles
+
+    d = _docs(spark, sf_dir)
+    sh = (
+        shingles(d, id_col="source", text_col="text", n=3)
+        .select("source", h60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    x = sh.select(F.col("source").alias("src_a"), "sh")
+    y = sh.select(F.col("source").alias("src_b"), "sh")
+    p = (
+        x.join(y, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(shared * 1000000L) div (n_a + n_b - shared)"
+            ).alias("jaccard_micro"),
+            F.expr(
+                "(shared * 1000000L) div least(n_a, n_b)"
+            ).alias("containment_micro"),
+        )
+    )

@@ -833,3 +833,21 @@ class TestContinuationWave2Plans:
         assert "TakeOrderedAndProject" in plan
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestEvalMetricPlans:
+    def test_source_overlap_digest_join_broadcast_totals(self, spark):
+        # the pair join keys on the 60-bit shingle digest (equi),
+        # per-source totals broadcast; no Python, no product
+        plan = _plan(spark, "q_source_overlap")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_bleu_counts_join_no_product(self, spark):
+        # clipped-match computation is ONE left equi-join on
+        # (doc, n, gram); the only cross join carries the 1-row
+        # corpus-lengths relation
+        plan = _plan(spark, "q_bleu_eval")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
