@@ -162,8 +162,10 @@ _GATE_PRIORITY: list[str] = [
 # q_doremi_mixture (Group-DRO domain mixture), and
 # q_stream_unigram_encode (frozen-table streaming tokenization),
 # q_curriculum_pack (quality-ordered shard packing), q_dedup_cap
-# (keep <= K per near-dup cluster), and q_hash_quantiles
-# (deterministic bottom-k-sample quantiles).
+# (keep <= K per near-dup cluster), q_hash_quantiles
+# (deterministic bottom-k-sample quantiles), q_source_overlap
+# (all-pairs source contamination matrix), and q_bleu_eval
+# (fixed-point corpus BLEU).
 # That is 42 names for 30 slots: grade the 23-query analytics close
 # wave + the 4 continuation flagships + 3 composition queries; the
 # remaining TPC-H rows and composition tail rotate in r10 alongside
