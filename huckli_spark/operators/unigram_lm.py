@@ -647,3 +647,162 @@ JOIN npieces np ON np.word = dw.word
 JOIN finals f ON f.word = dw.word
 GROUP BY 1"""
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ----------------------------------------------- greedy MaxMatch (WordPiece)
+# The BERT-family tokenization rule: at each position take the
+# LONGEST vocab piece (no global optimization). Sharing the unigram
+# vocab lets the engine quantify the greedy-vs-optimal gap: Viterbi
+# cost <= greedy cost ALWAYS (Viterbi is exact); token counts can go
+# either way. Key packing for the SQL twin: l * 2^44 + cost (longest
+# piece wins the MAX; cost rides along).
+LKEY = 1 << 44
+
+
+def _greedy_expr(max_piece_len, word: str = "word",
+                 vc: str = "__vc") -> str:
+    """One in-row fold: state (pos, n, c) — greedy longest-match
+    walk. The candidate key array is recomputed per reference (no
+    let-binding in SQL expressions); single chars are always in the
+    vocab, so the walk always progresses."""
+    best = (
+        f"array_max(filter(transform(sequence(1, {max_piece_len}),"
+        f" l -> CASE WHEN st.pos + l <= length({word})"
+        f" AND try_element_at({vc}, substring({word}, st.pos + 1, l))"
+        " IS NOT NULL THEN"
+        f" cast(l AS bigint) * {LKEY}"
+        f" + try_element_at({vc}, substring({word}, st.pos + 1, l))"
+        " END), x -> x IS NOT NULL))"
+    )
+    return (
+        f"aggregate(sequence(1, length({word})),"
+        " named_struct('pos', 0, 'n', 0, 'c', cast(0 as bigint)),"
+        f" (st, i) -> CASE WHEN st.pos >= length({word}) THEN st"
+        " ELSE named_struct("
+        f" 'pos', st.pos + cast({best} div {LKEY} as int),"
+        " 'n', st.n + 1,"
+        f" 'c', st.c + {best} % {LKEY}) END)"
+    )
+
+
+def maxmatch_stats(words: DataFrame, vocab: DataFrame,
+                   max_piece_len: int | None) -> DataFrame:
+    """(word, gn, gcost): greedy MaxMatch token count + total cost
+    per distinct word under the (piece, cost) table. Map-only, same
+    broadcast-vocab-row shape as the Viterbi path."""
+    g = _greedy_expr(_lspec(max_piece_len))
+    return (
+        words.crossJoin(F.broadcast(_vocab_onerow(vocab)))
+        .select(
+            "word",
+            F.expr(f"({g}).n").cast("long").alias("gn"),
+            F.expr(f"({g}).c").cast("long").alias("gcost"),
+        )
+    )
+
+
+def _greedy_local(word: str, cost: dict, max_piece_len: int):
+    word = word[:WCAP]
+    pos, n, c = 0, 0, 0
+    while pos < len(word):
+        for ln in range(min(max_piece_len, len(word) - pos), 0, -1):
+            p = word[pos : pos + ln]
+            if p in cost:
+                pos += ln
+                n += 1
+                c += cost[p]
+                break
+    return n, c
+
+
+def greedy_oracle_block(n_iters: int, max_piece_len: int) -> list:
+    """CTE block replaying the greedy walk under vocab{n_iters} —
+    appended after :func:`_oracle_parts` (which defines words + the
+    trained vocab). Produces gstats(word, gn, gcost)."""
+    L, W, K = max_piece_len, WCAP, LKEY
+    vocab = f"vocab{n_iters}"
+    blk = [
+        """g_0 AS (SELECT word, 0 AS pos, 0 AS n,
+  CAST(0 AS BIGINT) AS c FROM words)"""
+    ]
+    for s_ in range(1, W + 1):
+        arms = "\n    UNION ALL\n".join(
+            f"""    SELECT g.word, g.pos, g.n, g.c,
+           CAST({l} AS BIGINT) * {K} + vc.cost AS key
+    FROM g_{s_ - 1} g JOIN {vocab} vc
+      ON vc.piece = substr(g.word, g.pos + 1, {l})
+    WHERE g.pos + {l} <= length(g.word)"""
+            for l in range(1, L + 1)
+        )
+        blk.append(
+            f"""g_{s_} AS MATERIALIZED (
+  SELECT word, pos + CAST(max(key) // {K} AS INT) AS pos,
+         n + 1 AS n, c + max(key) % {K} AS c
+  FROM (
+{arms}
+  ) GROUP BY word, pos, n, c
+)"""
+        )
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT word, pos, n, c FROM g_{s_}" for s_ in range(1, W + 1)
+    )
+    blk.append(
+        f"""gstats AS MATERIALIZED (
+  SELECT f.word, f.n AS gn, f.c AS gcost FROM (
+{finals}
+  ) f JOIN words w ON w.word = f.word
+  WHERE f.pos = length(f.word)
+)"""
+    )
+    return blk
+
+
+def maxmatch_oracle_sql(
+    vocab_size: int = 60,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of training + per-document greedy-vs-Viterbi
+    comparison: (doc_id, greedy_n, greedy_cost_micro, viterbi_n,
+    viterbi_cost_micro)."""
+    n, W, S = n_iters, WCAP, JSHIFT
+    parts = _oracle_parts(vocab_size, n_iters, max_piece_len, table, text_col)
+    emit = "\n    UNION ALL\n".join(
+        f"    SELECT word FROM w{n}_{s_}" for s_ in range(1, W + 1)
+    )
+    parts.append(
+        f"""npieces AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS np FROM (
+{emit}
+  ) GROUP BY 1
+)"""
+    )
+    parts.append(
+        f"""finals AS MATERIALIZED (
+  SELECT d.word, CAST(d.k // {S} AS BIGINT) AS wcost
+  FROM dp{n} d JOIN words w ON w.word = d.word
+  WHERE d.pos = length(d.word)
+)"""
+    )
+    parts.extend(greedy_oracle_block(n_iters, max_piece_len))
+    parts.append(
+        f"""docw AS (
+  SELECT {id_col}, substr(w, 1, {W}) AS word FROM (
+    SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {table}
+  ) WHERE length(w) > 0
+)"""
+    )
+    final = f"""SELECT dw.{id_col} AS doc_id,
+       CAST(sum(g.gn) AS BIGINT) AS greedy_n,
+       CAST(sum(g.gcost) AS BIGINT) AS greedy_cost_micro,
+       CAST(sum(np.np) AS BIGINT) AS viterbi_n,
+       CAST(sum(f.wcost) AS BIGINT) AS viterbi_cost_micro
+FROM docw dw
+JOIN gstats g ON g.word = dw.word
+JOIN npieces np ON np.word = dw.word
+JOIN finals f ON f.word = dw.word
+GROUP BY 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -1051,3 +1051,58 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "shard", "score_micro", "pack_rank",
         "seq_idx", "offset_in_seq",
     )
+
+
+@query(
+    "q_maxmatch_compare",
+    None,  # filled below (shares _UNI)
+    doc="greedy MaxMatch (WordPiece-style longest-match) vs Viterbi "
+    "tokenization under the SAME trained unigram table: per-doc "
+    "token counts and total micro-nat costs for both rules. Viterbi "
+    "cost <= greedy cost for every document BY CONSTRUCTION "
+    "(Viterbi is exact) — the optimality-gap report that justifies "
+    "the DP's extra work. Both walks are stateless in-row folds; "
+    "the oracle replays training, the unrolled Viterbi DP, AND the "
+    "unrolled greedy walk.",
+)
+def q_maxmatch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import unigram_lm as U
+
+    d = _docs(spark, sf_dir)
+    vocab = U.unigram_fit(d, **_UNI)
+    words = U.word_table(d)
+    L = _UNI["max_piece_len"]
+    vstats = U.word_stats(words, vocab, L)
+    gstats = U.maxmatch_stats(words, vocab, L)
+    docw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .select("doc_id", F.substring("w", 1, U.WCAP).alias("word"))
+    )
+    return (
+        docw.join(gstats, "word")
+        .join(vstats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("gn").cast("long").alias("greedy_n"),
+            F.sum("gcost").cast("long").alias("greedy_cost_micro"),
+            F.sum("np").cast("long").alias("viterbi_n"),
+            F.sum("wcost").cast("long").alias("viterbi_cost_micro"),
+        )
+    )
+
+
+def _fill_maxmatch_oracle() -> None:
+    from huckli_spark.operators import unigram_lm as U
+    from huckli_spark.queries import _REGISTRY, QuerySpec
+
+    old = _REGISTRY["q_maxmatch_compare"]
+    _REGISTRY["q_maxmatch_compare"] = QuerySpec(
+        name=old.name,
+        build=old.build,
+        oracle=U.maxmatch_oracle_sql(**_UNI),
+        doc=old.doc,
+    )
+
+
+_fill_maxmatch_oracle()

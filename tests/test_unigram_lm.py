@@ -274,3 +274,39 @@ class TestViterbiProperty:
             assert got == want, (word, cost, L)
 
         run()
+
+
+class TestMaxMatch:
+    def test_greedy_matches_local_walk(self, spark):
+        from huckli_spark.operators.unigram_lm import (
+            _greedy_local,
+            maxmatch_stats,
+        )
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=70, n_iters=2)
+        vdict = {r.piece: r.cost for r in vocab.collect()}
+        got = {
+            r.word: (r.gn, r.gcost)
+            for r in maxmatch_stats(word_table(docs), vocab, 4).collect()
+        }
+        for w, st in got.items():
+            assert st == _greedy_local(w, vdict, 4)
+
+    def test_viterbi_never_costlier_than_greedy(self, spark):
+        from huckli_spark.operators.unigram_lm import (
+            maxmatch_stats,
+            word_stats,
+        )
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=70, n_iters=2)
+        words = word_table(docs)
+        v = {r.word: r.wcost for r in word_stats(words, vocab, 4).collect()}
+        g = {r.word: r.gcost for r in
+             maxmatch_stats(words, vocab, 4).collect()}
+        assert set(v) == set(g)
+        assert all(v[w] <= g[w] for w in v)  # Viterbi is exact
+        # and the gap is real on this corpus (greedy strictly worse
+        # somewhere), else the comparison gate is vacuous
+        assert any(v[w] < g[w] for w in v)
