@@ -661,3 +661,120 @@ def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n") == 4, F.col("t"))).cast("long").alias("t4"),
         )
     )
+
+
+# ------------------------------------------------ ROUGE-1/2 (eval gate)
+# Same planted candidate/reference pairs as q_bleu_eval; ROUGE-N adds
+# the recall direction (fraction of REFERENCE n-grams recovered) and
+# the F1 in floored integer micros — no logs, no exp, pure ratios.
+@query(
+    "q_rouge_eval",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ref FROM documents
+      WHERE array_length(string_split(text, ' ')) >= 4
+    ), pairs AS (
+      SELECT doc_id, ref,
+             list_transform(range(1, array_length(ref) + 1),
+               i -> CASE WHEN (i - 1) % 5 = 0
+                    THEN 'zz' || CAST(doc_id % 7 AS VARCHAR)
+                    ELSE ref[i] END) AS cand
+      FROM base
+    ), cc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM (
+        SELECT doc_id, t.n AS n,
+               array_to_string(cand[i + 1:i + t.n], ' ') AS gram
+        FROM pairs, range(1, 3) t(n),
+             unnest(range(0, greatest(array_length(cand) - t.n + 1, 0)))
+               ix(i)
+      ) GROUP BY 1, 2, 3
+    ), rc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM (
+        SELECT doc_id, t.n AS n,
+               array_to_string(ref[i + 1:i + t.n], ' ') AS gram
+        FROM pairs, range(1, 3) t(n),
+             unnest(range(0, greatest(array_length(ref) - t.n + 1, 0)))
+               ix(i)
+      ) GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT rc.n,
+             CAST(sum(least(rc.c, coalesce(cc.c, 0))) AS BIGINT) AS match,
+             CAST(sum(rc.c) AS BIGINT) AS t_ref
+      FROM rc LEFT JOIN cc
+        ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.gram = rc.gram
+      GROUP BY rc.n
+    ), tc AS (
+      SELECT n, CAST(sum(c) AS BIGINT) AS t_cand FROM cc GROUP BY n
+    )
+    SELECT m.n, m.match, m.t_ref, tc.t_cand,
+           CAST((m.match * 1000000) // m.t_ref AS BIGINT)
+             AS recall_micro,
+           CAST((m.match * 1000000) // tc.t_cand AS BIGINT)
+             AS precision_micro,
+           CAST((2 * m.match * 1000000) // (m.t_ref + tc.t_cand)
+                AS BIGINT) AS f1_micro
+    FROM m JOIN tc ON tc.n = m.n
+    """,
+    doc="corpus ROUGE-1/ROUGE-2: clipped n-gram matches in the "
+    "RECALL direction (reference n-grams recovered by the "
+    "candidate) plus precision and F1, all floored integer micros — "
+    "ratio-only, so no transcendental portability surface at all. "
+    "Same planted pairs as q_bleu_eval; together they gate both "
+    "directions of the standard text-overlap eval suite. Scale: one "
+    "counts join on (doc, n, gram); output is 2 rows.",
+)
+def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", F.split("text", " ").alias("ref")).where(
+        F.size("ref") >= 4
+    )
+    cand = F.expr(
+        "transform(ref, (w, i) -> CASE WHEN i % 5 = 0"
+        " THEN concat('zz', cast(doc_id % 7 as string)) ELSE w END)"
+    )
+    pairs = base.select("doc_id", "ref", cand.alias("cand"))
+
+    def ngrams(col: str, side: str):
+        return pairs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, 2), n ->"
+                    f" CASE WHEN size({col}) >= n THEN"
+                    f" transform(sequence(0, size({col}) - n),"
+                    f" i -> named_struct('n', n, 'gram',"
+                    f" concat_ws(' ', slice({col}, i + 1, n)))) ELSE"
+                    " cast(array() as"
+                    " array<struct<n:int,gram:string>>) END))"
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+        ).groupBy("doc_id", "n", "gram").agg(
+            F.count("*").alias(f"c_{side}")
+        )
+
+    cc = ngrams("cand", "c")
+    rc = ngrams("ref", "r")
+    m = (
+        rc.join(cc, ["doc_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("c_r"), F.coalesce(F.col("c_c"), F.lit(0))))
+            .cast("long")
+            .alias("match"),
+            F.sum("c_r").cast("long").alias("t_ref"),
+        )
+    )
+    tc = cc.groupBy("n").agg(F.sum("c_c").cast("long").alias("t_cand"))
+    return m.join(tc, "n").select(
+        "n",
+        "match",
+        "t_ref",
+        "t_cand",
+        F.expr("(match * 1000000L) div t_ref").alias("recall_micro"),
+        F.expr("(match * 1000000L) div t_cand").alias("precision_micro"),
+        F.expr("(2 * match * 1000000L) div (t_ref + t_cand)").alias(
+            "f1_micro"
+        ),
+    )
