@@ -164,8 +164,10 @@ _GATE_PRIORITY: list[str] = [
 # q_curriculum_pack (quality-ordered shard packing), q_dedup_cap
 # (keep <= K per near-dup cluster), q_hash_quantiles
 # (deterministic bottom-k-sample quantiles), q_source_overlap
-# (all-pairs source contamination matrix), and q_bleu_eval
-# (fixed-point corpus BLEU).
+# (all-pairs source contamination matrix), q_bleu_eval
+# (fixed-point corpus BLEU), q_rouge_eval (ROUGE-1/2), and
+# q_maxmatch_compare (greedy WordPiece walk vs Viterbi optimality
+# gap).
 # That is 42 names for 30 slots: grade the 23-query analytics close
 # wave + the 4 continuation flagships + 3 composition queries; the
 # remaining TPC-H rows and composition tail rotate in r10 alongside
