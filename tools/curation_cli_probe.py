@@ -130,6 +130,18 @@ def main() -> None:
             "pack", "--in", f"{root}/curated", "--out", f"{root}/packed",
             "--budget", "2048", "--shards", "32",
         ])
+        # round-8 continuation stages: curriculum ordering and the
+        # unigram tokenizer (store published next to the tokens)
+        runs["pack_curriculum"] = _stage(spark, [
+            "pack", "--in", f"{root}/curated",
+            "--out", f"{root}/packed_cur",
+            "--budget", "2048", "--shards", "32", "--curriculum",
+        ])
+        runs["tokenize_unigram"] = _stage(spark, [
+            "tokenize", "--in", f"{root}/curated",
+            "--out", f"{root}/tokenized",
+            "--method", "unigram", "--vocab-size", "120", "--iters", "2",
+        ])
         runs["export"] = _stage(spark, [
             "export", "--in", f"{root}/curated", "--out", f"{root}/exported",
             "--shards", "32",
