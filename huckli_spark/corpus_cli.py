@@ -122,6 +122,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     s = sub.add_parser(
+        "release",
+        help="one-command dataset release: sharded export + per-source "
+        "data card + source overlap matrix + optional tokenizer store "
+        "+ RELEASE.json tying the artifacts together",
+    )
+    common(s)
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument(
+        "--tokenizer", choices=["none", "bpe", "unigram"], default="none"
+    )
+    s.add_argument(
+        "--stopwords",
+        default=None,
+        help="comma-separated required-stopword list for the data "
+        "card's quality column (default: the published Gopher list)",
+    )
+
+    s = sub.add_parser(
         "export", help="sharded corpus export + checksummed MANIFEST.json"
     )
     common(s)
@@ -239,6 +257,9 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "export":
         summary |= _export(spark, docs, args.out, args.shards, args.out_format)
+
+    elif args.cmd == "release":
+        summary |= _release(spark, docs, args)
 
     elif args.cmd == "pack":
         from huckli_spark.operators.packing import pack_sequences
@@ -373,8 +394,6 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
@@ -461,3 +480,124 @@ def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
         "bytes": total_bytes,
         "manifest": os.path.join(out, "MANIFEST.json"),
     }
+
+
+def _release(spark, docs, args) -> dict:
+    """The dataset-release bundle: everything a consumer needs to
+    verify and reproduce, in one directory — sharded data with a
+    checksummed MANIFEST, the per-source data card, the all-pairs
+    source overlap matrix, an optional checksummed tokenizer store,
+    and RELEASE.json tying them together. Thin orchestration over
+    the tested operators; scale shapes are theirs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from huckli_spark.functions.portable import h60
+    from huckli_spark.operators.dedup import shingles
+    from huckli_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    out = args.out
+    rel: dict = {}
+
+    # 1. sharded export + MANIFEST
+    rel |= _export(spark, docs, os.path.join(out, "data"), args.shards,
+                   "jsonl")
+
+    # 2. per-source data card (q_data_card's relation, over the
+    # release corpus rather than the fixture layout)
+    stops = (
+        tuple(t for t in args.stopwords.split(",") if t)
+        if args.stopwords
+        else GOPHER_STOPWORDS
+    )
+    verdicts = gopher_rules(docs, stopwords=stops).select(
+        "doc_id", "passes"
+    )
+    per_doc = docs.join(verdicts, "doc_id").select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("th"),
+        "passes",
+    )
+    card = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.count_distinct("th")).cast("long")
+        .alias("n_exact_dups"),
+        F.floor(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            * F.lit(1000000.0) / F.count("*") + F.lit(0.5)
+        ).cast("long").alias("pass_rate_micro"),
+    )
+    card.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "data_card.parquet")
+    )
+    rel["card_sources"] = card.count()
+
+    # 3. all-pairs source overlap matrix (only meaningful with >= 2
+    # sources)
+    n_sources = docs.select("source").distinct().count()
+    if n_sources >= 2:
+        sh = (
+            shingles(docs, id_col="source", text_col="text", n=3)
+            .select("source", h60(F.col("shingle")).alias("sh"))
+            .distinct()
+        )
+        x = sh.select(F.col("source").alias("src_a"), "sh")
+        y = sh.select(F.col("source").alias("src_b"), "sh")
+        overlap = (
+            x.join(y, "sh")
+            .where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("long").alias("shared"))
+        )
+        overlap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "source_overlap.parquet")
+        )
+        rel["overlap_pairs"] = overlap.count()
+    else:
+        rel["overlap_pairs"] = 0
+
+    # 4. optional tokenizer store
+    if args.tokenizer != "none":
+        from huckli_spark.operators.tokenizer_store import (
+            bpe_table,
+            save_tokenizer,
+        )
+
+        if args.tokenizer == "bpe":
+            from huckli_spark.operators.bpe import bpe_train
+
+            merges, _ = bpe_train(docs, n_merges=32)
+            man = save_tokenizer(
+                os.path.join(out, "tokenizer"), "bpe",
+                bpe_table(spark, merges), params={"n_merges": 32},
+            )
+        else:
+            from huckli_spark.operators.unigram_lm import unigram_fit
+
+            vocab = unigram_fit(docs, vocab_size=120, n_iters=2)
+            man = save_tokenizer(
+                os.path.join(out, "tokenizer"), "unigram", vocab,
+                params={"vocab_size": 120, "n_iters": 2},
+            )
+        rel["tokenizer"] = args.tokenizer
+        rel["tokenizer_checksum"] = man["checksum"]
+
+    # 5. RELEASE.json: pointers + a checksum over the data MANIFEST
+    # so the release is self-verifying end to end
+    with open(os.path.join(out, "data", "MANIFEST.json"), "rb") as fh:
+        rel["manifest_md5"] = hashlib.md5(fh.read()).hexdigest()
+    with open(os.path.join(out, "RELEASE.json"), "w") as fh:
+        json.dump(rel, fh, indent=2, sort_keys=True)
+    return rel
+
+
+if __name__ == "__main__":
+    sys.exit(main())

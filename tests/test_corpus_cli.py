@@ -287,3 +287,59 @@ class TestCurate:
         assert s3["docs"] == 4 and s3["shards_written"] == 2
         man = _json.load(open(f"{exported}/MANIFEST.json"))
         assert len(man["shards"]) == 2
+
+    def test_release_bundle(self, spark, tmp_path, capsys):
+        """`release` ties export + data card + overlap + tokenizer into
+        one self-verifying directory; every artifact must agree with
+        the summary JSON and the tokenizer must reload cleanly."""
+        import hashlib
+        import json as _json
+
+        p = tmp_path / "raw4"
+        p.mkdir()
+        shared = "the quick brown fox jumps over that lazy dog with all of it"
+        docs = [
+            {"doc_id": 0, "text": shared, "lang": "en", "source": "web",
+             "n_chars": len(shared)},
+            {"doc_id": 1, "text": shared, "lang": "en", "source": "books",
+             "n_chars": len(shared)},
+            {"doc_id": 2, "text": "entirely different words appear here "
+             "with the full set of tokens", "lang": "de", "source": "web",
+             "n_chars": 66},
+        ]
+        with open(p / "docs.jsonl", "w") as fh:
+            for d in docs:
+                fh.write(_json.dumps(d) + "\n")
+        out = str(tmp_path / "rel")
+        s = _run(capsys, [
+            "release", "--in", str(p), "--format", "jsonl", "--out", out,
+            "--shards", "2", "--tokenizer", "unigram",
+        ])
+        assert s["docs"] == 3 and s["shards_written"] == 2
+        assert s["card_sources"] == 2
+        # web/books share every 3-shingle of `shared`; the pair exists
+        assert s["overlap_pairs"] == 1
+        # RELEASE.json matches the printed summary exactly (main adds
+        # cmd + the jsonl quarantine count on top of the release dict)
+        rel = _json.load(open(f"{out}/RELEASE.json"))
+        assert rel == {
+            k: v for k, v in s.items() if k not in ("cmd", "quarantined")
+        }
+        # manifest_md5 actually verifies the data MANIFEST on disk
+        raw = open(f"{out}/data/MANIFEST.json", "rb").read()
+        assert hashlib.md5(raw).hexdigest() == rel["manifest_md5"]
+        # data card: web has 2 docs (one en one de), books 1
+        card = {
+            r["source"]: r.asDict()
+            for r in spark.read.parquet(f"{out}/data_card.parquet").collect()
+        }
+        assert card["web"]["n_docs"] == 2 and card["web"]["n_langs"] == 2
+        assert card["books"]["n_docs"] == 1
+        assert card["web"]["n_exact_dups"] == 0  # dup is ACROSS sources
+        # tokenizer store reloads + checksum-verifies
+        from huckli_spark.operators.tokenizer_store import load_tokenizer
+
+        table, man = load_tokenizer(spark, f"{out}/tokenizer",
+                                    expect_kind="unigram")
+        assert man["checksum"] == s["tokenizer_checksum"]
+        assert table.count() == man["n_rows"] > 0

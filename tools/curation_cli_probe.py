@@ -13,6 +13,10 @@ just its component operators — has a measured scale row:
   2. curate                    (Gopher rule gate -> DSIR top-K)
   3. pack                      (training-sequence packing)
   4. export                    (sharded JSONL + checksummed manifest)
+  5. pack --curriculum / tokenize --method unigram  (continuation)
+  6. release                   (export + data card + source-overlap
+     matrix + tokenizer store over the post-semdedup corpus — the
+     composed bundle a dataset release actually ships)
 
 Fixtures are decorrelated copies (scale_probe's salting) with the
 probe's stopword list kept verbatim in every copy — fully-salted text
@@ -145,6 +149,17 @@ def main() -> None:
         runs["export"] = _stage(spark, [
             "export", "--in", f"{root}/curated", "--out", f"{root}/exported",
             "--shards", "32",
+        ])
+        # release runs over the POST-SEMDEDUP corpus (not the top-K
+        # curated cut, whose size is constant across scales) so the
+        # bundle's card/overlap/tokenizer stages see the full 10x —
+        # this is the heaviest composed stage and the one a real
+        # dataset release would run
+        runs["release"] = _stage(spark, [
+            "release", "--in", f"{root}/kept",
+            "--out", f"{root}/released", "--shards", "32",
+            "--tokenizer", "unigram",
+            "--stopwords", ",".join(PROBE_STOPWORDS),
         ])
         out["scales"][str(scale)] = {
             "n_docs": docs0.count() * scale,
