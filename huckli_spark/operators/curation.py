@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround, h60
 from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
-from huckli_spark.operators.simsearch import cosine
+from huckli_spark.operators.simsearch import cosine, dot, l2_norm
 
 DSIR_BUCKETS = 256
 MICRO = 1_000_000
@@ -64,19 +64,31 @@ def _cluster_dup_pairs(
     fround(cos, 6) >= tau — the shared pair stage of the semdedup
     family. Self-join keys on cid only (cluster-bounded)."""
     v = emb.select(F.col(id_col), F.col(vec_col))
-    membered = assign.join(v, id_col)
+    # each member's L2 norm is computed ONCE and carried into the pair
+    # join: dot/(na*nb) is the same double ops in the same order as
+    # simsearch.cosine, so fround(sim, 6) is bit-identical, but the
+    # per-pair fold drops from 3 O(d) aggregates to 1 — the pair stage
+    # is the family's dominant cost (the per-cluster quadratic term)
+    membered = assign.join(v, id_col).select(
+        F.col(id_col), F.col("cid"), F.col(vec_col),
+        l2_norm(vec_col).alias("__nrm"),
+    )
     a = membered.select(
         F.col(id_col).alias("__ida"),
         F.col("cid"),
         F.col(vec_col).alias("__ea"),
+        F.col("__nrm").alias("__na"),
     )
     b = membered.select(
         F.col(id_col).alias("__idb"),
         F.col("cid"),
         F.col(vec_col).alias("__eb"),
+        F.col("__nrm").alias("__nb"),
     )
     pairs = a.join(b, "cid").where(F.col("__ida") < F.col("__idb"))
-    sim = fround(cosine("__ea", "__eb"), 6)
+    sim = fround(
+        dot("__ea", "__eb") / (F.col("__na") * F.col("__nb")), 6
+    )
     return pairs.where(sim >= F.lit(tau)).select(
         F.col("__ida").alias("d1"), F.col("__idb").alias("d2")
     )
@@ -517,6 +529,9 @@ def semdedup_incremental(
     """
     if cents is None:
         cents = kmeans_fit(existing, k, iterations, id_col, vec_col)
+    # norms hoisted per vector (bit-identical sim — see
+    # _cluster_dup_pairs); both screening joins pay one O(d) fold per
+    # pair instead of three
     em = (
         kmeans_assign(existing, cents, id_col, vec_col)
         .join(existing.select(F.col(id_col), F.col(vec_col)), id_col)
@@ -524,6 +539,7 @@ def semdedup_incremental(
             F.col(id_col).alias("__ida"),
             "cid",
             F.col(vec_col).alias("__ea"),
+            l2_norm(vec_col).alias("__na"),
         )
     )
     bm = (
@@ -533,9 +549,12 @@ def semdedup_incremental(
             F.col(id_col).alias("__idb"),
             "cid",
             F.col(vec_col).alias("__eb"),
+            l2_norm(vec_col).alias("__nb"),
         )
     )
-    sim = fround(cosine("__ea", "__eb"), 6)
+    sim = fround(
+        dot("__ea", "__eb") / (F.col("__na") * F.col("__nb")), 6
+    )
     dup_corpus = (
         bm.join(em, "cid")
         .where(sim >= F.lit(tau))
@@ -544,7 +563,8 @@ def semdedup_incremental(
         .withColumn("__dc", F.lit(True))
     )
     a = bm.select(
-        F.col("__idb").alias("__ida"), "cid", F.col("__eb").alias("__ea")
+        F.col("__idb").alias("__ida"), "cid",
+        F.col("__eb").alias("__ea"), F.col("__nb").alias("__na"),
     )
     dup_batch = (
         a.join(bm, "cid")
@@ -758,18 +778,24 @@ def semdedup_two_level(
         membered, sub_cents, id_col, vec_col, group_col="cid",
         out_col="sub_cid",
     )
-    # pair stage within (cid, sub_cid) cells
+    # pair stage within (cid, sub_cid) cells — norms hoisted per
+    # vector (bit-identical sim, see _cluster_dup_pairs)
     v = emb.select(F.col(id_col), F.col(vec_col))
-    m2 = full.join(v, id_col)
+    m2 = full.join(v, id_col).select(
+        F.col(id_col), "cid", "sub_cid", F.col(vec_col),
+        l2_norm(vec_col).alias("__nrm"),
+    )
     a = m2.select(
         F.col(id_col).alias("__ida"), "cid", "sub_cid",
-        F.col(vec_col).alias("__ea"),
+        F.col(vec_col).alias("__ea"), F.col("__nrm").alias("__na"),
     )
     b = m2.select(
         F.col(id_col).alias("__idb"), "cid", "sub_cid",
-        F.col(vec_col).alias("__eb"),
+        F.col(vec_col).alias("__eb"), F.col("__nrm").alias("__nb"),
     )
-    sim = fround(cosine("__ea", "__eb"), 6)
+    sim = fround(
+        dot("__ea", "__eb") / (F.col("__na") * F.col("__nb")), 6
+    )
     dups = (
         a.join(b, ["cid", "sub_cid"])
         .where((F.col("__ida") < F.col("__idb")) & (sim >= F.lit(tau)))

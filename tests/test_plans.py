@@ -630,11 +630,19 @@ class TestTpchBatteryPlans:
 class TestRound8CompositionPlans:
     def test_triplets_cluster_keyed_no_python(self, spark):
         # pair stage keys on cid (the SemDeDup discipline): no product,
-        # no Python, rank windows partition by anchor
+        # no Python — and since the round-8 rewrite the rank-1 picks
+        # are conditional struct-max aggregates, so the O(n·cluster)
+        # pair relation is never window-sorted (no Window operator at
+        # all) and reduces map-side (partial HashAggregate before the
+        # anchor exchange)
         plan = _plan(spark, "q_training_triplets")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
-        assert "Window" in plan
+        assert "Window" not in plan, plan
+        # struct-typed max buffers aren't hash-aggregable, so the picks
+        # compile to SortAggregate — partial + final, so the pair
+        # relation still combines map-side before the anchor exchange
+        assert len(re.findall(r"SortAggregate|HashAggregate", plan)) >= 2, plan
 
     def test_quality_budget_no_global_ntile(self, spark):
         # the decile assignment must use exact_ntile's decomposition:
