@@ -58,13 +58,20 @@ def cosine_topk(
     the portably-rounded similarity with neighbor-id tiebreak, so
     ordering is deterministic across engines.
     """
+    # per-vector norms computed ONCE per side (bit-identical sims:
+    # dot/(nq*nn) is the same double ops in the same order as cosine)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"),
     )
     # fan_out: |corpus| x |queries| dot products must not run in one
     # task when the corpus arrives as a single row group
     c = fan_out(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv"),
+            l2_norm(vec_col).alias("__nn"),
+        )
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -72,7 +79,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            fround(cosine("__qv", "__nv"), 6).alias("cos_sim"),
+            fround(
+                dot("__qv", "__nv") / (F.col("__nq") * F.col("__nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -159,12 +168,21 @@ def cosine_pairs(
     """All pairs (d1 < d2) with cosine >= threshold — the exact
     embedding near-dup baseline. O(n²): use ``lsh_assign`` buckets to
     prefilter at scale."""
-    a = fan_out(df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a")))
-    b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"))
+    a = fan_out(df.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"),
+        l2_norm(vec_col).alias("__na"),
+    ))
+    b = df.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"),
+        l2_norm(vec_col).alias("__nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("d1") < F.col("d2"))
-        .withColumn("cos_sim", fround(cosine("__a", "__b"), 6))
+        .withColumn(
+            "cos_sim",
+            fround(dot("__a", "__b") / (F.col("__na") * F.col("__nb")), 6),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )
@@ -311,12 +329,21 @@ def cosine_pairs_lsh(
         .where(first_match)
         .select("d1", "d2")
     )
-    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"))
-    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"))
+    v1 = df.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("__a"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    v2 = df.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("__b"),
+        l2_norm(vec_col).alias("__nb"),
+    )
     out = (
         cand.join(v1, "d1")
         .join(v2, "d2")
-        .withColumn("cos_sim", fround(cosine("__a", "__b"), 6))
+        .withColumn(
+            "cos_sim",
+            fround(dot("__a", "__b") / (F.col("__na") * F.col("__nb")), 6),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )
@@ -438,18 +465,23 @@ def ivf_topk(
     cents = (centroids if centroids is not None
              else ivf_centroids(corpus, n_centroids, id_col, vec_col))
     posting = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"), "cid"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"),
+        l2_norm(vec_col).alias("__nn"), "cid",
     )
     probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cid"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"), "cid",
     )
+    # norms per vector, not per candidate (bit-identical sims)
     sims = (
         posting.join(F.broadcast(probes), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            fround(cosine("__qv", "__nv"), 6).alias("cos_sim"),
+            fround(
+                dot("__qv", "__nv") / (F.col("__nq") * F.col("__nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -373,20 +373,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     sigs = simsearch.lsh_assign(em, n_planes=_LSH_PLANES, dim=_LSH_DIM)
     q = sigs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"),
+        simsearch.l2_norm("embedding").alias("__nq"), "bucket",
     )
     c = sigs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"),
+        simsearch.l2_norm("embedding").alias("__nn"), "bucket",
     )
     # Scale: the corpus side shuffles on bucket (or stays put with a
     # broadcast query side); candidate count per query ~ n / 2^planes.
+    # Norms are per-vector columns (bit-identical sims, one O(d) fold
+    # per candidate instead of three).
     sims = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            fround(simsearch.cosine("__qv", "__nv"), 6).alias("cos_sim"),
+            fround(
+                simsearch.dot("__qv", "__nv")
+                / (F.col("__nq") * F.col("__nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
