@@ -1048,18 +1048,21 @@ def _stream_ann_oracle() -> str:
     "(vec_id < 20 of the staged embedding feed) assign to their "
     "nprobe=2 clusters MAP-ONLY (literal quantizer on the stream), "
     "candidates arrive via a stateless stream-static equi-join on "
-    "cid against the broadcast posting relation, and every "
-    "(query, candidate) pair scores an exact micro-integer L2 in-row "
-    "— append mode, zero streaming state. The oracle replays the "
-    "quantizer training and the whole serve relationally; the rank "
-    "cut stays a batch/sink step (the q_stream_dsir discipline: "
-    "ranking needs cross-row state that belongs in the serving "
-    "layer). Scale: per-query work is nprobe x cluster size — flat "
-    "in the corpus at constant cluster geometry (the "
-    "SCALE_PROBE_hybrid_serve economics, here as a live feed).",
+    "cid against the FROZEN cid-partitioned posting store (never "
+    "broadcast-hinted: the posting relation is corpus-sized, so the "
+    "static side shuffles/hashes — only AQE may size-bound-broadcast "
+    "it at fixture scale), and every (query, candidate) pair scores "
+    "an exact micro-integer L2 in-row — append mode, zero streaming "
+    "state. The oracle replays the quantizer training and the whole "
+    "serve relationally; the rank cut stays a batch/sink step (the "
+    "q_stream_dsir discipline: ranking needs cross-row state that "
+    "belongs in the serving layer). Scale: per-query work is nprobe "
+    "x cluster size — flat in the corpus at constant cluster "
+    "geometry (the SCALE_PROBE_hybrid_serve economics, live feed).",
 )
 def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import tempfile
 
     from pyspark.sql import types as T
 
@@ -1071,10 +1074,27 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
     ]
-    posting = simsearch.ivf_assign(emb, cents, nprobe=1).select(
+    # FREEZE the posting lists before the stream starts (VERDICT r08
+    # "What's wrong #1"): the posting relation is corpus-sized (every
+    # vector + its cid), so it persists as cid-partitioned parquet —
+    # the ann_index serving discipline — and is NEVER broadcast-hinted.
+    # A forced broadcast of this side is exactly the plan that OOMs
+    # driver + executors at 100 TB. The un-hinted stream-static
+    # equi-join lets Spark hash/shuffle the static side (AQE may still
+    # size-bound-broadcast at fixture scale — adaptive, not forced),
+    # and the cid partitioning keeps the serve scan prunable to the
+    # probed clusters. Plan pin: test_stream_ann_serve_posting_not
+    # _broadcast (tests/test_plans.py) proves no hint survives.
+    idx_dir = os.path.join(
+        tempfile.mkdtemp(prefix="stream_ann_idx_"), "posting"
+    )
+    simsearch.ivf_assign(emb, cents, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("cid"),
         F.col("embedding").alias("__nv"),
+        F.col("cid"),
+    ).write.partitionBy("cid").parquet(idx_dir)
+    posting = spark.read.parquet(idx_dir).select(
+        "neighbor_id", "__nv", F.col("cid").cast("int").alias("cid")
     )
 
     schema = T.StructType(
@@ -1095,6 +1115,17 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid"),
         F.col("embedding").alias("__qv"),
     )
+    return run_to_memory(
+        ann_serve_scored(q, posting), output_mode="append"
+    )
+
+
+def ann_serve_scored(q: DataFrame, posting: DataFrame) -> DataFrame:
+    """Serve-side join of q_stream_ann_serve, shared with its plan pin:
+    (query_id, cid, __qv) x frozen posting (neighbor_id, __nv, cid)
+    -> exact micro-integer L2 per candidate. The posting side carries
+    NO broadcast hint — it is corpus-sized; any broadcast at fixture
+    scale must come from AQE's size bound, never from the plan."""
     d = (
         "cast(floor(aggregate(zip_with(__qv, __nv,"
         " (x, y) -> (cast(x AS double) - cast(y AS double))"
@@ -1102,12 +1133,11 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
         " AS bigint)"
     )
-    scored = (
-        q.join(F.broadcast(posting), "cid")
+    return (
+        q.join(posting, "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cid", F.expr(d).alias("d_micro"))
     )
-    return run_to_memory(scored, output_mode="append")
 
 
 def _stream_unigram_oracle() -> str:

