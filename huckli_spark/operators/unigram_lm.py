@@ -60,6 +60,18 @@ WCAP = 16
 # DP key = cost * JSHIFT + j. JSHIFT > WCAP so j never collides;
 # costs stay < 2^40 so the key fits comfortably in BIGINT.
 JSHIFT = 32
+# OOV policy (ADVICE r08 #1): single-character coverage is guaranteed
+# only for the TRAINING corpus, but the stored table explicitly serves
+# new corpora (tokenizer_store), where unseen characters are likely.
+# Every path — the Spark in-row DP, the pure-Python twin, and the
+# DuckDB oracle — falls back to the raw character as its own piece at
+# a fixed penalty of UNK_COST micro-nats (SentencePiece's
+# byte-fallback shape: emit the surface char, never a cost-0 phantom
+# token). e^-48 is below any trainable piece probability on corpora
+# up to ~1e20 tokens, so the fallback can never outbid a real piece;
+# a 16-char all-OOV word keys at 48e6*16*32 < 2^35, comfortably in
+# the BIGINT key budget.
+UNK_COST = 48_000_000
 
 
 # ------------------------------------------------------------------ words
@@ -149,12 +161,20 @@ def _forward_expr(max_piece_len: int, word: str = "word",
     j = longest last piece). ``word``/``vc`` are the SQL expressions
     for the word and the piece-cost map — column references in the
     batch path, lambda variables / literals in the streaming in-row
-    path."""
+    path. The single-char arm (j = t-1) coalesces an out-of-vocab
+    character to ``UNK_COST`` (module OOV policy), so every position
+    is always reachable and OOV chars surface as penalized
+    char-fallback pieces instead of silent cost-0 tokens."""
     return (
         f"aggregate(sequence(1, length({word})), array(cast(0 as bigint)),"
         " (acc, t) -> acc || array(array_min(filter(transform("
         f"sequence(greatest(0, t - {max_piece_len}), t - 1),"
-        f" j -> CASE WHEN try_element_at({vc}, substring({word}, j + 1, t - j))"
+        " j -> CASE WHEN j = t - 1 THEN"
+        f" (element_at(acc, j + 1) div {JSHIFT}"
+        f" + coalesce(try_element_at({vc}, substring({word}, j + 1, 1)),"
+        f" cast({UNK_COST} as bigint)))"
+        f" * {JSHIFT} + j"
+        f" WHEN try_element_at({vc}, substring({word}, j + 1, t - j))"
         " IS NOT NULL THEN"
         f" (element_at(acc, j + 1) div {JSHIFT}"
         f" + try_element_at({vc}, substring({word}, j + 1, t - j)))"
@@ -360,8 +380,11 @@ def _viterbi_local(word: str, cost: dict, max_piece_len: int) -> list:
     word = word[:WCAP]
     best = [0]
     for t in range(1, len(word) + 1):
-        cands = []
-        for j in range(max(0, t - max_piece_len), t):
+        # single-char arm always exists: OOV chars fall back to
+        # UNK_COST (module OOV policy)
+        c1 = cost.get(word[t - 1 : t], UNK_COST)
+        cands = [(best[t - 1] // JSHIFT + c1) * JSHIFT + (t - 1)]
+        for j in range(max(0, t - max_piece_len), t - 1):
             piece = word[j:t]
             if piece in cost:
                 cands.append((best[j] // JSHIFT + cost[piece]) * JSHIFT + j)
@@ -517,6 +540,17 @@ def _oracle_parts(
         for t in range(1, W + 1):
             arms = []
             for j in range(max(0, t - L), t):
+                if j == t - 1:
+                    # single-char arm: LEFT JOIN + UNK_COST fallback
+                    # (module OOV policy — matches _forward_expr)
+                    arms.append(
+                        f"""    SELECT b.word,
+           (b.k // {S} + COALESCE(vc.cost, {UNK_COST})) * {S} + {j} AS cnd
+    FROM b{i}_{j} b LEFT JOIN {vocab} vc
+      ON vc.piece = substr(b.word, {j + 1}, 1)
+    WHERE length(b.word) >= {t}"""
+                    )
+                    continue
                 arms.append(
                     f"""    SELECT b.word,
            (b.k // {S} + vc.cost) * {S} + {j} AS cnd
@@ -663,11 +697,16 @@ def _greedy_expr(max_piece_len, word: str = "word",
                  vc: str = "__vc") -> str:
     """One in-row fold: state (pos, n, c) — greedy longest-match
     walk. The candidate key array is recomputed per reference (no
-    let-binding in SQL expressions); single chars are always in the
-    vocab, so the walk always progresses."""
+    let-binding in SQL expressions); the single-char candidate
+    coalesces an OOV character to ``UNK_COST`` (module OOV policy),
+    so the walk always progresses on any input."""
     best = (
         f"array_max(filter(transform(sequence(1, {max_piece_len}),"
-        f" l -> CASE WHEN st.pos + l <= length({word})"
+        f" l -> CASE WHEN l = 1 AND st.pos + 1 <= length({word}) THEN"
+        f" cast(1 AS bigint) * {LKEY}"
+        f" + coalesce(try_element_at({vc}, substring({word}, st.pos + 1, 1)),"
+        f" cast({UNK_COST} as bigint))"
+        f" WHEN st.pos + l <= length({word})"
         f" AND try_element_at({vc}, substring({word}, st.pos + 1, l))"
         " IS NOT NULL THEN"
         f" cast(l AS bigint) * {LKEY}"
@@ -707,6 +746,10 @@ def _greedy_local(word: str, cost: dict, max_piece_len: int):
     while pos < len(word):
         for ln in range(min(max_piece_len, len(word) - pos), 0, -1):
             p = word[pos : pos + ln]
+            if ln == 1:
+                # OOV char-fallback (module OOV policy)
+                pos, n, c = pos + 1, n + 1, c + cost.get(p, UNK_COST)
+                break
             if p in cost:
                 pos += ln
                 n += 1
@@ -726,13 +769,24 @@ def greedy_oracle_block(n_iters: int, max_piece_len: int) -> list:
   CAST(0 AS BIGINT) AS c FROM words)"""
     ]
     for s_ in range(1, W + 1):
+        # l = 1 is the char-fallback arm: LEFT JOIN + UNK_COST
+        # (module OOV policy — matches _greedy_expr)
         arms = "\n    UNION ALL\n".join(
-            f"""    SELECT g.word, g.pos, g.n, g.c,
+            [
+                f"""    SELECT g.word, g.pos, g.n, g.c,
+           CAST(1 AS BIGINT) * {K} + COALESCE(vc.cost, {UNK_COST}) AS key
+    FROM g_{s_ - 1} g LEFT JOIN {vocab} vc
+      ON vc.piece = substr(g.word, g.pos + 1, 1)
+    WHERE g.pos + 1 <= length(g.word)"""
+            ]
+            + [
+                f"""    SELECT g.word, g.pos, g.n, g.c,
            CAST({l} AS BIGINT) * {K} + vc.cost AS key
     FROM g_{s_ - 1} g JOIN {vocab} vc
       ON vc.piece = substr(g.word, g.pos + 1, {l})
     WHERE g.pos + {l} <= length(g.word)"""
-            for l in range(1, L + 1)
+                for l in range(2, L + 1)
+            ]
         )
         blk.append(
             f"""g_{s_} AS MATERIALIZED (

@@ -1185,9 +1185,16 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = stage_table_stream(sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    toks = stream.select("doc_id", F.expr(expr).alias("tk")).select(
-        "doc_id",
-        F.size("tk.tokens").cast("long").alias("n_tokens"),
-        F.col("tk.cost_micro").alias("cost_micro"),
+    toks = (
+        stream.select("doc_id", F.expr(expr).alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk.tokens").cast("long").alias("n_tokens"),
+            F.col("tk.cost_micro").alias("cost_micro"),
+        )
+        # empty/whitespace-only documents produce zero words; the
+        # batch oracle's inner join on the doc-word stream drops them,
+        # so the stream agrees explicitly (ADVICE r08 #3)
+        .where(F.col("n_tokens") > 0)
     )
     return run_to_memory(toks, output_mode="append")

@@ -310,3 +310,81 @@ class TestMaxMatch:
         # and the gap is real on this corpus (greedy strictly worse
         # somewhere), else the comparison gate is vacuous
         assert any(v[w] < g[w] for w in v)
+
+
+class TestOOVPolicy:
+    """ADVICE r08 #1: the stored table serves NEW corpora
+    (tokenizer_store), where unseen characters are likely. Policy:
+    char-fallback at UNK_COST, identical in the Spark in-row DP, the
+    pure-Python twin, and the greedy walk — never a silent cost-0
+    token, never a crash."""
+
+    def test_encode_unseen_chars_three_way(self, spark):
+        from huckli_spark.operators.unigram_lm import (
+            UNK_COST,
+            tokens_in_row_expr,
+        )
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=60, n_iters=2)
+        vrows = [(r.piece, r.cost) for r in vocab.collect()]
+        vdict = dict(vrows)
+        assert "7" not in vdict and "Z" not in vdict
+        new = spark.createDataFrame(
+            [(0, "token Z7 nation"), (1, "ZZZ"), (2, "toke7n")],
+            "doc_id long, text string",
+        )
+        inrow = {
+            r.doc_id: (list(r.tk.tokens), r.tk.cost_micro)
+            for r in new.select(
+                "doc_id", F.expr(tokens_in_row_expr(vrows, 4)).alias("tk")
+            ).collect()
+        }
+        # local twin agrees word by word (and no longer raises)
+        for did, text in [(0, "token Z7 nation"), (1, "ZZZ"), (2, "toke7n")]:
+            pieces = []
+            for w in text.split(" "):
+                if w:
+                    pieces.extend(_viterbi_local(w, vdict, 4))
+            assert inrow[did][0] == pieces, (did, inrow[did][0], pieces)
+        # the all-OOV word surfaces every char at exactly UNK_COST
+        assert inrow[1][0] == ["Z", "Z", "Z"]
+        assert inrow[1][1] == 3 * UNK_COST
+        # batch encode path (broadcast-vocab-row DP) agrees too
+        got = {
+            r.doc_id: list(r.tokens)
+            for r in unigram_encode(new, vocab, 4).collect()
+        }
+        assert got == {d: p for d, (p, _) in inrow.items()}
+
+    def test_greedy_walk_unseen_chars(self, spark):
+        from huckli_spark.operators.unigram_lm import (
+            UNK_COST,
+            _greedy_local,
+            maxmatch_stats,
+        )
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=60, n_iters=2)
+        vdict = {r.piece: r.cost for r in vocab.collect()}
+        new_words = spark.createDataFrame(
+            [("Z7", 1), ("tokZen", 1), ("ZZZ", 1)], "word string, freq long"
+        )
+        got = {
+            r.word: (r.gn, r.gcost)
+            for r in maxmatch_stats(new_words, vocab, 4).collect()
+        }
+        for w in ["Z7", "tokZen", "ZZZ"]:
+            assert got[w] == _greedy_local(w, vdict, 4), w
+        assert got["ZZZ"] == (3, 3 * UNK_COST)
+
+    def test_full_coverage_unchanged(self, spark):
+        # on a full-coverage corpus the fallback arm coalesces to the
+        # real single-char cost — encode output is bit-identical to
+        # the pre-policy behavior (the trained-corpus contract)
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=2)
+        vdict = {r.piece: r.cost for r in vocab.collect()}
+        for r in word_table(docs).collect():
+            # every char in vocab => no UNK cost can appear
+            assert all(ch in vdict for ch in r.word)
