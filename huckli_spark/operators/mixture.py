@@ -98,10 +98,14 @@ def _weighted_fit_step(
     """One weighted batch-GD step: w_j -= floor(lr * g_j / (den *
     1e6) + 0.5) with g_j = sum lam_milli(dom) * (p - y*1e6) * x and
     den = sum of per-doc lam_milli — all exact integers."""
+    from huckli_spark.operators.unigram_lm import _sql_str
+
     spark = feats.sparkSession
+    # backslash-then-quote escaping (ADVICE r08 #4): Spark's default
+    # string-literal parser is backslash-escaped, so the previous
+    # quote-doubling corrupted domains containing backslashes
     vals = ", ".join(
-        "('" + str(d).replace("'", "''") + f"', {int(v)}L)"
-        for d, v in sorted(lam.items())
+        f"({_sql_str(str(d))}, {int(v)}L)" for d, v in sorted(lam.items())
     )
     ldf = spark.sql(f"SELECT col1 AS dom, col2 AS lam FROM VALUES {vals}")
     p = _scores(feats, w, id_col)

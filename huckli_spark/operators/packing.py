@@ -49,15 +49,29 @@ def pack_sequences(
     the id tiebreak (curriculum packing — e.g. quality DESC so every
     shard streams best-first); default is the deterministic hash
     order (uniform shuffle). Columns named there must be present on
-    ``df`` and are carried through the token-count projection.
+    ``df`` and are carried through the token-count projection — which
+    only happens when ``order_cols`` is given (ADVICE r08 #5: the CLI
+    feeds full documents with arbitrary schemas through this path, so
+    a stray input column must never collide with a generated name).
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(
             f"budget and n_shards must be positive (got {budget}, {n_shards})"
         )
+    reserved = {"n_tokens", "shard", "pack_rank", "seq_idx",
+                "offset_in_seq", "__ok", "__off"}
+    extra = (
+        [c for c in df.columns if c not in (id_col, text_col)]
+        if order_cols else []
+    )
+    clash = sorted(set(extra) & reserved)
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with pack_sequences' "
+            "generated names; rename or drop them before packing"
+        )
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
-    extra = [c for c in df.columns if c not in (id_col, text_col)]
     d = df.select(
         F.col(id_col),
         (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens)).alias("n_tokens"),

@@ -65,22 +65,46 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _sql_lit(v) -> str:
+    """Render a collected group value as a safe SQL literal for a
+    VALUES relation (backslash-then-quote escaping — the
+    unigram_lm._sql_str discipline; ADVICE r08 #4)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported group literal type: {type(v)!r}")
+
+
 def _exclusive_prefix(
-    hist: DataFrame, order, val_col: str, out_col: str
+    hist: DataFrame,
+    order,
+    val_col: str,
+    out_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Two-phase distributed exclusive prefix sum over ``hist`` in
-    ``order``: range-partition, scan each partition locally, collect
-    per-partition totals (bounded by the shuffle-partition count),
-    broadcast the exclusive offsets back. The range boundaries come
-    from Spark's sampling and are NOT deterministic — but the prefix
-    VALUE at each row is boundary-independent, so the result is."""
+    ``order`` (per ``group_col`` when given): range-partition on
+    (group, order), scan each partition locally, collect only the
+    per-(partition, group) totals (bounded by shuffle-partitions x
+    groups), broadcast the exclusive offsets back. The range
+    boundaries come from Spark's sampling and are NOT deterministic —
+    but the prefix VALUE at each row is boundary-independent, so the
+    result is. The grouped form keeps high-cardinality score domains
+    fully distributed: no per-group one-task window, no broadcast of
+    the (possibly corpus-sized) histogram itself (ADVICE r08 #2)."""
     from pyspark.sql import Window
 
-    h = hist.repartitionByRange(order).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    gcols = [group_col] if group_col else []
+    h = hist.repartitionByRange(
+        *[F.col(g) for g in gcols], order
+    ).withColumn("__pid", F.spark_partition_id())
     wloc = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *gcols)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -90,14 +114,16 @@ def _exclusive_prefix(
         "__loc", F.coalesce(F.sum(val_col).over(wloc), F.lit(0))
     ).localCheckpoint(eager=True)
     totals = sorted(
-        (r["__pid"], r["__t"])
-        for r in h.groupBy("__pid")
+        (tuple(r[g] for g in gcols), r["__pid"], r["__t"])
+        for r in h.groupBy("__pid", *gcols)
         .agg(F.sum(val_col).alias("__t"))
         .collect()
     )
-    off, acc = {}, 0
-    for pid, t in totals:
-        off[pid] = acc
+    off, acc, cur = {}, 0, None
+    for gkey, pid, t in totals:
+        if gkey != cur:
+            cur, acc = gkey, 0
+        off[(gkey, pid)] = acc
         acc += t
     if not off:
         return h.withColumn(out_col, F.lit(0).cast("long")).drop(
@@ -105,12 +131,17 @@ def _exclusive_prefix(
         )
     # JVM LocalRelation (not a Python RDD): keeps the plan free of
     # applySchemaToPythonRDD scans (the classifier _scores pattern)
-    vals = ", ".join(f"({int(p)}, {int(v)}L)" for p, v in off.items())
-    offdf = h.sparkSession.sql(
-        f"SELECT col1 AS __pid, col2 AS __off FROM VALUES {vals}"
+    names = ["__pid", *gcols, "__off"]
+    vals = ", ".join(
+        "(" + ", ".join(
+            [str(int(pid))] + [_sql_lit(x) for x in gkey] + [f"{int(v)}L"]
+        ) + ")"
+        for (gkey, pid), v in off.items()
     )
+    cols = ", ".join(f"col{i + 1} AS {n}" for i, n in enumerate(names))
+    offdf = h.sparkSession.sql(f"SELECT {cols} FROM VALUES {vals}")
     return (
-        h.join(F.broadcast(offdf), "__pid")
+        h.join(F.broadcast(offdf), ["__pid", *gcols])
         .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
         .drop("__pid", "__loc", "__off", val_col)
     )
@@ -168,7 +199,12 @@ def exact_ntile(
     hist = df.groupBy(score_col).agg(F.count("*").alias("__c"))
     hist = _exclusive_prefix(hist, order, "__c", "__higher")
     wg = Window.partitionBy(score_col).orderBy(F.asc(id_col))
-    ranked = df.join(F.broadcast(hist), score_col).withColumn(
+    # NO broadcast hint on the histogram: for near-unique scores
+    # (q_rfm_segments' monetary_cents) it is ~corpus-sized, and a
+    # forced broadcast re-creates the scale bottleneck one level down
+    # (ADVICE r08 #2). The equi-join on score shuffles both sides;
+    # AQE still size-bound-broadcasts genuinely small domains.
+    ranked = df.join(hist, score_col).withColumn(
         "__rank", (F.col("__higher") + F.row_number().over(wg)).cast("long")
     )
     q, r = divmod(n, n_tiles)
@@ -212,32 +248,30 @@ def exact_ntile_grouped(
         rank = (# rows in MY group with a strictly higher score)
              + row_number within (group, score)
 
-    The histogram aggregates to |groups x score domain| rows (micro
-    scores are domain-bounded), its running sum windows over the
-    HISTOGRAM partitioned by group, and the only corpus-sized window
-    partitions by (group, score) — bounded by the largest tie group.
-    Per-group row counts join in so the NTILE split (first n MOD t
-    tiles get the extra row) evaluates in-row; the result is
-    bit-identical to the partitioned-window NTILE (pinned in
-    tests/test_skew.py)."""
+    The histogram aggregates to |groups x score domain| rows — for
+    per-document micro scores (q_ccnet_buckets' avg_lp_micro) that is
+    ~corpus-sized, so BOTH downstream steps stay distributed (ADVICE
+    r08 #2): the per-group exclusive running sum goes through the
+    two-phase ``_exclusive_prefix`` keyed by (group, score) — no
+    one-task-per-group histogram window — and the histogram joins
+    back by a plain shuffle equi-join on (group, score), never a
+    forced broadcast. The only corpus-sized window partitions by
+    (group, score) — bounded by the largest tie group. Per-group row
+    counts (|groups| rows, genuinely tiny) broadcast in so the NTILE
+    split (first n MOD t tiles get the extra row) evaluates in-row;
+    the result is bit-identical to the partitioned-window NTILE
+    (pinned in tests/test_skew.py)."""
     from pyspark.sql import Window
 
     gn = df.groupBy(group_col).agg(F.count("*").alias("__n"))
     order = F.asc(score_col) if ascending else F.desc(score_col)
     hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("__c"))
-    wh = (
-        Window.partitionBy(group_col)
-        .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hist = hist.select(
-        group_col,
-        score_col,
-        F.coalesce(F.sum("__c").over(wh), F.lit(0)).alias("__higher"),
+    hist = _exclusive_prefix(
+        hist, order, "__c", "__higher", group_col=group_col
     )
     wg = Window.partitionBy(group_col, score_col).orderBy(F.asc(id_col))
     ranked = (
-        df.join(F.broadcast(hist), [group_col, score_col])
+        df.join(hist, [group_col, score_col])
         .join(F.broadcast(gn), group_col)
         .withColumn(
             "__rank",

@@ -323,3 +323,38 @@ class TestFuzzyPairsDepth2:
         df = spark.createDataFrame([(1, "x")], "doc_id long, name string")
         with pytest.raises(ValueError, match="max_dist 0..2"):
             fuzzy_pairs(df, str_col="name", max_dist=3)
+
+
+class TestPackReservedNames:
+    def test_stray_columns_not_projected_without_order(self, spark):
+        # ADVICE r08 #5: full-schema inputs (the CLI path) must not
+        # collide with generated names when no order_cols are given
+        from huckli_spark.operators import packing
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", 7, 3), (2, "d e", 8, 4)],
+            "doc_id long, text string, n_tokens long, shard long",
+        )
+        out = packing.pack_sequences(docs, budget=4, n_shards=2)
+        assert set(out.columns) == {
+            "doc_id", "n_tokens", "shard", "pack_rank", "seq_idx",
+            "offset_in_seq",
+        }
+        # generated n_tokens (whitespace count + eos), not the input 7
+        got = {r.doc_id: r.n_tokens for r in out.collect()}
+        assert got == {1: 4, 2: 3}
+
+    def test_reserved_collision_with_order_cols_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators import packing
+
+        docs = spark.createDataFrame(
+            [(1, "a b", 5, 9)],
+            "doc_id long, text string, quality long, shard long",
+        )
+        with _pytest.raises(ValueError, match="collide"):
+            packing.pack_sequences(
+                docs, budget=4, n_shards=2, order_cols=[F.desc("quality")]
+            )

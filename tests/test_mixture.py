@@ -107,3 +107,22 @@ class TestTrajectory:
         out = doremi_mixture(docs, label).collect()
         assert len(out) == 15  # 3 rounds x 5 langs
         assert {r.dom for r in out} == {"de", "en", "es", "fr", "zh"}
+
+
+class TestDomainLiteralEscaping:
+    def test_backslash_and_quote_domains(self, spark):
+        # ADVICE r08 #4: a backslash or quote in a domain string must
+        # ride the generated VALUES relation intact
+        rows = []
+        for i in range(20):
+            rows.append((i, "aa bb cc dd aa", "d'0\\x"))
+        for i in range(20, 40):
+            rows.append((i, "ee ff gg hh" + (" aa" if i % 2 else ""),
+                         'd"1\\'))
+        out = doremi_mixture(
+            _docs(spark, rows), LABEL(), rounds=2, inner_iters=1,
+            ref_iters=2
+        ).collect()
+        assert len(out) == 4  # 2 rounds x 2 domains
+        assert {r.dom for r in out} == {"d'0\\x", 'd"1\\'}
+        assert all(r.n_docs == 20 for r in out)

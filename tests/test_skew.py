@@ -157,3 +157,60 @@ class TestExactNtileGrouped:
                 for r in df.withColumn("t", F.ntile(t).over(w)).collect()
             }
             assert got == want, f"t={t}"
+
+
+class TestGroupedPrefixScale:
+    """ADVICE r08 #2: the grouped prefix must survive near-unique
+    score domains (no one-task-per-group histogram window, no forced
+    broadcast of a corpus-sized histogram) and hostile group
+    literals (quotes/backslashes ride through the VALUES relation)."""
+
+    def test_near_unique_scores_match_partitioned_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.skew import exact_ntile_grouped
+
+        rows = [
+            (g, i, i * 1000 + hash((g, i)) % 997)
+            for g in ("x'y", "a\\b", "plain")
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "lang string, doc_id long, score long"
+        )
+        got = {
+            (r["lang"], r["doc_id"]): r["tile"]
+            for r in exact_ntile_grouped(
+                df, 7, score_col="score", id_col="doc_id", group_col="lang"
+            ).collect()
+        }
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        want = {
+            (r["lang"], r["doc_id"]): r["t"]
+            for r in df.withColumn("t", F.ntile(7).over(w)).collect()
+        }
+        assert got == want
+
+    def test_histogram_window_partitions_by_pid_and_group(self, spark):
+        # the running sum must window by (__pid, group) — a plain
+        # per-group window is the one-task bound this exists to kill
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.skew import _exclusive_prefix
+
+        hist = spark.createDataFrame(
+            [("a", i, 1) for i in range(50)],
+            "lang string, score long, __c long",
+        )
+        out = _exclusive_prefix(
+            hist, F.desc("score"), "__c", "__higher", group_col="lang"
+        )
+        got = {
+            (r["lang"], r["score"]): r["__higher"] for r in out.collect()
+        }
+        assert got[("a", 49)] == 0 and got[("a", 0)] == 49
