@@ -683,6 +683,26 @@ GROUP BY 1"""
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+# --------------------------------------------------- store-backed serving
+def unigram_serve_rows(spark, store_path: str) -> tuple[list, int]:
+    """Load a checksummed unigram tokenizer store and return the
+    (piece, cost) rows plus the DERIVED Viterbi lookback (max piece
+    length in the stored vocab) — THE serving entry point for
+    persisted tokenizers (CLI ``tokenize``/``release`` bundles and
+    q_unigram_serve). Deriving the lookback from the artifact itself
+    kills the train-with-L-6-serve-with-L-4 silent mismatch; the
+    checksum verification inside ``load_tokenizer`` makes a drifted
+    artifact a loud failure, so a hash-green serve certifies the
+    whole train -> store -> load -> encode round trip."""
+    from huckli_spark.operators.tokenizer_store import load_tokenizer
+
+    table, _manifest = load_tokenizer(spark, store_path,
+                                      expect_kind="unigram")
+    rows = [(r["piece"], r["cost"]) for r in table.collect()]
+    lmax = max(len(p) for p, _ in rows)
+    return rows, lmax
+
+
 # ----------------------------------------------- greedy MaxMatch (WordPiece)
 # The BERT-family tokenization rule: at each position take the
 # LONGEST vocab piece (no global optimization). Sharing the unigram

@@ -69,51 +69,77 @@ _GATE_PRIORITY: list[str] = [
     "q_demux_counts",
     "q_decimal_default",
     "q_ts_heuristic",
-    # --- flagships: one per operator family stays graded every round
-    # (streaming's graded reps this round are the curation-wave
-    # streaming queries below)
-    "q_dedup_minhash",
-    "q_multimodal_pipeline",
-    "q_hybrid_retrieval",
-    # --- round-8 rotation part (a): the 16-query curation wave,
-    # registered round 7, first graded now (VERDICT r07 #1). Note
-    # q_semdedup_two_level's trainer was DE-SERIALIZED this round
-    # (grouped k-means, bit-identity pinned) — fresh graded row
-    # certifies the rewrite.
-    "q_semdedup",
-    "q_semdedup_clusters",
-    "q_semdedup_two_level",
-    "q_semdedup_incremental",
-    "q_stream_semdedup_screen",
-    "q_dsir_select",
-    "q_stream_dsir",
-    "q_logreg_quality",
-    "q_logreg_holdout",
-    "q_gopher_rules",
-    "q_stream_quality_gate",
-    "q_diversity_sample",
-    "q_curation_pipeline",
-    "q_embedding_drift",
-    "q_data_card",
-    "q_vocab_coverage",
-    # --- round-8 rotation part (b): the TPC-H battery (VERDICT r07
-    # #7) — driver-certifies the standard join/agg/subquery shapes
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    # --- new in round 8: train-once-serve-many hybrid retrieval from
-    # the persisted ANN index (VERDICT r07 #4); shares
-    # q_hybrid_retrieval's oracle so a green row certifies the
-    # save/load round trip
-    "q_hybrid_serve",
+    # --- round-9 rotation: ALL 30 rotatable slots drain the graded
+    # debt (VERDICT r08 #2 — ">=30 first-time green rows"). Family
+    # coverage note for the usual flagship slots: every family still
+    # lands fresh graded rows THROUGH the first-time set below —
+    # dedup (q_segment_dedup, q_dedup_cap), streaming (q_stream_dq,
+    # q_stream_leaderboard, q_stream_unigram_encode,
+    # q_stream_ann_serve), graph (q_common_neighbors, q_bfs_layers,
+    # q_label_prop), embeddings/ANN (q_pca_power, q_stream_ann_serve,
+    # q_training_triplets), tokenizer (q_unigram_*); r8's flagships
+    # q_dedup_minhash / q_multimodal_pipeline / q_hybrid_retrieval
+    # rotate back in r10 with the warehouse re-grades.
+    # (a) the 23-query analytics close wave (registered r7, VERDICT
+    # r07 #1 second half):
+    "q_event_paths",
+    "q_event_transitions",
+    "q_mad_outliers",
+    "q_timeseries_fill",
+    "q_common_neighbors",
+    "q_segment_dedup",
+    "q_pmi_cooccur",
+    "q_hll_registers",
+    "q_attribution",
+    "q_kmv_set_ops",
+    "q_bfs_layers",
+    "q_dq_audit",
+    "q_group_split",
+    "q_pca_power",
+    "q_winsorize",
+    "q_label_prop",
+    "q_stream_dq",
+    "q_decay_score",
+    "q_cms_join_size",
+    "q_anomaly_days",
+    "q_rfm_segments",
+    "q_ship_lag",
+    "q_stream_leaderboard",
+    # (b) the round-8 continuation flagships (unigram-LM trainer /
+    # encoder, Group-DRO mixture, frozen-table streaming encode):
+    "q_unigram_tokenize",
+    "q_unigram_encode",
+    "q_doremi_mixture",
+    "q_stream_unigram_encode",
+    # (c) VERDICT r08 #1: streaming ANN serve, graded on the FIXED
+    # plan (frozen cid-partitioned posting store, no forced
+    # broadcast — see streaming_parity.py + the r9 plan pin):
+    "q_stream_ann_serve",
+    # (d) two of the round-8 composition queries (the heaviest bench
+    # row + the capped-dedup policy op); the remaining composition
+    # tail + TPC-H battery completion rotate in r10:
+    "q_training_triplets",
+    "q_dedup_cap",
 ]
+# Rotated out for round 9 (ALL driver-graded green in r8; local
+# replica still covers them every round): the 16-query curation wave
+# (q_semdedup family, q_dsir_select, q_stream_dsir, q_logreg_quality,
+# q_logreg_holdout, q_gopher_rules, q_stream_quality_gate,
+# q_diversity_sample, q_curation_pipeline, q_embedding_drift,
+# q_data_card, q_vocab_coverage), the 10 r8 TPC-H rows (q6 q7 q8 q10
+# q11 q13 q14 q15 q18 q19), the three family flagships
+# (q_dedup_minhash, q_multimodal_pipeline, q_hybrid_retrieval) and
+# q_hybrid_serve.
+# Round-10 rotation queue (the remaining graded debt + hygiene):
+# TPC-H battery completion (q_tpch_q1 q2 q3 q4 q5 q9 q12 q16 q20
+# q21), the composition tail (q_quality_budget, q_bpe_fertility,
+# q_ccnet_buckets, q_curriculum_pack, q_hash_quantiles,
+# q_source_overlap, q_bleu_eval, q_rouge_eval, q_maxmatch_compare),
+# round-9 registrations (q_image_dedup, q_unigram_serve), plus
+# flagship re-grades so no family's last graded row ages past two
+# rounds: q_dedup_minhash, q_multimodal_pipeline, q_hybrid_retrieval,
+# and a warehouse rep (q_merge_upsert or q_scd2_history, last graded
+# r7).
 # Rotated out for round 8 (ALL driver-graded green in r7; local
 # replica still covers them every round): q_sessionize, q_pii_redact,
 # q_bloom_decontaminate, q_asof_join, q_range_join, q_merge_upsert,
@@ -140,39 +166,9 @@ _GATE_PRIORITY: list[str] = [
 # q_decontaminate, q_sequence_pack, q_stream_time_bucket,
 # q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# Round-9 rotation queue (registered round 7, replica-green, never
-# yet driver-graded — the analytics close wave; VERDICT r07 #1 said
-# two rounds to drain, this is the second): q_event_paths,
-# q_event_transitions, q_mad_outliers, q_timeseries_fill,
-# q_common_neighbors, q_segment_dedup, q_pmi_cooccur,
-# q_hll_registers, q_attribution, q_kmv_set_ops, q_bfs_layers,
-# q_dq_audit, q_group_split, q_pca_power, q_winsorize, q_label_prop,
-# q_stream_dq, q_decay_score, q_cms_join_size, q_anomaly_days,
-# q_rfm_segments, q_ship_lag, q_stream_leaderboard — plus the
-# round-8-registered queries: the TPC-H battery completion
-# (q_tpch_q1, q_tpch_q2, q_tpch_q3, q_tpch_q4, q_tpch_q5, q_tpch_q9,
-# q_tpch_q12, q_tpch_q16, q_tpch_q20, q_tpch_q21 — closing all 22
-# TPC-H shapes), q_stream_ann_serve (online ANN from the frozen
-# IVF index), q_training_triplets (contrastive triplet mining),
-# q_quality_budget (quality-vs-token-budget curve), q_bpe_fertility
-# (per-language tokenizer fertility) and q_ccnet_buckets (CCNet
-# head/middle/tail LM terciles per language) — plus the round-8
-# continuation wave: q_unigram_tokenize + q_unigram_encode
-# (SentencePiece-style unigram-LM trainer, full DuckDB DP replay),
-# q_doremi_mixture (Group-DRO domain mixture), and
-# q_stream_unigram_encode (frozen-table streaming tokenization),
-# q_curriculum_pack (quality-ordered shard packing), q_dedup_cap
-# (keep <= K per near-dup cluster), q_hash_quantiles
-# (deterministic bottom-k-sample quantiles), q_source_overlap
-# (all-pairs source contamination matrix), q_bleu_eval
-# (fixed-point corpus BLEU), q_rouge_eval (ROUGE-1/2), and
-# q_maxmatch_compare (greedy WordPiece walk vs Viterbi optimality
-# gap).
-# That is 42 names for 30 slots: grade the 23-query analytics close
-# wave + the 4 continuation flagships + 3 composition queries; the
-# remaining TPC-H rows and composition tail rotate in r10 alongside
-# flagship re-grades. Replica covers everything every round
-# regardless.
+# (The round-7/8 rotation queue that used to live here was drained
+# by the round-9 gate above; the remaining debt is the documented
+# round-10 queue.)
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1198,3 +1198,64 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") > 0)
     )
     return run_to_memory(toks, output_mode="append")
+
+
+@query(
+    "q_unigram_serve",
+    _stream_unigram_oracle(),
+    doc="the COMPLETE tokenizer lifecycle in one gated query (VERDICT "
+    "r08 #4): train the unigram-LM table in batch, PERSIST it through "
+    "the checksummed atomic tokenizer_store, RELOAD it (checksum "
+    "re-verified, kind-checked), and serve streaming tokenization "
+    "from the LOADED artifact — the Viterbi lookback derives from "
+    "the stored vocab itself, never from a caller-supplied constant. "
+    "The oracle is q_stream_unigram_encode's (training + encoding "
+    "replayed relationally), so a green row certifies the "
+    "train -> store -> load -> serve round trip bit-identically — "
+    "the q_hybrid_serve discipline applied to tokenizers. Scale: the "
+    "store is vocab-sized, serving is the same stateless in-row DP "
+    "as the in-session path; release bundles' tokenizers serve "
+    "through the same unigram_serve_rows entry point.",
+)
+def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators import unigram_lm as U
+    from huckli_spark.operators.tokenizer_store import save_tokenizer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = U.unigram_fit(docs, vocab_size=60, n_iters=2, max_piece_len=4)
+    # the store outlives this function (the streaming encode reads the
+    # baked rows eagerly, but keep the artifact inspectable)
+    path = os.path.join(tempfile.mkdtemp(prefix="unigram_store_"), "tok")
+    save_tokenizer(
+        path, "unigram", vocab,
+        params={"vocab_size": 60, "n_iters": 2, "max_piece_len": 4},
+    )
+    vrows, lmax = U.unigram_serve_rows(spark, path)
+    expr = U.tokens_in_row_expr(vrows, lmax)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    toks = (
+        stream.select("doc_id", F.expr(expr).alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk.tokens").cast("long").alias("n_tokens"),
+            F.col("tk.cost_micro").alias("cost_micro"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    return run_to_memory(toks, output_mode="append")

@@ -106,3 +106,55 @@ class TestIntegrity:
         vocab = unigram_fit(_corpus(spark), vocab_size=10, n_iters=1)
         with pytest.raises(ValueError, match="missing columns"):
             save_tokenizer(str(tmp_path / "x"), "bpe", vocab)
+
+
+class TestUnigramServeRows:
+    def test_serve_rows_round_trip_and_derived_lookback(self, spark, tmp_path):
+        from huckli_spark.operators.tokenizer_store import save_tokenizer
+        from huckli_spark.operators.unigram_lm import (
+            unigram_fit,
+            unigram_serve_rows,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "international nation nation token tokenize")],
+            "doc_id long, text string",
+        )
+        vocab = unigram_fit(docs, vocab_size=40, n_iters=1, max_piece_len=4)
+        path = str(tmp_path / "tok")
+        save_tokenizer(path, "unigram", vocab, params={"max_piece_len": 4})
+        rows, lmax = unigram_serve_rows(spark, path)
+        assert sorted(rows) == sorted(
+            (r.piece, r.cost) for r in vocab.collect()
+        )
+        assert 1 <= lmax <= 4
+
+    def test_serve_new_corpus_with_oov_chars(self, spark, tmp_path):
+        # the advertised lifecycle: reload-and-encode on a NEW corpus —
+        # unseen characters take the UNK char-fallback, never cost 0
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.tokenizer_store import save_tokenizer
+        from huckli_spark.operators.unigram_lm import (
+            UNK_COST,
+            tokens_in_row_expr,
+            unigram_fit,
+            unigram_serve_rows,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "nation token nation tokenize")],
+            "doc_id long, text string",
+        )
+        vocab = unigram_fit(docs, vocab_size=40, n_iters=1, max_piece_len=4)
+        path = str(tmp_path / "tok")
+        save_tokenizer(path, "unigram", vocab, params={})
+        rows, lmax = unigram_serve_rows(spark, path)
+        new = spark.createDataFrame(
+            [(1, "QQ token")], "doc_id long, text string"
+        )
+        out = new.select(
+            F.expr(tokens_in_row_expr(rows, lmax)).alias("tk")
+        ).collect()[0].tk
+        assert out.tokens[:2] == ["Q", "Q"]
+        assert out.cost_micro >= 2 * UNK_COST
