@@ -958,3 +958,87 @@ def sql_semdedup_two_level(
            (m2.vec_id IN (SELECT vec_id FROM dups2)) AS is_dup
     FROM m2
     """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (round 8; extracted round 9 for the
+# scale probe — q_training_triplets delegates here with k=8)
+# ---------------------------------------------------------------------------
+def mine_triplets(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    tau_micro: int = 450_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """(anchor, positive, negative, pos_sim_micro, neg_sim_micro):
+    within each k-means cluster, every anchor that has a semantic
+    near-dup (sim >= tau) pairs its highest-cosine duplicate as the
+    POSITIVE and its highest-cosine same-cluster non-duplicate as the
+    hard NEGATIVE. Perf shape (round-8 rewrite, hash-identical to the
+    windowed form): per-vector L2 norms are computed ONCE and carried
+    into the pair join (1 O(d) fold per pair, not 3 — cos is the same
+    double ops in the same order as simsearch.cosine, so every
+    sim_micro is bit-identical), and both rank-1 picks collapse into
+    ONE groupBy(anchor) with conditional struct-max aggregates —
+    max(struct(sim_micro, -other)) IS "order by sim desc, id asc" —
+    so the O(n*cluster) pair relation is evaluated once and reduced
+    map-side instead of twice window-sorted and self-joined. Scale:
+    pairs key on cid only (cluster-bounded, the SemDeDup discipline —
+    scale k with the corpus to hold cluster geometry constant; probed
+    in SCALE_PROBE_triplets.json), output is O(n). The membered
+    relation (id, cid, vec, norm) is PERSISTED across the self-join —
+    without it each side re-runs the assignment + embedding join
+    (measured 2.29x -> 1.93x wall ratio at the 10x probe) — released
+    via eager_release (the cache-discipline contract).
+    ``materialize=False`` returns the fully lazy plan (no persist, no
+    spill) for plan inspection — the plan-pin hook, as in
+    simsearch.cosine_pairs_lsh."""
+    from huckli_spark.operators.cache import eager_release
+    from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from huckli_spark.operators.simsearch import dot, l2_norm
+
+    cents = kmeans_fit(emb, k=k, iterations=iterations,
+                       id_col=id_col, vec_col=vec_col)
+    m = kmeans_assign(emb, cents, id_col=id_col, vec_col=vec_col).join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        F.col(id_col), "cid", F.col(vec_col),
+        l2_norm(vec_col).alias("nrm"),
+    )
+    if materialize:
+        m = m.persist()
+    a = m.select(
+        F.col(id_col).alias("anchor"), "cid",
+        F.col(vec_col).alias("__ea"), F.col("nrm").alias("__na"),
+    )
+    b = m.select(
+        F.col(id_col).alias("other"), "cid",
+        F.col(vec_col).alias("__eb"), F.col("nrm").alias("__nb"),
+    )
+    cos = dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))
+    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("anchor") != F.col("other"))
+        .select("anchor", "other", sim.alias("sim_micro"))
+    )
+    is_pos = F.col("sim_micro") >= F.lit(tau_micro)
+    pick = lambda cond: F.max(  # noqa: E731 — rank-1 under (sim desc, id asc)
+        F.when(cond, F.struct(F.col("sim_micro"), (-F.col("other")).alias("no")))
+    )
+    best = pairs.groupBy("anchor").agg(
+        pick(is_pos).alias("p"), pick(~is_pos).alias("n")
+    )
+    out = best.where(
+        F.col("p").isNotNull() & F.col("n").isNotNull()
+    ).select(
+        "anchor",
+        (-F.col("p.no")).alias("positive"),
+        (-F.col("n.no")).alias("negative"),
+        F.col("p.sim_micro").alias("pos_sim_micro"),
+        F.col("n.sim_micro").alias("neg_sim_micro"),
+    )
+    return eager_release(out, m) if materialize else out

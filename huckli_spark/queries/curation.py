@@ -599,55 +599,14 @@ def _triplets_oracle() -> str:
     "keeps two rows — output is O(n), never O(n^2).",
 )
 def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Perf shape (round-8 rewrite, hash-identical to the windowed
-    # form): (1) each vector's L2 norm is computed ONCE and carried
-    # into the pair join — cos = dot/(na*nb) is the same double ops
-    # in the same order as simsearch.cosine, so every sim_micro is
-    # bit-identical, but the per-pair fold drops from 3 O(d)
-    # aggregates to 1; (2) both rank-1 picks collapse into one
-    # groupBy(anchor) with conditional struct-max aggregates —
-    # max(sim_micro, -other) IS "order by sim desc, id asc" — so the
-    # O(n·cluster) pair relation is evaluated once and reduced
-    # map-side instead of twice window-sorted and self-joined.
-    from huckli_spark.operators.clustering import kmeans_assign, kmeans_fit
-    from huckli_spark.operators.simsearch import dot, l2_norm
+    # perf shape + the round-8 norm-hoist/struct-max rewrite live in
+    # operators.curation.mine_triplets (extracted round 9 so the
+    # scale probe can vary k — the cluster-geometry knob)
+    from huckli_spark.operators.curation import mine_triplets
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    cents = kmeans_fit(emb, k=8, iterations=2)
-    m = kmeans_assign(emb, cents).join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    ).select("vec_id", "cid", "embedding", l2_norm("embedding").alias("nrm"))
-    a = m.select(
-        F.col("vec_id").alias("anchor"), "cid",
-        F.col("embedding").alias("__ea"), F.col("nrm").alias("__na"),
-    )
-    b = m.select(
-        F.col("vec_id").alias("other"), "cid",
-        F.col("embedding").alias("__eb"), F.col("nrm").alias("__nb"),
-    )
-    cos = dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))
-    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("anchor") != F.col("other"))
-        .select("anchor", "other", sim.alias("sim_micro"))
-    )
-    is_pos = F.col("sim_micro") >= _TRIPLET_TAU_MICRO
-    pick = lambda cond: F.max(  # noqa: E731 — rank-1 under (sim desc, id asc)
-        F.when(cond, F.struct(F.col("sim_micro"), (-F.col("other")).alias("no")))
-    )
-    best = pairs.groupBy("anchor").agg(
-        pick(is_pos).alias("p"), pick(~is_pos).alias("n")
-    )
-    return best.where(
-        F.col("p").isNotNull() & F.col("n").isNotNull()
-    ).select(
-        "anchor",
-        (-F.col("p.no")).alias("positive"),
-        (-F.col("n.no")).alias("negative"),
-        F.col("p.sim_micro").alias("pos_sim_micro"),
-        F.col("n.sim_micro").alias("neg_sim_micro"),
-    )
+    return mine_triplets(emb, k=8, iterations=2,
+                         tau_micro=_TRIPLET_TAU_MICRO)
 
 
 # ---------------------------------------------------------------------------

@@ -634,8 +634,18 @@ class TestRound8CompositionPlans:
         # are conditional struct-max aggregates, so the O(n·cluster)
         # pair relation is never window-sorted (no Window operator at
         # all) and reduces map-side (partial HashAggregate before the
-        # anchor exchange)
-        plan = _plan(spark, "q_training_triplets")
+        # anchor exchange). Inspect the LAZY form — the gated query
+        # materializes eagerly (cache discipline), so its registry
+        # plan is a scratch scan.
+        import os
+
+        from huckli_spark.operators.curation import mine_triplets
+
+        emb = spark.read.parquet(
+            os.path.join(SF_SMALL, "embeddings.parquet")
+        )
+        df = mine_triplets(emb, k=8, iterations=2, materialize=False)
+        plan = _lazy_plan(spark, df)
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
         assert "Window" not in plan, plan
