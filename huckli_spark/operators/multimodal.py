@@ -720,3 +720,100 @@ def audio_features(
             )
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(run, _AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup — 60-bit difference hash (round 9)
+# ---------------------------------------------------------------------------
+# 6 rows x 11 grid columns -> 6 x 10 adjacent-column comparisons = 60
+# bits, exactly SIMHASH_BITS, so the hashes feed the exact pigeonhole
+# banding of sketch.simhash_pairs_from_signatures unchanged.
+DHASH_ROWS = 6
+DHASH_COLS = 11
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """(id, dhash): 60-bit perceptual difference hash over decoded
+    pixels — the image-modality near-dup fingerprint (dHash, the
+    public gradient-hash construction).
+
+    Arithmetic is EXACT-INTEGER end to end (channel collapse = int
+    sum // channels; block mean = int sum // block area with
+    floor(r*h/R) edges; bit b = m[r][c+1] > m[r][c]), so a relational
+    replay computes bit-identical hashes, and a uniform brightness
+    shift cancels in the adjacent-column comparison — shifted copies
+    are Hamming-0 duplicates (the classic dHash property, pinned in
+    tests/test_multimodal.py). Scale: decode + hash is one Arrow
+    mapInPandas pass, O(pixels) per image, no shuffle; pair
+    generation reuses the exact <=3-Hamming pigeonhole banding of
+    sketch.simhash_pairs_from_signatures (equi-join on 15-bit chunks,
+    never all-pairs). Undecodable or sub-grid (< 6x11) blobs yield a
+    null hash (drop-and-continue, the A8 policy)."""
+    spark = df.sparkSession
+    ensure_package_on_executors(spark)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        R, C = mm.DHASH_ROWS, mm.DHASH_COLS
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    arr = mm.decode_any_image(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), None))
+                    continue
+                h, w, c = arr.shape
+                if h < R or w < C:
+                    rows.append((int(mid), None))
+                    continue
+                g = arr.astype(np.int64).sum(axis=2) // c
+                ys = [r * h // R for r in range(R + 1)]
+                xs = [x * w // C for x in range(C + 1)]
+                m = [
+                    [
+                        int(g[ys[r]:ys[r + 1], xs[x]:xs[x + 1]].sum())
+                        // ((ys[r + 1] - ys[r]) * (xs[x + 1] - xs[x]))
+                        for x in range(C)
+                    ]
+                    for r in range(R)
+                ]
+                hv = 0
+                for r in range(R):
+                    for x in range(C - 1):
+                        if m[r][x + 1] > m[r][x]:
+                            hv |= 1 << (r * (C - 1) + x)
+                rows.append((int(mid), hv))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
+        run, _DHASH_SCHEMA
+    )
+
+
+def image_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(d1, d2, hamming): image pairs within ``max_hamming`` bits of
+    perceptual-hash distance — decode -> dHash -> the exact banded
+    Hamming join (never an all-pairs product)."""
+    from huckli_spark.operators.sketch import simhash_pairs_from_signatures
+
+    sig = image_dhash(df, id_col, data_col).where(
+        F.col("dhash").isNotNull()
+    ).select(F.col("media_id").alias(id_col), F.col("dhash").alias("simhash"))
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)

@@ -312,3 +312,66 @@ class TestBMPCodec:
         r = mm.image_features(df).collect()[0]
         assert (r["width"], r["height"], r["channels"]) == (9, 6, 3)
         assert abs(r["features"][0] - float(img[:, :, 0].mean())) < 1e-9
+
+
+class TestImageDhash:
+    def test_brightness_shift_invariance(self, spark):
+        # the property the dedup exploits: +k on every pixel (no
+        # clipping) leaves the hash bit-identical
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        rows = [
+            (0, mm.encode_png(img)),
+            (1, mm.encode_png((img.astype(np.int64) + 40).astype(np.uint8))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+        assert got[0] == got[1]
+        assert 0 <= got[0] < (1 << 60)
+
+    def test_small_and_undecodable_blobs_yield_null(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        tiny = np.zeros((3, 5, 1), dtype=np.uint8)
+        rows = [(0, mm.encode_png(tiny)), (1, b"not an image")]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+        assert got == {0: None, 1: None}
+
+    def test_pairs_match_bruteforce(self, spark):
+        # banded pairs == brute-force XOR pairs on a crafted set with
+        # near (1-2 bit) and far hashes
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        variant = base.copy()
+        variant[0:4, 0:3, 0] += 40  # nudge one block region
+        far = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        rows = [
+            (0, mm.encode_png(base)),
+            (1, mm.encode_png((base.astype(np.int64) + 10).astype(np.uint8))),
+            (2, mm.encode_png(variant)),
+            (3, mm.encode_png(far)),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        sigs = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+        want = set()
+        for a in sigs:
+            for b in sigs:
+                if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                    want.add((a, b))
+        got = {
+            (r.d1, r.d2)
+            for r in mm.image_dedup_pairs(df, max_hamming=3).collect()
+        }
+        assert got == want
+        assert (0, 1) in got  # brightness copy always survives

@@ -922,3 +922,16 @@ class TestStreamAnnServePlan:
         assert "BroadcastExchange" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "Python" not in plan, plan
+
+
+class TestImageDedupPlan:
+    def test_banded_join_never_all_pairs(self, spark):
+        # the pair stage must be the pigeonhole equi-join on 15-bit
+        # chunks — no cross product anywhere; Python appears ONLY as
+        # the Arrow decode/hash stage (the legitimate codec path)
+        plan = _plan(spark, "q_image_dedup")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+        # decode/hash rides Arrow batches, never row-at-a-time UDFs
+        assert "ArrowEvalPython" not in plan or "BatchEvalPython" not in plan
