@@ -739,6 +739,34 @@ _DHASH_SCHEMA = T.StructType(
 )
 
 
+def dhash_bits(arr: np.ndarray) -> "int | None":
+    """60-bit difference hash of one decoded (h, w, c) uint8 array —
+    the shared fingerprint core of image_dhash and the per-frame
+    video path. Exact integer arithmetic throughout (see image_dhash);
+    None for sub-grid images."""
+    R, C = DHASH_ROWS, DHASH_COLS
+    h, w, c = arr.shape
+    if h < R or w < C:
+        return None
+    g = arr.astype(np.int64).sum(axis=2) // c
+    ys = [r * h // R for r in range(R + 1)]
+    xs = [x * w // C for x in range(C + 1)]
+    m = [
+        [
+            int(g[ys[r]:ys[r + 1], xs[x]:xs[x + 1]].sum())
+            // ((ys[r + 1] - ys[r]) * (xs[x + 1] - xs[x]))
+            for x in range(C)
+        ]
+        for r in range(R)
+    ]
+    hv = 0
+    for r in range(R):
+        for x in range(C - 1):
+            if m[r][x + 1] > m[r][x]:
+                hv |= 1 << (r * (C - 1) + x)
+    return hv
+
+
 def image_dhash(
     df: DataFrame, id_col: str = "media_id", data_col: str = "data"
 ) -> DataFrame:
@@ -765,7 +793,6 @@ def image_dhash(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from huckli_spark.operators import multimodal as mm
 
-        R, C = mm.DHASH_ROWS, mm.DHASH_COLS
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
@@ -774,27 +801,7 @@ def image_dhash(
                 except (ValueError, NotImplementedError):
                     rows.append((int(mid), None))
                     continue
-                h, w, c = arr.shape
-                if h < R or w < C:
-                    rows.append((int(mid), None))
-                    continue
-                g = arr.astype(np.int64).sum(axis=2) // c
-                ys = [r * h // R for r in range(R + 1)]
-                xs = [x * w // C for x in range(C + 1)]
-                m = [
-                    [
-                        int(g[ys[r]:ys[r + 1], xs[x]:xs[x + 1]].sum())
-                        // ((ys[r + 1] - ys[r]) * (xs[x + 1] - xs[x]))
-                        for x in range(C)
-                    ]
-                    for r in range(R)
-                ]
-                hv = 0
-                for r in range(R):
-                    for x in range(C - 1):
-                        if m[r][x + 1] > m[r][x]:
-                            hv |= 1 << (r * (C - 1) + x)
-                rows.append((int(mid), hv))
+                rows.append((int(mid), mm.dhash_bits(arr)))
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
@@ -817,3 +824,151 @@ def image_dedup_pairs(
         F.col("dhash").isNotNull()
     ).select(F.col("media_id").alias(id_col), F.col("dhash").alias("simhash"))
     return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio dedup — 60-bit frame-energy delta hash (round 9)
+# ---------------------------------------------------------------------------
+# 61 equal frames -> 60 adjacent-frame energy comparisons = 60 bits,
+# again exactly SIMHASH_BITS for the shared pigeonhole banding.
+FP_FRAMES = 61
+
+
+def audio_energy_hash(samples: np.ndarray) -> "int | None":
+    """60-bit audio fingerprint: split the mono int16 stream into 61
+    floor-edged equal frames, frame energy = exact integer sum of
+    |sample|, bit f = E[f+1] > E[f]. A uniform (non-clipping) GAIN
+    multiplies every energy by the same factor, so gain-shifted
+    copies hash identically — the audio analog of dHash's brightness
+    invariance. None for streams shorter than 61 samples."""
+    n = int(samples.shape[0])
+    if n < FP_FRAMES:
+        return None
+    a = np.abs(samples.astype(np.int64))
+    edges = [f * n // FP_FRAMES for f in range(FP_FRAMES + 1)]
+    e = [int(a[edges[f]:edges[f + 1]].sum()) for f in range(FP_FRAMES)]
+    hv = 0
+    for f in range(FP_FRAMES - 1):
+        if e[f + 1] > e[f]:
+            hv |= 1 << f
+    return hv
+
+
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """(id, ahash): decode audio blobs (WAV or HKA1) via one Arrow
+    mapInPandas pass and fingerprint with :func:`audio_energy_hash`.
+    Undecodable / too-short blobs yield null (A8 policy)."""
+    ensure_package_on_executors(df.sparkSession)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    s, _sr = mm.decode_any_audio(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(mid), None))
+                    continue
+                rows.append((int(mid), mm.audio_energy_hash(s)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
+        run, _AHASH_SCHEMA
+    )
+
+
+def audio_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(d1, d2, hamming): audio pairs within ``max_hamming`` bits of
+    fingerprint distance — decode -> energy hash -> the exact banded
+    Hamming join (never an all-pairs product)."""
+    from huckli_spark.operators.sketch import simhash_pairs_from_signatures
+
+    sig = audio_fingerprint(df, id_col, data_col).where(
+        F.col("ahash").isNotNull()
+    ).select(F.col("media_id").alias(id_col), F.col("ahash").alias("simhash"))
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup via frame-level fingerprints (round 9)
+# ---------------------------------------------------------------------------
+_VHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fhash", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """(id, fhash): per-video DISTINCT frame dHashes — decode the
+    HKV1 container, dHash every frame with the shared
+    :func:`dhash_bits` core. One Arrow pass, O(frames x pixels) per
+    video; undecodable videos / sub-grid frames drop (A8)."""
+    ensure_package_on_executors(df.sparkSession)
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    frames = list(mm.iter_video_frames(bytes(blob)))
+                except (ValueError, NotImplementedError):
+                    continue
+                seen = set()
+                for fb in frames:
+                    try:
+                        hv = mm.dhash_bits(mm.decode_image_bytes(fb))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    if hv is not None and hv not in seen:
+                        seen.add(hv)
+                        rows.append((int(mid), hv))
+            yield pd.DataFrame(rows, columns=["media_id", "fhash"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
+        run, _VHASH_SCHEMA
+    )
+
+
+def video_dedup_pairs(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """(d1, d2, n_shared): video pairs sharing at least one frame
+    fingerprint — the frame-level containment join. Candidate
+    generation is an EQUI-JOIN on the 60-bit frame hash (the
+    shared-frame bucket is the band), so shuffle volume is
+    O(videos x distinct frames), never an all-pairs product; n_shared
+    counts distinct shared fingerprints."""
+    fh = video_frame_hashes(df, id_col, data_col)
+    a = fh.select(F.col("media_id").alias("d1"), "fhash")
+    b = fh.select(F.col("media_id").alias("d2"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -300,3 +300,235 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("img_b"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio dedup (round 9)
+# ---------------------------------------------------------------------------
+# 240 mono PCM-WAV clips in 30 families; every member of a family is
+# the same waveform at a different integer GAIN (x1..x8, bounded so
+# int16 never clips). Each family gets its own per-frame energy
+# ENVELOPE (1 + (f*(fam+3)) % 7), so families hash far apart while
+# the gain-invariant frame-energy delta hash puts family members at
+# Hamming 0; the closed form lets DuckDB replay decode -> frame
+# energies -> hash -> pairs exactly.
+_AUD_N = 240
+_AUD_FAM = 30
+_AUD_LEN = 1220  # 61 frames x 20 samples, exact edges
+
+
+def _audio_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    from huckli_spark.runtime import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .where(F.col("doc_id") < _AUD_N)
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from huckli_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fam, gain = did % _AUD_FAM, (did // _AUD_FAM) % 8 + 1
+                i = np.arange(_AUD_LEN, dtype=np.int64)
+                env = 1 + ((i // 20) * (fam + 3)) % 7
+                s = ((((fam * 31 + i * 17) % 1001) - 500) * env) * gain
+                rows.append(
+                    (did, mm.encode_wav(s.astype(np.int16), 8000))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return ids.mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("data", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+_AUDIO_DEDUP_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
+    ), sm AS (
+      SELECT mid, i.i // 20 AS f,
+             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
+                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
+               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
+      FROM ids, range(0, {_AUD_LEN}) i(i)
+    ), fe AS (
+      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM sm GROUP BY 1, 2
+    ), hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM fe a JOIN fe b ON b.mid = a.mid AND b.f = a.f + 1
+      WHERE a.f < 60
+      GROUP BY 1
+    )
+    SELECT a.mid AS aud_a, b.mid AS aud_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.mid < b.mid
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+@query(
+    "q_audio_dedup",
+    _AUDIO_DEDUP_ORACLE,
+    doc="perceptual audio dedup over the multimodal binary column: "
+    "synthesize closed-form PCM waveforms (30 families x 8 "
+    "gain-scaled copies), encode as REAL 16-bit WAV bytes, decode via "
+    "Arrow mapInPandas, fingerprint with the exact-integer 60-bit "
+    "frame-energy delta hash (gain-invariant — the audio analog of "
+    "dHash's brightness invariance), and pair with the exact "
+    "<=3-Hamming pigeonhole banding (equi-join, never all-pairs). "
+    "The DuckDB oracle replays samples -> frame energies -> hash -> "
+    "brute-force pairs from the same closed form, certifying the WAV "
+    "round trip + hash arithmetic + banded exactness.",
+)
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.multimodal import audio_dedup_pairs
+
+    media = _audio_media_df(spark, sf_dir)
+    return audio_dedup_pairs(media, max_hamming=3).select(
+        F.col("d1").alias("aud_a"),
+        F.col("d2").alias("aud_b"),
+        "hamming",
+    )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup via shared frame fingerprints (round 9)
+# ---------------------------------------------------------------------------
+# 180 HKV1 videos of 2-4 frames drawn from a 40-frame closed-form
+# pool (video v holds pool frames (v*3+j) % 40): consecutive videos
+# share pool frames, so the frame-hash equi-join surfaces real
+# containment pairs, and the pool closed form lets DuckDB replay
+# frame hash -> membership -> shared-count exactly.
+_VID_N = 180
+_VID_POOL = 40
+_VID_H, _VID_W = 24, 33
+
+
+def _video_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    from huckli_spark.runtime import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .where(F.col("doc_id") < _VID_N)
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from huckli_spark.operators import multimodal as mm
+
+        y = np.arange(_VID_H, dtype=np.int64)[:, None]
+        x = np.arange(_VID_W, dtype=np.int64)[None, :]
+
+        def pool_frame(fid: int) -> "np.ndarray":
+            base = (fid * 53 + y * 17 + x * 29
+                    + ((x * y + fid) % 13) * 9) % 200
+            return base.astype(np.uint8)[:, :, None]
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = [
+                    pool_frame((did * 3 + j) % _VID_POOL) for j in range(nf)
+                ]
+                rows.append((did, mm.encode_video(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return ids.mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("data", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+_VIDEO_DEDUP_ORACLE = f"""
+    WITH px AS (
+      SELECT fid.fid, y.y, x.x,
+             (fid.fid * 53 + y.y * 17 + x.x * 29
+              + ((x.x * y.y + fid.fid) % 13) * 9) % 200 AS p
+      FROM range(0, {_VID_POOL}) fid(fid),
+           range(0, {_VID_H}) y(y), range(0, {_VID_W}) x(x)
+    ), blocks AS (
+      SELECT fid, y // 4 AS r, x // 3 AS c,
+             CAST(sum(p) // 12 AS BIGINT) AS m
+      FROM px GROUP BY 1, 2, 3
+    ), pool_hashes AS (
+      SELECT a.fid,
+             CAST(sum(CASE WHEN b.m > a.m
+                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM blocks a JOIN blocks b
+        ON b.fid = a.fid AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 10
+      GROUP BY 1
+    ), vids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_VID_N}
+    ), memb AS (
+      SELECT DISTINCT vids.mid,
+             (vids.mid * 3 + j.j) % {_VID_POOL} AS fid
+      FROM vids, range(0, 4) j(j)
+      WHERE j.j < 2 + vids.mid % 3
+    ), vf AS (
+      SELECT DISTINCT m.mid, ph.h
+      FROM memb m JOIN pool_hashes ph USING (fid)
+    )
+    SELECT a.mid AS vid_a, b.mid AS vid_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM vf a JOIN vf b ON a.h = b.h AND a.mid < b.mid
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_video_dedup",
+    _VIDEO_DEDUP_ORACLE,
+    doc="video near-dup detection via frame-level fingerprints: "
+    "synthesize HKV1 containers (2-4 frames each from a 40-frame "
+    "closed-form pool), decode every frame via Arrow mapInPandas, "
+    "dHash each frame with the shared exact-integer core, and join "
+    "videos on EQUAL frame hashes (the shared-frame bucket IS the "
+    "band — an equi-join, never an all-pairs product), counting "
+    "distinct shared fingerprints per pair. The DuckDB oracle "
+    "replays pool pixels -> frame hashes -> membership -> shared "
+    "counts from the same closed forms.",
+)
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.multimodal import video_dedup_pairs
+
+    media = _video_media_df(spark, sf_dir)
+    return video_dedup_pairs(media).select(
+        F.col("d1").alias("vid_a"),
+        F.col("d2").alias("vid_b"),
+        "n_shared",
+    )

@@ -375,3 +375,87 @@ class TestImageDhash:
         }
         assert got == want
         assert (0, 1) in got  # brightness copy always survives
+
+
+class TestAudioFingerprint:
+    def test_gain_invariance(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(11)
+        base = rng.randint(-3000, 3000, size=1220).astype(np.int16)
+        rows = [
+            (0, mm.encode_wav(base, 8000)),
+            (1, mm.encode_wav((base.astype(np.int64) * 5)
+                              .astype(np.int16), 8000)),
+            (2, mm.encode_audio(base, 8000)),  # HKA1 arm, same samples
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r.media_id: r.ahash for r in mm.audio_fingerprint(df).collect()}
+        assert got[0] == got[1] == got[2]
+        assert 0 <= got[0] < (1 << 60)
+
+    def test_short_and_undecodable_yield_null(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rows = [
+            (0, mm.encode_wav(np.zeros(10, dtype=np.int16), 8000)),
+            (1, b"junk"),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r.media_id: r.ahash for r in mm.audio_fingerprint(df).collect()}
+        assert got == {0: None, 1: None}
+
+    def test_pairs_match_bruteforce(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(-2000, 2000, size=1220).astype(np.int16)
+        other = rng.randint(-2000, 2000, size=1220).astype(np.int16)
+        rows = [
+            (0, mm.encode_wav(base, 8000)),
+            (1, mm.encode_wav((base.astype(np.int64) * 3)
+                              .astype(np.int16), 8000)),
+            (2, mm.encode_wav(other, 8000)),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        sigs = {r.media_id: r.ahash
+                for r in mm.audio_fingerprint(df).collect()}
+        want = {
+            (a, b)
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r.d1, r.d2)
+            for r in mm.audio_dedup_pairs(df, max_hamming=3).collect()
+        }
+        assert got == want and (0, 1) in got
+
+
+class TestVideoDedup:
+    def test_shared_frames_counted_distinct(self, spark):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(9)
+        f = [rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+             for _ in range(4)]
+        rows = [
+            (0, mm.encode_video([f[0], f[1], f[1]])),  # dup frame inside
+            (1, mm.encode_video([f[1], f[2]])),
+            (2, mm.encode_video([f[3]])),
+            (3, b"not a video"),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {
+            (r.d1, r.d2): r.n_shared
+            for r in mm.video_dedup_pairs(df).collect()
+        }
+        assert got == {(0, 1): 1}

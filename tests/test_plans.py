@@ -935,3 +935,17 @@ class TestImageDedupPlan:
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
         # decode/hash rides Arrow batches, never row-at-a-time UDFs
         assert "ArrowEvalPython" not in plan or "BatchEvalPython" not in plan
+
+
+class TestAudioVideoDedupPlans:
+    def test_audio_banded_join_never_all_pairs(self, spark):
+        plan = _plan(spark, "q_audio_dedup")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_video_frame_hash_equi_join(self, spark):
+        plan = _plan(spark, "q_video_dedup")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # map-side partial count before the (d1, d2) exchange
+        assert "HashAggregate" in plan, plan
