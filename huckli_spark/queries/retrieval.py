@@ -664,13 +664,19 @@ def hybrid_vec_arm_from_index(
 )
 def q_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import uuid
+
+    from huckli_spark.operators.cache import _scratch_dir
 
     docs, em = _docs(spark, sf_dir), _emb(spark, sf_dir)
     # the index outlives this function (the returned DataFrame scans
-    # its codes/posting parquet lazily), so it lands under a fresh
-    # OS-managed tempdir rather than being cleaned up here
-    path = os.path.join(tempfile.mkdtemp(prefix="hybrid_index_"), "index")
+    # its codes/posting parquet lazily), so it lands under the
+    # SESSION-scoped scratch root (cleaned at interpreter exit; a
+    # serving deployment passes a real path) instead of leaking one
+    # OS tempdir per invocation (VERDICT r08 watch item c)
+    path = os.path.join(
+        _scratch_dir(), f"hybrid_index_{uuid.uuid4().hex[:12]}", "index"
+    )
     build_hybrid_index(em, path)
     lex = hybrid_lex_arm(docs, em)
     vec = hybrid_vec_arm_from_index(spark, em, path)

@@ -1062,7 +1062,7 @@ def _stream_ann_oracle() -> str:
 )
 def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import uuid
 
     from pyspark.sql import types as T
 
@@ -1085,8 +1085,10 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the cid partitioning keeps the serve scan prunable to the
     # probed clusters. Plan pin: test_stream_ann_serve_posting_not
     # _broadcast (tests/test_plans.py) proves no hint survives.
+    from huckli_spark.operators.cache import _scratch_dir
+
     idx_dir = os.path.join(
-        tempfile.mkdtemp(prefix="stream_ann_idx_"), "posting"
+        _scratch_dir(), f"stream_ann_idx_{uuid.uuid4().hex[:12]}", "posting"
     )
     simsearch.ivf_assign(emb, cents, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1219,7 +1221,7 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import uuid
 
     from pyspark.sql import types as T
 
@@ -1230,7 +1232,11 @@ def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = U.unigram_fit(docs, vocab_size=60, n_iters=2, max_piece_len=4)
     # the store outlives this function (the streaming encode reads the
     # baked rows eagerly, but keep the artifact inspectable)
-    path = os.path.join(tempfile.mkdtemp(prefix="unigram_store_"), "tok")
+    from huckli_spark.operators.cache import _scratch_dir
+
+    path = os.path.join(
+        _scratch_dir(), f"unigram_store_{uuid.uuid4().hex[:12]}", "tok"
+    )
     save_tokenizer(
         path, "unigram", vocab,
         params={"vocab_size": 60, "n_iters": 2, "max_piece_len": 4},
