@@ -428,3 +428,74 @@ def simhash_pairs_from_signatures(
         .where(first_match)
         .select("d1", "d2", "hamming")
     )
+
+
+def simhash_pairs_cross(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-relation banded Hamming screen: every (new, corpus) pair
+    within ``max_hamming`` bits, each emitted EXACTLY once — the
+    incremental/streaming twin of ``simhash_pairs_from_signatures``
+    (same pigeonhole exactness proof, same first-matching-chunk
+    dedup). Both inputs are (id, simhash) relations; ids live in
+    separate spaces, so no d1<d2 ordering is applied. The corpus side
+    is NEVER broadcast-hinted (it is corpus-sized — the
+    q_stream_ann_serve lesson); the new side's band explode is a pure
+    in-row expression, so this works stream-static with the new side
+    streaming. Returns (new_id, dup_of, hamming)."""
+    n_chunks = SIMHASH_CHUNKS
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"banded simhash is exact only for max_hamming <= "
+            f"{n_chunks - 1}; got {max_hamming}"
+        )
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    def bands(sig: DataFrame) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(mask)
+                .alias("chunk"),
+            )
+            for c in range(n_chunks)
+        ]
+        return sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*entries)).alias("b"),
+        ).select(id_col, "simhash", "b.chunk_id", "b.chunk")
+
+    a = bands(new_sig).select(
+        F.col(id_col).alias("new_id"),
+        F.col("simhash").alias("h1"),
+        "chunk_id",
+        "chunk",
+    )
+    b = bands(corpus_sig).select(
+        F.col(id_col).alias("dup_of"),
+        F.col("simhash").alias("h2"),
+        "chunk_id",
+        "chunk",
+    )
+    xor = F.col("h1").bitwiseXOR(F.col("h2"))
+    ham = F.bit_count(xor)
+    first_match = F.col("chunk_id") == F.when(
+        F.shiftright(xor, 0 * chunk_bits).bitwiseAND(mask) == 0, F.lit(0)
+    ).when(
+        F.shiftright(xor, 1 * chunk_bits).bitwiseAND(mask) == 0, F.lit(1)
+    ).when(
+        F.shiftright(xor, 2 * chunk_bits).bitwiseAND(mask) == 0, F.lit(2)
+    ).otherwise(F.lit(3))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .where(first_match)
+        .select("new_id", "dup_of", "hamming")
+    )

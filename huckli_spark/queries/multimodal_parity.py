@@ -532,3 +532,95 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("vid_b"),
         "n_shared",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming image-dedup screen (round 9)
+# ---------------------------------------------------------------------------
+_IMG_SCREEN_SPLIT = 60  # media_id < 60 stream in as "new"; rest are corpus
+
+
+_IMG_SCREEN_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_IMG_N}
+    ), px AS (
+      SELECT mid, y.y, x.x,
+             ((mid % {_IMG_FAM}) * 53 + y.y * 17 + x.x * 29
+              + ((x.x * y.y + (mid % {_IMG_FAM})) % 13) * 9) % 200
+             + (mid // {_IMG_FAM}) * 5 AS p
+      FROM ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
+    ), blocks AS (
+      SELECT mid, y // 4 AS r, x // 3 AS c,
+             CAST(sum(p) // 12 AS BIGINT) AS m
+      FROM px GROUP BY 1, 2, 3
+    ), hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.m > a.m
+                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM blocks a JOIN blocks b
+        ON b.mid = a.mid AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 10
+      GROUP BY 1
+    )
+    SELECT n.mid AS new_id, c.mid AS dup_of,
+           CAST(bit_count(xor(n.h, c.h)) AS BIGINT) AS hamming
+    FROM hashes n JOIN hashes c
+      ON n.mid < {_IMG_SCREEN_SPLIT} AND c.mid >= {_IMG_SCREEN_SPLIT}
+    WHERE bit_count(xor(n.h, c.h)) <= 3
+"""
+
+
+@query(
+    "q_stream_image_dedup",
+    _IMG_SCREEN_ORACLE,
+    doc="STREAMING image-dedup screen against a FROZEN fingerprint "
+    "index (the q_stream_semdedup_screen lifecycle for the image "
+    "modality): the existing corpus's dHashes freeze to parquet "
+    "before the stream starts; live images decode + fingerprint "
+    "IN-STREAM (Arrow mapInPandas on the streaming relation) and "
+    "screen via the exact <=3-Hamming cross banding — a stateless "
+    "stream-static equi-join on 15-bit chunks, corpus side never "
+    "broadcast-hinted, append mode, zero streaming state. The oracle "
+    "replays both sides' hashes from the closed-form fixture.",
+)
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.operators.multimodal import image_dhash
+    from huckli_spark.operators.sketch import simhash_pairs_cross
+    from huckli_spark.streaming.windows import run_to_memory
+
+    media = _dedup_media_df(spark, sf_dir)
+    root = os.path.join(
+        _scratch_dir(), f"img_screen_{uuid.uuid4().hex[:12]}"
+    )
+    # freeze the corpus fingerprints before the stream starts
+    image_dhash(
+        media.where(F.col("media_id") >= _IMG_SCREEN_SPLIT)
+    ).where(F.col("dhash").isNotNull()).write.parquet(
+        os.path.join(root, "corpus_sig")
+    )
+    corpus_sig = spark.read.parquet(os.path.join(root, "corpus_sig")).select(
+        "media_id", F.col("dhash").alias("simhash")
+    )
+    # stage the live feed as a file-stream source
+    media.where(F.col("media_id") < _IMG_SCREEN_SPLIT).write.parquet(
+        os.path.join(root, "new_media")
+    )
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), True),
+                T.StructField("data", T.BinaryType(), True),
+            ]
+        )
+    ).parquet(os.path.join(root, "new_media"))
+    new_sig = image_dhash(stream).where(
+        F.col("dhash").isNotNull()
+    ).select("media_id", F.col("dhash").alias("simhash"))
+    pairs = simhash_pairs_cross(
+        new_sig, corpus_sig, id_col="media_id", max_hamming=3
+    )
+    return run_to_memory(pairs, output_mode="append")

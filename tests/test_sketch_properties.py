@@ -222,3 +222,41 @@ class TestKCoreBruteForce:
                 for r in kcore(df, k=3, iterations=8).collect()
             }
             assert got == self._brute(edges, 3), trial
+
+
+class TestSimhashPairsCross:
+    def test_matches_bruteforce_cross(self, spark):
+        # the cross screen must equal brute force over new x corpus,
+        # each pair exactly once, on signatures crafted to collide in
+        # multiple chunks (the first-match dedup's hard case)
+        from huckli_spark.operators.sketch import simhash_pairs_cross
+
+        base = 0b101101 << 30 | 0xABC
+        new = [(0, base), (1, base ^ (1 << 5)), (2, (1 << 59) | 7)]
+        corpus = [
+            (100, base),                        # ham 0 vs new 0
+            (101, base ^ (1 << 5) ^ (1 << 20)), # spread bits
+            (102, base ^ 0b111),                # ham 3 vs new 0
+            (103, (1 << 58) | 9),               # far from everything? check
+        ]
+        ns = spark.createDataFrame(new, "doc_id long, simhash long")
+        cs = spark.createDataFrame(corpus, "doc_id long, simhash long")
+        want = {}
+        for nid, nh in new:
+            for cid, ch in corpus:
+                d = bin(nh ^ ch).count("1")
+                if d <= 3:
+                    want[(nid, cid)] = d
+        rows = simhash_pairs_cross(ns, cs, max_hamming=3).collect()
+        got = {(r.new_id, r.dup_of): r.hamming for r in rows}
+        assert len(rows) == len(got)  # exactly-once emission
+        assert got == want and want  # non-vacuous
+
+    def test_rejects_loose_bound(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.sketch import simhash_pairs_cross
+
+        df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+        with _pytest.raises(ValueError, match="exact only"):
+            simhash_pairs_cross(df, df, max_hamming=4)
