@@ -266,6 +266,11 @@ def main() -> None:
         "q_curriculum_pack",
         "q_dedup_cap",
         "q_hash_quantiles",
+        # round-9 perceptual-dedup wave (decode + fingerprint via
+        # Arrow mapInPandas; banded pair joins)
+        "q_image_dedup",
+        "q_audio_dedup",
+        "q_video_dedup",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

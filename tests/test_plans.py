@@ -949,3 +949,30 @@ class TestAudioVideoDedupPlans:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         # map-side partial count before the (d1, d2) exchange
         assert "HashAggregate" in plan, plan
+
+
+class TestStreamImageDedupPlan:
+    def test_cross_screen_equi_join_no_product(self, spark):
+        # batch analog of the stream-static screen: chunk equi-join,
+        # no product, no broadcast hint on the corpus side (with the
+        # size bound off it must plan as a shuffled join)
+        from huckli_spark.operators.sketch import simhash_pairs_cross
+
+        ns = spark.createDataFrame(
+            [(i, (i * 37) % (1 << 60)) for i in range(10)],
+            "doc_id long, simhash long",
+        )
+        cs = spark.createDataFrame(
+            [(i + 100, (i * 91) % (1 << 60)) for i in range(50)],
+            "doc_id long, simhash long",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _lazy_plan(spark, simhash_pairs_cross(ns, cs))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
