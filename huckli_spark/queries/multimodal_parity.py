@@ -624,3 +624,143 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sig, corpus_sig, id_col="media_id", max_hamming=3
     )
     return run_to_memory(pairs, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# media governance card (round 9): the q_data_card discipline for
+# binary modalities — per-kind blob counts, fingerprint coverage, and
+# duplicate excess, composed from the three modality fingerprints.
+# ---------------------------------------------------------------------------
+_MEDIA_CARD_ORACLE = f"""
+    WITH i_ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_IMG_N}
+    ), i_px AS (
+      SELECT mid, y.y, x.x,
+             ((mid % {_IMG_FAM}) * 53 + y.y * 17 + x.x * 29
+              + ((x.x * y.y + (mid % {_IMG_FAM})) % 13) * 9) % 200
+             + (mid // {_IMG_FAM}) * 5 AS p
+      FROM i_ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
+    ), i_blocks AS (
+      SELECT mid, y // 4 AS r, x // 3 AS c,
+             CAST(sum(p) // 12 AS BIGINT) AS m
+      FROM i_px GROUP BY 1, 2, 3
+    ), i_hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.m > a.m
+                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM i_blocks a JOIN i_blocks b
+        ON b.mid = a.mid AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 10 GROUP BY 1
+    ), a_ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
+    ), a_sm AS (
+      SELECT mid, i.i // 20 AS f,
+             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
+                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
+               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
+      FROM a_ids, range(0, {_AUD_LEN}) i(i)
+    ), a_fe AS (
+      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM a_sm GROUP BY 1, 2
+    ), a_hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM a_fe a JOIN a_fe b ON b.mid = a.mid AND b.f = a.f + 1
+      WHERE a.f < 60 GROUP BY 1
+    ), v_px AS (
+      SELECT fid.fid, y.y, x.x,
+             (fid.fid * 53 + y.y * 17 + x.x * 29
+              + ((x.x * y.y + fid.fid) % 13) * 9) % 200 AS p
+      FROM range(0, {_VID_POOL}) fid(fid),
+           range(0, {_VID_H}) y(y), range(0, {_VID_W}) x(x)
+    ), v_blocks AS (
+      SELECT fid, y // 4 AS r, x // 3 AS c,
+             CAST(sum(p) // 12 AS BIGINT) AS m
+      FROM v_px GROUP BY 1, 2, 3
+    ), v_pool AS (
+      SELECT a.fid,
+             CAST(sum(CASE WHEN b.m > a.m
+                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM v_blocks a JOIN v_blocks b
+        ON b.fid = a.fid AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 10 GROUP BY 1
+    ), v_vids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_VID_N}
+    ), v_memb AS (
+      SELECT DISTINCT v_vids.mid,
+             (v_vids.mid * 3 + j.j) % {_VID_POOL} AS fid
+      FROM v_vids, range(0, 4) j(j)
+      WHERE j.j < 2 + v_vids.mid % 3
+    ), v_vf AS (
+      SELECT DISTINCT m.mid, p.h FROM v_memb m JOIN v_pool p USING (fid)
+    )
+    SELECT 'image' AS kind,
+           CAST((SELECT count(*) FROM i_ids) AS BIGINT) AS n_blobs,
+           CAST(count(h) AS BIGINT) AS fp_rows,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_fp,
+           CAST(count(h) - count(DISTINCT h) AS BIGINT) AS dup_excess
+    FROM i_hashes
+    UNION ALL
+    SELECT 'audio',
+           CAST((SELECT count(*) FROM a_ids) AS BIGINT),
+           CAST(count(h) AS BIGINT), CAST(count(DISTINCT h) AS BIGINT),
+           CAST(count(h) - count(DISTINCT h) AS BIGINT)
+    FROM a_hashes
+    UNION ALL
+    SELECT 'video',
+           CAST((SELECT count(*) FROM v_vids) AS BIGINT),
+           CAST(count(h) AS BIGINT), CAST(count(DISTINCT h) AS BIGINT),
+           CAST(count(h) - count(DISTINCT h) AS BIGINT)
+    FROM v_vf
+"""
+
+
+@query(
+    "q_media_card",
+    _MEDIA_CARD_ORACLE,
+    doc="media governance card — the q_data_card discipline extended "
+    "to binary modalities: per kind, blob count, fingerprint coverage "
+    "(rows that decoded + hashed), distinct-fingerprint count, and "
+    "duplicate excess (rows - distinct, the exact-dup mass the dedup "
+    "family would remove). Composes all three modality fingerprints; "
+    "every number is an exact integer the DuckDB oracle replays from "
+    "the closed-form fixtures. Scale: three map-only fingerprint "
+    "passes + per-kind count-distinct aggregates (map-side combined); "
+    "no joins beyond the 1-row blob-count attach.",
+)
+def q_media_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        video_frame_hashes,
+    )
+
+    def card(kind: str, n_blobs_df: DataFrame, sig: DataFrame,
+             hcol: str) -> DataFrame:
+        stats = sig.agg(
+            F.count(hcol).cast("long").alias("fp_rows"),
+            F.count_distinct(hcol).cast("long").alias("distinct_fp"),
+        )
+        return (
+            n_blobs_df.agg(F.count("*").cast("long").alias("n_blobs"))
+            .crossJoin(stats)
+            .select(
+                F.lit(kind).alias("kind"),
+                "n_blobs",
+                "fp_rows",
+                "distinct_fp",
+                (F.col("fp_rows") - F.col("distinct_fp")).alias("dup_excess"),
+            )
+        )
+
+    imedia = _dedup_media_df(spark, sf_dir)
+    amedia = _audio_media_df(spark, sf_dir)
+    vmedia = _video_media_df(spark, sf_dir)
+    return (
+        card("image", imedia, image_dhash(imedia), "dhash")
+        .unionByName(card("audio", amedia, audio_fingerprint(amedia), "ahash"))
+        .unionByName(card("video", vmedia, video_frame_hashes(vmedia), "fhash"))
+    )
