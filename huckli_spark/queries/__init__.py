@@ -136,8 +136,8 @@ _GATE_PRIORITY: list[str] = [
 # q_ccnet_buckets, q_curriculum_pack, q_hash_quantiles,
 # q_source_overlap, q_bleu_eval, q_rouge_eval, q_maxmatch_compare),
 # round-9 registrations (q_image_dedup, q_audio_dedup,
-# q_video_dedup, q_stream_image_dedup, q_media_card,
-# q_unigram_serve), plus
+# q_video_dedup, q_stream_image_dedup, q_stream_audio_dedup,
+# q_media_card, q_unigram_serve), plus
 # flagship re-grades so no family's last graded row ages past two
 # rounds: q_dedup_minhash, q_multimodal_pipeline, q_hybrid_retrieval,
 # and a warehouse rep (q_merge_upsert or q_scd2_history, last graded

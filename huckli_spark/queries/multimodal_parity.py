@@ -764,3 +764,89 @@ def q_media_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(card("audio", amedia, audio_fingerprint(amedia), "ahash"))
         .unionByName(card("video", vmedia, video_frame_hashes(vmedia), "fhash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming audio-dedup screen (round 9): the frozen-index lifecycle
+# for the audio modality — same shape as q_stream_image_dedup.
+# ---------------------------------------------------------------------------
+_AUD_SCREEN_SPLIT = 60
+
+
+_AUD_SCREEN_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
+    ), sm AS (
+      SELECT mid, i.i // 20 AS f,
+             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
+                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
+               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
+      FROM ids, range(0, {_AUD_LEN}) i(i)
+    ), fe AS (
+      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM sm GROUP BY 1, 2
+    ), hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM fe a JOIN fe b ON b.mid = a.mid AND b.f = a.f + 1
+      WHERE a.f < 60
+      GROUP BY 1
+    )
+    SELECT n.mid AS new_id, c.mid AS dup_of,
+           CAST(bit_count(xor(n.h, c.h)) AS BIGINT) AS hamming
+    FROM hashes n JOIN hashes c
+      ON n.mid < {_AUD_SCREEN_SPLIT} AND c.mid >= {_AUD_SCREEN_SPLIT}
+    WHERE bit_count(xor(n.h, c.h)) <= 3
+"""
+
+
+@query(
+    "q_stream_audio_dedup",
+    _AUD_SCREEN_ORACLE,
+    doc="STREAMING audio-dedup screen against a FROZEN fingerprint "
+    "index: the corpus's frame-energy hashes freeze to parquet before "
+    "the stream starts; live clips decode + fingerprint IN-STREAM "
+    "(Arrow mapInPandas on the streaming relation) and screen via the "
+    "exact <=3-Hamming cross banding — stateless stream-static chunk "
+    "equi-join, corpus side never broadcast-hinted, append mode. "
+    "Oracle replays both sides from the gain-invariant closed form.",
+)
+def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.operators.multimodal import audio_fingerprint
+    from huckli_spark.operators.sketch import simhash_pairs_cross
+    from huckli_spark.streaming.windows import run_to_memory
+
+    media = _audio_media_df(spark, sf_dir)
+    root = os.path.join(
+        _scratch_dir(), f"aud_screen_{uuid.uuid4().hex[:12]}"
+    )
+    audio_fingerprint(
+        media.where(F.col("media_id") >= _AUD_SCREEN_SPLIT)
+    ).where(F.col("ahash").isNotNull()).write.parquet(
+        os.path.join(root, "corpus_sig")
+    )
+    corpus_sig = spark.read.parquet(os.path.join(root, "corpus_sig")).select(
+        "media_id", F.col("ahash").alias("simhash")
+    )
+    media.where(F.col("media_id") < _AUD_SCREEN_SPLIT).write.parquet(
+        os.path.join(root, "new_media")
+    )
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), True),
+                T.StructField("data", T.BinaryType(), True),
+            ]
+        )
+    ).parquet(os.path.join(root, "new_media"))
+    new_sig = audio_fingerprint(stream).where(
+        F.col("ahash").isNotNull()
+    ).select("media_id", F.col("ahash").alias("simhash"))
+    pairs = simhash_pairs_cross(
+        new_sig, corpus_sig, id_col="media_id", max_hamming=3
+    )
+    return run_to_memory(pairs, output_mode="append")
