@@ -459,3 +459,40 @@ class TestVideoDedup:
             for r in mm.video_dedup_pairs(df).collect()
         }
         assert got == {(0, 1): 1}
+
+
+class TestFingerprintProperties:
+    def test_dhash_brightness_invariance_property(self):
+        # pure-function property: for ANY image and any non-clipping
+        # shift, the hash is identical; and flipping one block's
+        # brightness changes at most 2 bits (its two adjacent
+        # comparisons)
+        import numpy as np
+
+        from huckli_spark.operators.multimodal import dhash_bits
+
+        rng = np.random.RandomState(123)
+        for trial in range(25):
+            h = rng.randint(6, 40)
+            w = rng.randint(11, 50)
+            img = rng.randint(0, 200, size=(h, w, rng.randint(1, 4)),
+                              dtype=np.uint8)
+            base = dhash_bits(img)
+            shift = int(rng.randint(1, 55))
+            shifted = (img.astype(np.int64) + shift).astype(np.uint8)
+            assert dhash_bits(shifted) == base, (trial, h, w, shift)
+
+    def test_audio_hash_gain_invariance_property(self):
+        import numpy as np
+
+        from huckli_spark.operators.multimodal import audio_energy_hash
+
+        rng = np.random.RandomState(321)
+        for trial in range(25):
+            n = int(rng.randint(61, 4000))
+            s = rng.randint(-2000, 2000, size=n).astype(np.int64)
+            base = audio_energy_hash(s)
+            g = int(rng.randint(2, 16))
+            assert audio_energy_hash(s * g) == base, (trial, n, g)
+            # sign flip also cancels (|s| is what's summed)
+            assert audio_energy_hash(-s) == base, (trial, n)

@@ -260,3 +260,39 @@ class TestSimhashPairsCross:
         df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
         with _pytest.raises(ValueError, match="exact only"):
             simhash_pairs_cross(df, df, max_hamming=4)
+
+
+class TestCrossBandingProperty:
+    def test_random_near_collisions_exact(self, spark):
+        # adversarial: corpus signatures built by flipping exactly k
+        # bits (k = 0..5) off random new-side signatures, so pairs
+        # straddle the <=3 boundary and collide in multiple chunks
+        from huckli_spark.operators.sketch import simhash_pairs_cross
+
+        rng = random.Random(42)
+        new = [rng.getrandbits(SIMHASH_BITS) for _ in range(12)]
+        corpus = []
+        for i, h in enumerate(new):
+            for k in range(6):
+                v = h
+                for b in rng.sample(range(SIMHASH_BITS), k):
+                    v ^= 1 << b
+                corpus.append(v)
+        corpus += [rng.getrandbits(SIMHASH_BITS) for _ in range(10)]
+        ns = spark.createDataFrame(
+            list(enumerate(new)), "doc_id long, simhash long"
+        )
+        cs = spark.createDataFrame(
+            [(1000 + i, v) for i, v in enumerate(corpus)],
+            "doc_id long, simhash long",
+        )
+        want = {}
+        for i, nh in enumerate(new):
+            for j, ch in enumerate(corpus):
+                d = bin(nh ^ ch).count("1")
+                if d <= 3:
+                    want[(i, 1000 + j)] = d
+        rows = simhash_pairs_cross(ns, cs, max_hamming=3).collect()
+        got = {(r.new_id, r.dup_of): r.hamming for r in rows}
+        assert len(rows) == len(got), "pair emitted more than once"
+        assert got == want
