@@ -245,29 +245,101 @@ def _dedup_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMG_DEDUP_ORACLE = f"""
-    WITH ids AS (
+
+# Shared oracle CTE builders (round-9 cleanup): the image / audio /
+# video fingerprint replays appear in the dedup, screen, and card
+# oracles — one parameterized builder each, CTE names prefixed so
+# several can coexist in one WITH clause.
+def _img_hash_ctes(pre: str = "") -> str:
+    """CTEs {pre}ids(mid), {pre}hashes(mid, h): the closed-form image
+    corpus replayed to its 60-bit dHash (pixels -> floor-edged block
+    means -> adjacent-column comparisons), exactly dhash_bits."""
+    return f"""{pre}ids AS (
       SELECT doc_id AS mid FROM documents WHERE doc_id < {_IMG_N}
-    ), px AS (
+    ), {pre}px AS (
       SELECT mid, y.y, x.x,
              ((mid % {_IMG_FAM}) * 53 + y.y * 17 + x.x * 29
               + ((x.x * y.y + (mid % {_IMG_FAM})) % 13) * 9) % 200
              + (mid // {_IMG_FAM}) * 5 AS p
-      FROM ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
-    ), blocks AS (
+      FROM {pre}ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
+    ), {pre}blocks AS (
       SELECT mid, y // 4 AS r, x // 3 AS c,
              CAST(sum(p) // 12 AS BIGINT) AS m
-      FROM px GROUP BY 1, 2, 3
-    ), hashes AS (
+      FROM {pre}px GROUP BY 1, 2, 3
+    ), {pre}hashes AS (
       SELECT a.mid,
              CAST(sum(CASE WHEN b.m > a.m
                            THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
                            ELSE 0 END) AS BIGINT) AS h
-      FROM blocks a JOIN blocks b
+      FROM {pre}blocks a JOIN {pre}blocks b
         ON b.mid = a.mid AND b.r = a.r AND b.c = a.c + 1
       WHERE a.c < 10
       GROUP BY 1
-    )
+    )"""
+
+
+def _aud_hash_ctes(pre: str = "") -> str:
+    """CTEs {pre}ids(mid), {pre}hashes(mid, h): the gain-scaled audio
+    corpus replayed to its 60-bit frame-energy hash, exactly
+    audio_energy_hash."""
+    return f"""{pre}ids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
+    ), {pre}sm AS (
+      SELECT mid, i.i // 20 AS f,
+             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
+                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
+               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
+      FROM {pre}ids, range(0, {_AUD_LEN}) i(i)
+    ), {pre}fe AS (
+      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM {pre}sm GROUP BY 1, 2
+    ), {pre}hashes AS (
+      SELECT a.mid,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM {pre}fe a JOIN {pre}fe b ON b.mid = a.mid AND b.f = a.f + 1
+      WHERE a.f < 60
+      GROUP BY 1
+    )"""
+
+
+def _vid_frame_ctes(pre: str = "") -> str:
+    """CTEs {pre}vids(mid), {pre}vf(mid, h): pool-frame dHashes +
+    per-video DISTINCT frame fingerprints, exactly
+    video_frame_hashes over the closed-form HKV1 fixture."""
+    return f"""{pre}px AS (
+      SELECT fid.fid, y.y, x.x,
+             (fid.fid * 53 + y.y * 17 + x.x * 29
+              + ((x.x * y.y + fid.fid) % 13) * 9) % 200 AS p
+      FROM range(0, {_VID_POOL}) fid(fid),
+           range(0, {_VID_H}) y(y), range(0, {_VID_W}) x(x)
+    ), {pre}blocks AS (
+      SELECT fid, y // 4 AS r, x // 3 AS c,
+             CAST(sum(p) // 12 AS BIGINT) AS m
+      FROM {pre}px GROUP BY 1, 2, 3
+    ), {pre}pool AS (
+      SELECT a.fid,
+             CAST(sum(CASE WHEN b.m > a.m
+                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM {pre}blocks a JOIN {pre}blocks b
+        ON b.fid = a.fid AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 10 GROUP BY 1
+    ), {pre}vids AS (
+      SELECT doc_id AS mid FROM documents WHERE doc_id < {_VID_N}
+    ), {pre}memb AS (
+      SELECT DISTINCT {pre}vids.mid,
+             ({pre}vids.mid * 3 + j.j) % {_VID_POOL} AS fid
+      FROM {pre}vids, range(0, 4) j(j)
+      WHERE j.j < 2 + {pre}vids.mid % 3
+    ), {pre}vf AS (
+      SELECT DISTINCT m.mid, p.h
+      FROM {pre}memb m JOIN {pre}pool p USING (fid)
+    )"""
+
+
+_IMG_DEDUP_ORACLE = f"""
+    WITH {_img_hash_ctes()}
     SELECT a.mid AS img_a, b.mid AS img_b,
            CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
     FROM hashes a JOIN hashes b ON a.mid < b.mid
@@ -360,25 +432,7 @@ def _audio_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUDIO_DEDUP_ORACLE = f"""
-    WITH ids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
-    ), sm AS (
-      SELECT mid, i.i // 20 AS f,
-             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
-                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
-               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
-      FROM ids, range(0, {_AUD_LEN}) i(i)
-    ), fe AS (
-      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM sm GROUP BY 1, 2
-    ), hashes AS (
-      SELECT a.mid,
-             CAST(sum(CASE WHEN b.e > a.e
-                           THEN (CAST(1 AS BIGINT) << a.f)
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM fe a JOIN fe b ON b.mid = a.mid AND b.f = a.f + 1
-      WHERE a.f < 60
-      GROUP BY 1
-    )
+    WITH {_aud_hash_ctes()}
     SELECT a.mid AS aud_a, b.mid AS aud_b,
            CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
     FROM hashes a JOIN hashes b ON a.mid < b.mid
@@ -473,36 +527,7 @@ def _video_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VIDEO_DEDUP_ORACLE = f"""
-    WITH px AS (
-      SELECT fid.fid, y.y, x.x,
-             (fid.fid * 53 + y.y * 17 + x.x * 29
-              + ((x.x * y.y + fid.fid) % 13) * 9) % 200 AS p
-      FROM range(0, {_VID_POOL}) fid(fid),
-           range(0, {_VID_H}) y(y), range(0, {_VID_W}) x(x)
-    ), blocks AS (
-      SELECT fid, y // 4 AS r, x // 3 AS c,
-             CAST(sum(p) // 12 AS BIGINT) AS m
-      FROM px GROUP BY 1, 2, 3
-    ), pool_hashes AS (
-      SELECT a.fid,
-             CAST(sum(CASE WHEN b.m > a.m
-                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM blocks a JOIN blocks b
-        ON b.fid = a.fid AND b.r = a.r AND b.c = a.c + 1
-      WHERE a.c < 10
-      GROUP BY 1
-    ), vids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_VID_N}
-    ), memb AS (
-      SELECT DISTINCT vids.mid,
-             (vids.mid * 3 + j.j) % {_VID_POOL} AS fid
-      FROM vids, range(0, 4) j(j)
-      WHERE j.j < 2 + vids.mid % 3
-    ), vf AS (
-      SELECT DISTINCT m.mid, ph.h
-      FROM memb m JOIN pool_hashes ph USING (fid)
-    )
+    WITH {_vid_frame_ctes()}
     SELECT a.mid AS vid_a, b.mid AS vid_b,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM vf a JOIN vf b ON a.h = b.h AND a.mid < b.mid
@@ -541,28 +566,7 @@ _IMG_SCREEN_SPLIT = 60  # media_id < 60 stream in as "new"; rest are corpus
 
 
 _IMG_SCREEN_ORACLE = f"""
-    WITH ids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_IMG_N}
-    ), px AS (
-      SELECT mid, y.y, x.x,
-             ((mid % {_IMG_FAM}) * 53 + y.y * 17 + x.x * 29
-              + ((x.x * y.y + (mid % {_IMG_FAM})) % 13) * 9) % 200
-             + (mid // {_IMG_FAM}) * 5 AS p
-      FROM ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
-    ), blocks AS (
-      SELECT mid, y // 4 AS r, x // 3 AS c,
-             CAST(sum(p) // 12 AS BIGINT) AS m
-      FROM px GROUP BY 1, 2, 3
-    ), hashes AS (
-      SELECT a.mid,
-             CAST(sum(CASE WHEN b.m > a.m
-                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM blocks a JOIN blocks b
-        ON b.mid = a.mid AND b.r = a.r AND b.c = a.c + 1
-      WHERE a.c < 10
-      GROUP BY 1
-    )
+    WITH {_img_hash_ctes()}
     SELECT n.mid AS new_id, c.mid AS dup_of,
            CAST(bit_count(xor(n.h, c.h)) AS BIGINT) AS hamming
     FROM hashes n JOIN hashes c
@@ -632,71 +636,9 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate excess, composed from the three modality fingerprints.
 # ---------------------------------------------------------------------------
 _MEDIA_CARD_ORACLE = f"""
-    WITH i_ids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_IMG_N}
-    ), i_px AS (
-      SELECT mid, y.y, x.x,
-             ((mid % {_IMG_FAM}) * 53 + y.y * 17 + x.x * 29
-              + ((x.x * y.y + (mid % {_IMG_FAM})) % 13) * 9) % 200
-             + (mid // {_IMG_FAM}) * 5 AS p
-      FROM i_ids, range(0, {_IMG_H}) y(y), range(0, {_IMG_W}) x(x)
-    ), i_blocks AS (
-      SELECT mid, y // 4 AS r, x // 3 AS c,
-             CAST(sum(p) // 12 AS BIGINT) AS m
-      FROM i_px GROUP BY 1, 2, 3
-    ), i_hashes AS (
-      SELECT a.mid,
-             CAST(sum(CASE WHEN b.m > a.m
-                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM i_blocks a JOIN i_blocks b
-        ON b.mid = a.mid AND b.r = a.r AND b.c = a.c + 1
-      WHERE a.c < 10 GROUP BY 1
-    ), a_ids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
-    ), a_sm AS (
-      SELECT mid, i.i // 20 AS f,
-             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
-                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
-               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
-      FROM a_ids, range(0, {_AUD_LEN}) i(i)
-    ), a_fe AS (
-      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM a_sm GROUP BY 1, 2
-    ), a_hashes AS (
-      SELECT a.mid,
-             CAST(sum(CASE WHEN b.e > a.e
-                           THEN (CAST(1 AS BIGINT) << a.f)
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM a_fe a JOIN a_fe b ON b.mid = a.mid AND b.f = a.f + 1
-      WHERE a.f < 60 GROUP BY 1
-    ), v_px AS (
-      SELECT fid.fid, y.y, x.x,
-             (fid.fid * 53 + y.y * 17 + x.x * 29
-              + ((x.x * y.y + fid.fid) % 13) * 9) % 200 AS p
-      FROM range(0, {_VID_POOL}) fid(fid),
-           range(0, {_VID_H}) y(y), range(0, {_VID_W}) x(x)
-    ), v_blocks AS (
-      SELECT fid, y // 4 AS r, x // 3 AS c,
-             CAST(sum(p) // 12 AS BIGINT) AS m
-      FROM v_px GROUP BY 1, 2, 3
-    ), v_pool AS (
-      SELECT a.fid,
-             CAST(sum(CASE WHEN b.m > a.m
-                           THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM v_blocks a JOIN v_blocks b
-        ON b.fid = a.fid AND b.r = a.r AND b.c = a.c + 1
-      WHERE a.c < 10 GROUP BY 1
-    ), v_vids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_VID_N}
-    ), v_memb AS (
-      SELECT DISTINCT v_vids.mid,
-             (v_vids.mid * 3 + j.j) % {_VID_POOL} AS fid
-      FROM v_vids, range(0, 4) j(j)
-      WHERE j.j < 2 + v_vids.mid % 3
-    ), v_vf AS (
-      SELECT DISTINCT m.mid, p.h FROM v_memb m JOIN v_pool p USING (fid)
-    )
+    WITH {_img_hash_ctes("i_")},
+    {_aud_hash_ctes("a_")},
+    {_vid_frame_ctes("v_")}
     SELECT 'image' AS kind,
            CAST((SELECT count(*) FROM i_ids) AS BIGINT) AS n_blobs,
            CAST(count(h) AS BIGINT) AS fp_rows,
@@ -774,25 +716,7 @@ _AUD_SCREEN_SPLIT = 60
 
 
 _AUD_SCREEN_ORACLE = f"""
-    WITH ids AS (
-      SELECT doc_id AS mid FROM documents WHERE doc_id < {_AUD_N}
-    ), sm AS (
-      SELECT mid, i.i // 20 AS f,
-             abs((((mid % {_AUD_FAM}) * 31 + i.i * 17) % 1001 - 500)
-                 * (1 + ((i.i // 20) * (mid % {_AUD_FAM} + 3)) % 7))
-               * ((mid // {_AUD_FAM}) % 8 + 1) AS a
-      FROM ids, range(0, {_AUD_LEN}) i(i)
-    ), fe AS (
-      SELECT mid, f, CAST(sum(a) AS BIGINT) AS e FROM sm GROUP BY 1, 2
-    ), hashes AS (
-      SELECT a.mid,
-             CAST(sum(CASE WHEN b.e > a.e
-                           THEN (CAST(1 AS BIGINT) << a.f)
-                           ELSE 0 END) AS BIGINT) AS h
-      FROM fe a JOIN fe b ON b.mid = a.mid AND b.f = a.f + 1
-      WHERE a.f < 60
-      GROUP BY 1
-    )
+    WITH {_aud_hash_ctes()}
     SELECT n.mid AS new_id, c.mid AS dup_of,
            CAST(bit_count(xor(n.h, c.h)) AS BIGINT) AS hamming
     FROM hashes n JOIN hashes c
