@@ -147,6 +147,23 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--out-format", choices=["jsonl", "parquet"], default="jsonl"
     )
+
+    s = sub.add_parser(
+        "media-card",
+        help="per-modality governance card over a media parquet "
+        "(media_id, kind, data): blob counts, fingerprint coverage, "
+        "duplicate excess; --pairs adds the near-dup pair relations",
+    )
+    # media tables are parquet-only (binary column); no text formats
+    s.add_argument("--in", dest="inp", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument(
+        "--pairs",
+        action="store_true",
+        help="also write image/audio (banded Hamming) and video "
+        "(shared-frame) near-dup pair parquets",
+    )
+    s.add_argument("--max-hamming", type=int, default=3)
     return p
 
 
@@ -159,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"corpus_{args.cmd}")
     os.makedirs(args.out, exist_ok=True)
+    if args.cmd == "media-card":
+        # media tables are binary-column parquet, not text corpora —
+        # they bypass the documents loader entirely
+        summary = {"cmd": args.cmd} | _media_card(spark, args)
+        print(json.dumps(summary))
+        return 0
     docs, quarantine = _load(spark, args.inp, args.format, args.out)
     summary: dict = {"cmd": args.cmd, "quarantined": 0}
 
@@ -480,6 +503,77 @@ def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
         "bytes": total_bytes,
         "manifest": os.path.join(out, "MANIFEST.json"),
     }
+
+
+def _media_card(spark, args) -> dict:
+    """Per-modality governance card (the q_media_card relation) over a
+    real (media_id, kind, data) parquet, plus optional near-dup pair
+    relations. Thin orchestration: scale shapes live in
+    operators.multimodal (map-only Arrow fingerprint passes; banded /
+    shared-frame equi-joins, never all-pairs)."""
+    from pyspark.sql import functions as F
+
+    from huckli_spark.operators.multimodal import (
+        audio_dedup_pairs,
+        audio_fingerprint,
+        image_dedup_pairs,
+        image_dhash,
+        video_dedup_pairs,
+        video_frame_hashes,
+    )
+
+    media = spark.read.parquet(args.inp)
+    kinds = {
+        "image": (media.where(F.col("kind") == "image"),
+                  image_dhash, "dhash", image_dedup_pairs),
+        "audio": (media.where(F.col("kind") == "audio"),
+                  audio_fingerprint, "ahash", audio_dedup_pairs),
+        "video": (media.where(F.col("kind") == "video"),
+                  video_frame_hashes, "fhash", video_dedup_pairs),
+    }
+    cards = []
+    summary: dict = {}
+    for kind, (df, fp, hcol, _pairs) in kinds.items():
+        stats = fp(df).agg(
+            F.count(hcol).cast("long").alias("fp_rows"),
+            F.count_distinct(hcol).cast("long").alias("distinct_fp"),
+        )
+        cards.append(
+            df.agg(F.count("*").cast("long").alias("n_blobs"))
+            .crossJoin(stats)
+            .select(
+                F.lit(kind).alias("kind"),
+                "n_blobs",
+                "fp_rows",
+                "distinct_fp",
+                (F.col("fp_rows") - F.col("distinct_fp"))
+                .alias("dup_excess"),
+            )
+        )
+    card = cards[0].unionByName(cards[1]).unionByName(cards[2])
+    card.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(args.out, "media_card.parquet")
+    )
+    for r in spark.read.parquet(
+        os.path.join(args.out, "media_card.parquet")
+    ).collect():
+        summary[r["kind"]] = {
+            "n_blobs": r["n_blobs"],
+            "fp_rows": r["fp_rows"],
+            "distinct_fp": r["distinct_fp"],
+            "dup_excess": r["dup_excess"],
+        }
+    if args.pairs:
+        for kind, (df, _fp, _hcol, pairs_fn) in kinds.items():
+            out = os.path.join(args.out, f"{kind}_pairs.parquet")
+            if kind == "video":
+                pairs_fn(df).write.mode("overwrite").parquet(out)
+            else:
+                pairs_fn(df, max_hamming=args.max_hamming).write.mode(
+                    "overwrite"
+                ).parquet(out)
+            summary[kind]["n_pairs"] = spark.read.parquet(out).count()
+    return summary
 
 
 def _release(spark, docs, args) -> dict:

@@ -343,3 +343,56 @@ class TestCurate:
                                     expect_kind="unigram")
         assert man["checksum"] == s["tokenizer_checksum"]
         assert table.count() == man["n_rows"] > 0
+
+
+class TestMediaCard:
+    def test_media_card_and_pairs(self, spark, tmp_path, capsys):
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        rng = np.random.RandomState(17)
+        img = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        wav = rng.randint(-2000, 2000, size=1220).astype(np.int16)
+        frame = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        rows = [
+            # two brightness copies (Hamming 0) + one distinct image
+            (0, "image", mm.encode_png(img)),
+            (1, "image",
+             mm.encode_png((img.astype(np.int64) + 30).astype(np.uint8))),
+            (2, "image",
+             mm.encode_png(rng.randint(0, 200, size=(24, 33, 1),
+                                       dtype=np.uint8))),
+            # a gain copy pair
+            (3, "audio", mm.encode_wav(wav, 8000)),
+            (4, "audio",
+             mm.encode_wav((wav.astype(np.int64) * 4).astype(np.int16),
+                           8000)),
+            # two videos sharing one frame
+            (5, "video", mm.encode_video([frame, img])),
+            (6, "video", mm.encode_video([frame])),
+        ]
+        inp = str(tmp_path / "media")
+        spark.createDataFrame(
+            rows, "media_id long, kind string, data binary"
+        ).write.parquet(inp)
+        out = str(tmp_path / "card")
+        s = _run(capsys, ["media-card", "--in", inp, "--out", out,
+                          "--pairs"])
+        assert s["image"] == {"n_blobs": 3, "fp_rows": 3, "distinct_fp": 2,
+                              "dup_excess": 1, "n_pairs": 1}
+        assert s["audio"]["n_blobs"] == 2 and s["audio"]["dup_excess"] == 1
+        assert s["audio"]["n_pairs"] == 1
+        assert s["video"]["n_blobs"] == 2
+        assert s["video"]["n_pairs"] == 1
+        card = {
+            r["kind"]: r
+            for r in spark.read.parquet(
+                os.path.join(out, "media_card.parquet")
+            ).collect()
+        }
+        assert card["image"]["dup_excess"] == 1
+        pairs = spark.read.parquet(
+            os.path.join(out, "image_pairs.parquet")
+        ).collect()
+        assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(0, 1, 0)]
