@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated required-stopword list for the data "
         "card's quality column (default: the published Gopher list)",
     )
+    s.add_argument(
+        "--media",
+        default=None,
+        help="optional (media_id, kind, data) parquet: the release "
+        "bundle gains the per-modality media card",
+    )
 
     s = sub.add_parser(
         "export", help="sharded corpus export + checksummed MANIFEST.json"
@@ -683,6 +689,18 @@ def _release(spark, docs, args) -> dict:
             )
         rel["tokenizer"] = args.tokenizer
         rel["tokenizer_checksum"] = man["checksum"]
+
+    # 4b. optional media card (round 9): the per-modality governance
+    # relation over a (media_id, kind, data) parquet shipped with the
+    # release — same relation as the media-card subcommand
+    if getattr(args, "media", None):
+        from types import SimpleNamespace
+
+        rel["media_card"] = _media_card(
+            spark,
+            SimpleNamespace(inp=args.media, out=out, pairs=False,
+                            max_hamming=3),
+        )
 
     # 5. RELEASE.json: pointers + a checksum over the data MANIFEST
     # so the release is self-verifying end to end

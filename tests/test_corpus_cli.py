@@ -396,3 +396,45 @@ class TestMediaCard:
             os.path.join(out, "image_pairs.parquet")
         ).collect()
         assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+class TestReleaseWithMedia:
+    def test_release_bundle_gains_media_card(self, spark, tmp_path, capsys):
+        import json as _json
+
+        import numpy as np
+
+        from huckli_spark.operators import multimodal as mm
+
+        # tiny docs corpus
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} text body {i % 3}", "en", f"src{i % 2}")
+             for i in range(12)],
+            "doc_id long, text string, lang string, source string",
+        )
+        inp = str(tmp_path / "docs")
+        docs.write.parquet(inp)
+        # tiny media table with one brightness-dup image pair
+        rng = np.random.RandomState(23)
+        img = rng.randint(0, 200, size=(24, 33, 1), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [
+                (0, "image", mm.encode_png(img)),
+                (1, "image",
+                 mm.encode_png((img.astype(np.int64) + 20)
+                               .astype(np.uint8))),
+            ],
+            "media_id long, kind string, data binary",
+        )
+        minp = str(tmp_path / "media")
+        media.write.parquet(minp)
+        out = str(tmp_path / "rel")
+        s = _run(capsys, ["release", "--in", inp, "--out", out,
+                          "--shards", "2", "--media", minp])
+        assert s["media_card"]["image"] == {
+            "n_blobs": 2, "fp_rows": 2, "distinct_fp": 1, "dup_excess": 1,
+        }
+        assert s["media_card"]["audio"]["n_blobs"] == 0
+        rel = _json.load(open(os.path.join(out, "RELEASE.json")))
+        assert rel["media_card"]["image"]["dup_excess"] == 1
+        assert os.path.isdir(os.path.join(out, "media_card.parquet"))
