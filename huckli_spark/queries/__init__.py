@@ -69,108 +69,57 @@ _GATE_PRIORITY: list[str] = [
     "q_demux_counts",
     "q_decimal_default",
     "q_ts_heuristic",
-    # --- round-9 rotation: ALL 30 rotatable slots drain the graded
-    # debt (VERDICT r08 #2 — ">=30 first-time green rows"). Family
-    # coverage note for the usual flagship slots: every family still
-    # lands fresh graded rows THROUGH the first-time set below —
-    # dedup (q_segment_dedup, q_dedup_cap), streaming (q_stream_dq,
-    # q_stream_leaderboard, q_stream_unigram_encode,
-    # q_stream_ann_serve), graph (q_common_neighbors, q_bfs_layers,
-    # q_label_prop), embeddings/ANN (q_pca_power, q_stream_ann_serve,
-    # q_training_triplets), tokenizer (q_unigram_*); r8's flagships
-    # q_dedup_minhash / q_multimodal_pipeline / q_hybrid_retrieval
-    # rotate back in r10 with the warehouse re-grades.
-    # (a) the 23-query analytics close wave (registered r7, VERDICT
-    # r07 #1 second half):
-    "q_event_paths",
-    "q_event_transitions",
-    "q_mad_outliers",
-    "q_timeseries_fill",
-    "q_common_neighbors",
-    "q_segment_dedup",
-    "q_pmi_cooccur",
-    "q_hll_registers",
-    "q_attribution",
-    "q_kmv_set_ops",
-    "q_bfs_layers",
-    "q_dq_audit",
-    "q_group_split",
-    "q_pca_power",
-    "q_winsorize",
-    "q_label_prop",
-    "q_stream_dq",
-    "q_decay_score",
-    "q_cms_join_size",
-    "q_anomaly_days",
-    "q_rfm_segments",
-    "q_ship_lag",
-    "q_stream_leaderboard",
-    # (b) the round-8 continuation flagships (unigram-LM trainer /
-    # encoder, Group-DRO mixture, frozen-table streaming encode):
-    "q_unigram_tokenize",
-    "q_unigram_encode",
-    "q_doremi_mixture",
-    "q_stream_unigram_encode",
-    # (c) VERDICT r08 #1: streaming ANN serve, graded on the FIXED
-    # plan (frozen cid-partitioned posting store, no forced
-    # broadcast — see streaming_parity.py + the r9 plan pin):
-    "q_stream_ann_serve",
-    # (d) two of the round-8 composition queries (the heaviest bench
-    # row + the capped-dedup policy op); the remaining composition
-    # tail + TPC-H battery completion rotate in r10:
-    "q_training_triplets",
-    "q_dedup_cap",
+    # --- round-10 rotation: ALL 30 rotatable slots drain the last of
+    # the graded debt (VERDICT r09 #1) — after this round every
+    # registered query has carried a green driver row at least once.
+    # Full per-round rotation ledger lives in COVERAGE.md ("Gate
+    # rotation ledger"); only the live gate is kept in code.
+    # (a) TPC-H battery completion (10 never-graded rows):
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    # (b) the round-8 composition tail (9 never-graded rows;
+    # q_ccnet_buckets lands on the probed grouped-NTILE plan —
+    # SCALE_PROBE_ntile_grouped.json):
+    "q_quality_budget",
+    "q_bpe_fertility",
+    "q_ccnet_buckets",
+    "q_curriculum_pack",
+    "q_hash_quantiles",
+    "q_source_overlap",
+    "q_bleu_eval",
+    "q_rouge_eval",
+    "q_maxmatch_compare",
+    # (c) the round-9 registrations (7: full-modality perceptual
+    # dedup + streaming screens + governance card + tokenizer
+    # lifecycle serve):
+    "q_image_dedup",
+    "q_audio_dedup",
+    "q_video_dedup",
+    "q_stream_image_dedup",
+    "q_stream_audio_dedup",
+    "q_media_card",
+    "q_unigram_serve",
+    # (d) flagship re-grades so no family's last graded row ages past
+    # two rounds (all last graded r7/r8):
+    "q_dedup_minhash",
+    "q_multimodal_pipeline",
+    "q_hybrid_retrieval",
+    "q_merge_upsert",
 ]
-# Rotated out for round 9 (ALL driver-graded green in r8; local
-# replica still covers them every round): the 16-query curation wave
-# (q_semdedup family, q_dsir_select, q_stream_dsir, q_logreg_quality,
-# q_logreg_holdout, q_gopher_rules, q_stream_quality_gate,
-# q_diversity_sample, q_curation_pipeline, q_embedding_drift,
-# q_data_card, q_vocab_coverage), the 10 r8 TPC-H rows (q6 q7 q8 q10
-# q11 q13 q14 q15 q18 q19), the three family flagships
-# (q_dedup_minhash, q_multimodal_pipeline, q_hybrid_retrieval) and
-# q_hybrid_serve.
-# Round-10 rotation queue (the remaining graded debt + hygiene):
-# TPC-H battery completion (q_tpch_q1 q2 q3 q4 q5 q9 q12 q16 q20
-# q21), the composition tail (q_quality_budget, q_bpe_fertility,
-# q_ccnet_buckets, q_curriculum_pack, q_hash_quantiles,
-# q_source_overlap, q_bleu_eval, q_rouge_eval, q_maxmatch_compare),
-# round-9 registrations (q_image_dedup, q_audio_dedup,
-# q_video_dedup, q_stream_image_dedup, q_stream_audio_dedup,
-# q_media_card, q_unigram_serve), plus
-# flagship re-grades so no family's last graded row ages past two
-# rounds: q_dedup_minhash, q_multimodal_pipeline, q_hybrid_retrieval,
-# and a warehouse rep (q_merge_upsert or q_scd2_history, last graded
-# r7).
-# Rotated out for round 8 (ALL driver-graded green in r7; local
-# replica still covers them every round): q_sessionize, q_pii_redact,
-# q_bloom_decontaminate, q_asof_join, q_range_join, q_merge_upsert,
-# q_scd2_history, q_table_changes, q_event_funnel, q_stream_bm25,
-# q_containment_dup, q_pq_refine_recall, q_kcore, q_tpch_q17,
-# q_tpch_q22, q_pq_recall_trained, q_bm25_topk, q_rrf_fusion,
-# q_chunk_windows, q_triangle_count, q_profile_table, q_bpe_encode,
-# q_mmr_rerank, q_char_entropy, q_stream_chunks, q_hard_negatives,
-# q_ngram_novelty.
-# Rotated out for round 7 (ALL driver-graded green in r6; local
-# replica still covers them every round): q_countmin_topk,
-# q_weighted_sample, q_zscore_outliers, q_fuzzy_join,
-# q_full_outer_join, q_bigram_logprob, q_hopping_window; at round-7
-# close also q_pagerank, q_pq_encode, q_pq_adc, q_pq_recall,
-# q_kmeans, q_ann_ivf_trained, q_bpe_pairs, q_stream_static_join,
-# q_stream_countmin, q_stream_bloom (green r6 rows; their slots now
-# grade ten round-7 additions).
-# Rotated out for round 6 (driver-graded green in r4/r5): q_ann_ivf,
-# q_stream_interval_join, q_stream_join_window, q_repetition_stats,
-# q_cdc_chunks, q_stream_left_join, q_mixture_sample, q_shard_assign,
-# q_ann_recall, q_bitwise, q_embed_quantize, q_incremental_rollup,
-# q_kmv_distinct, q_multimodal_features, q_retention,
-# q_stream_session_native, q_unpivot, q_window_misc, q_lang_profile,
-# q_decontaminate, q_sequence_pack, q_stream_time_bucket,
-# q_unigram_logprob.
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# (The round-7/8 rotation queue that used to live here was drained
-# by the round-9 gate above; the remaining debt is the documented
-# round-10 queue.)
+# Rotated out for round 10 (ALL driver-graded green in r9; local
+# replica still covers them every round): the 23-query analytics
+# wave, the unigram/DoReMi flagships, q_stream_ann_serve (graded on
+# the fixed plan), q_training_triplets, q_dedup_cap. Earlier rounds'
+# rotation history: see COVERAGE.md "Gate rotation ledger".
 
 
 def all_queries() -> dict[str, QuerySpec]:
