@@ -170,6 +170,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(shared-frame) near-dup pair parquets",
     )
     s.add_argument("--max-hamming", type=int, default=3)
+    s.add_argument(
+        "--cap",
+        type=int,
+        default=0,
+        metavar="K",
+        help="also write keep-<=K decisions per transitive duplicate "
+        "cluster for each modality (the q_media_dedup_cap policy "
+        "relation — O(duplicates), the thing a pipeline writes back "
+        "instead of the O(cluster^2) pair relation)",
+    )
     return p
 
 
@@ -579,6 +589,72 @@ def _media_card(spark, args) -> dict:
                     "overwrite"
                 ).parquet(out)
             summary[kind]["n_pairs"] = spark.read.parquet(out).count()
+    if getattr(args, "cap", 0):
+        # keep-<=K decisions per transitive duplicate cluster, all
+        # three modalities in one decision table (q_media_dedup_cap)
+        from pyspark.sql import Window
+
+        from huckli_spark.operators.dedup import connected_components
+
+        parts = []
+        for kind, (df, _fp, _hcol, pairs_fn) in kinds.items():
+            pairs = (
+                pairs_fn(df)
+                if kind == "video"
+                else pairs_fn(df, max_hamming=args.max_hamming)
+            )
+            comp = connected_components(pairs.select("d1", "d2"))
+            parts.append(
+                comp.select(
+                    F.lit(kind).alias("kind"),
+                    F.col("doc_id").alias("media_id"),
+                    "cluster_id",
+                )
+            )
+        comp_all = parts[0]
+        for part in parts[1:]:
+            comp_all = comp_all.unionByName(part)
+        wr = Window.partitionBy("kind", "cluster_id").orderBy(
+            F.asc("media_id")
+        )
+        rk = F.row_number().over(wr).cast("long")
+        decisions = comp_all.select(
+            "kind",
+            "media_id",
+            "cluster_id",
+            rk.alias("rank_in_cluster"),
+            (rk <= args.cap).alias("kept"),
+        )
+        dout = os.path.join(args.out, "media_keep_decisions.parquet")
+        decisions.write.mode("overwrite").parquet(dout)
+        kept_df = spark.read.parquet(dout)
+        summary["cap"] = {
+            "k": args.cap,
+            "decisions": kept_df.count(),
+            "dropped": kept_df.where(~F.col("kept")).count(),
+        }
+    # reconciliation (ADVICE r09 #4): rows whose kind is none of the
+    # three modalities must not vanish silently from the card — one
+    # extra aggregate over the same scan, surfaced as "unknown"
+    total = media.count()
+    classified = sum(summary[k]["n_blobs"] for k in kinds)
+    if classified != total:
+        unknown_kinds = [
+            r["kind"]
+            for r in media.where(
+                ~F.col("kind").isin("image", "audio", "video")
+                | F.col("kind").isNull()
+            )
+            .select("kind")
+            .distinct()
+            .collect()
+        ]
+        summary["unknown"] = {
+            "n_blobs": total - classified,
+            "kinds": sorted(k if k is not None else "<null>"
+                            for k in unknown_kinds),
+        }
+    summary["total_blobs"] = total
     return summary
 
 

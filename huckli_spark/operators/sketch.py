@@ -368,14 +368,11 @@ def simhash_pairs(
     return simhash_pairs_from_signatures(sig, id_col, max_hamming)
 
 
-def simhash_pairs_from_signatures(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
-) -> DataFrame:
-    """Banded pair generation over a (id, simhash) relation. Exactness
-    contract (property-tested in tests/test_sketch_properties.py
-    against a brute-force cross join): output == all pairs with
-    Hamming <= max_hamming, each EXACTLY once — the first-matching-
-    chunk filter dedups emission without a shuffle."""
+def _simhash_chunk_geometry(max_hamming: int) -> tuple[int, int, int]:
+    """Shared banding geometry, generated from SIMHASH_CHUNKS (ADVICE
+    r09 #3: the chunk loop must honor the constant in every variant,
+    or raising it would silently mis-dedup). Returns (n_chunks,
+    chunk_bits, mask) after enforcing the pigeonhole exactness bound."""
     n_chunks = SIMHASH_CHUNKS
     if max_hamming >= n_chunks:
         # pigeonhole: with n chunks, <= n-1 differing bits force a
@@ -388,7 +385,13 @@ def simhash_pairs_from_signatures(
             "or use brute-force XOR for looser bounds)"
         )
     chunk_bits = SIMHASH_BITS // n_chunks
-    mask = (1 << chunk_bits) - 1
+    return n_chunks, chunk_bits, (1 << chunk_bits) - 1
+
+
+def _simhash_bands(sig: DataFrame, id_col: str, n_chunks: int,
+                   chunk_bits: int, mask: int) -> DataFrame:
+    """Explode a (id, simhash) relation into one row per chunk —
+    pure in-row expression (stream-safe, no shuffle)."""
     entries = [
         F.struct(
             F.lit(c).alias("chunk_id"),
@@ -398,9 +401,40 @@ def simhash_pairs_from_signatures(
         )
         for c in range(n_chunks)
     ]
-    bands = sig.select(
+    return sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("b")
     ).select(id_col, "simhash", "b.chunk_id", "b.chunk")
+
+
+def _simhash_first_match(xor, n_chunks: int, chunk_bits: int, mask: int):
+    """Emit each pair from its FIRST matching chunk only: a pair
+    joined under chunk c is kept iff every chunk below c differs.
+    Pure ALU filter — replaces the distinct() that shuffled the full
+    surviving pair set (each pair can match in up to n_chunks
+    buckets). Built by looping over range(n_chunks) so the chain
+    always covers every chunk."""
+    if n_chunks == 1:
+        return F.col("chunk_id") == F.lit(0)
+    fm = F.when(
+        F.shiftright(xor, 0).bitwiseAND(mask) == 0, F.lit(0)
+    )
+    for c in range(1, n_chunks - 1):
+        fm = fm.when(
+            F.shiftright(xor, c * chunk_bits).bitwiseAND(mask) == 0, F.lit(c)
+        )
+    return F.col("chunk_id") == fm.otherwise(F.lit(n_chunks - 1))
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Banded pair generation over a (id, simhash) relation. Exactness
+    contract (property-tested in tests/test_sketch_properties.py
+    against a brute-force cross join): output == all pairs with
+    Hamming <= max_hamming, each EXACTLY once — the first-matching-
+    chunk filter dedups emission without a shuffle."""
+    n_chunks, chunk_bits, mask = _simhash_chunk_geometry(max_hamming)
+    bands = _simhash_bands(sig, id_col, n_chunks, chunk_bits, mask)
     a = bands.select(
         F.col(id_col).alias("d1"), F.col("simhash").alias("h1"), "chunk_id", "chunk"
     )
@@ -409,17 +443,7 @@ def simhash_pairs_from_signatures(
     )
     xor = F.col("h1").bitwiseXOR(F.col("h2"))
     ham = F.bit_count(xor)
-    # Emit each pair from its FIRST matching chunk only: a pair joined
-    # under chunk c is kept iff every chunk below c differs. Pure ALU
-    # filter — replaces the distinct() that shuffled the full surviving
-    # pair set (each pair can match in up to 4 buckets).
-    first_match = F.col("chunk_id") == F.when(
-        F.shiftright(xor, 0 * chunk_bits).bitwiseAND(mask) == 0, F.lit(0)
-    ).when(
-        F.shiftright(xor, 1 * chunk_bits).bitwiseAND(mask) == 0, F.lit(1)
-    ).when(
-        F.shiftright(xor, 2 * chunk_bits).bitwiseAND(mask) == 0, F.lit(2)
-    ).otherwise(F.lit(3))
+    first_match = _simhash_first_match(xor, n_chunks, chunk_bits, mask)
     return (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("d1") < F.col("d2"))
@@ -446,30 +470,10 @@ def simhash_pairs_cross(
     q_stream_ann_serve lesson); the new side's band explode is a pure
     in-row expression, so this works stream-static with the new side
     streaming. Returns (new_id, dup_of, hamming)."""
-    n_chunks = SIMHASH_CHUNKS
-    if max_hamming >= n_chunks:
-        raise ValueError(
-            f"banded simhash is exact only for max_hamming <= "
-            f"{n_chunks - 1}; got {max_hamming}"
-        )
-    chunk_bits = SIMHASH_BITS // n_chunks
-    mask = (1 << chunk_bits) - 1
+    n_chunks, chunk_bits, mask = _simhash_chunk_geometry(max_hamming)
 
     def bands(sig: DataFrame) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(c).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                .bitwiseAND(mask)
-                .alias("chunk"),
-            )
-            for c in range(n_chunks)
-        ]
-        return sig.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.explode(F.array(*entries)).alias("b"),
-        ).select(id_col, "simhash", "b.chunk_id", "b.chunk")
+        return _simhash_bands(sig, id_col, n_chunks, chunk_bits, mask)
 
     a = bands(new_sig).select(
         F.col(id_col).alias("new_id"),
@@ -485,13 +489,7 @@ def simhash_pairs_cross(
     )
     xor = F.col("h1").bitwiseXOR(F.col("h2"))
     ham = F.bit_count(xor)
-    first_match = F.col("chunk_id") == F.when(
-        F.shiftright(xor, 0 * chunk_bits).bitwiseAND(mask) == 0, F.lit(0)
-    ).when(
-        F.shiftright(xor, 1 * chunk_bits).bitwiseAND(mask) == 0, F.lit(1)
-    ).when(
-        F.shiftright(xor, 2 * chunk_bits).bitwiseAND(mask) == 0, F.lit(2)
-    ).otherwise(F.lit(3))
+    first_match = _simhash_first_match(xor, n_chunks, chunk_bits, mask)
     return (
         a.join(b, ["chunk_id", "chunk"])
         .withColumn("hamming", ham.cast("long"))

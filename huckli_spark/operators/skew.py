@@ -113,11 +113,20 @@ def _exclusive_prefix(
     h = h.withColumn(
         "__loc", F.coalesce(F.sum(val_col).over(wloc), F.lit(0))
     ).localCheckpoint(eager=True)
+    # None-safe ordering: a NULL group value must sort as its own
+    # group (plain tuple compare raises TypeError on None vs str;
+    # ADVICE r09 #1) — NULLs first, then values, then pid
     totals = sorted(
-        (tuple(r[g] for g in gcols), r["__pid"], r["__t"])
-        for r in h.groupBy("__pid", *gcols)
-        .agg(F.sum(val_col).alias("__t"))
-        .collect()
+        (
+            (tuple(r[g] for g in gcols), r["__pid"], r["__t"])
+            for r in h.groupBy("__pid", *gcols)
+            .agg(F.sum(val_col).alias("__t"))
+            .collect()
+        ),
+        key=lambda rec: (
+            tuple((v is not None, v) for v in rec[0]),
+            rec[1],
+        ),
     )
     off, acc, cur = {}, 0, None
     for gkey, pid, t in totals:
@@ -131,7 +140,7 @@ def _exclusive_prefix(
         )
     # JVM LocalRelation (not a Python RDD): keeps the plan free of
     # applySchemaToPythonRDD scans (the classifier _scores pattern)
-    names = ["__pid", *gcols, "__off"]
+    names = ["__opid", *[f"__og{i}" for i in range(len(gcols))], "__off"]
     vals = ", ".join(
         "(" + ", ".join(
             [str(int(pid))] + [_sql_lit(x) for x in gkey] + [f"{int(v)}L"]
@@ -140,10 +149,17 @@ def _exclusive_prefix(
     )
     cols = ", ".join(f"col{i + 1} AS {n}" for i, n in enumerate(names))
     offdf = h.sparkSession.sql(f"SELECT {cols} FROM VALUES {vals}")
+    # null-SAFE equality on the group columns: a plain equi-join
+    # would silently drop NULL-group rows (NULL != NULL); <=> keys
+    # stay BroadcastHashJoin-compatible
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og{i}"))
     return (
-        h.join(F.broadcast(offdf), ["__pid", *gcols])
+        h.join(F.broadcast(offdf), cond)
         .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
-        .drop("__pid", "__loc", "__off", val_col)
+        .drop("__pid", "__opid", "__loc", "__off", val_col,
+              *[f"__og{i}" for i in range(len(gcols))])
     )
 
 
@@ -270,13 +286,25 @@ def exact_ntile_grouped(
         hist, order, "__c", "__higher", group_col=group_col
     )
     wg = Window.partitionBy(group_col, score_col).orderBy(F.asc(id_col))
+    # null-safe joins: PARTITION BY groups NULLs together, so a NULL
+    # group is a real group here too — plain equi-joins would drop
+    # its rows silently (ADVICE r09 #1)
+    hist = hist.withColumnRenamed(group_col, "__hg").withColumnRenamed(
+        score_col, "__hs"
+    )
+    gn = gn.withColumnRenamed(group_col, "__gg")
     ranked = (
-        df.join(hist, [group_col, score_col])
-        .join(F.broadcast(gn), group_col)
+        df.join(
+            hist,
+            F.col(group_col).eqNullSafe(F.col("__hg"))
+            & F.col(score_col).eqNullSafe(F.col("__hs")),
+        )
+        .join(F.broadcast(gn), F.col(group_col).eqNullSafe(F.col("__gg")))
         .withColumn(
             "__rank",
             (F.col("__higher") + F.row_number().over(wg)).cast("long"),
         )
+        .drop("__hg", "__hs", "__gg")
     )
     q = (F.col("__n") / n_tiles).cast("long")  # floor: __n, t >= 0
     r = F.col("__n") % n_tiles

@@ -371,6 +371,10 @@ class TestMediaCard:
             # two videos sharing one frame
             (5, "video", mm.encode_video([frame, img])),
             (6, "video", mm.encode_video([frame])),
+            # an unclassified modality + a NULL kind: must surface in
+            # the reconciliation row, not vanish (ADVICE r09 #4)
+            (7, "mesh3d", b"\x00\x01"),
+            (8, None, b"\x02"),
         ]
         inp = str(tmp_path / "media")
         spark.createDataFrame(
@@ -378,13 +382,28 @@ class TestMediaCard:
         ).write.parquet(inp)
         out = str(tmp_path / "card")
         s = _run(capsys, ["media-card", "--in", inp, "--out", out,
-                          "--pairs"])
+                          "--pairs", "--cap", "1"])
         assert s["image"] == {"n_blobs": 3, "fp_rows": 3, "distinct_fp": 2,
                               "dup_excess": 1, "n_pairs": 1}
         assert s["audio"]["n_blobs"] == 2 and s["audio"]["dup_excess"] == 1
         assert s["audio"]["n_pairs"] == 1
         assert s["video"]["n_blobs"] == 2
         assert s["video"]["n_pairs"] == 1
+        assert s["unknown"] == {"n_blobs": 2, "kinds": ["<null>", "mesh3d"]}
+        assert s["total_blobs"] == 9
+        # keep-<=1 decisions: image pair (0,1) -> keep 0 drop 1;
+        # audio pair (3,4) -> keep 3 drop 4; video pair (5,6) ->
+        # keep 5 drop 6 = 6 decision rows, 3 dropped
+        assert s["cap"] == {"k": 1, "decisions": 6, "dropped": 3}
+        dec = {
+            (r["kind"], r["media_id"]): (r["rank_in_cluster"], r["kept"])
+            for r in spark.read.parquet(
+                os.path.join(out, "media_keep_decisions.parquet")
+            ).collect()
+        }
+        assert dec[("image", 0)] == (1, True)
+        assert dec[("image", 1)] == (2, False)
+        assert dec[("video", 6)] == (2, False)
         card = {
             r["kind"]: r
             for r in spark.read.parquet(

@@ -676,39 +676,6 @@ class TestRound8CompositionPlans:
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
         assert "CartesianProduct" not in plan
 
-    def test_stream_ann_serve_static_side_broadcasts(self, spark):
-        # the BATCH equivalent of the serve join (posting broadcast,
-        # equi-join on cid): inspect the lazy operator plan — the
-        # streaming query itself drains eagerly in the registry
-        import os
-
-        from pyspark.sql import functions as F
-
-        from huckli_spark.operators import simsearch
-        from huckli_spark.operators.clustering import kmeans_fit
-
-        emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
-        cents_micro = kmeans_fit(emb, k=4, iterations=1)
-        cents = [
-            (cid, [x / 1e6 for x in c]) for cid, c in enumerate(cents_micro)
-        ]
-        posting = simsearch.ivf_assign(emb, cents, nprobe=1).select(
-            F.col("vec_id").alias("neighbor_id"), "cid",
-            F.col("embedding").alias("__nv"),
-        )
-        q = simsearch.ivf_assign(
-            emb.where(F.col("vec_id") < 5), cents, nprobe=2
-        ).select(
-            F.col("vec_id").alias("query_id"), "cid",
-            F.col("embedding").alias("__qv"),
-        )
-        df = q.join(F.broadcast(posting), "cid").where(
-            F.col("neighbor_id") != F.col("query_id")
-        )
-        plan = _lazy_plan(spark, df)
-        assert "BroadcastHashJoin" in plan
-        assert "CartesianProduct" not in plan
-
 
 class TestUnigramLmPlans:
     def test_estep_map_only_and_jvm(self, spark):
@@ -844,6 +811,22 @@ class TestContinuationWave2Plans:
         assert m, plan
         assert "CartesianProduct" not in plan
 
+    def test_media_dedup_cap_window_partitions_by_cluster(self, spark):
+        # the media-fingerprint cap (r10): same contract as
+        # q_dedup_cap — decision window partitioned by (kind,
+        # cluster), never a global sort; the banded pair shapes are
+        # pinned per-modality in TestImageDedupPlan /
+        # TestAudioVideoDedupPlans (components take the driver
+        # union-find path at fixture scale, planning a local relation)
+        plan = _plan(spark, "q_media_dedup_cap")
+        m = re.search(
+            r"row_number\(\)[^\n]*windowspecdefinition\(kind[^\n]*cluster_id",
+            plan,
+        )
+        assert m, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_hash_quantiles_sample_is_takeordered(self, spark):
         # the ONLY corpus-sized operation is the bottom-k TakeOrdered;
         # every window runs on the 1024-row sample
@@ -934,7 +917,9 @@ class TestImageDedupPlan:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
         # decode/hash rides Arrow batches, never row-at-a-time UDFs
-        assert "ArrowEvalPython" not in plan or "BatchEvalPython" not in plan
+        # ADVICE r09 #2: this is the real pin — row-at-a-time Python
+        # never appears; Arrow stages (MapInPandas decode) are allowed
+        assert "BatchEvalPython" not in plan, plan
 
 
 class TestAudioVideoDedupPlans:

@@ -296,3 +296,59 @@ class TestCrossBandingProperty:
         got = {(r.new_id, r.dup_of): r.hamming for r in rows}
         assert len(rows) == len(got), "pair emitted more than once"
         assert got == want
+
+
+class TestChunkCountConfigurability:
+    """ADVICE r09 #3: the band/first-match builders are generated from
+    SIMHASH_CHUNKS — raising the constant must widen the exactness
+    bound in BOTH the self-join and cross variants, not silently
+    mis-dedup."""
+
+    def test_five_chunks_exact_at_hamming_4(self, spark, monkeypatch):
+        from huckli_spark.operators import sketch
+
+        monkeypatch.setattr(sketch, "SIMHASH_CHUNKS", 5)
+        rng = random.Random(99)
+        sigs: list[int] = []
+        for _ in range(10):
+            base = rng.getrandbits(SIMHASH_BITS)
+            sigs.append(base)
+            for k in (1, 3, 4, 5):  # 5 must be excluded at bound 4
+                v = base
+                for pos in rng.sample(range(SIMHASH_BITS), k):
+                    v ^= 1 << pos
+                sigs.append(v)
+        _check(spark, sigs, max_hamming=4)
+
+    def test_five_chunks_cross_matches_bruteforce(self, spark, monkeypatch):
+        from huckli_spark.operators import sketch
+
+        monkeypatch.setattr(sketch, "SIMHASH_CHUNKS", 5)
+        rng = random.Random(123)
+        corpus = [rng.getrandbits(SIMHASH_BITS) for _ in range(25)]
+        new = []
+        for s in corpus[:8]:
+            v = s
+            for pos in rng.sample(range(SIMHASH_BITS), rng.choice([0, 2, 4])):
+                v ^= 1 << pos
+            new.append(v)
+        cdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(corpus)], "doc_id long, simhash long"
+        )
+        ndf = spark.createDataFrame(
+            [(1000 + i, s) for i, s in enumerate(new)],
+            "doc_id long, simhash long",
+        )
+        got = {
+            (r.new_id, r.dup_of, r.hamming)
+            for r in sketch.simhash_pairs_cross(
+                ndf, cdf, max_hamming=4
+            ).collect()
+        }
+        want = set()
+        for i, nv in enumerate(new):
+            for j, cv in enumerate(corpus):
+                h = bin(nv ^ cv).count("1")
+                if h <= 4:
+                    want.add((1000 + i, j, h))
+        assert got == want

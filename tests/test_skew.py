@@ -214,3 +214,40 @@ class TestGroupedPrefixScale:
             (r["lang"], r["score"]): r["__higher"] for r in out.collect()
         }
         assert got[("a", 49)] == 0 and got[("a", 0)] == 49
+
+
+class TestGroupedNtileNullGroup:
+    """ADVICE r09 #1: a NULL group value must behave exactly like the
+    partitioned-window NTILE (PARTITION BY groups NULLs together) —
+    neither a Python TypeError in the offset sort nor a silent drop
+    at the histogram equi-join."""
+
+    def test_null_group_matches_partitioned_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.skew import exact_ntile_grouped
+
+        rows = [
+            (g, i, (i * 37) % 11 if i % 6 else 500 + i)
+            for g in ("a", None, "b")
+            for i in range(53)
+        ]
+        df = spark.createDataFrame(
+            rows, "lang string, doc_id long, score long"
+        )
+        got = {
+            (r["lang"], r["doc_id"]): r["tile"]
+            for r in exact_ntile_grouped(
+                df, 4, score_col="score", id_col="doc_id", group_col="lang"
+            ).collect()
+        }
+        assert len(got) == 159  # nothing dropped
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        want = {
+            (r["lang"], r["doc_id"]): r["t"]
+            for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+        }
+        assert got == want
