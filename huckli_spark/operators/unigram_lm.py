@@ -216,20 +216,20 @@ def frozen_vocab_expr(vocab_rows: list) -> str:
     return f"map({entries})"
 
 
-def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
-                       text_col: str = "text") -> str:
-    """Whole-document tokenization as ONE stateless in-row
-    expression: split to words (WCAP-truncated), per-word forward DP
-    + backtrack against the baked vocab literal. Returns a
-    struct(tokens array<string>, cost_micro bigint) expression."""
-    vc = frozen_vocab_expr(vocab_rows)
+def _tokens_expr(vc: str, lmax, text_col: str) -> str:
+    """The document-tokenize expression core, parameterized on the
+    vocab-map SQL expression (a baked literal OR the broadcast
+    ``__vc`` column) and the lookback bound (an int or ``__vmax``):
+    split to words (WCAP-truncated), per-word forward DP + backtrack.
+    Returns a struct(tokens array<string>, cost_micro bigint)
+    expression."""
     words = (
         f"transform(filter(split({text_col}, ' '), x -> x <> ''),"
         f" x -> substring(x, 1, {WCAP}))"
     )
     staged = (
         f"transform({words}, w -> named_struct('w', w,"
-        f" 'best', {_forward_expr(max_piece_len, 'w', vc)}))"
+        f" 'best', {_forward_expr(lmax, 'w', vc)}))"
     )
     return (
         f"named_struct('tokens', flatten(transform({staged},"
@@ -237,6 +237,36 @@ def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
         f" 'cost_micro', aggregate({staged}, cast(0 as bigint),"
         " (acc, s) -> acc + element_at(s.best, length(s.w) + 1)"
         f" div {JSHIFT}))"
+    )
+
+
+def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
+                       text_col: str = "text") -> str:
+    """Whole-document tokenization as ONE stateless in-row
+    expression against the baked vocab LITERAL (plan weight O(vocab);
+    the streaming serving path at vocabs in the thousands)."""
+    return _tokens_expr(frozen_vocab_expr(vocab_rows), max_piece_len,
+                        text_col)
+
+
+def encode_docs_broadcast(docs: DataFrame, vocab: DataFrame,
+                          max_piece_len: int | None = None,
+                          text_col: str = "text") -> DataFrame:
+    """Document-level tokenization via the ONE-ROW broadcast vocab
+    map — the production serving path at 100k+ piece vocabs, where
+    the baked literal's O(vocab) plan weight is prohibitive (the
+    frozen_vocab_expr trade, measured in
+    SCALE_PROBE_unigram_vocab.json). Same in-row DP; plan size O(1)
+    in vocab. In streaming, run this inside foreachBatch (the
+    broadcast re-resolves per micro-batch). Output is bit-identical
+    to the literal path (pinned in tests/test_unigram_lm.py):
+    (input columns..., tk struct<tokens array<string>, cost_micro
+    bigint>)."""
+    expr = _tokens_expr("__vc", _lspec(max_piece_len), text_col)
+    return (
+        docs.crossJoin(F.broadcast(_vocab_onerow(vocab)))
+        .withColumn("tk", F.expr(expr))
+        .drop("__vc", "__vmax")
     )
 
 

@@ -107,10 +107,18 @@ _GATE_PRIORITY: list[str] = [
     "q_stream_audio_dedup",
     "q_media_card",
     "q_unigram_serve",
-    # (d) flagship re-grades so no family's last graded row ages past
+    # (d) the round-10 registration: the q_dedup_cap policy layer
+    # composed over all three media fingerprint families (VERDICT
+    # r09 #4) — takes the slot the queue reserved for the
+    # q_multimodal_pipeline re-grade, since multimodal-family
+    # freshness is already carried by the SEVEN media rows above and
+    # this exercises strictly more of the same machinery (decode ->
+    # fingerprint -> banded pairs -> components -> cap);
+    # q_multimodal_pipeline heads the r11 re-grade queue.
+    "q_media_dedup_cap",
+    # (e) flagship re-grades so no family's last graded row ages past
     # two rounds (all last graded r7/r8):
     "q_dedup_minhash",
-    "q_multimodal_pipeline",
     "q_hybrid_retrieval",
     "q_merge_upsert",
 ]

@@ -774,3 +774,111 @@ def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sig, corpus_sig, id_col="media_id", max_hamming=3
     )
     return run_to_memory(pairs, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# capped media dedup (round 10, VERDICT r09 #4): the q_dedup_cap
+# policy layer composed over ALL THREE modality fingerprints. Pair
+# relations are exact but O(cluster^2) in duplicate-family size (the
+# 10x media probe emitted 113x the pairs); the keep-<=K decision
+# relation is O(duplicates) — the output a 100 TB pipeline actually
+# writes back.
+# ---------------------------------------------------------------------------
+_MEDIA_CAP_K = 2
+
+_MEDIA_CAP_ORACLE = f"""
+    WITH RECURSIVE {_img_hash_ctes("i_")},
+    {_aud_hash_ctes("a_")},
+    {_vid_frame_ctes("v_")},
+    ipairs AS (
+      SELECT a.mid AS d1, b.mid AS d2
+      FROM i_hashes a JOIN i_hashes b ON a.mid < b.mid
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+    ), apairs AS (
+      SELECT a.mid AS d1, b.mid AS d2
+      FROM a_hashes a JOIN a_hashes b ON a.mid < b.mid
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+    ), vpairs AS (
+      SELECT DISTINCT a.mid AS d1, b.mid AS d2
+      FROM v_vf a JOIN v_vf b ON a.h = b.h AND a.mid < b.mid
+    ), edges AS (
+      SELECT 'image' AS kind, d1 AS a, d2 AS b FROM ipairs
+      UNION SELECT 'image', d2, d1 FROM ipairs
+      UNION SELECT 'audio', d1, d2 FROM apairs
+      UNION SELECT 'audio', d2, d1 FROM apairs
+      UNION SELECT 'video', d1, d2 FROM vpairs
+      UNION SELECT 'video', d2, d1 FROM vpairs
+    ), reach AS (
+      SELECT kind, a AS node, a AS r FROM edges
+      UNION
+      SELECT e.kind, e.a, reach.r FROM edges e
+      JOIN reach ON reach.kind = e.kind AND reach.node = e.b
+    ), comp AS (
+      SELECT kind, node AS media_id, min(r) AS cluster_id
+      FROM reach GROUP BY 1, 2
+    )
+    SELECT kind, media_id, cluster_id,
+           CAST(row_number() OVER (
+             PARTITION BY kind, cluster_id ORDER BY media_id) AS BIGINT)
+             AS rank_in_cluster,
+           (row_number() OVER (
+             PARTITION BY kind, cluster_id ORDER BY media_id)
+             <= {_MEDIA_CAP_K}) AS kept
+    FROM comp
+"""
+
+
+@query(
+    "q_media_dedup_cap",
+    _MEDIA_CAP_ORACLE,
+    doc="frequency-CAPPED media dedup across ALL binary modalities — "
+    "the q_dedup_cap policy layer composed over the perceptual "
+    "fingerprints: image dHash pairs (<=3 Hamming, pigeonhole-banded), "
+    "audio frame-energy pairs (<=3 Hamming), and video shared-frame "
+    "pairs (frame-hash equi-join) each collapse to transitive "
+    "duplicate clusters (connected components, id = min member), then "
+    "keep at most K=2 members per cluster (rank by media_id). Output "
+    "= the per-member decision table, O(duplicates) — never "
+    "corpus-sized — which is what a 100 TB pipeline writes back "
+    "instead of the O(cluster^2) pair relation. The DuckDB oracle "
+    "replays pixels/samples/frames -> hashes -> brute-force pairs -> "
+    "recursive reachability -> capped ranks from the same closed "
+    "forms, certifying banded-join exactness AND the component/cap "
+    "policy in one hash gate.",
+)
+def q_media_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.dedup import connected_components
+    from huckli_spark.operators.multimodal import (
+        audio_dedup_pairs,
+        image_dedup_pairs,
+        video_dedup_pairs,
+    )
+
+    parts = []
+    for kind, pairs in (
+        ("image", image_dedup_pairs(_dedup_media_df(spark, sf_dir),
+                                    max_hamming=3)),
+        ("audio", audio_dedup_pairs(_audio_media_df(spark, sf_dir),
+                                    max_hamming=3)),
+        ("video", video_dedup_pairs(_video_media_df(spark, sf_dir))),
+    ):
+        comp = connected_components(pairs.select("d1", "d2"))
+        parts.append(
+            comp.select(
+                F.lit(kind).alias("kind"),
+                F.col("doc_id").alias("media_id"),
+                "cluster_id",
+            )
+        )
+    comp_all = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    wr = Window.partitionBy("kind", "cluster_id").orderBy(F.asc("media_id"))
+    rk = F.row_number().over(wr).cast("long")
+    return comp_all.select(
+        "kind",
+        "media_id",
+        "cluster_id",
+        rk.alias("rank_in_cluster"),
+        (rk <= _MEDIA_CAP_K).alias("kept"),
+    )
