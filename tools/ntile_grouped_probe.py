@@ -33,18 +33,23 @@ from huckli_spark.operators.skew import exact_ntile_grouped
 from huckli_spark.session import get_spark
 
 N_TILES = 10
-N_GROUPS = 5
-BASE_ROWS = 100_000
+N_GROUPS = 3  # one dominant group (80%) + two minor — real corpora
+BASE_ROWS = 1_000_000
 
 
 def fixture(spark, n_rows: int) -> DataFrame:
-    # near-unique micro scores: every doc its own score value except
-    # ~0.1% engineered ties (the q_ccnet_buckets avg_lp_micro shape)
+    # near-unique micro scores (every doc its own value except ~0.1%
+    # engineered ties — the q_ccnet_buckets avg_lp_micro shape) and a
+    # language-skewed grouping: 80% 'en', 10% each minor. The skew is
+    # the realistic case AND the one that exposes the old form's
+    # single-task window (the dominant group's whole histogram in one
+    # task).
     return (
         spark.range(n_rows)
         .select(
             F.col("id").alias("doc_id"),
-            F.concat(F.lit("lang"), (F.col("id") % N_GROUPS))
+            F.when(F.col("id") % 10 < 8, F.lit("en"))
+            .otherwise(F.concat(F.lit("lang"), (F.col("id") % 10)))
             .alias("lang"),
             (F.col("id") * 1000 + F.pmod(F.xxhash64("id"), 997))
             .alias("score"),
