@@ -207,9 +207,12 @@ def _sql_str(s: str) -> str:
 def frozen_vocab_expr(vocab_rows: list) -> str:
     """Bake a trained (piece, cost) table as a map literal for
     stateless streaming serving (the q_stream_dsir baked-table
-    pattern). Plan size is O(vocab); fine at serving vocabs in the
-    thousands — at 100k+ pieces production serves via foreachBatch
-    with the broadcast map row instead (documented trade)."""
+    pattern). Plan size is O(vocab); MEASURED crossover
+    (SCALE_PROBE_unigram_vocab.json, 100k docs): the literal wins at
+    1k/8k pieces, loses by 32k (238 s vs 146 s — a 3.5 MB expression
+    to compile), so above ~10k pieces production serves via
+    foreachBatch with ``encode_docs_broadcast``'s one-row broadcast
+    map instead."""
     entries = ", ".join(
         f"{_sql_str(p)}, {int(c)}L" for p, c in sorted(vocab_rows)
     )

@@ -388,3 +388,59 @@ class TestOOVPolicy:
         for r in word_table(docs).collect():
             # every char in vocab => no UNK cost can appear
             assert all(ch in vdict for ch in r.word)
+
+
+class TestBroadcastMapServing:
+    """ADVICE/VERDICT r09 #6: the foreachBatch production path — the
+    ONE-ROW broadcast vocab map instead of the baked literal — must
+    be bit-identical to the literal path, including OOV char-fallback
+    and the derived (__vmax) lookback."""
+
+    def test_broadcast_map_matches_literal(self, spark):
+        from huckli_spark.operators.unigram_lm import (
+            encode_docs_broadcast,
+            tokens_in_row_expr,
+        )
+
+        docs = _corpus(spark, RICH + ["zz unseené chars"])
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=2)
+        vrows = [(r.piece, r.cost) for r in vocab.collect()]
+        lit = {
+            r.doc_id: (list(r.tk.tokens), r.tk.cost_micro)
+            for r in docs.select(
+                "doc_id", F.expr(tokens_in_row_expr(vrows, 4)).alias("tk")
+            ).collect()
+        }
+        # explicit lookback
+        bc = {
+            r.doc_id: (list(r.tk.tokens), r.tk.cost_micro)
+            for r in encode_docs_broadcast(docs, vocab, 4).collect()
+        }
+        assert bc == lit
+        # derived lookback (__vmax == max piece length == 4 here)
+        bc_dyn = {
+            r.doc_id: (list(r.tk.tokens), r.tk.cost_micro)
+            for r in encode_docs_broadcast(docs, vocab).collect()
+        }
+        assert bc_dyn == lit
+
+    def test_broadcast_map_plan_is_one_row_payload(self, spark):
+        # plan contract: the vocab travels as ONE broadcast row (a
+        # BroadcastNestedLoopJoin against a 1-row aggregate is a
+        # payload, not a product) and the plan carries NO map literal
+        # (the O(vocab) plan-weight trade this path exists to avoid)
+        from tests.conftest import SF_SMALL
+
+        from huckli_spark.operators.unigram_lm import encode_docs_broadcast
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=1)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode\
+            .fromString("formatted")
+        plan = encode_docs_broadcast(docs, vocab, 4)._jdf\
+            .queryExecution().explainString(mode)
+        assert "Python" not in plan
+        marker = next(p for p, _c in [(r.piece, r.cost)
+                                      for r in vocab.collect()]
+                      if len(p) > 1)
+        assert f"keys: [{marker}," not in plan  # no baked map literal
