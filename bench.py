@@ -271,20 +271,45 @@ def main() -> None:
         "q_image_dedup",
         "q_audio_dedup",
         "q_video_dedup",
+        # round-10 additions (capped media dedup; tokenizer lifecycle)
+        "q_media_dedup_cap",
+        "q_unigram_serve",
     ]
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        if name not in specs:
-            continue
-        try:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            specs[name].build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            extended[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[f"extended:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
+
+    def run_extended():
+        ext: dict[str, float] = {}
+        errs: dict[str, str] = {}
+        loads: list[float] = []
+        for name in EXTENDED:
+            if name not in specs:
+                continue
+            try:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                specs[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ext[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errs[name] = f"{type(exc).__name__}: {exc}"[:400]
+            loads.append(round(os.getloadavg()[0], 2))
+        return ext, errs, loads
+
+    extended, ext_errors, ext_load = run_extended()
+    ext_attempts = [round(sum(extended.values()), 3)]
+    # loadavg-gated rerun for the EXTENDED rows too (VERDICT r09 #5:
+    # the guard used to cover only the headline 24). Single-run rows
+    # have no med/min noise signature, so the co-tenant signal is the
+    # loadavg series itself: the bench alone keeps this box's 1-min
+    # average well under 8 on the 32 threads; a sustained excursion
+    # above it means a neighbor burned CPU during the measurement.
+    if not ext_errors and ext_load and max(ext_load) > 8.0:
+        e2, err2, rl2 = run_extended()
+        ext_attempts.append(round(sum(e2.values()), 3))
+        if not err2 and sum(e2.values()) < sum(extended.values()):
+            extended, ext_errors, ext_load = e2, err2, rl2
+    for name, msg in ext_errors.items():
+        errors[f"extended:{name}"] = msg
 
     # Load context (VERDICT r04 item 4): cross-round totals carry ~1.5x
     # co-tenant noise on this shared box, so record the 1-min loadavg at
@@ -320,6 +345,8 @@ def main() -> None:
         "attempt_totals": attempts,
         "per_query_loadavg": run_load,
         "extended_queries": extended,
+        "extended_attempt_totals": ext_attempts,
+        "extended_per_query_loadavg": ext_load,
         "ingest": ingest,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),

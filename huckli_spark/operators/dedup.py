@@ -645,3 +645,74 @@ def segment_dedup(
             "kept_text",
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window_len: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans at word granularity — the
+    Spark-first re-expression of suffix-array exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": remove any substring occurring verbatim more than
+    once, threshold ~50 tokens). A suffix array is a single-machine
+    structure; the distributed equivalent is the fixed-width rolling
+    window: every ``window_len``-word window whose text occurs
+    >= ``min_count`` times corpus-wide is duplicated, and maximal
+    runs of duplicated windows merge into spans. Any duplicated
+    substring of >= window_len words is fully covered by its
+    duplicated windows, so the merged spans are exactly the union of
+    all such substrings (the standard window over-approximation: a
+    merged span need not be duplicated as ONE contiguous block).
+
+    Returns (id_col, span_start, span_end, n_windows): word-index
+    half-open spans [span_start, span_end), O(duplicated content)
+    rows — the decision relation a pipeline uses to cut or drop.
+
+    Scale (100 TB): the gram relation is corpus-sized but needs ONE
+    shuffle — occurrence counts come from a count window partitioned
+    by the gram itself (partition size == occurrence count, almost
+    always 1), not a groupBy + join-back (which would shuffle the
+    same relation twice). Span merging windows partition by document
+    (bounded by per-doc duplicated positions). Everything is JVM
+    built-ins; no Python, no product. Ultra-hot boilerplate grams
+    (licenses, headers) make big gram partitions only if they repeat
+    millions of times — cap with a max_doc_freq-style stop-gram
+    filter upstream if a corpus needs it (the jaccard_pairs guard).
+    """
+    w = f"filter(split({text_col}, ' '), x -> x <> '')"
+    grams = (
+        f"transform(sequence(1, greatest(size({w}) - {window_len - 1}, 0)),"
+        f" i -> array_join(slice({w}, i, {window_len}), ' '))"
+    )
+    g = docs.select(
+        F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram")
+    )
+    occ = Window.partitionBy("gram")
+    dpos = (
+        g.withColumn("__n", F.count("*").over(occ))
+        .where(F.col("__n") >= min_count)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    # windows [pos, pos+L) merge when overlapping OR adjacent:
+    # a gap opens only when pos - lag(pos) > L
+    newgrp = F.when(
+        F.col("pos") - F.lag("pos").over(wd) > window_len, 1
+    ).otherwise(F.lit(0))
+    gid = F.sum(newgrp).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dpos.withColumn("__gid", gid)
+        .groupBy(id_col, "__gid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window_len).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("__gid")
+    )

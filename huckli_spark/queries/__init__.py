@@ -128,6 +128,10 @@ _GATE_PRIORITY: list[str] = [
 # wave, the unigram/DoReMi flagships, q_stream_ann_serve (graded on
 # the fixed plan), q_training_triplets, q_dedup_cap. Earlier rounds'
 # rotation history: see COVERAGE.md "Gate rotation ledger".
+# Round-11 queue: q_multimodal_pipeline (re-grade deferred from r10 —
+# see slot (d) above), q_substring_dedup (registered r10), plus the
+# usual family-freshness re-grades for whatever last carried a row
+# in r9.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1069,3 +1069,69 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 10): duplicated-span detection, the
+# Spark-first form of suffix-array exact substring dedup
+# ---------------------------------------------------------------------------
+_SPAN_L = 3  # window length in words (fixture texts are short)
+
+_SUBSTRING_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, greatest(array_length(w) - {_SPAN_L - 1}, 0)),
+                 i -> struct_pack(
+                   pos := i,
+                   gram := array_to_string(w[i + 1:i + {_SPAN_L}], ' '))
+               )) AS u
+        FROM words)
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+        FROM gr) WHERE n >= 2
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+               PARTITION BY doc_id ORDER BY pos) > {_SPAN_L}
+             THEN 1 ELSE 0 END AS newgrp
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM marked
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_L} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, gid
+"""
+
+
+@query(
+    "q_substring_dedup",
+    _SUBSTRING_ORACLE,
+    doc="exact substring dedup — duplicated-span detection, the "
+    "Spark-first re-expression of suffix-array substring dedup (Lee "
+    "et al. 2022: remove any substring occurring verbatim more than "
+    "once). Every L-word rolling window whose text occurs >= 2 times "
+    "corpus-wide is duplicated; maximal runs of duplicated windows "
+    "merge to half-open word spans [span_start, span_end) — the "
+    "O(duplicated content) decision relation a pipeline cuts with. "
+    "Scale: the corpus-sized gram relation shuffles ONCE (occurrence "
+    "counts via a count window partitioned by the gram itself, not "
+    "groupBy + join-back); span merging windows partition by "
+    "document; all JVM built-ins (plan-pinned). The DuckDB oracle "
+    "replays windows -> occurrence counts -> gap-merge identically.",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), window_len=_SPAN_L)
