@@ -683,13 +683,21 @@ def duplicate_spans(
     millions of times — cap with a max_doc_freq-style stop-gram
     filter upstream if a corpus needs it (the jaccard_pairs guard).
     """
-    w = f"filter(split({text_col}, ' '), x -> x <> '')"
     grams = (
-        f"transform(sequence(1, greatest(size({w}) - {window_len - 1}, 0)),"
-        f" i -> array_join(slice({w}, i, {window_len}), ' '))"
+        f"transform(sequence(1, size(__words) - {window_len - 1}),"
+        f" i -> array_join(slice(__words, i, {window_len}), ' '))"
     )
-    g = docs.select(
-        F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram")
+    g = (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"filter(split({text_col}, ' '), x -> x <> '')"
+            ).alias("__words"),
+        )
+        # docs shorter than the window produce no grams (and
+        # sequence(1, n<=0) would be a DESCENDING sequence — guard)
+        .where(F.size("__words") >= window_len)
+        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram"))
     )
     occ = Window.partitionBy("gram")
     dpos = (
@@ -715,4 +723,55 @@ def duplicate_spans(
             F.count("*").cast("long").alias("n_windows"),
         )
         .drop("__gid")
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: Optional[DataFrame] = None,
+    window_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply duplicated-span cuts: remove every word covered by a
+    :func:`duplicate_spans` span and rebuild the text. This is the
+    CONSERVATIVE policy — all occurrences go, the decontamination-
+    grade variant; keeping one canonical occurrence per duplicate
+    family needs a global keeper election (the dedup_cap/components
+    machinery) layered on top. Returns the input columns plus
+    ``text_cut`` and ``n_cut_words``.
+
+    Scale: the span relation is O(duplicated content); it aggregates
+    to one array row per affected document and joins back on the
+    document key — the corpus never shuffles on anything data-sized,
+    and the cut itself is a pure in-row two-arg-lambda filter."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs, window_len=window_len, id_col=id_col, text_col=text_col
+        )
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    w = f"filter(split({text_col}, ' '), x -> x <> '')"
+    kept = (
+        f"filter(transform({w}, (x, i) -> named_struct('x', x, 'i', i)),"
+        " s -> __spans IS NULL OR"
+        " NOT exists(__spans, q -> s.i >= q.s AND s.i < q.e))"
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .withColumn("__kept", F.expr(kept))
+        .withColumn(
+            "text_cut",
+            F.array_join(F.expr("transform(__kept, s -> s.x)"), " "),
+        )
+        .withColumn(
+            "n_cut_words",
+            (F.size(F.expr(w)) - F.size("__kept")).cast("long"),
+        )
+        .drop("__spans", "__kept")
     )

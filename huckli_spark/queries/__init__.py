@@ -129,9 +129,9 @@ _GATE_PRIORITY: list[str] = [
 # the fixed plan), q_training_triplets, q_dedup_cap. Earlier rounds'
 # rotation history: see COVERAGE.md "Gate rotation ledger".
 # Round-11 queue: q_multimodal_pipeline (re-grade deferred from r10 —
-# see slot (d) above), q_substring_dedup (registered r10), plus the
-# usual family-freshness re-grades for whatever last carried a row
-# in r9.
+# see slot (d) above), the round-10 registrations (q_substring_dedup,
+# q_substring_cut, q_stream_substring_screen), plus the usual
+# family-freshness re-grades for whatever last carried a row in r9.
 
 
 def all_queries() -> dict[str, QuerySpec]:

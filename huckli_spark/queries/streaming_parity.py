@@ -1265,3 +1265,105 @@ def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") > 0)
     )
     return run_to_memory(toks, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# streaming substring screen (round 10): the frozen-index lifecycle
+# applied to exact substring dedup — live documents screened for
+# L-word windows that occur verbatim anywhere in a frozen corpus.
+# ---------------------------------------------------------------------------
+_SUBSTR_SPLIT = 100
+_SUBSTR_L = 3
+
+_SUBSTR_SCREEN_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, greatest(array_length(w) - {_SUBSTR_L - 1}, 0)),
+                 i -> struct_pack(
+                   pos := i,
+                   gram := array_to_string(w[i + 1:i + {_SUBSTR_L}], ' '))
+               )) AS u
+        FROM words)
+    )
+    SELECT n.doc_id, n.pos
+    FROM gr n
+    WHERE n.doc_id < {_SUBSTR_SPLIT} AND EXISTS (
+      SELECT 1 FROM gr c
+      WHERE c.doc_id >= {_SUBSTR_SPLIT} AND c.gram = n.gram)
+"""
+
+
+@query(
+    "q_stream_substring_screen",
+    _SUBSTR_SCREEN_ORACLE,
+    doc="STREAMING exact-substring screen against a FROZEN gram index "
+    "(the frozen-fingerprint lifecycle applied to substring dedup): "
+    "the corpus's L-word window texts freeze to parquet before the "
+    "stream starts; live documents explode to windows IN-STREAM (pure "
+    "in-row transform + posexplode) and screen via a stream-static "
+    "LEFT SEMI equi-join on the window text — stateless, append mode, "
+    "each matched window emitted exactly once regardless of corpus "
+    "multiplicity, corpus side never broadcast-hinted (it is "
+    "corpus-sized; AQE may size-bound-broadcast at fixture scale). "
+    "The oracle replays both sides' windows and the EXISTS semantics.",
+)
+def q_stream_substring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.cache import _scratch_dir
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = "filter(split(text, ' '), x -> x <> '')"
+    grams = (
+        f"transform(sequence(1, size(__words) - {_SUBSTR_L - 1}),"
+        f" i -> array_join(slice(__words, i, {_SUBSTR_L}), ' '))"
+    )
+
+    def with_words(df: DataFrame) -> DataFrame:
+        # short docs produce no windows (and sequence(1, n<=0) would
+        # be DESCENDING — guard before the transform)
+        return df.select(
+            "doc_id", F.expr(words).alias("__words")
+        ).where(F.size("__words") >= _SUBSTR_L)
+
+    root = os.path.join(
+        _scratch_dir(), f"substr_screen_{uuid.uuid4().hex[:12]}"
+    )
+    # freeze the corpus windows before the stream starts
+    (
+        with_words(docs.where(F.col("doc_id") >= _SUBSTR_SPLIT))
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .write.parquet(os.path.join(root, "corpus_grams"))
+    )
+    corpus_grams = spark.read.parquet(os.path.join(root, "corpus_grams"))
+    stream_dir = stage_table_stream(sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    new_grams = (
+        with_words(stream.where(F.col("doc_id") < _SUBSTR_SPLIT))
+        .select(
+            "doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram")
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    )
+    matched = new_grams.join(corpus_grams, "gram", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return run_to_memory(matched, output_mode="append")

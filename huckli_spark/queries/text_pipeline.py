@@ -1135,3 +1135,86 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_docs(spark, sf_dir), window_len=_SPAN_L)
+
+
+_CUT_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, greatest(array_length(w) - {_SPAN_L - 1}, 0)),
+                 i -> struct_pack(
+                   pos := i,
+                   gram := array_to_string(w[i + 1:i + {_SPAN_L}], ' '))
+               )) AS u
+        FROM words)
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+        FROM gr) WHERE n >= 2
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+               PARTITION BY doc_id ORDER BY pos) > {_SPAN_L}
+             THEN 1 ELSE 0 END AS newgrp
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_L} AS e
+      FROM grp GROUP BY doc_id, gid
+    ), sp AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sl
+      FROM spans GROUP BY doc_id
+    ), affected AS (
+      SELECT w.doc_id,
+             list_filter(range(0, array_length(w.w)),
+               i -> len(list_filter(sp.sl,
+                 q -> i >= q.s AND i < q.e)) = 0) AS keep,
+             w.w AS w
+      FROM words w JOIN sp ON w.doc_id = sp.doc_id
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB; Spark's
+           -- array_join([]) is '' — coalesce for fully-cut docs
+           coalesce(array_to_string(
+             list_transform(keep, i -> w[i + 1]), ' '), '') AS text_cut,
+           CAST(array_length(w) - array_length(keep) AS BIGINT)
+             AS n_cut_words
+    FROM affected
+    UNION ALL
+    SELECT w.doc_id,
+           coalesce(array_to_string(w.w, ' '), '') AS text_cut,
+           CAST(0 AS BIGINT) AS n_cut_words
+    FROM words w
+    WHERE w.doc_id NOT IN (SELECT doc_id FROM sp)
+"""
+
+
+@query(
+    "q_substring_cut",
+    _CUT_ORACLE,
+    doc="exact-substring-dedup APPLICATION: remove every word covered "
+    "by a q_substring_dedup span and rebuild the text (conservative "
+    "all-occurrences policy — the decontamination-grade cut; keeping "
+    "one canonical occurrence layers the components/cap machinery on "
+    "top). Hash-gated on the rebuilt text itself, so the gate pins "
+    "span boundaries, word indexing, and reconstruction exactly. "
+    "Scale: spans aggregate to one array row per AFFECTED doc and "
+    "join back on the doc key; the cut is a pure in-row two-arg "
+    "lambda filter — the corpus never shuffles on anything "
+    "data-sized.",
+)
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import cut_duplicate_spans
+
+    return cut_duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), window_len=_SPAN_L
+    ).select("doc_id", "text_cut", "n_cut_words")

@@ -961,3 +961,69 @@ class TestStreamImageDedupPlan:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BroadcastExchange" not in plan, plan
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+class TestSubstringDedupPlans:
+    def test_span_detection_single_gram_shuffle_jvm_only(self, spark):
+        # the corpus-sized gram relation must shuffle ONCE (count
+        # window partitioned by the gram itself — no groupBy +
+        # join-back double shuffle); span merge windows partition by
+        # doc; everything JVM
+        plan = _plan(spark, "q_substring_dedup")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert re.search(
+            r"count\(1\)[^\n]*windowspecdefinition\(gram", plan
+        ), plan
+        # gram appears as a partitioning key exactly once: the count
+        # window's exchange. doc-side exchanges don't key on gram.
+        assert plan.count("hashpartitioning(gram") == 1, plan
+
+    def test_cut_join_keys_on_doc_never_data_sized(self, spark):
+        # the span-array join back to the corpus keys on the doc id;
+        # the in-row cut lambda adds no Python stage
+        plan = _plan(spark, "q_substring_cut")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_stream_screen_semi_join_not_broadcast_hinted(self, spark):
+        # lazy batch twin of the screen join: LEFT SEMI on the gram,
+        # corpus side carries NO broadcast hint (it is corpus-sized;
+        # with the AQE size bound off nothing may broadcast)
+        import os
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.queries.streaming_parity import _SUBSTR_SPLIT
+
+        docs = spark.read.parquet(
+            os.path.join(SF_SMALL, "documents.parquet")
+        )
+        w = "filter(split(text, ' '), x -> x <> '')"
+        grams = (
+            "transform(sequence(1, size(__words) - 2),"
+            " i -> array_join(slice(__words, i, 3), ' '))"
+        )
+
+        def ww(df):
+            return df.select(
+                "doc_id", F.expr(w).alias("__words")
+            ).where(F.size("__words") >= 3)
+
+        corpus = ww(docs.where(F.col("doc_id") >= _SUBSTR_SPLIT)).select(
+            F.explode(F.expr(grams)).alias("gram")
+        )
+        new = ww(docs.where(F.col("doc_id") < _SUBSTR_SPLIT)).select(
+            "doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram")
+        )
+        joined = new.join(corpus, "gram", "left_semi")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _lazy_plan(spark, joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftSemi",
+                         plan), plan
