@@ -271,9 +271,12 @@ def main() -> None:
         "q_image_dedup",
         "q_audio_dedup",
         "q_video_dedup",
-        # round-10 additions (capped media dedup; tokenizer lifecycle)
+        # round-10 additions (capped media dedup; tokenizer lifecycle;
+        # exact substring dedup)
         "q_media_dedup_cap",
         "q_unigram_serve",
+        "q_substring_dedup",
+        "q_substring_cut",
     ]
 
     def run_extended():

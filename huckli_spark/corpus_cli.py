@@ -63,10 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(s)
     s.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "semdedup"],
+        choices=["exact", "minhash", "simhash", "semdedup", "substring"],
         default="minhash",
     )
     s.add_argument("--threshold", type=float, default=0.9)
+    s.add_argument(
+        "--window-len", type=int, default=5,
+        help="substring method: L-word window; every span of >= L "
+        "words occurring verbatim more than once is cut from ALL "
+        "occurrences (docs cut to empty are removed)",
+    )
     s.add_argument(
         "--embeddings",
         default=None,
@@ -226,8 +232,22 @@ def main(argv: list[str] | None = None) -> int:
         from huckli_spark.operators import dedup as dd
         from huckli_spark.operators import sketch
 
+        words_cut = None
         if args.method == "exact":
             kept = dd.dedup_exact(docs, ["text"], order_col="doc_id")
+        elif args.method == "substring":
+            # span-level cut, not row-level drop: duplicated runs of
+            # >= window_len words are removed from every occurrence
+            # (q_substring_cut), then fully-emptied docs drop
+            cut = dd.cut_duplicate_spans(docs, window_len=args.window_len)
+            words_cut = (
+                cut.agg(F.sum("n_cut_words")).collect()[0][0] or 0
+            )
+            kept = (
+                cut.where(F.col("text_cut") != "")
+                .withColumn("text", F.col("text_cut"))
+                .drop("text_cut", "n_cut_words")
+            )
         elif args.method == "semdedup":
             from huckli_spark.operators.curation import semdedup
 
@@ -257,6 +277,8 @@ def main(argv: list[str] | None = None) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
         summary |= {"docs_in": n_in, "docs_kept": n_out,
                     "removed": n_in - n_out, "method": args.method}
+        if words_cut is not None:
+            summary["words_cut"] = int(words_cut)
 
     elif args.cmd == "curate":
         from huckli_spark.operators.curation import dsir_select

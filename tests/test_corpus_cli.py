@@ -95,6 +95,35 @@ class TestCorpusCli:
         ids = {r["doc_id"] for r in spark.read.parquet(kept).collect()}
         assert ids == {0, 2, 3}  # doc 1 is the semantic dup (higher id)
 
+    def test_dedup_substring_cuts_spans(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [
+                (0, "intro words then a shared boilerplate block here "
+                    "plus unique tail zero"),
+                (1, "different opening a shared boilerplate block here "
+                    "and unique tail one"),
+                (2, "a shared boilerplate block here"),  # cut to empty
+                (3, "totally original content with no repeats at all"),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(inp)
+        kept = str(tmp_path / "kept_ss")
+        s = _run(capsys, ["dedup", "--in", inp, "--out", kept,
+                          "--method", "substring", "--window-len", "5"])
+        assert s["method"] == "substring"
+        assert s["docs_in"] == 4
+        # doc 2 was cut to empty and removed; the others survive with
+        # the shared 5-word run removed from every occurrence
+        assert s["docs_kept"] == 3 and s["removed"] == 1
+        # "a shared boilerplate block here" = 5 words x 3 occurrences
+        assert s["words_cut"] == 15
+        rows = {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(kept).collect()}
+        assert rows[0] == "intro words then plus unique tail zero"
+        assert rows[1] == "different opening and unique tail one"
+        assert rows[3] == "totally original content with no repeats at all"
+
     def test_dedup_semdedup_requires_embeddings(self, tmp_path, jsonl_corpus,
                                                 capsys):
         with pytest.raises(SystemExit):
