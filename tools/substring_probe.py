@@ -35,7 +35,9 @@ def fixture(spark, n_docs: int):
     """90% unique docs (id-seeded words), 10% copies of one of
     TEMPLATES shared templates (template-seeded words) — every copy
     pair shares its full 40-word text verbatim."""
-    k = "((seed * 131 + i * 7919) % 200000)"
+    # hash-mixed word ids: an affine (seed*a + i*b) form makes every
+    # doc a shifted copy of others (the whole corpus near-dups)
+    k = "(abs(xxhash64(seed, i)) % 200000)"
     word = (
         f"concat(char(97 + ({k} div 17576) % 26),"
         f" char(97 + ({k} div 676) % 26),"
