@@ -150,6 +150,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="optional (media_id, kind, data) parquet: the release "
         "bundle gains the per-modality media card",
     )
+    s.add_argument(
+        "--media-cap",
+        type=int,
+        default=0,
+        metavar="K",
+        help="with --media: also ship keep-<=K decisions per "
+        "transitive duplicate cluster (media_keep_decisions.parquet, "
+        "the q_media_dedup_cap relation)",
+    )
 
     s = sub.add_parser(
         "export", help="sharded corpus export + checksummed MANIFEST.json"
@@ -797,7 +806,7 @@ def _release(spark, docs, args) -> dict:
         rel["media_card"] = _media_card(
             spark,
             SimpleNamespace(inp=args.media, out=out, pairs=False,
-                            max_hamming=3),
+                            max_hamming=3, cap=args.media_cap),
         )
 
     # 5. RELEASE.json: pointers + a checksum over the data MANIFEST

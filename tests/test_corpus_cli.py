@@ -478,11 +478,19 @@ class TestReleaseWithMedia:
         media.write.parquet(minp)
         out = str(tmp_path / "rel")
         s = _run(capsys, ["release", "--in", inp, "--out", out,
-                          "--shards", "2", "--media", minp])
+                          "--shards", "2", "--media", minp,
+                          "--media-cap", "1"])
         assert s["media_card"]["image"] == {
             "n_blobs": 2, "fp_rows": 2, "distinct_fp": 1, "dup_excess": 1,
         }
         assert s["media_card"]["audio"]["n_blobs"] == 0
+        # keep-<=1 over the single dup pair: 2 decisions, 1 dropped
+        assert s["media_card"]["cap"] == {
+            "k": 1, "decisions": 2, "dropped": 1,
+        }
         rel = _json.load(open(os.path.join(out, "RELEASE.json")))
         assert rel["media_card"]["image"]["dup_excess"] == 1
         assert os.path.isdir(os.path.join(out, "media_card.parquet"))
+        assert os.path.isdir(
+            os.path.join(out, "media_keep_decisions.parquet")
+        )
