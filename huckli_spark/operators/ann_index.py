@@ -60,19 +60,21 @@ def _checksum_nested(vals) -> str:
 def save_ann_index(
     path: str,
     centroids: list[tuple[int, list[float]]],
-    codebooks: list[list[list[float]]],
+    codebooks: list[list[list[float]]] | None,
     codes: DataFrame | None = None,
     posting: DataFrame | None = None,
 ) -> dict:
-    """Persist a trained index atomically; returns the manifest."""
+    """Persist a trained index atomically; returns the manifest.
+    ``codebooks=None`` stores a coarse-only (IVF) index — posting
+    lists but no PQ arm (m/n_codes/sub = 0 in the manifest)."""
     tmp = path.rstrip("/") + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
 
     dim = len(centroids[0][1])
-    m = len(codebooks)
-    n_codes = len(codebooks[0])
-    sub = len(codebooks[0][0])
+    m = len(codebooks) if codebooks else 0
+    n_codes = len(codebooks[0]) if codebooks else 0
+    sub = len(codebooks[0][0]) if codebooks else 0
     manifest = {
         "format_version": FORMAT_VERSION,
         "dim": dim,
@@ -83,7 +85,7 @@ def save_ann_index(
         "centroids_md5": _checksum_nested(
             [c for _, c in sorted(centroids)]
         ),
-        "codebooks_md5": _checksum_nested(codebooks),
+        "codebooks_md5": _checksum_nested(codebooks) if codebooks else None,
         "has_codes": codes is not None,
         "has_posting": posting is not None,
     }
@@ -99,15 +101,16 @@ def save_ann_index(
     pd.DataFrame(cent_rows, columns=["cid", "dim", "val"]).to_parquet(
         os.path.join(tmp, "centroids.parquet"), index=False
     )
-    cb_rows = [
-        (s, c, d, float(v))
-        for s, cb in enumerate(codebooks)
-        for c, code in enumerate(cb)
-        for d, v in enumerate(code)
-    ]
-    pd.DataFrame(cb_rows, columns=["s", "c", "dim", "val"]).to_parquet(
-        os.path.join(tmp, "codebooks.parquet"), index=False
-    )
+    if codebooks:
+        cb_rows = [
+            (s, c, d, float(v))
+            for s, cb in enumerate(codebooks)
+            for c, code in enumerate(cb)
+            for d, v in enumerate(code)
+        ]
+        pd.DataFrame(cb_rows, columns=["s", "c", "dim", "val"]).to_parquet(
+            os.path.join(tmp, "codebooks.parquet"), index=False
+        )
     if codes is not None:
         codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes.parquet"))
     if posting is not None:
@@ -158,21 +161,24 @@ def load_ann_index(
     if _checksum_nested([c for _, c in centroids]) != man["centroids_md5"]:
         raise IndexIntegrityError("centroid checksum mismatch")
 
-    cb_pdf = pd.read_parquet(os.path.join(path, "codebooks.parquet"))
     codebooks: list[list[list[float]]] = []
-    for s in range(man["m"]):
-        sb = cb_pdf[cb_pdf["s"] == s].sort_values(["c", "dim"])
-        cb = [
-            [float(v) for v in sb[sb["c"] == c]["val"]]
-            for c in range(man["n_codes"])
-        ]
-        codebooks.append(cb)
-    if any(
-        len(code) != man["sub"] for cb in codebooks for code in cb
-    ):
-        raise IndexIntegrityError("codebook geometry mismatch vs manifest")
-    if _checksum_nested(codebooks) != man["codebooks_md5"]:
-        raise IndexIntegrityError("codebook checksum mismatch")
+    if man["m"]:
+        cb_pdf = pd.read_parquet(os.path.join(path, "codebooks.parquet"))
+        for s in range(man["m"]):
+            sb = cb_pdf[cb_pdf["s"] == s].sort_values(["c", "dim"])
+            cb = [
+                [float(v) for v in sb[sb["c"] == c]["val"]]
+                for c in range(man["n_codes"])
+            ]
+            codebooks.append(cb)
+        if any(
+            len(code) != man["sub"] for cb in codebooks for code in cb
+        ):
+            raise IndexIntegrityError(
+                "codebook geometry mismatch vs manifest"
+            )
+        if _checksum_nested(codebooks) != man["codebooks_md5"]:
+            raise IndexIntegrityError("codebook checksum mismatch")
 
     codes = (
         spark.read.parquet(os.path.join(path, "codes.parquet"))
