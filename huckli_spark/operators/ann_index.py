@@ -191,3 +191,60 @@ def load_ann_index(
         else None
     )
     return centroids, codebooks, codes, posting
+
+
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance — the production path between
+    periodic rebuilds: assign NEW vectors to the FROZEN coarse
+    centroids (checksum-verified on load; no refit, no retraining)
+    and append their rows to the cid-keyed posting store. Assignment
+    is deterministic given the stored quantizer, so an appended index
+    is BIT-IDENTICAL to one built over the union corpus with the same
+    centroids (hash-gated in q_ann_ivf_append). When the index
+    carries a PQ arm, the new vectors' codes append under the same
+    frozen codebooks.
+
+    Scale: assignment is the map-only ``ivf_assign`` expression; the
+    appends are parquet directory appends (no rewrite of existing
+    posting files; cid-partitioned stores keep their layout because
+    appends go through the same writer). Delivery note, mirroring the
+    warehouse's documented at-least-once gap
+    (/root/reference/huckli-import/src/lib.rs:202-210 parity): the
+    posting and codes appends are two separate commits — re-running
+    after a crash between them duplicates posting rows, so callers
+    track appended batch ids (warehouse checkpoint discipline) or
+    dedup by id on read."""
+    from huckli_spark.operators import simsearch
+
+    cents, cbs, codes, posting = load_ann_index(path, spark)
+    if posting is None:
+        raise IndexIntegrityError("index has no posting store to append to")
+    post_path = os.path.join(path, "posting.parquet")
+    stored_cols = posting.columns
+    assigned = simsearch.ivf_assign(
+        new_df, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    missing = [c for c in stored_cols if c not in assigned.columns]
+    if missing:
+        raise IndexIntegrityError(
+            f"posting schema needs {missing}; ivf_append provides "
+            f"{assigned.columns} (store posting as a subset of these)"
+        )
+    n_new = assigned.count()
+    assigned.select(*stored_cols).write.mode("append").parquet(post_path)
+    out = {"appended_posting": n_new, "appended_codes": 0}
+    if codes is not None:
+        new_codes = simsearch.pq_encode(new_df, cbs).select(
+            *codes.columns
+        )
+        out["appended_codes"] = new_codes.count()
+        new_codes.write.mode("append").parquet(
+            os.path.join(path, "codes.parquet")
+        )
+    return out

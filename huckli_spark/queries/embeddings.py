@@ -1258,3 +1258,146 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(ev, 8).alias("eigenvalue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index maintenance (round 10): append without refit
+# ---------------------------------------------------------------------------
+_APPEND_SPLIT = 20  # vec_id < 20 arrive AFTER the index is built
+
+
+def _ivf_append_oracle() -> str:
+    from huckli_spark.operators.clustering import (
+        sql_kmeans_chain,
+        sql_kmeans_vm_cte,
+    )
+
+    # the trainer sees ONLY the pre-append corpus; posting covers the
+    # union (appended rows assigned under the frozen centroids)
+    vm = sql_kmeans_vm_cte(
+        source=f"(SELECT * FROM embeddings WHERE vec_id >= {_APPEND_SPLIT})"
+    )
+    return f"""
+    WITH {vm},
+    {sql_kmeans_chain(8, 3)},
+    cent AS (
+      SELECT cid, list(c / 1000000.0 ORDER BY dim) AS c
+      FROM c3 GROUP BY cid
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), union_sims AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround("list_dot_product(v.e, cent.c) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))", 6)} DESC,
+                        cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id AS neighbor_id, e AS nv, cid
+      FROM union_sims WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qv, cid
+      FROM union_sims WHERE vec_id < 10 AND rn <= 2
+    ), sims AS (
+      SELECT query_id, neighbor_id, {sql_fround(_COS, 6)} AS cos_sim
+      FROM probes JOIN posting USING (cid)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "q_ann_ivf_append",
+    _ivf_append_oracle(),
+    doc="incremental IVF index maintenance, end-to-end hash-gated "
+    "(the production path between periodic rebuilds): the coarse "
+    "quantizer trains on the PRE-append corpus only and freezes into "
+    "the checksummed ann_index store with its posting lists; a later "
+    "batch appends via ivf_append — assigned under the frozen, "
+    "checksum-verified centroids, NO refit — and the nprobe=2 search "
+    "then serves from the LOADED appended store. The oracle trains "
+    "k-means relationally on the same pre-append corpus and builds "
+    "the union posting directly, so a green row certifies that "
+    "append == rebuild-with-same-quantizer bit-identically, plus the "
+    "save/load round trip. Scale: assignment of the new batch is "
+    "map-only; the append rewrites nothing; serving joins probes to "
+    "the cid-keyed posting store exactly like q_ann_ivf_trained.",
+)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from huckli_spark.functions.portable import fround
+    from huckli_spark.operators.ann_index import (
+        ivf_append,
+        load_ann_index,
+        save_ann_index,
+    )
+    from huckli_spark.operators.clustering import kmeans_fit
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.operators.simsearch import dot, ivf_assign, l2_norm
+
+    em = _emb(spark, sf_dir)
+    corpus = em.where(F.col("vec_id") >= _APPEND_SPLIT)
+    late = em.where(F.col("vec_id") < _APPEND_SPLIT)
+
+    cents_micro = kmeans_fit(corpus, k=8, iterations=3)
+    cents = [
+        (cid, [v / 1e6 for v in c]) for cid, c in enumerate(cents_micro)
+    ]
+    path = os.path.join(
+        _scratch_dir(), f"ivf_append_{uuid.uuid4().hex[:12]}", "index"
+    )
+    save_ann_index(
+        path,
+        cents,
+        codebooks=None,
+        posting=ivf_assign(corpus, cents, nprobe=1).select(
+            "vec_id", "cid", "embedding"
+        ),
+    )
+    ivf_append(spark, path, late)
+
+    cents2, _, _, posting = load_ann_index(path, spark)
+    neighbors = posting.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__nv"),
+        l2_norm("embedding").alias("__nn"),
+        "cid",
+    )
+    probes = ivf_assign(
+        em.where(F.col("vec_id") < 10), cents2, nprobe=2
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm("embedding").alias("__nq"),
+        "cid",
+    )
+    sims = (
+        neighbors.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(
+                dot("__qv", "__nv") / (F.col("__nq") * F.col("__nn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -158,3 +158,94 @@ class TestHybridServeFromIndex:
             em, lex, hybrid_vec_arm(em)
         ).collect()
         assert sorted(map(tuple, served)) == sorted(map(tuple, retrained))
+
+
+class TestIvfAppend:
+    """Incremental maintenance (round 10): append under the frozen
+    quantizer must equal a rebuild over the union corpus with the
+    same centroids — and the coarse-only (codebooks=None) store
+    round-trips."""
+
+    def _cents(self, spark, emb):
+        cm = kmeans_fit(emb, k=4, iterations=2)
+        return [(cid, [v / 1e6 for v in c]) for cid, c in enumerate(cm)]
+
+    def test_append_equals_union_rebuild(self, spark, tmp_path):
+        from huckli_spark.operators.ann_index import ivf_append
+
+        emb = _emb(spark, n=40)
+        corpus = emb.where(F.col("vec_id") >= 10)
+        late = emb.where(F.col("vec_id") < 10)
+        cents = self._cents(spark, corpus)
+        path = str(tmp_path / "idx")
+        save_ann_index(
+            path, cents, codebooks=None,
+            posting=simsearch.ivf_assign(corpus, cents, nprobe=1)
+            .select("vec_id", "cid"),
+        )
+        out = ivf_append(spark, path, late)
+        assert out == {"appended_posting": 10, "appended_codes": 0}
+        _, cbs, codes, posting = load_ann_index(path, spark)
+        assert cbs == [] and codes is None
+        got = {(r.vec_id, r.cid) for r in posting.collect()}
+        want = {
+            (r.vec_id, r.cid)
+            for r in simsearch.ivf_assign(emb, cents, nprobe=1)
+            .select("vec_id", "cid")
+            .collect()
+        }
+        assert got == want and len(got) == 40
+
+    def test_append_with_pq_arm_appends_codes(self, spark, tmp_path):
+        from huckli_spark.operators.ann_index import ivf_append
+
+        emb = _emb(spark, n=40)
+        corpus = emb.where(F.col("vec_id") >= 10)
+        late = emb.where(F.col("vec_id") < 10)
+        cents = self._cents(spark, corpus)
+        # sampled codebooks draw from the lowest ids; any frozen
+        # deterministic codebook works for the append contract
+        cbs = simsearch.pq_codebooks(emb, m=4, n_codes=8)
+        path = str(tmp_path / "idx_pq")
+        save_ann_index(
+            path, cents, cbs,
+            codes=simsearch.pq_encode(corpus, cbs).select(
+                "vec_id", "code_word"
+            ),
+            posting=simsearch.ivf_assign(corpus, cents, nprobe=1)
+            .select("vec_id", "cid"),
+        )
+        out = ivf_append(spark, path, late)
+        assert out == {"appended_posting": 10, "appended_codes": 10}
+        _, _, codes, posting = load_ann_index(path, spark)
+        assert codes.count() == 40 and posting.count() == 40
+        # appended codes match encoding the late batch directly
+        direct = {
+            (r.vec_id, r.code_word)
+            for r in simsearch.pq_encode(late, cbs)
+            .select("vec_id", "code_word").collect()
+        }
+        stored = {
+            (r.vec_id, r.code_word)
+            for r in codes.where(F.col("vec_id") < 10).collect()
+        }
+        assert stored == direct
+
+    def test_append_requires_posting(self, spark, tmp_path):
+        from huckli_spark.operators.ann_index import ivf_append
+
+        emb = _emb(spark, n=20)
+        cents = self._cents(spark, emb)
+        path = str(tmp_path / "idx_np")
+        save_ann_index(path, cents, codebooks=None)
+        with pytest.raises(IndexIntegrityError, match="no posting"):
+            ivf_append(spark, path, emb)
+
+    def test_coarse_only_store_roundtrip(self, spark, tmp_path):
+        emb = _emb(spark, n=20)
+        cents = self._cents(spark, emb)
+        path = str(tmp_path / "idx_coarse")
+        man = save_ann_index(path, cents, codebooks=None)
+        assert man["m"] == 0 and man["codebooks_md5"] is None
+        cents2, cbs, codes, posting = load_ann_index(path, spark)
+        assert cents2 == cents and cbs == [] and codes is None
