@@ -623,38 +623,19 @@ def _media_card(spark, args) -> dict:
     if getattr(args, "cap", 0):
         # keep-<=K decisions per transitive duplicate cluster, all
         # three modalities in one decision table (q_media_dedup_cap)
-        from pyspark.sql import Window
+        from huckli_spark.operators.dedup import capped_keep_decisions
 
-        from huckli_spark.operators.dedup import connected_components
-
-        parts = []
-        for kind, (df, _fp, _hcol, pairs_fn) in kinds.items():
-            pairs = (
-                pairs_fn(df)
-                if kind == "video"
-                else pairs_fn(df, max_hamming=args.max_hamming)
-            )
-            comp = connected_components(pairs.select("d1", "d2"))
-            parts.append(
-                comp.select(
-                    F.lit(kind).alias("kind"),
-                    F.col("doc_id").alias("media_id"),
-                    "cluster_id",
+        decisions = capped_keep_decisions(
+            [
+                (
+                    kind,
+                    pairs_fn(df)
+                    if kind == "video"
+                    else pairs_fn(df, max_hamming=args.max_hamming),
                 )
-            )
-        comp_all = parts[0]
-        for part in parts[1:]:
-            comp_all = comp_all.unionByName(part)
-        wr = Window.partitionBy("kind", "cluster_id").orderBy(
-            F.asc("media_id")
-        )
-        rk = F.row_number().over(wr).cast("long")
-        decisions = comp_all.select(
-            "kind",
-            "media_id",
-            "cluster_id",
-            rk.alias("rank_in_cluster"),
-            (rk <= args.cap).alias("kept"),
+                for kind, (df, _fp, _hcol, pairs_fn) in kinds.items()
+            ],
+            k=args.cap,
         )
         dout = os.path.join(args.out, "media_keep_decisions.parquet")
         decisions.write.mode("overwrite").parquet(dout)

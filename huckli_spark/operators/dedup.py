@@ -775,3 +775,44 @@ def cut_duplicate_spans(
         )
         .drop("__spans", "__kept")
     )
+
+
+def capped_keep_decisions(
+    kinded_pairs: "Sequence[tuple[str, DataFrame]]",
+    k: int = 2,
+    src: str = "d1",
+    dst: str = "d2",
+    id_out: str = "media_id",
+) -> DataFrame:
+    """Pairs -> components -> keep-<=K decisions, per kind: the
+    shared policy layer behind q_media_dedup_cap and the media-card
+    CLI's --cap. Each (kind, pair relation) collapses to transitive
+    clusters (id = min member) independently; the union carries the
+    kind so overlapping id spaces stay separate. Output
+    (kind, id_out, cluster_id, rank_in_cluster, kept) is
+    O(duplicates) — the bounded artifact a pipeline writes back
+    instead of the O(cluster^2) pairs
+    (SCALE_PROBE_media_cap.json: decisions 10.0x where pairs grow
+    112.9x at 10x blobs)."""
+    parts = []
+    for kind, pairs in kinded_pairs:
+        comp = connected_components(pairs.select(src, dst), src=src, dst=dst)
+        parts.append(
+            comp.select(
+                F.lit(kind).alias("kind"),
+                F.col("doc_id").alias(id_out),
+                "cluster_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    wr = Window.partitionBy("kind", "cluster_id").orderBy(F.asc(id_out))
+    rk = F.row_number().over(wr).cast("long")
+    return out.select(
+        "kind",
+        id_out,
+        "cluster_id",
+        rk.alias("rank_in_cluster"),
+        (rk <= k).alias("kept"),
+    )

@@ -847,38 +847,20 @@ _MEDIA_CAP_ORACLE = f"""
     "policy in one hash gate.",
 )
 def q_media_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from huckli_spark.operators.dedup import connected_components
+    from huckli_spark.operators.dedup import capped_keep_decisions
     from huckli_spark.operators.multimodal import (
         audio_dedup_pairs,
         image_dedup_pairs,
         video_dedup_pairs,
     )
 
-    parts = []
-    for kind, pairs in (
-        ("image", image_dedup_pairs(_dedup_media_df(spark, sf_dir),
-                                    max_hamming=3)),
-        ("audio", audio_dedup_pairs(_audio_media_df(spark, sf_dir),
-                                    max_hamming=3)),
-        ("video", video_dedup_pairs(_video_media_df(spark, sf_dir))),
-    ):
-        comp = connected_components(pairs.select("d1", "d2"))
-        parts.append(
-            comp.select(
-                F.lit(kind).alias("kind"),
-                F.col("doc_id").alias("media_id"),
-                "cluster_id",
-            )
-        )
-    comp_all = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    wr = Window.partitionBy("kind", "cluster_id").orderBy(F.asc("media_id"))
-    rk = F.row_number().over(wr).cast("long")
-    return comp_all.select(
-        "kind",
-        "media_id",
-        "cluster_id",
-        rk.alias("rank_in_cluster"),
-        (rk <= _MEDIA_CAP_K).alias("kept"),
+    return capped_keep_decisions(
+        [
+            ("image", image_dedup_pairs(_dedup_media_df(spark, sf_dir),
+                                        max_hamming=3)),
+            ("audio", audio_dedup_pairs(_audio_media_df(spark, sf_dir),
+                                        max_hamming=3)),
+            ("video", video_dedup_pairs(_video_media_df(spark, sf_dir))),
+        ],
+        k=_MEDIA_CAP_K,
     )
