@@ -248,3 +248,39 @@ def ivf_append(
             os.path.join(path, "codes.parquet")
         )
     return out
+
+
+def ivf_compact(spark: SparkSession, path: str) -> dict:
+    """Repair/compact the appendable artifacts: drop exact-duplicate
+    rows from the posting store (and codes, when present) and rewrite
+    each atomically (tmp + os.replace, the save_ann_index publish
+    discipline). This is the REPAIR for ivf_append's documented
+    delivery gap: re-running an append after a crash duplicates rows;
+    assignment under a frozen quantizer is deterministic, so the
+    duplicates are exact and a distinct pass restores exactly-once
+    state. One shuffle per artifact (dropDuplicates over all
+    columns); quantizer checksums are untouched."""
+    import uuid
+
+    cents, _cbs, codes, posting = load_ann_index(path, spark)
+    if posting is None:
+        raise IndexIntegrityError("index has no posting store to compact")
+
+    def rewrite(df: DataFrame, name: str) -> tuple[int, int]:
+        src = os.path.join(path, name)
+        before = df.count()
+        tmp = os.path.join(path, f"__compact_{uuid.uuid4().hex[:8]}")
+        deduped = df.dropDuplicates()
+        deduped.write.parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        shutil.rmtree(src)
+        os.replace(tmp, src)
+        return before, after
+
+    pb, pa = rewrite(posting, "posting.parquet")
+    out = {"posting_rows": pa, "posting_dropped": pb - pa,
+           "codes_rows": 0, "codes_dropped": 0}
+    if codes is not None:
+        cb_, ca = rewrite(codes, "codes.parquet")
+        out["codes_rows"], out["codes_dropped"] = ca, cb_ - ca
+    return out

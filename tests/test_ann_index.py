@@ -249,3 +249,34 @@ class TestIvfAppend:
         assert man["m"] == 0 and man["codebooks_md5"] is None
         cents2, cbs, codes, posting = load_ann_index(path, spark)
         assert cents2 == cents and cbs == [] and codes is None
+
+    def test_double_append_repaired_by_compact(self, spark, tmp_path):
+        # the documented at-least-once gap: re-running an append
+        # duplicates rows; compaction restores exactly-once state
+        from huckli_spark.operators.ann_index import ivf_append, ivf_compact
+
+        emb = _emb(spark, n=30)
+        corpus = emb.where(F.col("vec_id") >= 10)
+        late = emb.where(F.col("vec_id") < 10)
+        cents = self._cents(spark, corpus)
+        path = str(tmp_path / "idx_crash")
+        save_ann_index(
+            path, cents, codebooks=None,
+            posting=simsearch.ivf_assign(corpus, cents, nprobe=1)
+            .select("vec_id", "cid"),
+        )
+        ivf_append(spark, path, late)
+        ivf_append(spark, path, late)  # the crash-retry double delivery
+        _, _, _, posting = load_ann_index(path, spark)
+        assert posting.count() == 40  # 20 + 10 + 10 duplicated
+        out = ivf_compact(spark, path)
+        assert out == {"posting_rows": 30, "posting_dropped": 10,
+                       "codes_rows": 0, "codes_dropped": 0}
+        _, _, _, posting = load_ann_index(path, spark)
+        got = {(r.vec_id, r.cid) for r in posting.collect()}
+        want = {
+            (r.vec_id, r.cid)
+            for r in simsearch.ivf_assign(emb, cents, nprobe=1)
+            .select("vec_id", "cid").collect()
+        }
+        assert got == want
