@@ -1027,3 +1027,15 @@ class TestSubstringDedupPlans:
         assert "BroadcastHashJoin" not in plan, plan
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftSemi",
                          plan), plan
+
+
+class TestIvfAppendPlan:
+    def test_serve_joins_loaded_posting_broadcasting_probes(self, spark):
+        # serving from the appended store: probes broadcast onto the
+        # cid-keyed posting scan (the q_ann_ivf_trained shape); no
+        # product anywhere; the posting side reads from parquet
+        plan = _plan(spark, "q_ann_ivf_append")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert re.search(r"Scan parquet\b[^\n]*", plan), plan
