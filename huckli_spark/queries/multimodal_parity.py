@@ -777,6 +777,78 @@ def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming video-dedup screen (round 10): completes the streaming
+# modality matrix (image r9, audio r9, video here) — the frozen-index
+# lifecycle with the SHARED-FRAME band instead of Hamming chunks.
+# ---------------------------------------------------------------------------
+_VID_SCREEN_SPLIT = 60
+
+
+_VID_SCREEN_ORACLE = f"""
+    WITH {_vid_frame_ctes()}
+    SELECT n.mid AS new_id, c.mid AS dup_of, n.h AS fhash
+    FROM vf n JOIN vf c ON n.h = c.h
+    WHERE n.mid < {_VID_SCREEN_SPLIT} AND c.mid >= {_VID_SCREEN_SPLIT}
+"""
+
+
+@query(
+    "q_stream_video_dedup",
+    _VID_SCREEN_ORACLE,
+    doc="STREAMING video-dedup screen against a FROZEN frame-"
+    "fingerprint index — completes the streaming modality matrix "
+    "(image + audio screens landed r9). The corpus videos' per-video "
+    "DISTINCT frame dHashes freeze to parquet before the stream "
+    "starts; live videos decode + fingerprint IN-STREAM (Arrow "
+    "mapInPandas; the per-video distinct is computed inside the "
+    "decoder, so no streaming state is needed) and screen via a "
+    "stateless stream-static EQUI-JOIN on the 60-bit frame hash (the "
+    "shared-frame bucket is the band, exactly q_video_dedup's "
+    "candidate generation) — append mode, corpus side never "
+    "broadcast-hinted. One row per shared fingerprint "
+    "(new_id, dup_of, fhash); the keep-policy layer aggregates "
+    "n_shared downstream in batch (q_media_dedup_cap). The oracle "
+    "replays both sides' frame hashes from the closed-form HKV1 "
+    "fixture.",
+)
+def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.operators.multimodal import video_frame_hashes
+    from huckli_spark.streaming.windows import run_to_memory
+
+    media = _video_media_df(spark, sf_dir)
+    root = os.path.join(
+        _scratch_dir(), f"vid_screen_{uuid.uuid4().hex[:12]}"
+    )
+    video_frame_hashes(
+        media.where(F.col("media_id") >= _VID_SCREEN_SPLIT)
+    ).write.parquet(os.path.join(root, "corpus_sig"))
+    corpus_sig = spark.read.parquet(os.path.join(root, "corpus_sig")).select(
+        F.col("media_id").alias("dup_of"), "fhash"
+    )
+    media.where(F.col("media_id") < _VID_SCREEN_SPLIT).write.parquet(
+        os.path.join(root, "new_media")
+    )
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), True),
+                T.StructField("data", T.BinaryType(), True),
+            ]
+        )
+    ).parquet(os.path.join(root, "new_media"))
+    new_sig = video_frame_hashes(stream).select(
+        F.col("media_id").alias("new_id"), "fhash"
+    )
+    hits = new_sig.join(corpus_sig, "fhash").select(
+        "new_id", "dup_of", F.col("fhash").cast("long").alias("fhash")
+    )
+    return run_to_memory(hits, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
 # capped media dedup (round 10, VERDICT r09 #4): the q_dedup_cap
 # policy layer composed over ALL THREE modality fingerprints. Pair
 # relations are exact but O(cluster^2) in duplicate-family size (the
