@@ -792,6 +792,19 @@ _VID_SCREEN_ORACLE = f"""
 """
 
 
+def video_screen_hits(new_sig: DataFrame,
+                      corpus_sig: DataFrame) -> DataFrame:
+    """The screen join — ONE implementation behind the streaming
+    query and its plan pin (tests/test_plans.py): a plain equi-join
+    on the 60-bit frame hash between (new_id, fhash) and
+    (dup_of, fhash) relations. The corpus side is corpus-sized, so
+    no broadcast hint — with the AQE size bound off this must plan
+    as a shuffled join."""
+    return new_sig.join(corpus_sig, "fhash").select(
+        "new_id", "dup_of", F.col("fhash").cast("long").alias("fhash")
+    )
+
+
 @query(
     "q_stream_video_dedup",
     _VID_SCREEN_ORACLE,
@@ -842,10 +855,9 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sig = video_frame_hashes(stream).select(
         F.col("media_id").alias("new_id"), "fhash"
     )
-    hits = new_sig.join(corpus_sig, "fhash").select(
-        "new_id", "dup_of", F.col("fhash").cast("long").alias("fhash")
+    return run_to_memory(
+        video_screen_hits(new_sig, corpus_sig), output_mode="append"
     )
-    return run_to_memory(hits, output_mode="append")
 
 
 # ---------------------------------------------------------------------------

@@ -963,6 +963,39 @@ class TestStreamImageDedupPlan:
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+class TestStreamVideoDedupPlan:
+    def test_shipped_screen_join_shuffled_never_broadcast(self, spark):
+        # pin the SHIPPED join builder (video_screen_hits — the same
+        # function the streaming query runs), not a self-built analog:
+        # corpus side is corpus-sized, so with the AQE size bound off
+        # the screen must plan as a shuffled equi-join on fhash
+        from huckli_spark.queries.multimodal_parity import (
+            video_screen_hits,
+        )
+
+        ns = spark.createDataFrame(
+            [(i, (i * 37) % (1 << 60)) for i in range(10)],
+            "new_id long, fhash long",
+        )
+        cs = spark.createDataFrame(
+            [(i + 100, (i * 91) % (1 << 60)) for i in range(50)],
+            "dup_of long, fhash long",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _lazy_plan(spark, video_screen_hits(ns, cs))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        # (no Python-absence assert: the local test relations scan via
+        # a python-converted source; the shipped query's only Python
+        # is the legitimate Arrow decode upstream of these inputs)
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
 class TestSubstringDedupPlans:
     def test_span_detection_single_gram_shuffle_jvm_only(self, spark):
         # the corpus-sized gram relation must shuffle ONCE (count
