@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from huckli_spark.functions.portable import fround, sql_fround
+from huckli_spark.functions.portable import fround, sql_fround, sql_h60
 from huckli_spark.queries import query
 
 _MEDIA_RAW = T.StructType(
@@ -857,6 +857,96 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(
         video_screen_hits(new_sig, corpus_sig), output_mode="append"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal pair dedup (round 10): the LAION/DataComp pair-dedup
+# shape — a training example is an (image, caption) PAIR, and the
+# duplicate signal lives in both modalities at once.
+# ---------------------------------------------------------------------------
+def _txt_sig_ctes(pre: str = "") -> str:
+    """CTEs {pre}sig(doc_id, sh): 60-bit text SimHash restricted to
+    the paired subset (doc_id < _IMG_N) — exactly q_dedup_simhash's
+    oracle formulation (queries/dedup_sketch.py), prefixed."""
+    from huckli_spark.operators import sketch
+
+    bits = sketch.SIMHASH_BITS
+    sums = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""{pre}w AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_IMG_N}
+      )
+    ), {pre}h AS (
+      SELECT doc_id, {sql_h60('w')} AS h FROM {pre}w
+    ), {pre}sums AS (
+      SELECT doc_id, {sums}
+      FROM {pre}h GROUP BY doc_id
+    ), {pre}sig AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS sh FROM {pre}sums
+    )"""
+
+
+_CROSSMODAL_ORACLE = f"""
+    WITH {_txt_sig_ctes("t_")},
+    {_img_hash_ctes("i_")},
+    tpairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS text_hamming
+      FROM t_sig a JOIN t_sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ), ipairs AS (
+      SELECT a.mid AS d1, b.mid AS d2,
+             CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS image_hamming
+      FROM i_hashes a JOIN i_hashes b ON a.mid < b.mid
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+    )
+    SELECT coalesce(t.d1, i.d1) AS d1, coalesce(t.d2, i.d2) AS d2,
+           t.text_hamming, i.image_hamming
+    FROM tpairs t FULL OUTER JOIN ipairs i
+      ON t.d1 = i.d1 AND t.d2 = i.d2
+"""
+
+
+@query(
+    "q_crossmodal_dedup",
+    _CROSSMODAL_ORACLE,
+    doc="cross-modal PAIR dedup — the LAION/DataComp shape where a "
+    "training example is an (image, caption) pair keyed by one id: "
+    "text near-dup pairs (60-bit SimHash, <=3 Hamming, pigeonhole-"
+    "banded) FULL OUTER JOIN image near-dup pairs (60-bit dHash, "
+    "same banding) on the pair key, emitting both Hamming distances "
+    "with NULL where only one modality flags. The conjunctive subset "
+    "(both non-NULL) is the pair-dedup cut real multimodal pipelines "
+    "apply; the disjunction is the agreement audit. Scale: each side "
+    "is the existing banded O(duplicates) pair relation; the outer "
+    "join keys on pairs, never corpus rows. The oracle replays both "
+    "fingerprint families (the q_dedup_simhash text formulation + "
+    "the closed-form pixel replay) and the outer join.",
+)
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators import sketch
+    from huckli_spark.operators.multimodal import image_dedup_pairs
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") < _IMG_N)
+    )
+    tp = sketch.simhash_pairs(docs, max_hamming=3).select(
+        "d1", "d2", F.col("hamming").alias("text_hamming")
+    )
+    ip = image_dedup_pairs(
+        _dedup_media_df(spark, sf_dir), max_hamming=3
+    ).select("d1", "d2", F.col("hamming").alias("image_hamming"))
+    return (
+        tp.join(ip, ["d1", "d2"], "full_outer")
+        .select("d1", "d2", "text_hamming", "image_hamming")
     )
 
 

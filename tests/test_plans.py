@@ -963,6 +963,17 @@ class TestStreamImageDedupPlan:
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+class TestCrossmodalDedupPlan:
+    def test_pair_outer_join_banded_sides_no_product(self, spark):
+        # both pair relations are the banded builders (pinned above);
+        # the cross-modal composition must stay an equi OUTER join on
+        # the pair key — no product, no BNLJ anywhere in the tree
+        plan = _plan(spark, "q_crossmodal_dedup")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "FullOuter" in plan, plan
+
+
 class TestStreamVideoDedupPlan:
     def test_shipped_screen_join_shuffled_never_broadcast(self, spark):
         # pin the SHIPPED join builder (video_screen_hits — the same
