@@ -132,7 +132,13 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.minhash_estimate_pairs(_docs(spark, sf_dir))
 
 
-def _simhash_oracle() -> str:
+def sql_simhash_sig_ctes(pre: str = "", where: str = "") -> str:
+    """CTEs {pre}sig(doc_id, simhash): the 60-bit text-SimHash
+    DuckDB replay — ONE generator behind q_dedup_simhash's oracle
+    and the cross-modal composition (multimodal_parity), so the two
+    can never drift (the ADVICE r09 #3 discipline applied to the
+    signature itself). ``where`` restricts the document source
+    (e.g. the paired-subset cut)."""
     bits = sketch.SIMHASH_BITS
     sums = ",\n             ".join(
         f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
@@ -140,19 +146,24 @@ def _simhash_oracle() -> str:
     sig = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
-    return f"""
-    WITH w AS (
+    return f"""{pre}w AS (
       SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents {where}
       )
-    ), h AS (
-      SELECT doc_id, {sql_h60('w')} AS h FROM w
-    ), sums AS (
+    ), {pre}h AS (
+      SELECT doc_id, {sql_h60('w')} AS h FROM {pre}w
+    ), {pre}sums AS (
       SELECT doc_id, {sums}
-      FROM h GROUP BY doc_id
-    ), sig AS (
-      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
-    )
+      FROM {pre}h GROUP BY doc_id
+    ), {pre}sig AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM {pre}sums
+    )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {sql_simhash_sig_ctes()}
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id

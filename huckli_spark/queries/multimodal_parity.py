@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from huckli_spark.functions.portable import fround, sql_fround, sql_h60
+from huckli_spark.functions.portable import fround, sql_fround
 from huckli_spark.queries import query
 
 _MEDIA_RAW = T.StructType(
@@ -866,31 +866,13 @@ def q_stream_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate signal lives in both modalities at once.
 # ---------------------------------------------------------------------------
 def _txt_sig_ctes(pre: str = "") -> str:
-    """CTEs {pre}sig(doc_id, sh): 60-bit text SimHash restricted to
-    the paired subset (doc_id < _IMG_N) — exactly q_dedup_simhash's
-    oracle formulation (queries/dedup_sketch.py), prefixed."""
-    from huckli_spark.operators import sketch
+    """CTEs {pre}sig(doc_id, simhash): 60-bit text SimHash restricted
+    to the paired subset (doc_id < _IMG_N) — the SHARED generator
+    behind q_dedup_simhash's oracle (queries/dedup_sketch.py), so the
+    two formulations can never drift."""
+    from huckli_spark.queries.dedup_sketch import sql_simhash_sig_ctes
 
-    bits = sketch.SIMHASH_BITS
-    sums = ",\n             ".join(
-        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
-    )
-    sig = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
-    return f"""{pre}w AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents WHERE doc_id < {_IMG_N}
-      )
-    ), {pre}h AS (
-      SELECT doc_id, {sql_h60('w')} AS h FROM {pre}w
-    ), {pre}sums AS (
-      SELECT doc_id, {sums}
-      FROM {pre}h GROUP BY doc_id
-    ), {pre}sig AS (
-      SELECT doc_id, CAST({sig} AS BIGINT) AS sh FROM {pre}sums
-    )"""
+    return sql_simhash_sig_ctes(pre, where=f"WHERE doc_id < {_IMG_N}")
 
 
 _CROSSMODAL_ORACLE = f"""
@@ -898,9 +880,10 @@ _CROSSMODAL_ORACLE = f"""
     {_img_hash_ctes("i_")},
     tpairs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
-             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS text_hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS text_hamming
       FROM t_sig a JOIN t_sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ), ipairs AS (
       SELECT a.mid AS d1, b.mid AS d2,
              CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS image_hamming
