@@ -277,6 +277,8 @@ def main() -> None:
         "q_unigram_serve",
         "q_substring_dedup",
         "q_substring_cut",
+        "q_stream_video_dedup",
+        "q_crossmodal_dedup",
     ]
 
     def run_extended():

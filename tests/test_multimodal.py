@@ -496,3 +496,36 @@ class TestFingerprintProperties:
             assert audio_energy_hash(s * g) == base, (trial, n, g)
             # sign flip also cancels (|s| is what's summed)
             assert audio_energy_hash(-s) == base, (trial, n)
+
+
+class TestCrossmodalDedup:
+    def test_gate_non_vacuous_in_every_cell(self, spark):
+        # the cross-modal gate is only meaningful if the fixture
+        # exercises all three agreement cells: text-only, image-only,
+        # AND the conjunctive (both non-NULL) subset that is the
+        # actual pair-dedup cut — guard against a fixture change
+        # silently emptying any cell (the q_anomaly_days lesson:
+        # a 0-row gate passes vacuously)
+        from pyspark.sql import functions as F
+
+        from huckli_spark.queries import all_queries
+        from tests.conftest import SF_SMALL
+
+        df = all_queries()["q_crossmodal_dedup"].build(spark, SF_SMALL)
+        cells = df.agg(
+            F.sum(
+                (F.col("text_hamming").isNotNull()
+                 & F.col("image_hamming").isNotNull()).cast("int")
+            ).alias("both"),
+            F.sum(
+                (F.col("text_hamming").isNotNull()
+                 & F.col("image_hamming").isNull()).cast("int")
+            ).alias("text_only"),
+            F.sum(
+                (F.col("text_hamming").isNull()
+                 & F.col("image_hamming").isNotNull()).cast("int")
+            ).alias("image_only"),
+        ).collect()[0]
+        assert cells["both"] > 0, cells
+        assert cells["text_only"] > 0, cells
+        assert cells["image_only"] > 0, cells
