@@ -1185,7 +1185,10 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType(), True),
         ]
     )
-    stream_dir = stage_table_stream(sf_dir, "documents")
+    # stage as ~core-count files: the in-row Viterbi DP is the
+    # micro-batch's compute, and file-stream parallelism is
+    # per-file for small inputs (one staged file = one task)
+    stream_dir = stage_table_stream(sf_dir, "documents", n_files=32)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     toks = (
         stream.select("doc_id", F.expr(expr).alias("tk"))
@@ -1253,7 +1256,10 @@ def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType(), True),
         ]
     )
-    stream_dir = stage_table_stream(sf_dir, "documents")
+    # stage as ~core-count files: the in-row Viterbi DP is the
+    # micro-batch's compute, and file-stream parallelism is
+    # per-file for small inputs (one staged file = one task)
+    stream_dir = stage_table_stream(sf_dir, "documents", n_files=32)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     toks = (
         stream.select("doc_id", F.expr(expr).alias("tk"))

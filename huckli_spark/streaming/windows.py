@@ -57,11 +57,32 @@ def _sniff_ts_unit(stream_dir: str) -> str:
     return "us"
 
 
-def stage_table_stream(sf_dir: str, table: str) -> str:
+def stage_table_stream(sf_dir: str, table: str, n_files: int = 1) -> str:
     """Copy a fixture table file into a fresh directory usable as a
-    file-stream source (file sources tail directories, not files)."""
+    file-stream source (file sources tail directories, not files).
+
+    ``n_files > 1`` slices the table into that many parquet files
+    (driver-side pyarrow, no Spark job): a file-stream micro-batch
+    parallelizes BY FILE for small inputs, so a single staged file
+    serializes the whole batch onto one core — an artifact of the
+    one-file fixture, not of the pipeline (real feeds land many
+    objects). Compute-heavy in-stream transforms (the unigram in-row
+    DP) stage with n_files ~ cores; row content is identical either
+    way, so gate hashes don't move."""
     d = tempfile.mkdtemp(prefix=f"stream_{table}_")
-    shutil.copy(os.path.join(sf_dir, f"{table}.parquet"), d)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if n_files <= 1:
+        shutil.copy(src, d)
+        return d
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    n = max(1, min(n_files, t.num_rows))
+    step = -(-t.num_rows // n)
+    for i in range(0, t.num_rows, step):
+        pq.write_table(
+            t.slice(i, step), os.path.join(d, f"part-{i // step:05d}.parquet")
+        )
     return d
 
 
