@@ -76,9 +76,15 @@ UNK_COST = 48_000_000
 
 # ------------------------------------------------------------------ words
 def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq): corpus collapsed once, words capped at WCAP."""
+    """(word, freq): corpus collapsed once, words capped at WCAP.
+    fan_out: the explode is the corpus-sized map stage — single-
+    row-group inputs must not pin it to one core (no-op on wide
+    layouts)."""
+    from huckli_spark.operators.parallel import fan_out
+
     return (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        fan_out(docs.select(F.col(text_col)))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
         .select(F.substring("w", 1, WCAP).alias("word"))
         .groupBy("word")
@@ -279,9 +285,12 @@ def encode_docs_broadcast(docs: DataFrame, vocab: DataFrame,
     to the literal path (pinned in tests/test_unigram_lm.py):
     (input columns..., tk struct<tokens array<string>, cost_micro
     bigint>)."""
+    from huckli_spark.operators.parallel import fan_out
+
     expr = _tokens_expr("__vc", _lspec(max_piece_len), text_col)
     return (
-        docs.crossJoin(F.broadcast(_vocab_onerow(vocab)))
+        fan_out(docs)
+        .crossJoin(F.broadcast(_vocab_onerow(vocab)))
         .withColumn("tk", F.expr(expr))
         .drop("__vc", "__vmax")
     )
@@ -400,7 +409,11 @@ def unigram_encode(
     """(id, tokens, n_tokens): tokenize documents under a frozen
     (piece, cost) table. Words segment map-only (broadcast vocab);
     the one shuffle reassembles tokens in word order per document."""
-    pos_words = docs.select(
+    from huckli_spark.operators.parallel import fan_out
+
+    # fan_out: the per-word DP below is the corpus-sized compute —
+    # single-row-group inputs must not pin it to one core
+    pos_words = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     ).where(F.length("w") > 0).select(
