@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan is narrower than the
-    cluster. Cheap for narrow inputs, no-op for wide ones."""
+    cluster. Cheap for narrow inputs, no-op for wide ones.
+
+    Streaming inputs pass through untouched: ``.rdd`` is illegal on a
+    streaming plan, and a micro-batch's parallelism comes from the
+    source's file layout anyway (stage_table_stream's ``n_files`` is
+    the fixture-side control) — so operators shared between batch and
+    streaming (the media fingerprints) can call this unconditionally."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
