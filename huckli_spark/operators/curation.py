@@ -242,11 +242,16 @@ def dsir_select(
     tests) — it re-derives weights inside the threshold branch,
     doubling the corpus scans.
     """
-    base = docs.select(
+    from huckli_spark.operators.parallel import fan_out
+
+    # fan_out: the n-gram explode + per-feature h60 below is the
+    # corpus-sized compute (the shingle_array discipline) — a
+    # single-row-group input must not pin it to one core
+    base = fan_out(docs.select(
         F.col(id_col),
         target.alias("__is_t"),
         F.split(F.col(text_col), " ").alias("__w"),
-    )
+    ))
     feats = (
         base.select(
             F.col(id_col),
