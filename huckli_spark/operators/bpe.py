@@ -31,9 +31,14 @@ from pyspark.sql import functions as F
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq): the corpus collapsed for BPE statistics."""
+    """(word, freq): the corpus collapsed for BPE statistics.
+    fan_out: the explode is the corpus-sized map stage (the
+    word_table/shingle_array discipline; no-op on wide layouts)."""
+    from huckli_spark.operators.parallel import fan_out
+
     return (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        fan_out(df.select(F.col(text_col)))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
