@@ -102,44 +102,60 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k long, v long")
 
 
-@query(
-    "q_scd2_history",
-    f"""
-    WITH base AS (
+def _scd2_hist_ctes() -> str:
+    """CTE ``hist(k, v, valid_from, valid_to)``: the declarative
+    reconstruction of the two-wave SCD2 history — ONE generator
+    behind q_scd2_history's oracle and the point-in-time lookup
+    (q_stream_scd2_lookup), so the two formulations cannot drift."""
+    return f"""base AS (
       SELECT o_orderkey AS k, {_CENTS} AS v
       FROM orders WHERE o_orderkey % 7 = 0
     ), w1k AS (SELECT k FROM base WHERE k % 21 = 0),
-    w2k AS (SELECT k FROM base WHERE k % 35 = 0)
-    -- never-updated keys: one open row from version 0
-    SELECT k, v, 0 AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-    FROM base WHERE k NOT IN (SELECT k FROM w1k)
-                AND k NOT IN (SELECT k FROM w2k)
-    UNION ALL
-    -- wave-1 closes the original at version 1
-    SELECT k, v, 0, 1 FROM base WHERE k IN (SELECT k FROM w1k)
-    UNION ALL
-    -- wave-1 rows: open unless wave 2 touches the key too
-    SELECT k, v + 1000, 1,
-           CASE WHEN k IN (SELECT k FROM w2k) THEN 2 END
-    FROM base WHERE k IN (SELECT k FROM w1k)
-    UNION ALL
-    -- wave-2-only keys: original closed at version 2
-    SELECT k, v, 0, 2 FROM base
-    WHERE k IN (SELECT k FROM w2k) AND k NOT IN (SELECT k FROM w1k)
-    UNION ALL
-    -- wave-2 rows: always the open current version
-    SELECT k, v + 2000, 2, NULL FROM base WHERE k IN (SELECT k FROM w2k)
-    """,
-    doc="SCD Type 2, oracle-gated end to end: two history-preserving "
-    "merge waves run through the real write path (wave 1 bumps keys "
-    "divisible by 21 at version 1; wave 2 bumps keys divisible by 35 "
-    "at version 2 — keys divisible by 105 see both), and the FULL "
-    "history table (k, v, valid_from, valid_to) must hash-match the "
-    "oracle's declarative reconstruction of every open and closed "
-    "version. Proves close-then-insert ordering, no-op suppression "
-    "and interval bookkeeping, not just row counts.",
-)
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w2k AS (SELECT k FROM base WHERE k % 35 = 0),
+    hist AS (
+      -- never-updated keys: one open row from version 0
+      SELECT k, v, 0 AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+      FROM base WHERE k NOT IN (SELECT k FROM w1k)
+                  AND k NOT IN (SELECT k FROM w2k)
+      UNION ALL
+      -- wave-1 closes the original at version 1
+      SELECT k, v, 0, 1 FROM base WHERE k IN (SELECT k FROM w1k)
+      UNION ALL
+      -- wave-1 rows: open unless wave 2 touches the key too
+      SELECT k, v + 1000, 1,
+             CASE WHEN k IN (SELECT k FROM w2k) THEN 2 END
+      FROM base WHERE k IN (SELECT k FROM w1k)
+      UNION ALL
+      -- wave-2-only keys: original closed at version 2
+      SELECT k, v, 0, 2 FROM base
+      WHERE k IN (SELECT k FROM w2k) AND k NOT IN (SELECT k FROM w1k)
+      UNION ALL
+      -- wave-2 rows: always the open current version
+      SELECT k, v + 2000, 2, NULL FROM base WHERE k IN (SELECT k FROM w2k)
+    )"""
+
+
+def pit_lookup(events: DataFrame, hist: DataFrame) -> DataFrame:
+    """The point-in-time join — ONE implementation behind the
+    streaming query and its plan pin: key EQUI-join plus the
+    half-open interval residual (valid_from <= as_of < valid_to,
+    NULL valid_to = open). The equi key keeps the plan a hash/merge
+    join with a residual filter — never a BNLJ range product."""
+    return (
+        events.join(hist, "k")
+        .where(
+            (F.col("as_of") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull()
+               | (F.col("as_of") < F.col("valid_to")))
+        )
+        .select("k", "as_of", "v")
+    )
+
+
+def _scd2_history_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the two-wave SCD2 write path through the REAL warehouse
+    and return the history table (k, v, valid_from, valid_to) — ONE
+    builder behind q_scd2_history and the point-in-time lookup."""
     from huckli_spark.ingest.warehouse import Warehouse
 
     orders = _t(spark, sf_dir, "orders")
@@ -165,6 +181,84 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k long, v long, valid_from long, valid_to long"
     )
+
+
+@query(
+    "q_scd2_history",
+    f"""
+    WITH {_scd2_hist_ctes()}
+    SELECT k, v, valid_from, valid_to FROM hist
+    """,
+    doc="SCD Type 2, oracle-gated end to end: two history-preserving "
+    "merge waves run through the real write path (wave 1 bumps keys "
+    "divisible by 21 at version 1; wave 2 bumps keys divisible by 35 "
+    "at version 2 — keys divisible by 105 see both), and the FULL "
+    "history table (k, v, valid_from, valid_to) must hash-match the "
+    "oracle's declarative reconstruction of every open and closed "
+    "version. Proves close-then-insert ordering, no-op suppression "
+    "and interval bookkeeping, not just row counts.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_history_df(spark, sf_dir)
+
+
+@query(
+    "q_stream_scd2_lookup",
+    f"""
+    WITH {_scd2_hist_ctes()},
+    ev AS (
+      SELECT o_orderkey AS k, (o_orderkey // 7) % 3 AS as_of
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT e.k, CAST(e.as_of AS BIGINT) AS as_of, h.v
+    FROM ev e JOIN hist h
+      ON h.k = e.k
+     AND e.as_of >= h.valid_from
+     AND (h.valid_to IS NULL OR e.as_of < h.valid_to)
+    """,
+    doc="POINT-IN-TIME dimension lookup for a stream — the feature-"
+    "store pattern that keeps training data leakage-free: enriching "
+    "an event with the dimension's CURRENT version would leak future "
+    "attribute values into past examples, so each event must join "
+    "the version valid AT its own time. The SCD2 history builds "
+    "through the REAL warehouse write path (the q_scd2_history "
+    "builder), freezes to parquet (train-once-serve-many), and live "
+    "events (as_of = (k div 7) % 3, spanning all three versions) "
+    "join stream-static on the key with the half-open interval "
+    "predicate valid_from <= as_of < valid_to — stateless, append "
+    "mode, exactly one version per event by interval disjointness. "
+    "The oracle replays the history declaratively (the shared "
+    "_scd2_hist_ctes generator) and the same interval join. Scale: "
+    "the history is dimension-sized; the join is a key equi-join "
+    "with a residual interval filter, never a range product.",
+)
+def q_stream_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.streaming.windows import run_to_memory
+
+    root = os.path.join(_scratch_dir(), f"scd2_pit_{uuid.uuid4().hex[:12]}")
+    _scd2_history_df(spark, sf_dir).write.parquet(
+        os.path.join(root, "hist")
+    )
+    hist = spark.read.parquet(os.path.join(root, "hist"))
+    _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        ((F.col("o_orderkey") / 7).cast("long") % 3).alias("as_of"),
+    ).write.parquet(os.path.join(root, "events"))
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), True),
+                T.StructField("as_of", T.LongType(), True),
+            ]
+        )
+    ).parquet(os.path.join(root, "events"))
+    return run_to_memory(pit_lookup(stream, hist), output_mode="append")
 
 
 @query(

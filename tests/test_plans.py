@@ -963,6 +963,30 @@ class TestStreamImageDedupPlan:
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+class TestStreamScd2LookupPlan:
+    def test_shipped_pit_join_equi_key_never_range_product(self, spark):
+        # pin the SHIPPED builder (pit_lookup — the same function the
+        # streaming query runs): the equi key must keep the plan a
+        # hash/merge join with a residual interval filter; losing the
+        # key would silently degrade to a BNLJ range product
+        from huckli_spark.queries.warehouse_ops import pit_lookup
+
+        ev = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "k long, as_of long"
+        )
+        hist = spark.createDataFrame(
+            [(i, 100 + i, 0, None) for i in range(30)]
+            + [(i, 200 + i, 1, 2) for i in range(0, 30, 3)],
+            "k long, v long, valid_from long, valid_to long",
+        )
+        plan = _lazy_plan(spark, pit_lookup(ev, hist))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+        ), plan
+
+
 class TestCrossmodalDedupPlan:
     def test_pair_outer_join_banded_sides_no_product(self, spark):
         # both pair relations are the banded builders (pinned above);

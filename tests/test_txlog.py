@@ -584,3 +584,51 @@ class TestSCD2:
         )
         assert res == {"closed": 0, "inserted": 0}
         assert wh.table("dim").count() == 1
+
+
+class TestPointInTimeLookup:
+    def test_every_version_cell_exercised(self, spark):
+        # non-vacuity for q_stream_scd2_lookup's fixture: the events
+        # must span all three as_of versions AND at least one key must
+        # resolve to different v at different as_of (otherwise the
+        # interval predicate is never load-bearing and the gate would
+        # pass with a current-version-only join — the exact leakage
+        # bug the query exists to prevent)
+        from pyspark.sql import functions as F
+
+        from huckli_spark.queries import all_queries
+        from tests.conftest import SF_SMALL
+
+        df = all_queries()["q_stream_scd2_lookup"].build(
+            spark, SF_SMALL
+        ).persist()
+        try:
+            as_ofs = {r["as_of"] for r in df.select("as_of").distinct().collect()}
+            assert as_ofs == {0, 1, 2}, as_ofs
+            # every event resolves to exactly one version
+            dup = (
+                df.groupBy("k", "as_of").count().where(F.col("count") > 1)
+            ).count()
+            assert dup == 0
+            # version-dependence: some key appears with >1 distinct v
+            # across the history (events here carry one as_of per key,
+            # so check against the full history relation)
+            from huckli_spark.queries.warehouse_ops import (
+                _scd2_history_df,
+                pit_lookup,
+            )
+
+            hist = _scd2_history_df(spark, SF_SMALL)
+            ev3 = (
+                hist.select("k").distinct()
+                .crossJoin(spark.range(3).select(F.col("id").alias("as_of")))
+            )
+            full = pit_lookup(ev3, hist)
+            versioned = (
+                full.groupBy("k")
+                .agg(F.count_distinct("v").alias("nv"))
+                .where(F.col("nv") > 1)
+            ).count()
+            assert versioned > 0
+        finally:
+            df.unpersist()
