@@ -131,9 +131,9 @@ _GATE_PRIORITY: list[str] = [
 # Round-11 queue: q_multimodal_pipeline (re-grade deferred from r10 —
 # see slot (d) above), the round-10 registrations (q_substring_dedup,
 # q_substring_cut, q_stream_substring_screen, q_ann_ivf_append,
-# q_stream_video_dedup, q_crossmodal_dedup, q_stream_scd2_lookup),
-# plus the usual family-freshness re-grades for whatever last
-# carried a row in r9.
+# q_stream_video_dedup, q_crossmodal_dedup, q_stream_scd2_lookup,
+# q_pit_backfill), plus the usual family-freshness re-grades for
+# whatever last carried a row in r9.
 
 
 def all_queries() -> dict[str, QuerySpec]:

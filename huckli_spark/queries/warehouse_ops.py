@@ -262,6 +262,40 @@ def q_stream_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pit_backfill",
+    f"""
+    WITH {_scd2_hist_ctes()}
+    SELECT b.k, CAST(r.range AS BIGINT) AS as_of, h.v
+    FROM (SELECT DISTINCT k FROM base) b
+    CROSS JOIN range(0, 3) r
+    JOIN hist h
+      ON h.k = b.k
+     AND r.range >= h.valid_from
+     AND (h.valid_to IS NULL OR r.range < h.valid_to)
+    """,
+    doc="BATCH point-in-time backfill — the training-set construction "
+    "twin of q_stream_scd2_lookup: every dimension key is enriched at "
+    "EVERY version time (the full key x as_of matrix a feature "
+    "backfill job emits), through the SAME pit_lookup builder and the "
+    "same warehouse-built SCD2 history, so one green pair certifies "
+    "the online and offline paths agree — the train/serve-skew check "
+    "feature stores run. Exactly one row per (k, as_of) by interval "
+    "disjointness. Scale: the matrix is dimension-sized x versions, "
+    "never corpus-sized; the join stays the pinned equi+residual "
+    "shape.",
+)
+def q_pit_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _scd2_history_df(spark, sf_dir)
+    ev = (
+        hist.select("k").distinct()
+        .crossJoin(
+            spark.range(3).select(F.col("id").cast("long").alias("as_of"))
+        )
+    )
+    return pit_lookup(ev, hist)
+
+
+@query(
     "q_table_changes",
     f"""
     WITH base AS (
