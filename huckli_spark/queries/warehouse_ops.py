@@ -41,10 +41,11 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_merge_upsert",
-    f"""
-    WITH base AS (
+def _merge_ctes() -> str:
+    """CTEs ``base(k, v)`` / ``merged(k, v)``: the declarative MERGE
+    result — ONE generator behind q_merge_upsert's oracle and the
+    time-travel gate, so the two formulations cannot drift."""
+    return f"""base AS (
       SELECT o_orderkey AS k, {_CENTS} AS v
       FROM orders WHERE o_orderkey % 7 = 0
     ), upd AS (
@@ -53,10 +54,18 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT o_orderkey + 10000000, {_CENTS}
       FROM orders WHERE o_orderkey % 35 = 0
-    )
-    SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM upd)
-    UNION ALL
-    SELECT k, v FROM upd
+    ), merged AS (
+      SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM upd)
+      UNION ALL
+      SELECT k, v FROM upd
+    )"""
+
+
+@query(
+    "q_merge_upsert",
+    f"""
+    WITH {_merge_ctes()}
+    SELECT k, v FROM merged
     """,
     doc="MERGE INTO, oracle-gated end to end: the query builds a temp "
     "ACID warehouse, appends the deterministic base (orders keys "
@@ -100,6 +109,65 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "k long, v long")
+
+
+@query(
+    "q_time_travel",
+    f"""
+    WITH {_merge_ctes()}
+    SELECT coalesce(b.k, m.k) AS k, b.v AS v_v0, m.v AS v_now
+    FROM base b FULL OUTER JOIN merged m ON b.k = m.k
+    """,
+    doc="TIME TRAVEL, oracle-gated end to end: append commits "
+    "version 0, MERGE commits version 1, and the query reads BOTH — "
+    "the as_of=0 snapshot (the transaction log's pinned file list; "
+    "readers never list the data directory) full-outer-joined to the "
+    "current version — so the hash certifies that superseded files "
+    "remain readable at their commit and that inserted keys are "
+    "absent from the past (NULL v_v0) while updated keys show both "
+    "values. The oracle reuses the shared _merge_ctes generator; a "
+    "green row proves snapshot isolation of the reference-shaped "
+    "warehouse's log, not just the current head.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.ingest.warehouse import Warehouse
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+                + 1000
+            ).alias("v"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 35 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.expr(
+                    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="huckli_tt_gate_")
+    try:
+        wh = Warehouse(spark, tmp, acid=True)
+        wh.append("t", _base(spark, sf_dir))
+        wh.merge("t", updates, key="k")
+        v0 = wh.table("t", as_of=0).select(
+            F.col("k"), F.col("v").alias("v_v0")
+        )
+        cur = wh.table("t").select(F.col("k"), F.col("v").alias("v_now"))
+        rows = (
+            v0.join(cur, "k", "full_outer")
+            .select("k", "v_v0", "v_now")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "k long, v_v0 long, v_now long")
 
 
 def _scd2_hist_ctes() -> str:
