@@ -41,6 +41,30 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE update set (bump %21 keys, insert shifted %35 keys)
+    — ONE builder behind q_merge_upsert and q_time_travel."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+                + 1000
+            ).alias("v"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 35 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.expr(
+                    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+    )
+
+
 def _merge_ctes() -> str:
     """CTEs ``base(k, v)`` / ``merged(k, v)``: the declarative MERGE
     result — ONE generator behind q_merge_upsert's oracle and the
@@ -80,25 +104,7 @@ def _merge_ctes() -> str:
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.ingest.warehouse import Warehouse
 
-    orders = _t(spark, sf_dir, "orders")
-    updates = (
-        orders.where(F.col("o_orderkey") % 21 == 0)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            (
-                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
-                + 1000
-            ).alias("v"),
-        )
-        .unionByName(
-            orders.where(F.col("o_orderkey") % 35 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("k"),
-                F.expr(
-                    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
-                ).alias("v"),
-            )
-        )
-    )
+    updates = _merge_updates(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="huckli_merge_gate_")
     try:
         wh = Warehouse(spark, tmp, acid=True)
@@ -132,25 +138,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.ingest.warehouse import Warehouse
 
-    orders = _t(spark, sf_dir, "orders")
-    updates = (
-        orders.where(F.col("o_orderkey") % 21 == 0)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            (
-                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
-                + 1000
-            ).alias("v"),
-        )
-        .unionByName(
-            orders.where(F.col("o_orderkey") % 35 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("k"),
-                F.expr(
-                    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
-                ).alias("v"),
-            )
-        )
-    )
+    updates = _merge_updates(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="huckli_tt_gate_")
     try:
         wh = Warehouse(spark, tmp, acid=True)
