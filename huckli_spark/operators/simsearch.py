@@ -92,6 +92,73 @@ def cosine_topk(
     )
 
 
+def maxsim_topk(
+    members: DataFrame,
+    tokens: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    query_col: str = "query_id",
+    token_col: str = "token_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LATE-INTERACTION (ColBERT-style MaxSim) retrieval, exact
+    baseline: documents and queries are BAGS of vectors; score(q, d)
+    = sum over q's tokens of the max cosine against any of d's member
+    vectors (Khattab & Zaharia 2020, arXiv:2004.12832). Returns
+    (query_id, doc_id, score_micro, rank) — per-token maxes are
+    portably rounded then lifted to micro-integers BEFORE the sum, so
+    the score is an exact integer (order-free addition, bit-identical
+    across engines and partitionings).
+
+    Plan shape: query tokens broadcast (query bags are small); the
+    corpus-member relation fans out and is scanned ONCE; two
+    map-side-combined groupBys (max per (query, token, doc), then sum
+    per (query, doc)) and a per-query top-k window. The scale path
+    composes with the frozen IVF store — per-token ANN shortlists
+    then the same regroup — exactly how PLAID serves this."""
+    q = tokens.select(
+        F.col(query_col).alias("query_id"),
+        F.col(token_col).alias("token_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"),
+    )
+    c = fan_out(
+        members.select(
+            F.col(doc_col).alias("doc_id"),
+            F.col(vec_col).alias("__nv"),
+            l2_norm(vec_col).alias("__nn"),
+        )
+    )
+    per_token = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "token_id",
+            "doc_id",
+            fround(
+                dot("__qv", "__nv") / (F.col("__nq") * F.col("__nn")), 6
+            ).alias("cs"),
+        )
+        .groupBy("query_id", "token_id", "doc_id")
+        .agg(
+            F.floor(F.max("cs") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    score = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum("m").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

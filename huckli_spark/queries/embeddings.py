@@ -56,6 +56,58 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_maxsim",
+    f"""
+    WITH tok AS (
+      SELECT vec_id // 2 AS query_id, vec_id AS token_id,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), mem AS (
+      SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS nv
+      FROM embeddings
+    ), per_tok AS (
+      SELECT query_id, token_id, doc_id,
+             CAST(floor(max({sql_fround(_COS, 6)}) * 1000000 + 0.5)
+                  AS BIGINT) AS m
+      FROM tok CROSS JOIN mem
+      GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT query_id, doc_id, SUM(m) AS score_micro
+      FROM per_tok GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_micro, rank FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM score
+    ) WHERE rank <= 5
+    """,
+    doc="LATE-INTERACTION retrieval (ColBERT MaxSim, arXiv:2004.12832) "
+    "— documents and queries as BAGS of vectors: 4 two-token queries "
+    "(vec_id<8, query = vec_id div 2) against multi-vector documents "
+    "(doc = vec_id div 4), score = sum over query tokens of the max "
+    "member cosine, per-token maxes lifted to micro-integers BEFORE "
+    "the sum so scores are exact order-free integers; top-5 docs per "
+    "query. The oracle replays cosines, per-token maxes, the integer "
+    "lift, and the ranking. Scale: one corpus-member scan, tokens "
+    "broadcast, two map-side-combined groupBys; the production path "
+    "composes per-token ANN shortlists from the frozen IVF store "
+    "(the PLAID serving shape) with the same regroup.",
+)
+def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _emb(spark, sf_dir)
+    tokens = em.where(F.col("vec_id") < 8).select(
+        F.expr("vec_id div 2").alias("query_id"),
+        F.col("vec_id").alias("token_id"),
+        "embedding",
+    )
+    members = em.select(
+        F.expr("vec_id div 4").alias("doc_id"), "embedding"
+    )
+    return simsearch.maxsim_topk(members, tokens, k=5)
+
+
+@query(
     "q_ann_ivf",
     f"""
     WITH v AS (
