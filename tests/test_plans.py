@@ -63,6 +63,11 @@ EXPECTATIONS = {
     # keep-list: the O(duplicates) drop set broadcasts into an
     # anti-join; the corpus side must not shuffle for it
     "q_dedup_keeplist": [r"LeftAnti", r"Broadcast"],
+    # MaxSim late interaction: the token bag broadcasts onto the
+    # member scan (the cosine_topk payload idiom), and both regroup
+    # stages partial-aggregate map-side before their exchanges; the
+    # corpus is never shuffled for the join itself
+    "q_ann_maxsim": [r"Broadcast(Hash|NestedLoop)Join", r"HashAggregate"],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
