@@ -472,3 +472,58 @@ def sql_logreg_holdout(
            (y = 1) AS is_target
     FROM zf
     """
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str = "score_micro",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank statistic over an
+    INTEGER score column — the ranking-quality eval a quality-filter
+    pipeline runs on its scorer. Ties take average ranks; everything
+    stays integer until the final division by doubling the rank sum:
+
+        2*U = sum over distinct scores s of  p_s * (2*L_s + c_s + 1)
+              - n_pos * (n_pos + 1)
+        AUC = 2*U / (2 * n_pos * n_neg)
+
+    (c_s = docs at s, p_s = positives at s, L_s = docs strictly
+    below s). Returns ONE row (n_pos, n_neg, u_times_2, auc).
+
+    Scale: one map-side-combined groupBy to the distinct-score
+    histogram, then the two-phase DISTRIBUTED exclusive prefix from
+    operators.skew (micro-int score domains can approach corpus
+    cardinality, so no single-partition ordered window — the ADVICE
+    r08 #2 discipline), then one global aggregate."""
+    from huckli_spark.functions.portable import fround
+    from huckli_spark.operators.skew import _exclusive_prefix
+
+    hist = (
+        scored.select(
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(F.count("*").alias("__c"), F.sum("__y").alias("__p"))
+        # the prefix consumes (and drops) its weight column — carry a
+        # copy for the rank algebra downstream
+        .withColumn("__c2", F.col("__c"))
+    )
+    pref = _exclusive_prefix(hist, F.asc("__s"), "__c2", "__L")
+    agg = pref.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__p") * (2 * F.col("__L") + F.col("__c") + F.lit(1))
+        ).cast("long").alias("__r2"),
+    )
+    u2 = F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u_times_2"),
+        fround(
+            u2 / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )

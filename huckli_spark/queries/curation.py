@@ -746,3 +746,72 @@ def _fill_doremi_oracle() -> None:
 
 
 _fill_doremi_oracle()
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC of the quality scorer (round 10): the ranking-quality
+# eval a filter pipeline runs before trusting a scorer's threshold.
+# ---------------------------------------------------------------------------
+def _auc_oracle() -> str:
+    from huckli_spark.queries.text_pipeline import quality_score_ctes
+
+    sm = f"CAST(floor({sql_fround('score', 6)} * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH {quality_score_ctes()},
+    s AS (
+      SELECT {sm} AS sm,
+             CASE WHEN list_contains(string_split(d.text, ' '), 'spark')
+                  THEN 1 ELSE 0 END AS y
+      FROM q JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT sm, count(*) AS c, sum(y) AS p FROM s GROUP BY 1
+    ), pref AS (
+      SELECT sm, c, p,
+             coalesce(sum(c) OVER (ORDER BY sm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS L
+      FROM hist
+    ), agg AS (
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * L + c + 1)) AS BIGINT) AS r2
+      FROM pref
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u_times_2,
+           {sql_fround(
+               '(r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)', 6
+           )} AS auc
+    FROM agg
+    """
+
+
+@query(
+    "q_classifier_auc",
+    _auc_oracle(),
+    doc="exact ROC-AUC (Mann-Whitney rank statistic, average ranks on "
+    "ties) of the heuristic quality score against the learnable "
+    "contains-'spark' label — the ranking-quality eval run on a "
+    "filter's scorer before trusting its threshold. Scores lift to "
+    "micro-integers so tie groups are exact; the doubled rank sum "
+    "keeps every intermediate an integer (order-free), and only the "
+    "final AUC divides. Scale: one distinct-score histogram + the "
+    "two-phase DISTRIBUTED exclusive prefix (micro-int domains can "
+    "approach corpus cardinality — no single-partition ordered "
+    "window) + one global aggregate. The oracle replays the scorer "
+    "(shared quality_score_ctes generator), the histogram, the "
+    "prefix, and the rank algebra.",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.classifier import auc_exact
+    from huckli_spark.operators.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir), text_col="text")
+    s = scored.select(
+        F.floor(fround(F.col("score"), 6) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_micro"),
+        F.array_contains(F.split(F.col("text"), " "), "spark")
+        .cast("long")
+        .alias("y"),
+    )
+    return auc_exact(s)

@@ -241,10 +241,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
-@query(
-    "q_quality_score",
-    f"""
-    WITH scored AS (
+def quality_score_ctes(pre: str = "") -> str:
+    """CTE ``{pre}q(doc_id, score)``: the heuristic quality score's
+    DuckDB replay — ONE generator behind q_quality_score's oracle and
+    the AUC eval (queries/curation.py), mirroring
+    textstats.quality_score exactly."""
+    return f"""{pre}scored AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              length(text) AS n_ch,
@@ -254,7 +256,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
                AS n_stop
       FROM documents
-    ), q AS (
+    ), {pre}q AS (
       SELECT doc_id,
              CASE WHEN n_tokens >= 40 THEN 1.0 ELSE n_tokens / 40.0 END * 0.5
              + CASE WHEN n_tokens > 0
@@ -262,8 +264,14 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN n_ch > 0
                     THEN (1.0 - n_punct * 1.0 / n_ch) ELSE 0 END * 0.2
                AS score
-      FROM scored
-    )
+      FROM {pre}scored
+    )"""
+
+
+@query(
+    "q_quality_score",
+    f"""
+    WITH {quality_score_ctes()}
     SELECT CASE WHEN score >= 0.8 THEN 'high'
                 WHEN score >= 0.6 THEN 'medium'
                 ELSE 'low' END AS quality,
