@@ -279,6 +279,11 @@ def main() -> None:
         "q_substring_cut",
         "q_stream_video_dedup",
         "q_crossmodal_dedup",
+        "q_ann_maxsim",
+        "q_classifier_auc",
+        # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
+        # the warehouse write path — driver-commit bound, the same
+        # exclusion class as merge/scd2)
     ]
 
     def run_extended():
