@@ -815,3 +815,73 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return auc_exact(s)
+
+
+# ---------------------------------------------------------------------------
+# calibration curve of the held-out classifier (round 10): AUC says
+# the scorer RANKS; calibration says its probabilities MEAN something
+# — the standard eval pair before a filter threshold ships.
+# ---------------------------------------------------------------------------
+def _calibration_oracle() -> str:
+    # fixed-width reliability bins over the HELD-OUT scores: bin =
+    # min(p_micro div 100000, 9) — pure integer arithmetic, and the
+    # whole holdout oracle (training included) nests as a subquery
+    return f"""
+    SELECT CAST(least(p_micro // 100000, 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+           {sql_fround('sum(p_micro) / (count(*) * 1000000.0)', 6)}
+             AS mean_p,
+           {sql_fround(
+               'sum(CASE WHEN is_target THEN 1 ELSE 0 END) * 1.0 '
+               '/ count(*)', 6
+           )} AS frac_pos
+    FROM ({sql_logreg_holdout(_LR_LABEL_SQL, "doc_id % 5 <> 0")}) s
+    WHERE NOT is_train
+    GROUP BY 1
+    """
+
+
+@query(
+    "q_calibration_curve",
+    _calibration_oracle(),
+    doc="reliability diagram of the held-out classifier — the eval "
+    "pair-partner of q_classifier_auc: AUC certifies the scorer "
+    "RANKS, calibration certifies its probabilities MEAN something "
+    "before a threshold ships. Held-out scores (the leakage-free "
+    "q_logreg_holdout training, reused via its oracle generator "
+    "nesting as a subquery) drop into fixed-width micro-integer "
+    "probability bins (bin = min(p_micro div 100000, 9) — pure "
+    "integer arithmetic, no NTILE), each bin reporting n, positives, "
+    "the exact integer probability mass, and the rounded "
+    "mean-predicted vs empirical-positive rates. Scale: the training "
+    "is the gated fixed-point GD (gradient cells bounded by buckets); "
+    "the curve is one map-side-combined groupBy over held-out rows.",
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.classifier import logreg_holdout_table
+
+    scores = logreg_holdout_table(
+        _docs(spark, sf_dir), _lr_label(), F.expr("doc_id % 5 <> 0")
+    ).where(~F.col("is_train"))
+    return (
+        scores.select(
+            F.least(
+                (F.col("p_micro") / 100000).cast("long"), F.lit(9)
+            ).alias("bin"),
+            "p_micro",
+            F.col("is_target").cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("p_micro").cast("long").alias("sum_p_micro"),
+            fround(
+                F.sum("p_micro") / (F.count("*") * 1000000.0), 6
+            ).alias("mean_p"),
+            fround(F.sum("y") * 1.0 / F.count("*"), 6).alias("frac_pos"),
+        )
+    )
