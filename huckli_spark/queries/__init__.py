@@ -133,8 +133,8 @@ _GATE_PRIORITY: list[str] = [
 # q_substring_cut, q_stream_substring_screen, q_ann_ivf_append,
 # q_stream_video_dedup, q_crossmodal_dedup, q_stream_scd2_lookup,
 # q_pit_backfill, q_time_travel, q_ann_maxsim, q_classifier_auc,
-# q_calibration_curve), plus the usual family-freshness re-grades
-# for whatever last carried a row in r9.
+# q_calibration_curve, q_threshold_sweep), plus the usual
+# family-freshness re-grades for whatever last carried a row in r9.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -885,3 +885,61 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sum("y") * 1.0 / F.count("*"), 6).alias("frac_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# operating-point sweep (round 10): the third leg of the scorer-eval
+# suite — AUC (ranks), calibration (probabilities), and now the
+# threshold table a filter's cutoff is actually chosen from.
+# ---------------------------------------------------------------------------
+def _threshold_sweep_oracle() -> str:
+    return f"""
+    SELECT CAST(t.t AS BIGINT) AS thresh_micro,
+           CAST(sum(CASE WHEN p_micro >= t.t AND is_target
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p_micro >= t.t AND NOT is_target
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN p_micro < t.t AND is_target
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM ({sql_logreg_holdout(_LR_LABEL_SQL, "doc_id % 5 <> 0")}) s
+    CROSS JOIN (SELECT (range + 1) * 100000 AS t FROM range(9)) t
+    WHERE NOT is_train
+    GROUP BY 1
+    """
+
+
+@query(
+    "q_threshold_sweep",
+    _threshold_sweep_oracle(),
+    doc="operating-point table of the held-out classifier — the third "
+    "leg of the scorer-eval suite (q_classifier_auc ranks, "
+    "q_calibration_curve probabilities, this picks the CUTOFF): for "
+    "each of nine micro-integer thresholds 0.1..0.9, the exact "
+    "(tp, fp, fn) confusion counts over held-out rows — precision/"
+    "recall/F1 derive exactly from these integers downstream, so the "
+    "gate hashes pure counts. Scale: scores broadcast-join the "
+    "9-row threshold relation (a constant-size expansion), one "
+    "map-side-combined groupBy. The oracle nests the leakage-free "
+    "holdout training as a subquery (shared generator).",
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.classifier import logreg_holdout_table
+
+    scores = logreg_holdout_table(
+        _docs(spark, sf_dir), _lr_label(), F.expr("doc_id % 5 <> 0")
+    ).where(~F.col("is_train"))
+    thresholds = (
+        scores.sparkSession.range(9)
+        .select(((F.col("id") + 1) * 100000).cast("long").alias("thresh_micro"))
+    )
+    hit = F.col("p_micro") >= F.col("thresh_micro")
+    pos = F.col("is_target")
+    return (
+        scores.crossJoin(F.broadcast(thresholds))
+        .groupBy("thresh_micro")
+        .agg(
+            F.sum((hit & pos).cast("int")).cast("long").alias("tp"),
+            F.sum((hit & ~pos).cast("int")).cast("long").alias("fp"),
+            F.sum((~hit & pos).cast("int")).cast("long").alias("fn"),
+        )
+    )
