@@ -72,7 +72,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok CROSS JOIN mem
       GROUP BY 1, 2, 3
     ), score AS (
-      SELECT query_id, doc_id, SUM(m) AS score_micro
+      SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS score_micro
       FROM per_tok GROUP BY 1, 2
     )
     SELECT query_id, doc_id, score_micro, rank FROM (

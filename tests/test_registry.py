@@ -98,3 +98,52 @@ def test_survey_2b_set_is_pinned_in_graded_window():
     # and the window is what the driver will actually see: the first
     # 50 names of the returned registry, in order
     assert list(all_queries())[:50] == _GATE_PRIORITY
+
+
+def test_every_oracle_arrow_fetch_has_no_decimal_columns():
+    """Registry-wide oracle-kind sweep (VERDICT r10 "What's wrong #1").
+
+    DuckDB promotes SUM over integer columns to HUGEINT, which the
+    driver's Arrow fetch renders as decimal128(38,0) — hash-mismatching
+    Spark's plain bigint even when every value is equal. q_ann_maxsim
+    shipped with exactly this (uncast ``SUM(m)``) in round 10; rounds
+    1-2 lost driver rows to the same trap. This sweep runs EVERY
+    registered oracle through DuckDB's ``.arrow()`` fetch (the
+    driver-like path) on the sf0.001 views and fails on any decimal
+    column, so the class cannot recur: integer aggregates must be
+    CAST back to BIGINT in the oracle SQL itself.
+    """
+    import os
+
+    import duckdb
+    import pyarrow.types as pt
+
+    from huckli_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    offenders, errors = [], []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:  # rows-only query, nothing to sweep
+            continue
+        try:
+            schema = con.execute(spec.oracle).arrow().schema
+        except Exception as e:  # noqa: BLE001 — oracle must at least run
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        bad = [f.name for f in schema if pt.is_decimal(f.type)]
+        if bad:
+            offenders.append(f"{name}: decimal cols {bad}")
+    assert not errors, "oracles failed to execute standalone:\n" + "\n".join(errors)
+    assert not offenders, (
+        "DuckDB HUGEINT/decimal promotion in oracle output — add "
+        "CAST(... AS BIGINT) in the oracle SQL:\n" + "\n".join(offenders)
+    )
