@@ -129,9 +129,18 @@ def maxsim_topk(
             l2_norm(vec_col).alias("__nn"),
         )
     )
+    return _maxsim_regroup(c.crossJoin(F.broadcast(q)), k)
+
+
+def _maxsim_regroup(pairs: DataFrame, k: int) -> DataFrame:
+    """The shared MaxSim tail: (token, member) candidate pairs →
+    per-token max cosine → micro-int lift → order-free integer sum →
+    per-query top-k. ``pairs`` carries (query_id, token_id, doc_id,
+    __qv, __nq, __nv, __nn); both the exact path (all pairs) and the
+    IVF serving path (shortlisted pairs) regroup through here, so the
+    rerank arithmetic is one implementation."""
     per_token = (
-        c.crossJoin(F.broadcast(q))
-        .select(
+        pairs.select(
             "query_id",
             "token_id",
             "doc_id",
@@ -157,6 +166,89 @@ def maxsim_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micro", "rank")
     )
+
+
+def maxsim_topk_ivf(
+    members: DataFrame,
+    tokens: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    posting: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    doc_col: str = "doc_id",
+    query_col: str = "query_id",
+    token_col: str = "token_id",
+    vec_col: str = "embedding",
+    member_id_col: str = "vec_id",
+) -> DataFrame:
+    """MaxSim at PRODUCTION shape (the PLAID serving form, Santhanam
+    et al. 2022): per-token ANN shortlists from a FROZEN IVF store,
+    then the exact MaxSim regroup over only the shortlisted documents.
+
+    * each query token probes its ``nprobe`` nearest coarse cells
+      (map-only against the broadcast-sized frozen quantizer);
+    * the candidate set is every document with ANY member vector in
+      ANY probed cell of ANY of the query's tokens (posting equi-join
+      on cid against the broadcast probe list — never a cross
+      product, never a corpus broadcast);
+    * the exact rerank (:func:`_maxsim_regroup` — the same integer
+      arithmetic as :func:`maxsim_topk`) runs on shortlist-sized
+      pairs only.
+
+    With ``nprobe`` = number of centroids the shortlist is the whole
+    corpus and the result is bit-identical to the exact path (the
+    equivalence unit tests pin this); smaller nprobe trades recall
+    for a corpus-fraction scan, the IVF contract.
+
+    ``posting`` is the store's frozen (member_id, cid) assignment —
+    pass the relation loaded from ``ann_index`` so serving matches
+    what the index was built with, not a recomputed assignment.
+    """
+    tok_bag = tokens.select(
+        F.col(query_col).alias("query_id"),
+        F.col(token_col).alias("token_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"),
+    )
+    # per-token probe cells -> (query_id, cid) DISTINCT, tiny
+    probe_cells = (
+        ivf_assign(tokens, centroids, id_col=token_col, vec_col=vec_col,
+                   nprobe=nprobe)
+        .select(F.col(token_col).alias("token_id"), "cid")
+        .join(
+            F.broadcast(
+                tokens.select(
+                    F.col(token_col).alias("token_id"),
+                    F.col(query_col).alias("query_id"),
+                )
+            ),
+            "token_id",
+        )
+        .select("query_id", "cid")
+        .distinct()
+    )
+    mem = fan_out(
+        members.select(
+            F.col(doc_col).alias("doc_id"),
+            F.col(member_id_col).alias("__mid"),
+            F.col(vec_col).alias("__nv"),
+            l2_norm(vec_col).alias("__nn"),
+        )
+    )
+    member_cells = mem.join(
+        posting.select(F.col(member_id_col).alias("__mid"), "cid"), "__mid"
+    )
+    cand = (
+        member_cells.join(F.broadcast(probe_cells), "cid")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # shortlist-sized rerank: every member vector of a candidate doc
+    # against the query's full token bag
+    pairs = mem.join(cand, "doc_id").join(
+        F.broadcast(tok_bag), "query_id"
+    )
+    return _maxsim_regroup(pairs, k)
 
 
 def cosine_topk_arrow(

@@ -107,6 +107,111 @@ def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.maxsim_topk(members, tokens, k=5)
 
 
+_CENT_COS = (
+    "list_dot_product(v.e, cent.c)"
+    " / (sqrt(list_dot_product(v.e, v.e))"
+    " * sqrt(list_dot_product(cent.c, cent.c)))"
+)
+
+
+@query(
+    "q_ann_maxsim_serve",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8
+    ), asn AS (
+      SELECT v.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_fround(_CENT_COS, 6)} DESC, cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id, cid FROM asn WHERE rn = 1
+    ), probes AS (
+      SELECT DISTINCT vec_id // 2 AS query_id, cid
+      FROM asn WHERE vec_id < 8 AND rn <= 2
+    ), cand AS (
+      SELECT DISTINCT pr.query_id, p.vec_id // 4 AS doc_id
+      FROM probes pr JOIN posting p ON p.cid = pr.cid
+    ), tok AS (
+      SELECT vec_id // 2 AS query_id, vec_id AS token_id, e AS qv
+      FROM v WHERE vec_id < 8
+    ), mem AS (
+      SELECT vec_id // 4 AS doc_id, e AS nv FROM v
+    ), per_tok AS (
+      SELECT c.query_id, t.token_id, c.doc_id,
+             CAST(floor(max({sql_fround(_COS, 6)}) * 1000000 + 0.5)
+                  AS BIGINT) AS m
+      FROM cand c
+      JOIN tok t ON t.query_id = c.query_id
+      JOIN mem m ON m.doc_id = c.doc_id
+      GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS score_micro
+      FROM per_tok GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_micro, rank FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM score
+    ) WHERE rank <= 5
+    """,
+    doc="MaxSim at PRODUCTION shape — the PLAID serving form "
+    "(Santhanam et al. 2022) over the FROZEN IVF store: the coarse "
+    "quantizer + posting lists are saved through ann_index (atomic "
+    "publish, checksums) and RELOADED before serving; each query "
+    "token probes its nprobe=2 nearest cells, the candidate set is "
+    "every doc with any member vector in any probed cell, and the "
+    "exact MaxSim regroup (same integer arithmetic as q_ann_maxsim, "
+    "one shared implementation) reranks ONLY the shortlist. The "
+    "oracle replays the sampled quantizer, the rn=1 storage "
+    "assignment, the rn<=2 probes, the shortlist join, and the "
+    "rerank. Scale: probes are map-only against the broadcast-sized "
+    "quantizer; posting joins on cid (equi-join, probe list "
+    "broadcast); rerank pairs are shortlist-sized — never a corpus "
+    "broadcast, never a cross product.",
+)
+def q_ann_maxsim_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from huckli_spark.operators.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+    from huckli_spark.operators.cache import _scratch_dir
+
+    em = _emb(spark, sf_dir)
+    cents = simsearch.ivf_centroids(em, n_centroids=8)
+    path = os.path.join(
+        _scratch_dir(), f"maxsim_serve_{uuid.uuid4().hex[:12]}", "index"
+    )
+    save_ann_index(
+        path,
+        cents,
+        codebooks=None,
+        posting=simsearch.ivf_assign(em, cents, nprobe=1).select(
+            "vec_id", "cid"
+        ),
+    )
+    frozen_cents, _, _, posting = load_ann_index(path, spark)
+
+    tokens = em.where(F.col("vec_id") < 8).select(
+        F.expr("vec_id div 2").alias("query_id"),
+        F.col("vec_id").alias("token_id"),
+        "embedding",
+    )
+    members = em.select(
+        F.expr("vec_id div 4").alias("doc_id"), "vec_id", "embedding"
+    )
+    return simsearch.maxsim_topk_ivf(
+        members, tokens, frozen_cents, posting, k=5, nprobe=2
+    )
+
+
 @query(
     "q_ann_ivf",
     f"""

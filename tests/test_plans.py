@@ -68,6 +68,11 @@ EXPECTATIONS = {
     # stages partial-aggregate map-side before their exchanges; the
     # corpus is never shuffled for the join itself
     "q_ann_maxsim": [r"Broadcast(Hash|NestedLoop)Join", r"HashAggregate"],
+    # MaxSim SERVING shape (PLAID): probe cells + token bag broadcast
+    # as hash joins; the exact path's corpus-vs-bag nested-loop shape
+    # must NOT appear (dedicated no-cartesian assertions live in
+    # tests/test_maxsim.py)
+    "q_ann_maxsim_serve": [r"BroadcastHashJoin", r"HashAggregate"],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
