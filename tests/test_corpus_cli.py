@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from huckli_spark.corpus_cli import main
 
@@ -494,3 +495,61 @@ class TestReleaseWithMedia:
         assert os.path.isdir(
             os.path.join(out, "media_keep_decisions.parquet")
         )
+
+
+class TestSubstringReleaseJourney:
+    def test_substring_dedup_feeds_release_bundle(
+        self, spark, tmp_path, capsys
+    ):
+        """The end-to-end journey the other dedup methods have, for
+        --method substring: span-cut dedup -> release bundle. The cut
+        output (parquet with the spans removed) must flow into release
+        unchanged, and the bundle's data card must describe the CUT
+        corpus — zero exact dups left, token counts net of the cut."""
+        import json as _json
+
+        boiler = "subscribe to our newsletter for weekly updates today"
+        inp = str(tmp_path / "raw_ss")
+        spark.createDataFrame(
+            [
+                (0, f"alpha article body {boiler}", "en", "web"),
+                (1, f"{boiler} beta article body", "en", "web"),
+                (2, boiler, "en", "feeds"),  # pure boilerplate: dropped
+                (3, "gamma article body with original words only",
+                 "en", "feeds"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        ).withColumn("n_chars", F.length("text")).write.parquet(inp)
+
+        kept = str(tmp_path / "kept_ss2")
+        s1 = _run(capsys, ["dedup", "--in", inp, "--out", kept,
+                           "--method", "substring", "--window-len", "8"])
+        assert s1["method"] == "substring"
+        assert s1["docs_in"] == 4 and s1["docs_kept"] == 3
+        assert s1["words_cut"] == 24  # 8-word boilerplate x 3 occurrences
+
+        out = str(tmp_path / "rel_ss")
+        s2 = _run(capsys, ["release", "--in", kept, "--out", out,
+                           "--shards", "1", "--tokenizer", "none"])
+        assert s2["docs"] == 3
+        rel = _json.load(open(f"{out}/RELEASE.json"))
+        assert rel["docs"] == 3
+        # both sources survive the cut; the boilerplate-only doc fell
+        card = {
+            r["source"]: r
+            for r in spark.read.parquet(f"{out}/data_card.parquet").collect()
+        }
+        assert set(card) == {"web", "feeds"}
+        assert card["web"]["n_exact_dups"] == 0
+        # card token counts are net of the cut: doc 0/1 lost the whole
+        # 8-word boilerplate run
+        assert card["web"]["total_tokens"] == 6  # 3 words each x 2 docs
+        assert card["feeds"]["total_tokens"] == 7
+        # released text is the cut text, not the raw input
+        texts = [
+            _json.loads(ln)["text"]
+            for shard in os.listdir(f"{out}/data")
+            if shard.endswith(".jsonl")
+            for ln in open(f"{out}/data/{shard}")
+        ]
+        assert all("newsletter" not in t for t in texts)
