@@ -137,7 +137,12 @@ def _costed(vocab_scored: DataFrame, score_col: str) -> DataFrame:
         vocab_scored.select(
             "piece",
             F.col(score_col),
-            F.sum(F.col(score_col).cast("double")).over(w).alias("__tot"),
+            # sum in the native LONG type, cast once: windowed double
+            # accumulation loses exactness past 2^53 total mass and
+            # becomes row-order-dependent, which could flip a
+            # borderline ln()*1e6 micro-nat cost across runs
+            # (ADVICE r10 #1)
+            F.sum(F.col(score_col)).over(w).cast("double").alias("__tot"),
             F.count("*").over(w).cast("double").alias("__v"),
         )
         .select(
@@ -270,6 +275,59 @@ def tokens_in_row_expr(vocab_rows: list, max_piece_len: int,
     the streaming serving path at vocabs in the thousands)."""
     return _tokens_expr(frozen_vocab_expr(vocab_rows), max_piece_len,
                         text_col)
+
+
+# Literal-vs-broadcast crossover, MEASURED (SCALE_PROBE_unigram_vocab
+# .json, 100k docs x 12 words): the baked literal wins at 1k (5.0 vs
+# 15.5 s) and 8k pieces (33.9 vs 57.3 s), loses at 32k (237.6 vs
+# 145.8 s — a 3.5 MB expression to compile). The flip is between 8k
+# and 32k; 10k is the documented "above ~10k serve via broadcast"
+# operating point.
+LITERAL_PIECE_BOUND = 10_000
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int | None = None,
+    text_col: str = "text",
+    plan_form: str = "auto",
+) -> DataFrame:
+    """THE batch serving entry point (VERDICT r10 #7): one call that
+    picks the tokenization plan form itself, mirroring
+    ``clustering.kmeans_fit``'s broadcast-codebook auto-switch.
+
+    'literal' bakes the (piece, cost) table into the in-row DP
+    expression (fastest below ~10k pieces); 'broadcast' ships it as a
+    one-row broadcast map (plan O(1) in vocab — the 100k-piece
+    regime); 'auto' switches on ``LITERAL_PIECE_BOUND`` using the
+    vocab's own row count. Output is bit-identical across arms
+    (pinned in tests/test_unigram_lm.py at the boundary): the input
+    columns plus ``tk struct<tokens array<string>, cost_micro
+    bigint>``. Streaming keeps calling :func:`tokens_in_row_expr`
+    directly — a stateless stream can't re-resolve a broadcast, so
+    the literal IS its production form (foreachBatch callers get the
+    switch by calling this)."""
+    from huckli_spark.operators.parallel import fan_out
+
+    if plan_form not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"plan_form must be auto|literal|broadcast, "
+                         f"got {plan_form!r}")
+    if plan_form == "auto":
+        # vocab relations are vocab-sized by construction; the count
+        # is the same bounded scan the literal arm's collect would do
+        plan_form = (
+            "literal" if vocab.count() <= LITERAL_PIECE_BOUND
+            else "broadcast"
+        )
+    if plan_form == "broadcast":
+        return encode_docs_broadcast(docs, vocab, max_piece_len, text_col)
+    rows = [(r["piece"], r["cost"]) for r in vocab.collect()]
+    lmax = (max_piece_len if max_piece_len is not None
+            else max(len(p) for p, _ in rows))
+    return fan_out(docs).withColumn(
+        "tk", F.expr(tokens_in_row_expr(rows, lmax, text_col))
+    )
 
 
 def encode_docs_broadcast(docs: DataFrame, vocab: DataFrame,

@@ -77,6 +77,11 @@ def stage_table_stream(sf_dir: str, table: str, n_files: int = 1) -> str:
     import pyarrow.parquet as pq
 
     t = pq.read_table(src)
+    if t.num_rows == 0:
+        # range(0, 0, step=0) would raise; a zero-row table stages as
+        # its single (empty) file (ADVICE r10 #2)
+        shutil.copy(src, d)
+        return d
     n = max(1, min(n_files, t.num_rows))
     step = -(-t.num_rows // n)
     for i in range(0, t.num_rows, step):

@@ -454,3 +454,21 @@ class TestLeftOuterJoinFrontier:
         pdf.to_parquet(os.path.join(sf, "events.parquet"), index=False)
         assert self._run(spark, sf) == {}
         assert self._oracle(sf) == {}
+
+
+def test_stage_table_stream_zero_row_table(spark, tmp_path):
+    # ADVICE r10 #2: n_files > 1 on an empty table used to compute a
+    # zero range step and raise; it must stage the empty file instead
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from huckli_spark.streaming.windows import stage_table_stream
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())}),
+        f"{sf}/empty.parquet",
+    )
+    d = stage_table_stream(sf, "empty", n_files=4)
+    assert spark.read.parquet(d).count() == 0

@@ -444,3 +444,58 @@ class TestBroadcastMapServing:
                                       for r in vocab.collect()]
                       if len(p) > 1)
         assert f"keys: [{marker}," not in plan  # no baked map literal
+
+
+class TestEncodeDocsAutoSwitch:
+    """VERDICT r10 #7: ONE serving entry point that picks the plan
+    form itself — the switch must flip exactly at LITERAL_PIECE_BOUND
+    and both arms must stay bit-identical at the boundary."""
+
+    def _encoded(self, df):
+        return {
+            r.doc_id: (list(r.tk.tokens), r.tk.cost_micro)
+            for r in df.select("doc_id", "tk").collect()
+        }
+
+    def test_arms_bit_identical_and_switch_flips_at_bound(
+        self, spark, monkeypatch
+    ):
+        from huckli_spark.operators import unigram_lm as U
+
+        docs = _corpus(spark, RICH + ["zz unseené chars"])
+        vocab = unigram_fit(docs, vocab_size=80, n_iters=2)
+        n = vocab.count()
+
+        lit = self._encoded(U.encode_docs(docs, vocab, plan_form="literal"))
+        bc = self._encoded(U.encode_docs(docs, vocab, plan_form="broadcast"))
+        assert lit == bc and lit
+
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode\
+            .fromString("formatted")
+
+        def plan(df):
+            return df._jdf.queryExecution().explainString(mode)
+
+        marker = next(r.piece for r in vocab.collect() if len(r.piece) > 1)
+        # boundary: n == bound -> literal (vocab baked into the plan)
+        monkeypatch.setattr(U, "LITERAL_PIECE_BOUND", n)
+        at = U.encode_docs(docs, vocab)
+        assert f"{marker}," in plan(at)
+        assert self._encoded(at) == lit
+        # n == bound + 1 ... i.e. bound == n - 1 -> broadcast (one-row
+        # payload, NO baked map literal)
+        monkeypatch.setattr(U, "LITERAL_PIECE_BOUND", n - 1)
+        over = U.encode_docs(docs, vocab)
+        assert f"keys: [{marker}," not in plan(over)
+        assert "BroadcastNestedLoopJoin" in plan(over)
+        assert self._encoded(over) == lit
+
+    def test_rejects_unknown_plan_form(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators import unigram_lm as U
+
+        docs = _corpus(spark, RICH)
+        vocab = unigram_fit(docs, vocab_size=60, n_iters=1)
+        with _pytest.raises(ValueError, match="plan_form"):
+            U.encode_docs(docs, vocab, plan_form="bogus")
