@@ -69,72 +69,48 @@ _GATE_PRIORITY: list[str] = [
     "q_demux_counts",
     "q_decimal_default",
     "q_ts_heuristic",
-    # --- round-10 rotation: ALL 30 rotatable slots drain the last of
-    # the graded debt (VERDICT r09 #1) — after this round every
-    # registered query has carried a green driver row at least once.
-    # Full per-round rotation ledger lives in COVERAGE.md ("Gate
-    # rotation ledger"); only the live gate is kept in code.
-    # (a) TPC-H battery completion (10 never-graded rows):
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q9",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    # (b) the round-8 composition tail (9 never-graded rows;
-    # q_ccnet_buckets lands on the probed grouped-NTILE plan —
-    # SCALE_PROBE_ntile_grouped.json):
-    "q_quality_budget",
-    "q_bpe_fertility",
-    "q_ccnet_buckets",
-    "q_curriculum_pack",
-    "q_hash_quantiles",
-    "q_source_overlap",
-    "q_bleu_eval",
-    "q_rouge_eval",
-    "q_maxmatch_compare",
-    # (c) the round-9 registrations (7: full-modality perceptual
-    # dedup + streaming screens + governance card + tokenizer
-    # lifecycle serve):
-    "q_image_dedup",
-    "q_audio_dedup",
-    "q_video_dedup",
-    "q_stream_image_dedup",
-    "q_stream_audio_dedup",
-    "q_media_card",
-    "q_unigram_serve",
-    # (d) the round-10 registration: the q_dedup_cap policy layer
-    # composed over all three media fingerprint families (VERDICT
-    # r09 #4) — takes the slot the queue reserved for the
-    # q_multimodal_pipeline re-grade, since multimodal-family
-    # freshness is already carried by the SEVEN media rows above and
-    # this exercises strictly more of the same machinery (decode ->
-    # fingerprint -> banded pairs -> components -> cap);
-    # q_multimodal_pipeline heads the r11 re-grade queue.
-    "q_media_dedup_cap",
-    # (e) flagship re-grades so no family's last graded row ages past
-    # two rounds (all last graded r7/r8):
-    "q_dedup_minhash",
-    "q_hybrid_retrieval",
-    "q_merge_upsert",
+    # --- round-11 rotation (full per-round ledger: COVERAGE.md "Gate
+    # rotation ledger"). (a) the 13 never-graded r10 registrations +
+    # the deferred q_multimodal_pipeline re-grade (VERDICT r10 #2):
+    "q_substring_dedup",
+    "q_substring_cut",
+    "q_stream_substring_screen",
+    "q_ann_ivf_append",
+    "q_stream_video_dedup",
+    "q_crossmodal_dedup",
+    "q_stream_scd2_lookup",
+    "q_pit_backfill",
+    "q_time_travel",
+    "q_ann_maxsim",
+    "q_classifier_auc",
+    "q_calibration_curve",
+    "q_threshold_sweep",
+    "q_multimodal_pipeline",
+    # (b) family-freshness re-grades, oldest-first (last green round
+    # in parens), one representative per family:
+    "q_correlated_scalar",  # r2 subquery family
+    "q_pivot",  # r2 reshaping
+    "q_udaf_median",  # r3 UDAF
+    "q_tfidf_terms",  # r3 text stats
+    "q_salted_join",  # r3 skew handling
+    "q_stream_dedup",  # r3 streaming dedup
+    "q_dedup_embed_lsh",  # r3 embedding dedup
+    "q_dedup_simhash",  # r4 simhash family
+    "q_ann_bruteforce",  # r4 exact ANN baseline
+    "q_unigram_logprob",  # r5 unigram LM
+    "q_stream_session_native",  # r5 session windows
+    "q_pagerank",  # r6 graph
+    "q_kmeans",  # r6 clustering
+    "q_table_changes",  # r7 warehouse CDF
+    "q_semdedup",  # r8 SemDeDup
+    # (c) registered this round, graded this round (the
+    # q_media_dedup_cap precedent): MaxSim at production shape over
+    # the frozen IVF store:
+    "q_ann_maxsim_serve",
 ]
 # Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# Rotated out for round 10 (ALL driver-graded green in r9; local
-# replica still covers them every round): the 23-query analytics
-# wave, the unigram/DoReMi flagships, q_stream_ann_serve (graded on
-# the fixed plan), q_training_triplets, q_dedup_cap. Earlier rounds'
-# rotation history: see COVERAGE.md "Gate rotation ledger".
-# Round-11 queue: q_multimodal_pipeline (re-grade deferred from r10 —
-# see slot (d) above), the round-10 registrations (q_substring_dedup,
-# q_substring_cut, q_stream_substring_screen, q_ann_ivf_append,
-# q_stream_video_dedup, q_crossmodal_dedup, q_stream_scd2_lookup,
-# q_pit_backfill, q_time_travel, q_ann_maxsim, q_classifier_auc,
-# q_calibration_curve, q_threshold_sweep), plus the usual
-# family-freshness re-grades for whatever last carried a row in r9.
+# Rotation history + the next-round queue live in COVERAGE.md ("Gate
+# rotation ledger").
 
 
 def all_queries() -> dict[str, QuerySpec]:
