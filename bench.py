@@ -281,6 +281,8 @@ def main() -> None:
         "q_crossmodal_dedup",
         "q_ann_maxsim",
         "q_classifier_auc",
+        # round-11 addition: MaxSim serving over the frozen IVF store
+        "q_ann_maxsim_serve",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)
@@ -318,6 +320,34 @@ def main() -> None:
         ext_attempts.append(round(sum(e2.values()), 3))
         if not err2 and sum(e2.values()) < sum(extended.values()):
             extended, ext_errors, ext_load = e2, err2, rl2
+    # Per-ROW loadavg discipline (VERDICT r10 #6): the whole-set >8
+    # gate never fired in r10 while individual rows ran under a 7.4
+    # co-tenant spike (their clean-anchor walls were ~25% lower). The
+    # box's empirical bench-alone ceiling is ~3 (the clean r10
+    # headline peaked at 2.72), so re-run JUST the rows whose recorded
+    # loadavg exceeded it, keep the faster wall, and record every
+    # rerun visibly as [old_wall, rerun_wall, rerun_loadavg].
+    EXT_ROW_LOAD_CEIL = 3.0
+    ext_row_reruns: dict[str, list] = {}
+    attempted = [n for n in EXTENDED if n in specs]
+    for name, la in zip(attempted, ext_load):
+        if la <= EXT_ROW_LOAD_CEIL or name in ext_errors:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            ext_row_reruns[name] = [extended.get(name),
+                                    f"{type(exc).__name__}"[:80], None]
+            continue
+        ext_row_reruns[name] = [extended.get(name), wall,
+                                round(os.getloadavg()[0], 2)]
+        if wall < extended.get(name, float("inf")):
+            extended[name] = wall
     for name, msg in ext_errors.items():
         errors[f"extended:{name}"] = msg
 
@@ -357,6 +387,7 @@ def main() -> None:
         "extended_queries": extended,
         "extended_attempt_totals": ext_attempts,
         "extended_per_query_loadavg": ext_load,
+        "extended_row_reruns": ext_row_reruns,
         "ingest": ingest,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
