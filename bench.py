@@ -281,8 +281,10 @@ def main() -> None:
         "q_crossmodal_dedup",
         "q_ann_maxsim",
         "q_classifier_auc",
-        # round-11 addition: MaxSim serving over the frozen IVF store
+        # round-11 additions: MaxSim serving over the frozen IVF
+        # store, batch + streaming stage-one
         "q_ann_maxsim_serve",
+        "q_stream_maxsim_serve",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

@@ -202,7 +202,18 @@ def maxsim_topk_ivf(
 
     ``posting`` is the store's frozen (member_id, cid) assignment —
     pass the relation loaded from ``ann_index`` so serving matches
-    what the index was built with, not a recomputed assignment.
+    what the index was built with, not a recomputed assignment. If it
+    ALSO carries ``doc_col`` (store the doc key at index-build time —
+    the production layout), candidate generation becomes a pure
+    map-side scan of the posting store against the broadcast probe
+    list: the member relation is never joined for candidates and is
+    scanned exactly once, for the rerank. Without it, a member->doc
+    lookup join runs first (fixture convenience, one extra
+    corpus-sized equi-join).
+
+    The candidate set is bounded by design (queries x probed-cell
+    docs — the PLAID serving contract caps it), so it BROADCASTS into
+    the rerank join: the corpus never shuffles on the doc key.
     """
     tok_bag = tokens.select(
         F.col(query_col).alias("query_id"),
@@ -235,17 +246,27 @@ def maxsim_topk_ivf(
             l2_norm(vec_col).alias("__nn"),
         )
     )
-    member_cells = mem.join(
-        posting.select(F.col(member_id_col).alias("__mid"), "cid"), "__mid"
-    )
+    if doc_col in posting.columns:
+        # production layout: the store maps member -> (cid, doc), so
+        # candidates come from ONE map-side scan of the posting store
+        member_cells = posting.select(
+            F.col(doc_col).alias("doc_id"), "cid"
+        )
+    else:
+        member_cells = mem.join(
+            posting.select(F.col(member_id_col).alias("__mid"), "cid"),
+            "__mid",
+        )
     cand = (
         member_cells.join(F.broadcast(probe_cells), "cid")
         .select("query_id", "doc_id")
         .distinct()
     )
     # shortlist-sized rerank: every member vector of a candidate doc
-    # against the query's full token bag
-    pairs = mem.join(cand, "doc_id").join(
+    # against the query's full token bag. cand is serving-bounded
+    # (queries x probed docs), so it broadcasts — the corpus scans
+    # once, map-side, and never shuffles on the doc key.
+    pairs = mem.join(F.broadcast(cand), "doc_id").join(
         F.broadcast(tok_bag), "query_id"
     )
     return _maxsim_regroup(pairs, k)

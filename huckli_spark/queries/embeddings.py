@@ -189,12 +189,14 @@ def q_ann_maxsim_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _scratch_dir(), f"maxsim_serve_{uuid.uuid4().hex[:12]}", "index"
     )
+    # the store maps member -> (cid, doc): candidate generation then
+    # never joins the member relation (one map-side posting scan)
     save_ann_index(
         path,
         cents,
         codebooks=None,
         posting=simsearch.ivf_assign(em, cents, nprobe=1).select(
-            "vec_id", "cid"
+            "vec_id", F.expr("vec_id div 4").alias("doc_id"), "cid"
         ),
     )
     frozen_cents, _, _, posting = load_ann_index(path, spark)

@@ -1142,6 +1142,143 @@ def ann_serve_scored(q: DataFrame, posting: DataFrame) -> DataFrame:
     )
 
 
+def maxsim_stream_scored(probes: DataFrame, posting: DataFrame) -> DataFrame:
+    """Serve-side join of q_stream_maxsim_serve, shared with its plan
+    pin: per-token probes (query_id, token_id, cid, __qv) x frozen
+    posting (member_id, __nv, cid) -> the per-(token, candidate
+    member) micro-integer cosine, PLAID's stage-one emission. The
+    posting side carries NO broadcast hint (corpus-sized — the
+    ann_serve_scored discipline); the MaxSim regroup (per-token max,
+    per-doc sum, rank) is cross-row state and belongs to the sink /
+    batch layer (_maxsim_regroup), exactly as the rank cut does in
+    q_stream_ann_serve."""
+    from huckli_spark.operators.simsearch import dot, l2_norm
+
+    cos_micro = F.floor(
+        fround(
+            dot("__qv", "__nv") / (l2_norm("__qv") * l2_norm("__nv")), 6
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return probes.join(posting, "cid").select(
+        "query_id",
+        "token_id",
+        F.expr("member_id div 4").alias("doc_id"),
+        "member_id",
+        cos_micro.alias("cos_micro"),
+    )
+
+
+def _stream_maxsim_oracle() -> str:
+    sim = sql_fround(
+        "list_dot_product(v.e, cent.c)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(cent.c, cent.c)))",
+        6,
+    )
+    pair_cos = sql_fround(
+        "list_dot_product(vq.e, vn.e)"
+        " / (sqrt(list_dot_product(vq.e, vq.e))"
+        " * sqrt(list_dot_product(vn.e, vn.e)))",
+        6,
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8
+    ), asn AS (
+      SELECT v.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id ORDER BY {sim} DESC, cent.cid
+             ) AS rn
+      FROM v CROSS JOIN cent
+    ), posting AS (
+      SELECT vec_id, cid FROM asn WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS token_id, vec_id // 2 AS query_id, cid
+      FROM asn WHERE vec_id < 8 AND rn <= 2
+    )
+    SELECT p.query_id, p.token_id, po.vec_id // 4 AS doc_id,
+           po.vec_id AS member_id,
+           CAST(floor({pair_cos} * 1000000 + 0.5) AS BIGINT) AS cos_micro
+    FROM probes p
+    JOIN posting po ON po.cid = p.cid
+    JOIN v vq ON vq.vec_id = p.token_id
+    JOIN v vn ON vn.vec_id = po.vec_id
+    """
+
+
+@query(
+    "q_stream_maxsim_serve",
+    _stream_maxsim_oracle(),
+    doc="STREAMING late-interaction serving from the FROZEN IVF store "
+    "— PLAID's stage one as an online feed: the sampled coarse "
+    "quantizer and member posting lists freeze (cid-partitioned "
+    "parquet) before the stream starts; live query TOKENS (vec_id < "
+    "8 of the staged embedding feed, query = vec_id div 2) probe "
+    "their nprobe=2 cells MAP-ONLY via the literal quantizer, and a "
+    "stateless stream-static equi-join on cid emits the per-(token, "
+    "candidate member) micro-integer cosine — append mode, zero "
+    "streaming state. The MaxSim regroup (per-token max -> per-doc "
+    "integer sum -> rank) is cross-row state and composes at the "
+    "sink via the same _maxsim_regroup the batch paths share "
+    "(q_ann_maxsim / q_ann_maxsim_serve); emitting stage-one scores "
+    "is exactly how a PLAID serving tier decomposes. The oracle "
+    "replays quantizer, assignment, probes, and pair scores "
+    "relationally. Scale: per-token work is nprobe x cell size — "
+    "flat in the corpus at constant cell geometry; the posting side "
+    "is never broadcast-hinted (plan-pinned).",
+)
+def q_stream_maxsim_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from huckli_spark.operators import simsearch
+    from huckli_spark.operators.cache import _scratch_dir
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = simsearch.ivf_centroids(emb, n_centroids=8)
+    idx_dir = os.path.join(
+        _scratch_dir(), f"stream_maxsim_idx_{uuid.uuid4().hex[:12]}",
+        "posting",
+    )
+    simsearch.ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("member_id"),
+        F.col("embedding").alias("__nv"),
+        F.col("cid"),
+    ).write.partitionBy("cid").parquet(idx_dir)
+    posting = spark.read.parquet(idx_dir).select(
+        "member_id", "__nv", F.col("cid").cast("int").alias("cid")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("label", T.IntegerType(), True),
+        ]
+    )
+    stream_dir = stage_table_stream(sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .where(F.col("vec_id") < 8)
+    )
+    probes = simsearch.ivf_assign(stream, cents, nprobe=2).select(
+        F.expr("vec_id div 2").alias("query_id"),
+        F.col("vec_id").alias("token_id"),
+        F.col("cid"),
+        F.col("embedding").alias("__qv"),
+    )
+    return run_to_memory(
+        maxsim_stream_scored(probes, posting), output_mode="append"
+    )
+
+
 def _stream_unigram_oracle() -> str:
     from huckli_spark.operators.unigram_lm import unigram_encode_oracle_sql
 

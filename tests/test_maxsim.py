@@ -105,3 +105,21 @@ def test_serving_plan_no_cartesian_no_corpus_broadcast(spark, fixture):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan  # the exact path's crossJoin shape
     assert "BroadcastHashJoin" in plan, plan  # probe cells + token bag broadcast
+
+
+def test_doc_keyed_posting_arm_matches_member_keyed(spark, fixture):
+    # production layout: the store carries the doc key, so candidate
+    # generation skips the member join — results must be identical to
+    # the member-keyed fallback arm at every nprobe
+    members, tokens, frozen, posting = fixture
+    doc_posting = posting.join(
+        members.select("vec_id", "doc_id"), "vec_id"
+    )
+    for nprobe in (2, len(frozen)):
+        a = _rows(simsearch.maxsim_topk_ivf(
+            members, tokens, frozen, posting, k=5, nprobe=nprobe
+        ))
+        b = _rows(simsearch.maxsim_topk_ivf(
+            members, tokens, frozen, doc_posting, k=5, nprobe=nprobe
+        ))
+        assert a == b

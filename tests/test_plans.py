@@ -917,6 +917,57 @@ class TestStreamAnnServePlan:
         assert "Python" not in plan, plan
 
 
+class TestStreamMaxsimServePlan:
+    def test_posting_side_never_forced_broadcast(self, spark, tmp_path):
+        # same contract as TestStreamAnnServePlan: the frozen member
+        # posting store is corpus-sized, so maxsim_stream_scored must
+        # carry NO broadcast hint — with the size-bound broadcast
+        # disabled the join must plan shuffled
+        import os
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators import simsearch
+        from huckli_spark.queries.streaming_parity import maxsim_stream_scored
+
+        emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        cents = [
+            (cid, [float(cid + j) for j in range(64)]) for cid in range(4)
+        ]
+        idx = str(tmp_path / "posting")
+        simsearch.ivf_assign(emb, cents, nprobe=1).select(
+            F.col("vec_id").alias("member_id"),
+            F.col("embedding").alias("__nv"),
+            F.col("cid"),
+        ).write.partitionBy("cid").parquet(idx)
+        posting = spark.read.parquet(idx).select(
+            "member_id", "__nv", F.col("cid").cast("int").alias("cid")
+        )
+        probes = simsearch.ivf_assign(
+            emb.where(F.col("vec_id") < 8), cents, nprobe=2
+        ).select(
+            F.expr("vec_id div 2").alias("query_id"),
+            F.col("vec_id").alias("token_id"),
+            F.col("cid"),
+            F.col("embedding").alias("__qv"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = maxsim_stream_scored(probes, posting)
+            mode = (
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            plan = df._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+
 class TestImageDedupPlan:
     def test_banded_join_never_all_pairs(self, spark):
         # the pair stage must be the pigeonhole equi-join on 15-bit
