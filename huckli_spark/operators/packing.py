@@ -112,3 +112,86 @@ def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
         F.sum("n_tokens").alias("tokens_started"),
         F.min("offset_in_seq").alias("first_offset"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-epoch GLOBAL training-order permutation —
+    every document gets a unique 1-based position per epoch, the
+    reproducible "shuffle each epoch" a pretraining dataloader needs,
+    with no global sort and no single-partition window.
+
+    Order key = h60('epoch:<e>:<id>') (portable md5 hash — uniform
+    over the 60-bit space, different every epoch, reproducible
+    forever). The global rank over (key, id) is computed two-phase,
+    the distributed-prefix discipline (q_classifier_auc's histogram
+    prefix, q_hash_quantiles):
+
+    1. bucket = key div 2^52 — RANGE-aligned buckets of the key
+       space, so bucket order == key order and per-bucket ranks can
+       be offset into global ranks;
+    2. per-(epoch, bucket) counts -> exclusive prefix offsets via a
+       window over the TINY epochs x n_buckets relation (never
+       corpus-sized);
+    3. pos = offset + row_number within (epoch, bucket) ordered by
+       (key, id).
+
+    Worst single-task window input is ~n/n_buckets rows — raise
+    ``n_buckets`` with the corpus (4096 buckets put a trillion-doc
+    epoch at ~250M rows per bucket; buckets stay balanced because the
+    key is a hash). Returns (epoch, <id_col>, pos).
+    """
+    if epochs <= 0 or n_buckets <= 0:
+        raise ValueError(
+            f"epochs and n_buckets must be positive (got {epochs}, "
+            f"{n_buckets})"
+        )
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    ep = F.explode(
+        F.array(*[F.lit(e) for e in range(epochs)])
+    ).alias("epoch")
+    keyed = df.select(F.col(id_col), ep).select(
+        "epoch",
+        id_col,
+        h60(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ).alias("__key"),
+    )
+    bucket_width = (1 << 60) // n_buckets
+    keyed = keyed.withColumn(
+        "__bucket", (F.col("__key") / F.lit(bucket_width)).cast("long")
+    )
+    counts = keyed.groupBy("epoch", "__bucket").agg(
+        F.count("*").alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rank = Window.partitionBy("epoch", "__bucket").orderBy(
+        "__key", id_col
+    )
+    return (
+        keyed.join(F.broadcast(offsets), ["epoch", "__bucket"])
+        .select(
+            "epoch",
+            id_col,
+            (F.col("__off") + F.row_number().over(w_rank)).alias("pos"),
+        )
+    )

@@ -778,3 +778,37 @@ def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_micro"
         ),
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    f"""
+    WITH k AS (
+      SELECT e.epoch, d.doc_id,
+             {sql_h60("'epoch:' || CAST(e.epoch AS VARCHAR) || ':'"
+                      " || CAST(d.doc_id AS VARCHAR)")} AS key
+      FROM documents d
+      CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="deterministic per-epoch GLOBAL training-order permutation "
+    "(the reproducible dataloader shuffle): every doc gets a unique "
+    "1-based position per epoch from the portable 60-bit hash of "
+    "(epoch, doc_id), computed WITHOUT a global sort — range-aligned "
+    "hash buckets, per-bucket counts, exclusive prefix offsets over "
+    "the tiny (epochs x buckets) relation, then offset + in-bucket "
+    "rank (the distributed-prefix discipline of q_classifier_auc / "
+    "q_hash_quantiles). The oracle computes the straight global "
+    "row_number per epoch, so a hash-green row PROVES the two-phase "
+    "decomposition equals the global rank bit-exactly. Scale: worst "
+    "single-task window input is ~n/n_buckets hash-balanced rows; "
+    "raise n_buckets with the corpus.",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epochs=2, n_buckets=256)

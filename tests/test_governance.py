@@ -358,3 +358,98 @@ class TestPackReservedNames:
             packing.pack_sequences(
                 docs, budget=4, n_shards=2, order_cols=[F.desc("quality")]
             )
+
+
+class TestEpochShuffle:
+    """epoch_shuffle: the two-phase distributed rank must be a true
+    per-epoch permutation, equal to the naive global rank, stable
+    under repartitioning, and different across epochs."""
+
+    def _df(self, spark, n=120):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_permutation_per_epoch(self, spark):
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        out = epoch_shuffle(self._df(spark), epochs=2, n_buckets=16)
+        rows = out.collect()
+        for e in (0, 1):
+            pos = sorted(r.pos for r in rows if r.epoch == e)
+            assert pos == list(range(1, 121))
+
+    def test_matches_naive_global_rank(self, spark):
+        from pyspark.sql import Window as W
+
+        from huckli_spark.functions.portable import h60
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = self._df(spark, 200)
+        got = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(df, epochs=2, n_buckets=8).collect()
+        }
+        naive = df.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+        ).select(
+            "epoch",
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy("epoch").orderBy(
+                    h60(
+                        F.concat(
+                            F.lit("epoch:"),
+                            F.col("epoch").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    "doc_id",
+                )
+            )
+            .alias("pos"),
+        )
+        want = {(r.epoch, r.doc_id): r.pos for r in naive.collect()}
+        assert got == want
+
+    def test_partitioning_invariant_and_epochs_differ(self, spark):
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = self._df(spark, 150)
+        a = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(df, epochs=2).collect()
+        }
+        b = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(df.repartition(13), epochs=2).collect()
+        }
+        assert a == b
+        e0 = [a[(0, i)] for i in range(150)]
+        e1 = [a[(1, i)] for i in range(150)]
+        assert e0 != e1  # a different permutation every epoch
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        with _pytest.raises(ValueError, match="positive"):
+            epoch_shuffle(self._df(spark), epochs=0)
+        with _pytest.raises(ValueError, match="power of two"):
+            epoch_shuffle(self._df(spark), n_buckets=100)
+
+    def test_no_global_sort_no_corpus_window(self, spark):
+        # the scale contract: no Sort global=true, and the only
+        # unpartitioned window runs over the tiny offsets relation
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = epoch_shuffle(self._df(spark), epochs=2, n_buckets=16)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode\
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        import re as _re
+
+        assert not _re.search(r"Sort\b.*global=true", plan), plan
+        assert "Python" not in plan, plan
