@@ -98,6 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     s = sub.add_parser(
+        "shuffle",
+        help="deterministic per-epoch global training-order "
+        "permutation (reproducible dataloader shuffle)",
+    )
+    common(s)
+    s.add_argument("--epochs", type=int, default=2)
+    s.add_argument(
+        "--buckets", type=int, default=256,
+        help="power-of-two hash buckets; worst window input is "
+        "~n/buckets rows — raise with the corpus",
+    )
+
+    s = sub.add_parser(
         "tokenize", help="train a tokenizer + tokenize the corpus"
     )
     common(s)
@@ -330,6 +343,20 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "release":
         summary |= _release(spark, docs, args)
+
+    elif args.cmd == "shuffle":
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        out = epoch_shuffle(
+            docs, epochs=args.epochs, n_buckets=args.buckets
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        summary |= {
+            "docs": written.select("doc_id").distinct().count(),
+            "epochs": args.epochs,
+            "rows": written.count(),
+        }
 
     elif args.cmd == "pack":
         from huckli_spark.operators.packing import pack_sequences

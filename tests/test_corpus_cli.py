@@ -553,3 +553,19 @@ class TestSubstringReleaseJourney:
             for ln in open(f"{out}/data/{shard}")
         ]
         assert all("newsletter" not in t for t in texts)
+
+
+class TestShuffle:
+    def test_shuffle_writes_per_epoch_permutations(
+        self, spark, tmp_path, jsonl_corpus, capsys
+    ):
+        clean = str(tmp_path / "clean_sh")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        out = str(tmp_path / "order")
+        s = _run(capsys, ["shuffle", "--in", clean, "--out", out,
+                          "--epochs", "3", "--buckets", "8"])
+        assert s["docs"] == 4 and s["epochs"] == 3 and s["rows"] == 12
+        rows = spark.read.parquet(out).collect()
+        for e in range(3):
+            assert sorted(r.pos for r in rows if r.epoch == e) == [1, 2, 3, 4]
