@@ -98,6 +98,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     s = sub.add_parser(
+        "release-diff",
+        help="diff two exported releases by doc content: "
+        "added/removed/changed/unchanged, written as a status relation",
+    )
+    s.add_argument("--a", dest="rel_a", required=True,
+                   help="baseline release/export root (contains data/ "
+                   "+ MANIFEST.json)")
+    s.add_argument("--b", dest="rel_b", required=True,
+                   help="candidate release/export root")
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser(
         "shuffle",
         help="deterministic per-epoch global training-order "
         "permutation (reproducible dataloader shuffle)",
@@ -224,6 +236,10 @@ def main(argv: list[str] | None = None) -> int:
         # media tables are binary-column parquet, not text corpora —
         # they bypass the documents loader entirely
         summary = {"cmd": args.cmd} | _media_card(spark, args)
+        print(json.dumps(summary))
+        return 0
+    if args.cmd == "release-diff":
+        summary = {"cmd": args.cmd} | _release_diff(spark, args)
         print(json.dumps(summary))
         return 0
     docs, quarantine = _load(spark, args.inp, args.format, args.out)
@@ -576,6 +592,58 @@ def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
         "shards_written": len(shards),
         "bytes": total_bytes,
         "manifest": os.path.join(out, "MANIFEST.json"),
+    }
+
+
+def _release_diff(spark, args) -> dict:
+    """Content diff between two exported releases — the governance
+    step before publishing v(N+1): which documents were added,
+    removed, or changed (same doc_id, different text) since the
+    baseline. Reads each release's data/ in the format its MANIFEST
+    declares, keys both sides on (doc_id, md5(text)), and FULL-OUTER
+    joins on doc_id — one shuffle per side, O(diff) output columns,
+    scale-correct at any corpus size. Writes (doc_id, status) to
+    --out/diff.parquet; the summary carries the four counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    def load_release(root: str):
+        man_path = os.path.join(root, "MANIFEST.json")
+        with open(man_path) as fh:
+            fmt = _json.load(fh).get("format", "jsonl")
+        data = os.path.join(root, "data")
+        reader = spark.read
+        df = (reader.json(data) if fmt == "jsonl"
+              else reader.parquet(data))
+        return df.select("doc_id", F.md5("text").alias("th"))
+
+    a = load_release(args.rel_a).withColumnRenamed("th", "th_a")
+    b = load_release(args.rel_b).withColumnRenamed("th", "th_b")
+    diff = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("th_a").isNull(), F.lit("added"))
+            .when(F.col("th_b").isNull(), F.lit("removed"))
+            .when(F.col("th_a") != F.col("th_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    out_path = os.path.join(args.out, "diff.parquet")
+    diff.write.mode("overwrite").parquet(out_path)
+    counts = {
+        r["status"]: int(r["n"])
+        for r in spark.read.parquet(out_path)
+        .groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "unchanged": counts.get("unchanged", 0),
+        "diff": out_path,
     }
 
 

@@ -569,3 +569,41 @@ class TestShuffle:
         rows = spark.read.parquet(out).collect()
         for e in range(3):
             assert sorted(r.pos for r in rows if r.epoch == e) == [1, 2, 3, 4]
+
+
+class TestReleaseDiff:
+    def test_diff_two_exports(self, spark, tmp_path, capsys):
+        def write_corpus(path, rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string"
+            ).withColumn("n_chars", F.length("text")).write.parquet(path)
+
+        base = [
+            (0, "alpha body original", "en", "s"),
+            (1, "beta body original", "en", "s"),
+            (2, "gamma body original", "en", "s"),
+        ]
+        nxt = [
+            (0, "alpha body original", "en", "s"),  # unchanged
+            (1, "beta body REVISED", "en", "s"),  # changed
+            (3, "delta body brand new", "en", "s"),  # added; 2 removed
+        ]
+        in_a, in_b = str(tmp_path / "ca"), str(tmp_path / "cb")
+        write_corpus(in_a, base)
+        write_corpus(in_b, nxt)
+        rel_a, rel_b = str(tmp_path / "ra"), str(tmp_path / "rb")
+        _run(capsys, ["export", "--in", in_a, "--out", rel_a,
+                      "--shards", "2"])
+        _run(capsys, ["export", "--in", in_b, "--out", rel_b,
+                      "--shards", "2"])
+        out = str(tmp_path / "diff")
+        s = _run(capsys, ["release-diff", "--a", rel_a, "--b", rel_b,
+                          "--out", out])
+        assert s["added"] == 1 and s["removed"] == 1
+        assert s["changed"] == 1 and s["unchanged"] == 1
+        status = {
+            r.doc_id: r.status
+            for r in spark.read.parquet(f"{out}/diff.parquet").collect()
+        }
+        assert status == {0: "unchanged", 1: "changed",
+                          2: "removed", 3: "added"}
