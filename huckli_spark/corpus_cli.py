@@ -608,29 +608,18 @@ def _release_diff(spark, args) -> dict:
 
     from pyspark.sql import functions as F
 
+    from huckli_spark.operators.dedup import content_diff
+
     def load_release(root: str):
         man_path = os.path.join(root, "MANIFEST.json")
         with open(man_path) as fh:
             fmt = _json.load(fh).get("format", "jsonl")
         data = os.path.join(root, "data")
         reader = spark.read
-        df = (reader.json(data) if fmt == "jsonl"
-              else reader.parquet(data))
-        return df.select("doc_id", F.md5("text").alias("th"))
+        return (reader.json(data) if fmt == "jsonl"
+                else reader.parquet(data))
 
-    a = load_release(args.rel_a).withColumnRenamed("th", "th_a")
-    b = load_release(args.rel_b).withColumnRenamed("th", "th_b")
-    diff = (
-        a.join(b, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.when(F.col("th_a").isNull(), F.lit("added"))
-            .when(F.col("th_b").isNull(), F.lit("removed"))
-            .when(F.col("th_a") != F.col("th_b"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-        )
-    )
+    diff = content_diff(load_release(args.rel_a), load_release(args.rel_b))
     out_path = os.path.join(args.out, "diff.parquet")
     diff.write.mode("overwrite").parquet(out_path)
     counts = {

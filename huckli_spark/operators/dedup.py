@@ -816,3 +816,28 @@ def capped_keep_decisions(
         rk.alias("rank_in_cluster"),
         (rk <= k).alias("kept"),
     )
+
+
+def content_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content diff between two corpus versions — the governance step
+    before publishing v(N+1): classify every document as
+    added / removed / changed / unchanged relative to the baseline
+    ``a``. Keys both sides on (id, md5(text)) and FULL-OUTER joins on
+    the id: one shuffle per side, narrow rows, O(corpus) work at any
+    scale — never a content join. Shared by the `release-diff` CLI
+    and q_release_diff's hash gate."""
+    ka = a.select(F.col(id_col), F.md5(text_col).alias("__th_a"))
+    kb = b.select(F.col(id_col), F.md5(text_col).alias("__th_b"))
+    return ka.join(kb, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("__th_a").isNull(), F.lit("added"))
+        .when(F.col("__th_b").isNull(), F.lit("removed"))
+        .when(F.col("__th_a") != F.col("__th_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -1105,4 +1105,53 @@ def _fill_maxmatch_oracle() -> None:
     )
 
 
+@query(
+    "q_release_diff",
+    """
+    WITH a AS (
+      SELECT doc_id, text FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new:' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    """,
+    doc="release-to-release content diff (the governance step before "
+    "publishing the next dataset version): every doc classified "
+    "added/removed/changed/unchanged by FULL-OUTER joining the two "
+    "versions on the doc key with md5(text) content fingerprints — "
+    "one shuffle per side, narrow rows, never a content join. The "
+    "candidate version is derived deterministically from the "
+    "baseline (every 5th doc removed, every 7th changed, every 11th "
+    "re-added under a new id) so the oracle replays it exactly; the "
+    "same content_diff operator backs the release-diff CLI over real "
+    "exported releases.",
+)
+def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.dedup import content_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    changed = d.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new:"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    return content_diff(d, changed.unionByName(added))
+
+
 _fill_maxmatch_oracle()
