@@ -189,3 +189,40 @@ def test_semdedup_matches_python_reference(spark, vecs, k):
         for r in semdedup(df, k=k, iterations=2, tau=0.9).collect()
     )
     assert got == _semdedup_ref(vd, k, 2, 0.9)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["keep", "remove", "change"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(st.integers(min_value=100, max_value=160), max_size=8,
+             unique=True),
+)
+def test_content_diff_matches_construction(spark, base, added_ids):
+    """content_diff must classify EXACTLY according to how the
+    candidate corpus was constructed from the baseline."""
+    from huckli_spark.operators.dedup import content_diff
+
+    a_rows = [(i, f"text-{i}") for i, _ in base]
+    b_rows = [
+        (i, f"text-{i}" if action == "keep" else f"text-{i}-v2")
+        for i, action in base
+        if action != "remove"
+    ] + [(i, f"new-{i}") for i in added_ids]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    got = {r.doc_id: r.status for r in content_diff(a, b).collect()}
+    want = {
+        i: {"keep": "unchanged", "remove": "removed", "change": "changed"}[
+            action
+        ]
+        for i, action in base
+    } | {i: "added" for i in added_ids}
+    assert got == want
