@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     s = sub.add_parser(
+        "release-verify",
+        help="consumer-side integrity check of an exported release: "
+        "re-hash every shard against MANIFEST.json, re-count rows, "
+        "re-verify RELEASE.json's manifest checksum and the "
+        "tokenizer store when present",
+    )
+    s.add_argument("--in", dest="inp", required=True,
+                   help="release root (RELEASE.json) or bare export "
+                   "root (MANIFEST.json)")
+
+    s = sub.add_parser(
         "release-diff",
         help="diff two exported releases by doc content: "
         "added/removed/changed/unchanged, written as a status relation",
@@ -231,7 +242,8 @@ def main(argv: list[str] | None = None) -> int:
     from huckli_spark.session import get_spark
 
     spark = get_spark(app_name=f"corpus_{args.cmd}")
-    os.makedirs(args.out, exist_ok=True)
+    if getattr(args, "out", None):  # release-verify is read-only
+        os.makedirs(args.out, exist_ok=True)
     if args.cmd == "media-card":
         # media tables are binary-column parquet, not text corpora —
         # they bypass the documents loader entirely
@@ -242,6 +254,10 @@ def main(argv: list[str] | None = None) -> int:
         summary = {"cmd": args.cmd} | _release_diff(spark, args)
         print(json.dumps(summary))
         return 0
+    if args.cmd == "release-verify":
+        summary = {"cmd": args.cmd} | _release_verify(spark, args)
+        print(json.dumps(summary))
+        return 0 if summary["ok"] else 1
     docs, quarantine = _load(spark, args.inp, args.format, args.out)
     summary: dict = {"cmd": args.cmd, "quarantined": 0}
 
@@ -592,6 +608,107 @@ def _export(spark, docs, out: str, n_shards: int, out_format: str) -> dict:
         "shards_written": len(shards),
         "bytes": total_bytes,
         "manifest": os.path.join(out, "MANIFEST.json"),
+    }
+
+
+def _release_verify(spark, args) -> dict:
+    """Consumer-side verification of an exported release — the check
+    a downstream team runs BEFORE training on shipped data. Re-hashes
+    every shard file against MANIFEST.json (sha256 + byte size),
+    re-counts rows per shard with Spark in the manifest's declared
+    format, verifies RELEASE.json's md5 over the MANIFEST bytes when
+    the root is a full release bundle, and re-loads the tokenizer
+    store (its loader re-verifies the content checksum) when one is
+    present. Read-only; exit code 1 on any mismatch. Driver-side
+    hashing is IO-bound like the producer's — at 100 TB move both
+    ends into a binaryFile + mapInPandas scan."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    root = args.inp
+    problems: list[str] = []
+    release_json = os.path.join(root, "RELEASE.json")
+    export_root = root
+    rel = None
+    if os.path.exists(release_json):
+        with open(release_json) as fh:
+            rel = _json.load(fh)
+        export_root = os.path.join(root, "data")
+        with open(os.path.join(export_root, "MANIFEST.json"), "rb") as fh:
+            got = hashlib.md5(fh.read()).hexdigest()
+        if got != rel.get("manifest_md5"):
+            problems.append(
+                f"RELEASE.json manifest_md5 {rel.get('manifest_md5')} "
+                f"!= actual {got}"
+            )
+    with open(os.path.join(export_root, "MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    data_dir = os.path.join(export_root, "data")
+    n_files = 0
+    for sh in man["shards"]:
+        fp = os.path.join(data_dir, sh["file"])
+        if not os.path.exists(fp):
+            problems.append(f"missing shard file {sh['file']}")
+            continue
+        n_files += 1
+        if os.path.getsize(fp) != sh["bytes"]:
+            problems.append(
+                f"{sh['file']}: {os.path.getsize(fp)} bytes, manifest "
+                f"says {sh['bytes']}"
+            )
+        h = hashlib.sha256()
+        with open(fp, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != sh["sha256"]:
+            problems.append(f"{sh['file']}: sha256 mismatch")
+    total = 0
+    try:
+        reader = spark.read
+        df = (reader.json(data_dir) if man["format"] == "jsonl"
+              else reader.parquet(data_dir))
+        per_shard = {
+            int(r["shard"]): int(r["n"])
+            for r in df.groupBy("shard").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        want_per_shard = {sh["shard"]: sh["rows"] for sh in man["shards"]}
+        if per_shard != want_per_shard:
+            problems.append(
+                f"row counts per shard {per_shard} != manifest "
+                f"{want_per_shard}"
+            )
+        total = sum(per_shard.values())
+        if total != man["total_rows"]:
+            problems.append(
+                f"total rows {total} != manifest {man['total_rows']}"
+            )
+    except Exception as exc:  # noqa: BLE001 — unreadable data IS a finding
+        problems.append(
+            f"data unreadable as {man['format']}: "
+            f"{type(exc).__name__}: {exc}"[:300]
+        )
+    tok_checked = False
+    if rel and rel.get("tokenizer") and rel.get("tokenizer") != "none":
+        from huckli_spark.operators.tokenizer_store import load_tokenizer
+
+        try:
+            load_tokenizer(
+                spark, os.path.join(root, "tokenizer"),
+                expect_kind=rel["tokenizer"],
+            )
+            tok_checked = True
+        except Exception as exc:  # noqa: BLE001 — loud in the summary
+            problems.append(f"tokenizer store: {type(exc).__name__}: {exc}")
+    return {
+        "ok": not problems,
+        "files_checked": n_files,
+        "rows_checked": total,
+        "tokenizer_checked": tok_checked,
+        "problems": problems,
     }
 
 

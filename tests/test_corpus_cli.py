@@ -607,3 +607,50 @@ class TestReleaseDiff:
         }
         assert status == {0: "unchanged", 1: "changed",
                           2: "removed", 3: "added"}
+
+
+class TestReleaseVerify:
+    def _corpus(self, spark, tmp_path):
+        inp = str(tmp_path / "cv")
+        spark.createDataFrame(
+            [(i, f"doc body number {i} with several words", "en", "s")
+             for i in range(6)],
+            "doc_id long, text string, lang string, source string",
+        ).withColumn("n_chars", F.length("text")).write.parquet(inp)
+        return inp
+
+    def test_intact_release_verifies(self, spark, tmp_path, capsys):
+        inp = self._corpus(spark, tmp_path)
+        rel = str(tmp_path / "relv")
+        _run(capsys, ["release", "--in", inp, "--out", rel,
+                      "--shards", "2", "--tokenizer", "unigram"])
+        s = _run(capsys, ["release-verify", "--in", rel])
+        assert s["ok"] is True and s["problems"] == []
+        assert s["files_checked"] == 2 and s["rows_checked"] == 6
+        assert s["tokenizer_checked"] is True
+
+    def test_bare_export_verifies(self, spark, tmp_path, capsys):
+        inp = self._corpus(spark, tmp_path)
+        exp = str(tmp_path / "expv")
+        _run(capsys, ["export", "--in", inp, "--out", exp, "--shards", "3"])
+        s = _run(capsys, ["release-verify", "--in", exp])
+        assert s["ok"] is True and s["rows_checked"] == 6
+
+    def test_tampered_shard_fails_with_exit_1(self, spark, tmp_path, capsys):
+        import json as _json
+
+        inp = self._corpus(spark, tmp_path)
+        rel = str(tmp_path / "relt")
+        _run(capsys, ["release", "--in", inp, "--out", rel,
+                      "--shards", "2", "--tokenizer", "none"])
+        # flip one byte in one shard file
+        man = _json.load(open(f"{rel}/data/MANIFEST.json"))
+        fp = os.path.join(rel, "data", "data", man["shards"][0]["file"])
+        raw = bytearray(open(fp, "rb").read())
+        raw[len(raw) // 2] ^= 0xFF
+        open(fp, "wb").write(bytes(raw))
+        rc = main(["release-verify", "--in", rel])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        s = _json.loads(out)
+        assert rc == 1 and s["ok"] is False
+        assert any("sha256" in p for p in s["problems"])
