@@ -175,6 +175,7 @@ def maxsim_topk_ivf(
     posting: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    max_candidates: "int | None" = None,
     doc_col: str = "doc_id",
     query_col: str = "query_id",
     token_col: str = "token_id",
@@ -211,9 +212,14 @@ def maxsim_topk_ivf(
     lookup join runs first (fixture convenience, one extra
     corpus-sized equi-join).
 
-    The candidate set is bounded by design (queries x probed-cell
-    docs — the PLAID serving contract caps it), so it BROADCASTS into
-    the rerank join: the corpus never shuffles on the doc key.
+    ``max_candidates`` is the PLAID per-query candidate budget
+    (ndocs): rank candidate docs by stage-one evidence — how many of
+    their members landed in probed cells — (hits DESC, doc ASC,
+    deterministic) and rerank only the top-C per query. This is what
+    makes the candidate set BOUNDED at any corpus size, which in turn
+    justifies broadcasting it into the rerank join (the corpus never
+    shuffles on the doc key). ``None`` reranks every probed-cell doc
+    (exact-within-probes; fine when cells are small).
     """
     tok_bag = tokens.select(
         F.col(query_col).alias("query_id"),
@@ -257,11 +263,20 @@ def maxsim_topk_ivf(
             posting.select(F.col(member_id_col).alias("__mid"), "cid"),
             "__mid",
         )
-    cand = (
-        member_cells.join(F.broadcast(probe_cells), "cid")
-        .select("query_id", "doc_id")
-        .distinct()
-    )
+    hits = member_cells.join(F.broadcast(probe_cells), "cid")
+    if max_candidates is None:
+        cand = hits.select("query_id", "doc_id").distinct()
+    else:
+        w_cap = Window.partitionBy("query_id").orderBy(
+            F.desc("__hits"), F.asc("doc_id")
+        )
+        cand = (
+            hits.groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("__hits"))
+            .withColumn("__r", F.row_number().over(w_cap))
+            .where(F.col("__r") <= max_candidates)
+            .select("query_id", "doc_id")
+        )
     # shortlist-sized rerank: every member vector of a candidate doc
     # against the query's full token bag. cand is serving-bounded
     # (queries x probed docs), so it broadcasts — the corpus scans

@@ -123,3 +123,34 @@ def test_doc_keyed_posting_arm_matches_member_keyed(spark, fixture):
             members, tokens, frozen, doc_posting, k=5, nprobe=nprobe
         ))
         assert a == b
+
+
+def test_candidate_budget_caps_and_converges(spark, fixture):
+    # PLAID ndocs budget: at most C candidate docs rerank per query
+    # (deterministic: stage-one hit count desc, doc asc), and a budget
+    # >= the shortlist reproduces the uncapped result exactly
+    members, tokens, frozen, posting = fixture
+    capped = simsearch.maxsim_topk_ivf(
+        members, tokens, frozen, posting, k=5, nprobe=2, max_candidates=3
+    )
+    assert capped.groupBy("query_id").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 3
+    uncapped = _rows(simsearch.maxsim_topk_ivf(
+        members, tokens, frozen, posting, k=5, nprobe=2
+    ))
+    big_budget = _rows(simsearch.maxsim_topk_ivf(
+        members, tokens, frozen, posting, k=5, nprobe=2,
+        max_candidates=10_000,
+    ))
+    assert big_budget == uncapped
+    # the rerank stays exact under the cap: every doc appearing in
+    # both runs carries the identical integer score (capping changes
+    # WHICH docs rerank, never their scores)
+    uncapped_scores = {(q, d): s for q, d, s, _ in uncapped}
+    overlap = 0
+    for q, d, s, _ in _rows(capped):
+        if (q, d) in uncapped_scores:
+            assert uncapped_scores[(q, d)] == s
+            overlap += 1
+    assert overlap > 0  # non-vacuous
