@@ -195,3 +195,79 @@ def epoch_shuffle(
             (F.col("__off") + F.row_number().over(w_rank)).alias("pos"),
         )
     )
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """NO-SPLIT packing (the SFT/instruction-tuning variant): documents
+    are placed WHOLE into fixed-budget training sequences — a doc
+    never straddles a bin, so no attention mask ever spans a document
+    boundary. Greedy NEXT-FIT in the same deterministic per-shard
+    hash order as :func:`pack_sequences`: walk the shard's docs; if
+    the current bin can't fit the next doc, close it and open a new
+    one. A doc longer than the budget gets a bin of its own (flagged
+    ``oversize``) — the caller decides whether to truncate upstream.
+
+    The bin walk is inherently sequential per shard — exactly the
+    applyInPandas case: state (current bin index + fill) lives inside
+    one Arrow-batched pass over each shard's docs, shards run in
+    parallel, and a shard's row count is bounded by the sharding
+    design, so no group outgrows a task. All arithmetic is integer;
+    a DuckDB RECURSIVE CTE replays the walk bit-identically
+    (q_pack_nosplit).
+
+    Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
+    oversize).
+    """
+    import pandas as pd
+
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"budget and n_shards must be positive (got {budget}, "
+            f"{n_shards})"
+        )
+    key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+    okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens))
+        .alias("n_tokens"),
+        F.pmod(h60(key), F.lit(n_shards)).alias("shard"),
+        h60(okey).alias("__ok"),
+    )
+    schema = (
+        f"{id_col} long, n_tokens long, shard int, pack_rank long, "
+        "seq_idx long, offset_in_seq long, oversize boolean"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ok", id_col]).reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs, offs = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                seq, fill = seq + 1, 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "shard": pdf["shard"].astype("int32"),
+                "pack_rank": range(1, len(pdf) + 1),
+                "seq_idx": seqs,
+                "offset_in_seq": offs,
+                "oversize": pdf["n_tokens"] > budget,
+            }
+        )
+        return out
+
+    return d.groupBy("shard").applyInPandas(walk, schema)

@@ -1154,4 +1154,60 @@ def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_diff(d, changed.unionByName(added))
 
 
+@query(
+    "q_pack_nosplit",
+    f"""
+    -- the sequential next-fit bin walk, replayed via RECURSIVE CTE
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS offset_in_seq,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    )
+    SELECT doc_id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
+           n_tokens > {_PACK_BUDGET} AS oversize
+    FROM walk
+    """,
+    doc="NO-SPLIT training-sequence packing (the SFT variant: a doc "
+    "never straddles a bin, so no attention mask spans a document "
+    "boundary): greedy next-fit in the same deterministic per-shard "
+    "hash order as q_sequence_pack; oversize docs get a bin of their "
+    "own, flagged. The bin walk is inherently sequential per shard — "
+    "THE applyInPandas case: bin state lives inside one Arrow pass "
+    "per shard, shards run in parallel, shard row counts are bounded "
+    "by the sharding design. The oracle replays the walk with a "
+    "RECURSIVE CTE (depth = max docs per shard), so the gate proves "
+    "the stateful Arrow pass bit-identical to the relational replay.",
+)
+def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import pack_sequences_nosplit
+
+    return pack_sequences_nosplit(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
 _fill_maxmatch_oracle()

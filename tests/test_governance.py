@@ -453,3 +453,73 @@ class TestEpochShuffle:
 
         assert not _re.search(r"Sort\b.*global=true", plan), plan
         assert "Python" not in plan, plan
+
+
+class TestNoSplitPacking:
+    def _pack(self, spark, texts, budget=10, n_shards=2):
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return pack_sequences_nosplit(
+            df, budget=budget, n_shards=n_shards
+        ).collect()
+
+    def test_no_doc_ever_splits_and_bins_respect_budget(self, spark):
+        texts = [" ".join(["w"] * ((i * 3) % 7 + 1)) for i in range(40)]
+        rows = self._pack(spark, texts, budget=10)
+        assert len({r.doc_id for r in rows}) == 40  # each doc placed once
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault((r.shard, r.seq_idx), []).append(r)
+        for (_, _), docs in by_bin.items():
+            total = sum(r.n_tokens for r in docs)
+            if total > 10:  # only an oversize singleton may exceed
+                assert len(docs) == 1 and docs[0].oversize
+            # offsets are the exclusive cumulative within the bin
+            docs.sort(key=lambda r: r.pack_rank)
+            off = 0
+            for r in docs:
+                assert r.offset_in_seq == off
+                off += r.n_tokens
+
+    def test_oversize_doc_gets_its_own_flagged_bin(self, spark):
+        texts = ["a b", " ".join(["x"] * 30), "c d e"]
+        rows = self._pack(spark, texts, budget=10, n_shards=1)
+        over = [r for r in rows if r.oversize]
+        assert len(over) == 1 and over[0].n_tokens == 31
+        mates = [
+            r for r in rows
+            if r.seq_idx == over[0].seq_idx and r.doc_id != over[0].doc_id
+        ]
+        assert mates == []  # alone in its bin
+
+    def test_partitioning_invariant(self, spark):
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences_nosplit(df, budget=12).collect()
+        }
+        b = {
+            r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences_nosplit(
+                df.repartition(17), budget=12
+            ).collect()
+        }
+        assert a == b
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="positive"):
+            pack_sequences_nosplit(df, budget=0)
