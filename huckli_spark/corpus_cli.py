@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="order each shard best-first by the exact unigram-LM "
         "quality score (default: deterministic hash order)",
     )
+    s.add_argument(
+        "--no-split",
+        action="store_true",
+        help="SFT packing: place documents WHOLE via greedy next-fit "
+        "(no doc straddles a sequence); incompatible with "
+        "--curriculum",
+    )
 
     s = sub.add_parser(
         "release-verify",
@@ -420,10 +427,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             pack_in = docs.select("doc_id", "text").join(score, "doc_id")
             order_cols = [F.desc("score_micro")]
-        packed = pack_sequences(
-            pack_in, budget=args.budget, n_shards=args.shards,
-            order_cols=order_cols,
-        )
+        if args.no_split:
+            if order_cols is not None:
+                raise SystemExit("--no-split and --curriculum are exclusive")
+            from huckli_spark.operators.packing import pack_sequences_nosplit
+
+            packed = pack_sequences_nosplit(
+                pack_in, budget=args.budget, n_shards=args.shards
+            )
+        else:
+            packed = pack_sequences(
+                pack_in, budget=args.budget, n_shards=args.shards,
+                order_cols=order_cols,
+            )
         packed.write.mode("overwrite").parquet(args.out)
         agg = spark.read.parquet(args.out).agg(
             F.count("*").alias("docs"),

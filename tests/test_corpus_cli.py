@@ -654,3 +654,34 @@ class TestReleaseVerify:
         s = _json.loads(out)
         assert rc == 1 and s["ok"] is False
         assert any("sha256" in p for p in s["problems"])
+
+
+class TestPackNoSplit:
+    def test_pack_no_split_journey(self, spark, tmp_path, jsonl_corpus,
+                                   capsys):
+        clean = str(tmp_path / "clean_ns")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        out = str(tmp_path / "packed_ns")
+        s = _run(capsys, ["pack", "--in", clean, "--out", out,
+                          "--budget", "12", "--shards", "2", "--no-split"])
+        assert s["docs"] == 4
+        rows = spark.read.parquet(out).collect()
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault((r.shard, r.seq_idx), 0)
+            by_bin[(r.shard, r.seq_idx)] += r.n_tokens
+        for (_, _), tot in by_bin.items():
+            oversize = [r for r in rows if r.oversize]
+            assert tot <= 12 or any(
+                r.n_tokens == tot for r in oversize
+            )
+
+    def test_no_split_excludes_curriculum(self, tmp_path, jsonl_corpus,
+                                          capsys):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--no-split",
+                  "--curriculum"])
