@@ -287,6 +287,7 @@ def main() -> None:
         "q_stream_maxsim_serve",
         "q_epoch_shuffle",
         "q_pack_nosplit",
+        "q_pack_nosplit_ffd",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

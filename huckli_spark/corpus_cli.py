@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(no doc straddles a sequence); incompatible with "
         "--curriculum",
     )
+    s.add_argument(
+        "--pack-order",
+        choices=["hash", "length"],
+        default="hash",
+        help="--no-split walk order: 'hash' mixes uniformly, 'length' "
+        "packs longest-first (next-fit-decreasing, less padding)",
+    )
 
     s = sub.add_parser(
         "release-verify",
@@ -433,7 +440,8 @@ def main(argv: list[str] | None = None) -> int:
             from huckli_spark.operators.packing import pack_sequences_nosplit
 
             packed = pack_sequences_nosplit(
-                pack_in, budget=args.budget, n_shards=args.shards
+                pack_in, budget=args.budget, n_shards=args.shards,
+                order=args.pack_order,
             )
         else:
             packed = pack_sequences(

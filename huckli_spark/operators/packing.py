@@ -204,6 +204,7 @@ def pack_sequences_nosplit(
     budget: int = 512,
     n_shards: int = 8,
     eos_tokens: int = 1,
+    order: str = "hash",
 ) -> DataFrame:
     """NO-SPLIT packing (the SFT/instruction-tuning variant): documents
     are placed WHOLE into fixed-budget training sequences — a doc
@@ -222,6 +223,12 @@ def pack_sequences_nosplit(
     a DuckDB RECURSIVE CTE replays the walk bit-identically
     (q_pack_nosplit).
 
+    ``order``: 'hash' walks docs in the deterministic per-shard hash
+    order (uniform mixing, the pack_sequences convention); 'length'
+    walks longest-first (next-fit-DECREASING — the classic bin-packing
+    improvement SFT pipelines use to cut padding; same walk, different
+    deterministic sort: n_tokens DESC, hash, id).
+
     Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
     oversize).
     """
@@ -232,6 +239,8 @@ def pack_sequences_nosplit(
             f"budget and n_shards must be positive (got {budget}, "
             f"{n_shards})"
         )
+    if order not in ("hash", "length"):
+        raise ValueError(f"order must be hash|length, got {order!r}")
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
     d = df.select(
@@ -247,7 +256,13 @@ def pack_sequences_nosplit(
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ok", id_col]).reset_index(drop=True)
+        if order == "length":
+            pdf = pdf.sort_values(
+                ["n_tokens", "__ok", id_col],
+                ascending=[False, True, True],
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(["__ok", id_col]).reset_index(drop=True)
         seq, fill = 0, 0
         seqs, offs = [], []
         for n in pdf["n_tokens"]:

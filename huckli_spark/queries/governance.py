@@ -1210,4 +1210,58 @@ def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_nosplit_ffd",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS offset_in_seq,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    )
+    SELECT doc_id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
+           n_tokens > {_PACK_BUDGET} AS oversize
+    FROM walk
+    """,
+    doc="no-split packing, next-fit-DECREASING order (the classic "
+    "bin-packing improvement SFT pipelines use to cut padding): the "
+    "same sequential per-shard walk as q_pack_nosplit but longest "
+    "doc first (n_tokens DESC, hash, id — fully deterministic). Same "
+    "applyInPandas execution, same RECURSIVE-CTE oracle with the "
+    "decreasing ORDER BY, so the gate pins the second walk order "
+    "bit-identically too.",
+)
+def q_pack_nosplit_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import pack_sequences_nosplit
+
+    return pack_sequences_nosplit(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        order="length",
+    )
+
+
 _fill_maxmatch_oracle()

@@ -523,3 +523,51 @@ class TestNoSplitPacking:
         df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="positive"):
             pack_sequences_nosplit(df, budget=0)
+
+
+class TestNoSplitDecreasing:
+    def test_length_order_fills_at_least_as_well(self, spark):
+        # next-fit-decreasing's classic property on mixed lengths:
+        # never MORE bins than hash-order next-fit on this fixture
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * ((i * 7) % 11 + 1))) for i in range(80)],
+            "doc_id long, text string",
+        )
+        def n_bins(order):
+            rows = pack_sequences_nosplit(
+                df, budget=16, n_shards=2, order=order
+            ).collect()
+            return len({(r.shard, r.seq_idx) for r in rows})
+        assert n_bins("length") <= n_bins("hash")
+
+    def test_length_order_is_deterministic_and_no_split(self, spark):
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(50)],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences_nosplit(
+                df, budget=12, order="length"
+            ).collect()
+        }
+        b = {
+            r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences_nosplit(
+                df.repartition(7), budget=12, order="length"
+            ).collect()
+        }
+        assert a == b and len(a) == 50
+
+    def test_rejects_unknown_order(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import pack_sequences_nosplit
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="order"):
+            pack_sequences_nosplit(df, order="random")
