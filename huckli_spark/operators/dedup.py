@@ -830,13 +830,29 @@ def content_diff(
     ``a``. Keys both sides on (id, md5(text)) and FULL-OUTER joins on
     the id: one shuffle per side, narrow rows, O(corpus) work at any
     scale — never a content join. Shared by the `release-diff` CLI
-    and q_release_diff's hash gate."""
-    ka = a.select(F.col(id_col), F.md5(text_col).alias("__th_a"))
-    kb = b.select(F.col(id_col), F.md5(text_col).alias("__th_b"))
+    and q_release_diff's hash gate.
+
+    NULL text is a real corpus state (a malformed jsonl line reads as
+    a NULL row — exactly when a release diff matters), so presence is
+    keyed on an explicit marker column, never on the hash (ADVICE r11
+    #2: md5(NULL) is NULL, which would misread a present-but-NULL doc
+    as absent). A NULL fingerprints as the sentinel '__NULL__' — md5
+    output is 32 hex chars, so the sentinel cannot collide with any
+    real hash — making NULL-vs-text 'changed' and NULL-vs-NULL
+    'unchanged'."""
+    fp = F.when(
+        F.col(text_col).isNull(), F.lit("__NULL__")
+    ).otherwise(F.md5(text_col))
+    ka = a.select(
+        F.col(id_col), fp.alias("__th_a"), F.lit(True).alias("__in_a")
+    )
+    kb = b.select(
+        F.col(id_col), fp.alias("__th_b"), F.lit(True).alias("__in_b")
+    )
     return ka.join(kb, id_col, "full_outer").select(
         id_col,
-        F.when(F.col("__th_a").isNull(), F.lit("added"))
-        .when(F.col("__th_b").isNull(), F.lit("removed"))
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
         .when(F.col("__th_a") != F.col("__th_b"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),

@@ -167,9 +167,14 @@ def epoch_shuffle(
             )
         ).alias("__key"),
     )
+    # exact integer division (ADVICE r11 #1): the float form
+    # (__key / width).cast('long') loses precision above 2^53 — keys
+    # are 60-bit, so the top key values would round into bucket ==
+    # n_buckets. `div` keeps the documented bucket = key div 2^52
+    # arithmetic exact at every key value.
     bucket_width = (1 << 60) // n_buckets
     keyed = keyed.withColumn(
-        "__bucket", (F.col("__key") / F.lit(bucket_width)).cast("long")
+        "__bucket", F.expr(f"__key div {bucket_width}")
     )
     counts = keyed.groupBy("epoch", "__bucket").agg(
         F.count("*").alias("__n")

@@ -278,10 +278,13 @@ def maxsim_topk_ivf(
             .select("query_id", "doc_id")
         )
     # shortlist-sized rerank: every member vector of a candidate doc
-    # against the query's full token bag. cand is serving-bounded
-    # (queries x probed docs), so it broadcasts — the corpus scans
-    # once, map-side, and never shuffles on the doc key.
-    pairs = mem.join(F.broadcast(cand), "doc_id").join(
+    # against the query's full token bag. The broadcast hint is only
+    # justified when the PLAID budget bounds cand at queries x C rows
+    # (ADVICE r11 #3); the uncapped arm is queries x all probed-cell
+    # docs — a corpus fraction — so it takes a plain equi-join and
+    # lets AQE broadcast only if the runtime size allows.
+    cand_side = F.broadcast(cand) if max_candidates is not None else cand
+    pairs = mem.join(cand_side, "doc_id").join(
         F.broadcast(tok_bag), "query_id"
     )
     return _maxsim_regroup(pairs, k)

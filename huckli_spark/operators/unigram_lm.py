@@ -323,6 +323,13 @@ def encode_docs(
     if plan_form == "broadcast":
         return encode_docs_broadcast(docs, vocab, max_piece_len, text_col)
     rows = [(r["piece"], r["cost"]) for r in vocab.collect()]
+    if not rows:
+        # auto routes count 0 <= bound here; without this guard the
+        # lmax max() below raises a bare 'max() arg is an empty
+        # sequence' (ADVICE r11 #4)
+        raise ValueError(
+            "vocab is empty — train or load a vocab before encoding"
+        )
     lmax = (max_piece_len if max_piece_len is not None
             else max(len(p) for p, _ in rows))
     return fan_out(docs).withColumn(

@@ -226,3 +226,38 @@ def test_content_diff_matches_construction(spark, base, added_ids):
         for i, action in base
     } | {i: "added" for i in added_ids}
     assert got == want
+
+
+def test_content_diff_null_text_is_presence_not_absence(spark):
+    """Regression (ADVICE r11 #2): md5(NULL) is NULL, so hashing alone
+    misreads a present-but-NULL doc as absent. A NULL text row (a
+    malformed jsonl line reads exactly like this) must diff as
+    PRESENT: NULL-vs-text is 'changed', NULL-vs-NULL is 'unchanged',
+    and a NULL-text doc on only one side is added/removed."""
+    from huckli_spark.operators.dedup import content_diff
+
+    a = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "same"), (6, None)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "recovered"), (2, None), (3, None), (4, "same"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in content_diff(a, b).collect()}
+    assert got == {
+        1: "changed",  # NULL -> text
+        2: "changed",  # text -> NULL
+        3: "unchanged",  # NULL both sides
+        4: "unchanged",
+        5: "added",  # NULL-text doc, present only in the candidate
+        6: "removed",  # NULL-text doc, present only in the baseline
+    }
+    # and the sentinel cannot shadow real content: a doc whose text is
+    # the literal sentinel string still compares by md5, not equality
+    # with a NULL row
+    a2 = spark.createDataFrame([(9, "__NULL__")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert {
+        r.doc_id: r.status for r in content_diff(a2, b2).collect()
+    } == {9: "changed"}

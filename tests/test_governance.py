@@ -454,6 +454,42 @@ class TestEpochShuffle:
         assert not _re.search(r"Sort\b.*global=true", plan), plan
         assert "Python" not in plan, plan
 
+    def test_bucket_division_is_exact_integer_at_top_of_keyspace(self, spark):
+        # regression (ADVICE r11 #1): the bucket must come from exact
+        # integer `div`, never float division — doubles lose precision
+        # above 2^53, and h60 keys span the full 60-bit range, so the
+        # float form rounds the top ~128 key values into bucket ==
+        # n_buckets. Pin (a) the exact expression epoch_shuffle builds
+        # on the extreme keys, (b) that the float form really is wrong
+        # there (documents WHY `div` is load-bearing), and (c) that
+        # the operator's source uses `div`.
+        import inspect
+
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        n_buckets = 256
+        width = (1 << 60) // n_buckets
+        top = (1 << 60) - 1
+        df = spark.createDataFrame(
+            [(top,), (top - 130,), (width * 255,), (width * 255 - 1,)],
+            "k long",
+        )
+        exact = [
+            r.b
+            for r in df.select(
+                F.expr(f"k div {width}").alias("b")
+            ).collect()
+        ]
+        assert exact == [255, 255, 255, 254]
+        bad = [
+            r.b
+            for r in df.select(
+                (F.col("k") / F.lit(width)).cast("long").alias("b")
+            ).collect()
+        ]
+        assert bad[0] == 256  # the float arm overflows the bucket range
+        assert " div " in inspect.getsource(epoch_shuffle)
+
 
 class TestNoSplitPacking:
     def _pack(self, spark, texts, budget=10, n_shards=2):

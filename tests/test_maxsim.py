@@ -154,3 +154,31 @@ def test_candidate_budget_caps_and_converges(spark, fixture):
             assert uncapped_scores[(q, d)] == s
             overlap += 1
     assert overlap > 0  # non-vacuous
+
+
+def _logical_broadcast_hints(df) -> int:
+    # join-strategy hints survive into the optimized logical plan as
+    # `rightHint=(strategy=broadcast)` / leftHint markers on the Join
+    # nodes — count them there, where AQE's runtime size decisions
+    # can't leak in
+    return df._jdf.queryExecution().optimizedPlan().toString().lower(
+    ).count("strategy=broadcast")
+
+
+def test_uncapped_arm_never_plan_broadcasts_candidates(spark, fixture):
+    # ADVICE r11 #3: with max_candidates=None the candidate set is
+    # queries x all probed-cell docs — a corpus fraction — so the plan
+    # must NOT carry a broadcast hint on the rerank's candidate side
+    # (only the probe list and the query token bag stay hinted). The
+    # budgeted arm adds exactly the one extra hint the PLAID bound
+    # justifies.
+    members, tokens, frozen, posting = fixture
+    uncapped = simsearch.maxsim_topk_ivf(
+        members, tokens, frozen, posting, k=5, nprobe=2
+    )
+    capped = simsearch.maxsim_topk_ivf(
+        members, tokens, frozen, posting, k=5, nprobe=2, max_candidates=64
+    )
+    n_unc = _logical_broadcast_hints(uncapped)
+    n_cap = _logical_broadcast_hints(capped)
+    assert n_cap == n_unc + 1, (n_unc, n_cap)

@@ -499,3 +499,17 @@ class TestEncodeDocsAutoSwitch:
         vocab = unigram_fit(docs, vocab_size=60, n_iters=1)
         with _pytest.raises(ValueError, match="plan_form"):
             U.encode_docs(docs, vocab, plan_form="bogus")
+
+    def test_empty_vocab_raises_meaningfully(self, spark):
+        # ADVICE r11 #4: auto routes a 0-row vocab to the literal arm,
+        # where the max-piece-length scan used to die with a bare
+        # "max() arg is an empty sequence"
+        import pytest as _pytest
+
+        from huckli_spark.operators import unigram_lm as U
+
+        docs = _corpus(spark, RICH)
+        empty = spark.createDataFrame([], "piece string, cost long")
+        for form in ("auto", "literal"):
+            with _pytest.raises(ValueError, match="vocab is empty"):
+                U.encode_docs(docs, empty, plan_form=form)
