@@ -405,6 +405,34 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # The driver records only the TAIL of stdout; BENCH_r11 lost its
+    # headline when the full artifact line (45 extended rows x per-row
+    # rerun arrays) outgrew the 2 kB capture window and truncated from
+    # the FRONT (VERDICT r11 "What's wrong #1"). Re-emit a compact
+    # summary as the FINAL line: it independently satisfies the bench
+    # contract (metric/value/unit/queries/sf) and stays well under the
+    # capture window however large the extended set grows, so the
+    # round's official headline is always parseable from the artifact.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_expected": len(HEADLINE),
+        "value_min": payload["value_min"],
+        "loadavg_start": payload["loadavg_start"],
+        "loadavg_end": payload["loadavg_end"],
+        "loaded": payload["loaded"],
+        "n_errors": len(errors),
+        "note": "compact tail summary; full artifact is the previous line",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never outgrow the driver's tail capture
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -71,8 +71,13 @@ EXPECTATIONS = {
     # MaxSim SERVING shape (PLAID): probe cells + token bag broadcast
     # as hash joins; the exact path's corpus-vs-bag nested-loop shape
     # must NOT appear (dedicated no-cartesian assertions live in
-    # tests/test_maxsim.py)
-    "q_ann_maxsim_serve": [r"BroadcastHashJoin", r"HashAggregate"],
+    # tests/test_maxsim.py). The serving DEFAULT is the budgeted arm
+    # (VERDICT r11 #3): the hit-ranked candidate cap's row_number
+    # window must be present in the plan — it is what bounds the
+    # rerank broadcast at any corpus size.
+    "q_ann_maxsim_serve": [
+        r"BroadcastHashJoin", r"HashAggregate", r"row_number",
+    ],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —

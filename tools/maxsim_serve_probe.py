@@ -126,6 +126,26 @@ def main() -> None:
             "recall_at_5": round(recall, 3),
             "shortlist_frac": round(cand / total, 4),
         }
+        if mult == 10:
+            # recall vs the PLAID candidate budget (VERDICT r11 #3):
+            # the budgeted arm is the serving DEFAULT, so measure what
+            # the cap costs at the largest probe scale — hit-ranked
+            # candidates, top-C per query rerank
+            budgets = {}
+            for c in (16, 64, 320):
+                t0 = time.perf_counter()
+                got = simsearch.maxsim_topk_ivf(
+                    mem, tokens, cents, posting, k=5, nprobe=NPROBE,
+                    max_candidates=c,
+                ).collect()
+                bw = time.perf_counter() - t0
+                bp = {(r.query_id, r.doc_id) for r in got}
+                budgets[str(c)] = {
+                    "wall_s": round(bw, 3),
+                    "recall_at_5_vs_exact": round(len(ep & bp) / len(ep), 3),
+                }
+            results["recall_vs_budget_10x"] = budgets
+            print(f"budgets: {budgets}", flush=True)
         print(f"{mult}x: {results[f'{mult}x']}", flush=True)
         mem.unpersist()
     r1, r10 = results["1x"], results["10x"]
