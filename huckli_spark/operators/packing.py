@@ -210,6 +210,7 @@ def pack_sequences_nosplit(
     n_shards: int = 8,
     eos_tokens: int = 1,
     order: str = "hash",
+    max_shard_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """NO-SPLIT packing (the SFT/instruction-tuning variant): documents
     are placed WHOLE into fixed-budget training sequences — a doc
@@ -234,9 +235,22 @@ def pack_sequences_nosplit(
     improvement SFT pipelines use to cut padding; same walk, different
     deterministic sort: n_tokens DESC, hash, id).
 
+    A shard materializes as ONE Arrow group inside its task, so
+    ``n_shards`` is the memory lever (VERDICT r11 #2). With
+    ``max_shard_rows`` set (the default), a driver-side count
+    auto-raises ``n_shards`` to ceil(rows / max_shard_rows) when the
+    requested shard count would overflow the bound — loudly, via
+    UserWarning, since the shard assignment (and therefore the
+    packing) changes with the shard count. Pass ``None`` to pin
+    ``n_shards`` exactly (the differential oracles do: the RECURSIVE
+    CTE replays a FIXED shard count).
+
     Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
-    oversize).
+    oversize). ``id`` keeps the input column's type (string keys pack
+    the same way long keys do).
     """
+    import warnings
+
     import pandas as pd
 
     if budget <= 0 or n_shards <= 0:
@@ -246,6 +260,25 @@ def pack_sequences_nosplit(
         )
     if order not in ("hash", "length"):
         raise ValueError(f"order must be hash|length, got {order!r}")
+    if max_shard_rows is not None:
+        if max_shard_rows <= 0:
+            raise ValueError(
+                f"max_shard_rows must be positive, got {max_shard_rows}"
+            )
+        total = df.count()
+        need = -(-total // max_shard_rows)
+        if need > n_shards:
+            warnings.warn(
+                f"pack_sequences_nosplit: {total} rows over "
+                f"{n_shards} shards exceeds max_shard_rows="
+                f"{max_shard_rows} per Arrow group; raising n_shards "
+                f"to {need} (shard assignment changes — pass "
+                "max_shard_rows=None to pin the shard count)",
+                UserWarning,
+                stacklevel=2,
+            )
+            n_shards = int(need)
+    id_type = df.schema[id_col].dataType.simpleString()
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
     d = df.select(
@@ -256,7 +289,7 @@ def pack_sequences_nosplit(
         h60(okey).alias("__ok"),
     )
     schema = (
-        f"{id_col} long, n_tokens long, shard int, pack_rank long, "
+        f"{id_col} {id_type}, n_tokens long, shard int, pack_rank long, "
         "seq_idx long, offset_in_seq long, oversize boolean"
     )
 
