@@ -110,6 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="--no-split walk order: 'hash' mixes uniformly, 'length' "
         "packs longest-first (next-fit-decreasing, less padding)",
     )
+    s.add_argument(
+        "--epoch", type=int, default=None,
+        help="shuffle-then-pack for this training epoch: each shard "
+        "concatenates its docs in the epoch's deterministic global "
+        "permutation order before chunking (incompatible with "
+        "--curriculum / --no-split)",
+    )
+    s.add_argument(
+        "--buckets", type=int, default=256,
+        help="power-of-two hash buckets for the --epoch permutation "
+        "rank; raise with the corpus",
+    )
 
     s = sub.add_parser(
         "release-verify",
@@ -434,6 +446,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             pack_in = docs.select("doc_id", "text").join(score, "doc_id")
             order_cols = [F.desc("score_micro")]
+        if args.epoch is not None and (args.curriculum or args.no_split):
+            raise SystemExit(
+                "--epoch is exclusive with --curriculum / --no-split"
+            )
         if args.no_split:
             if order_cols is not None:
                 raise SystemExit("--no-split and --curriculum are exclusive")
@@ -443,6 +459,15 @@ def main(argv: list[str] | None = None) -> int:
                 pack_in, budget=args.budget, n_shards=args.shards,
                 order=args.pack_order,
             )
+        elif args.epoch is not None:
+            from huckli_spark.operators.packing import epoch_pack
+
+            packed = epoch_pack(
+                docs.select("doc_id", "text"), epoch=args.epoch,
+                budget=args.budget, n_shards=args.shards,
+                n_buckets=args.buckets,
+            )
+            summary["epoch"] = args.epoch
         else:
             packed = pack_sequences(
                 pack_in, budget=args.budget, n_shards=args.shards,

@@ -39,6 +39,7 @@ def pack_sequences(
     n_shards: int = 8,
     eos_tokens: int = 1,
     order_cols: list | None = None,
+    keep_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Assign every document a (shard, seq_idx, offset_in_seq).
 
@@ -53,6 +54,10 @@ def pack_sequences(
     only happens when ``order_cols`` is given (ADVICE r08 #5: the CLI
     feeds full documents with arbitrary schemas through this path, so
     a stray input column must never collide with a generated name).
+
+    ``keep_cols``: input column NAMES to carry into the output
+    unchanged (requires ``order_cols``; epoch_pack keeps its ``pos``
+    this way) — threaded through the shard window, never re-joined.
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(
@@ -69,6 +74,13 @@ def pack_sequences(
         raise ValueError(
             f"input columns {clash} collide with pack_sequences' "
             "generated names; rename or drop them before packing"
+        )
+    keep = list(keep_cols) if keep_cols else []
+    missing = sorted(set(keep) - set(extra))
+    if missing:
+        raise ValueError(
+            f"keep_cols {missing} require order_cols and must be "
+            "input columns other than the id/text"
         )
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
@@ -90,6 +102,7 @@ def pack_sequences(
         .withColumn("__off", cum_before)
         .select(
             id_col,
+            *keep,
             "n_tokens",
             "shard",
             "pack_rank",
@@ -119,6 +132,7 @@ def epoch_shuffle(
     epochs: int = 2,
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    first_epoch: int = 0,
 ) -> DataFrame:
     """Deterministic per-epoch GLOBAL training-order permutation —
     every document gets a unique 1-based position per epoch, the
@@ -144,16 +158,25 @@ def epoch_shuffle(
     ``n_buckets`` with the corpus (4096 buckets put a trillion-doc
     epoch at ~250M rows per bucket; buckets stay balanced because the
     key is a hash). Returns (epoch, <id_col>, pos).
+
+    ``first_epoch`` starts the enumeration there (``epochs`` stays the
+    COUNT): a per-epoch job — :func:`epoch_pack` — asks for exactly
+    its own epoch's permutation without materializing the preceding
+    ones; epoch e's keys (and therefore its order) are identical
+    whether reached via first_epoch or a longer enumeration.
     """
     if epochs <= 0 or n_buckets <= 0:
         raise ValueError(
             f"epochs and n_buckets must be positive (got {epochs}, "
             f"{n_buckets})"
         )
+    if first_epoch < 0:
+        raise ValueError(f"first_epoch must be >= 0, got {first_epoch}")
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     ep = F.explode(
-        F.array(*[F.lit(e) for e in range(epochs)])
+        F.array(*[F.lit(e) for e in range(first_epoch,
+                                          first_epoch + epochs)])
     ).alias("epoch")
     keyed = df.select(F.col(id_col), ep).select(
         "epoch",
@@ -324,3 +347,51 @@ def pack_sequences_nosplit(
         return out
 
     return d.groupBy("shard").applyInPandas(walk, schema)
+
+
+def epoch_pack(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_tokens: int = 1,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Shuffle-then-pack for ONE training epoch — the pretraining
+    dataloader composition (VERDICT r11 #5): every epoch gets its own
+    deterministic global permutation (:func:`epoch_shuffle`), and each
+    shard concatenates its documents in that epoch order before the
+    fixed-budget chunking (:func:`pack_sequences` with the epoch
+    position as the within-shard order). Shards stay hash-assigned
+    (epoch-independent — a doc's shard never moves, only its place in
+    the shard's stream), so across epochs every shard re-mixes its own
+    documents, which is exactly what "reshuffle each epoch" means once
+    the corpus is sharded.
+
+    All-integer arithmetic end to end: epoch positions are exact
+    global ranks, the pack offsets are exact integer sums, so a DuckDB
+    oracle replays every (shard, seq, offset) bit-identically
+    (q_epoch_pack). One extra narrow shuffle vs plain pack (the rank's
+    bucket exchange); the position column threads through the pack
+    projection — never re-joined against the corpus.
+
+    Returns (id, pos, n_tokens, shard, pack_rank, seq_idx,
+    offset_in_seq).
+    """
+    pos = epoch_shuffle(
+        df, epochs=1, id_col=id_col, n_buckets=n_buckets,
+        first_epoch=epoch,
+    ).select(id_col, "pos")
+    d = df.select(F.col(id_col), F.col(text_col)).join(pos, id_col)
+    return pack_sequences(
+        d,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        n_shards=n_shards,
+        eos_tokens=eos_tokens,
+        order_cols=[F.col("pos")],
+        keep_cols=["pos"],
+    )

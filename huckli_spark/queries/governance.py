@@ -1264,4 +1264,59 @@ def q_pack_nosplit_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_epoch_pack",
+    f"""
+    WITH k AS (
+      SELECT doc_id, text,
+             {sql_h60("'epoch:1:' || CAST(doc_id AS VARCHAR)")} AS key
+      FROM documents
+    ), p AS (
+      SELECT doc_id, text,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+               AS pos
+      FROM k
+    ), d AS (
+      SELECT doc_id, pos,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard
+      FROM p
+    ), w AS (
+      SELECT doc_id, pos, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id)
+               AS pack_rank,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY pos, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM d
+    )
+    SELECT doc_id, pos, n_tokens, shard, pack_rank,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM w
+    """,
+    doc="shuffle-then-pack for one training epoch (epoch=1) — the "
+    "pretraining dataloader composition (VERDICT r11 #5): the "
+    "deterministic per-epoch global permutation (epoch_shuffle's "
+    "two-phase distributed rank) becomes the within-shard "
+    "concatenation order for the fixed-budget chunking "
+    "(pack_sequences). Shards stay hash-assigned (a doc's shard "
+    "never moves across epochs; only its place in the shard's "
+    "stream re-mixes). All-integer end to end, so the oracle "
+    "replays the epoch rank AND every (shard, seq, offset) "
+    "bit-identically. Scale: one narrow extra shuffle (the rank's "
+    "bucket exchange); pos threads through the pack projection, "
+    "never re-joined against the corpus.",
+)
+def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import epoch_pack
+
+    return epoch_pack(
+        _docs(spark, sf_dir), epoch=1, budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
 _fill_maxmatch_oracle()

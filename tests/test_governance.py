@@ -491,6 +491,101 @@ class TestEpochShuffle:
         assert " div " in inspect.getsource(epoch_shuffle)
 
 
+class TestEpochPack:
+    """shuffle-then-pack composition (VERDICT r11 #5): epoch_shuffle's
+    global permutation drives pack_sequences' within-shard order."""
+
+    def _df(self, spark, n=80):
+        return spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def test_first_epoch_slices_the_enumeration(self, spark):
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = self._df(spark)
+        both = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(df, epochs=2, n_buckets=8).collect()
+        }
+        only1 = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(
+                df, epochs=1, n_buckets=8, first_epoch=1
+            ).collect()
+        }
+        assert only1 == {k: v for k, v in both.items() if k[0] == 1}
+
+    def test_composition_equals_manual_order_cols(self, spark):
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.packing import (
+            epoch_pack,
+            epoch_shuffle,
+            pack_sequences,
+        )
+
+        df = self._df(spark)
+        got = {
+            r.doc_id: (r.pos, r.shard, r.pack_rank, r.seq_idx,
+                       r.offset_in_seq)
+            for r in epoch_pack(df, epoch=1, budget=16,
+                                n_shards=4).collect()
+        }
+        pos = epoch_shuffle(df, epochs=1, first_epoch=1).select(
+            "doc_id", "pos"
+        )
+        manual = pack_sequences(
+            df.join(pos, "doc_id"), budget=16, n_shards=4,
+            order_cols=[F.col("pos")], keep_cols=["pos"],
+        )
+        want = {
+            r.doc_id: (r.pos, r.shard, r.pack_rank, r.seq_idx,
+                       r.offset_in_seq)
+            for r in manual.collect()
+        }
+        assert got == want
+
+    def test_shards_stable_order_remixes_across_epochs(self, spark):
+        from huckli_spark.operators.packing import epoch_pack
+
+        df = self._df(spark)
+        e0 = {r.doc_id: r for r in epoch_pack(df, epoch=0, budget=16,
+                                              n_shards=4).collect()}
+        e1 = {r.doc_id: r for r in epoch_pack(df, epoch=1, budget=16,
+                                              n_shards=4).collect()}
+        assert {d: r.shard for d, r in e0.items()} == {
+            d: r.shard for d, r in e1.items()
+        }
+        assert [e0[d].pack_rank for d in sorted(e0)] != [
+            e1[d].pack_rank for d in sorted(e1)
+        ]
+        # conservation within every (shard, epoch): offsets are the
+        # exclusive running sum in pack_rank order
+        for rows in (e0, e1):
+            by_shard = {}
+            for r in rows.values():
+                by_shard.setdefault(r.shard, []).append(r)
+            for docs in by_shard.values():
+                docs.sort(key=lambda r: r.pack_rank)
+                off = 0
+                for r in docs:
+                    assert (r.seq_idx, r.offset_in_seq) == (
+                        off // 16, off % 16
+                    )
+                    off += r.n_tokens
+
+    def test_keep_cols_requires_order_cols_membership(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import pack_sequences
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="keep_cols"):
+            pack_sequences(df, keep_cols=["nope"])
+
+
 class TestNoSplitPacking:
     def _pack(self, spark, texts, budget=10, n_shards=2):
         from huckli_spark.operators.packing import pack_sequences_nosplit
