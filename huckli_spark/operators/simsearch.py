@@ -168,6 +168,37 @@ def _maxsim_regroup(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def maxsim_regroup_scored(scored: DataFrame, k: int = 5) -> DataFrame:
+    """The MaxSim regroup over STAGE-ONE scored pairs — rows already
+    carrying the per-(token, candidate member) micro-integer cosine
+    (query_id, token_id, doc_id, cos_micro), as the streaming serving
+    tier emits them (maxsim_stream_scored). Per-token max commutes
+    with the micro lift (floor of a monotone map), so this is the same
+    arithmetic as :func:`_maxsim_regroup`, picked up after the lift:
+    per-token max -> order-free integer sum -> per-query top-k.
+    Returns (query_id, doc_id, score_micro, rank).
+
+    This is the foreachBatch sink composition for the streaming path:
+    a query's tokens all arrive in the SAME request micro-batch (a
+    query never spans batches), so the per-batch regroup is exact per
+    query — the cross-row state lives in the batch plan, zero
+    streaming state."""
+    per_token = scored.groupBy("query_id", "token_id", "doc_id").agg(
+        F.max("cos_micro").alias("m")
+    )
+    score = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum("m").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
 def maxsim_topk_ivf(
     members: DataFrame,
     tokens: DataFrame,

@@ -1170,7 +1170,7 @@ def maxsim_stream_scored(probes: DataFrame, posting: DataFrame) -> DataFrame:
     )
 
 
-def _stream_maxsim_oracle() -> str:
+def _stream_maxsim_oracle(regroup: bool = False) -> str:
     sim = sql_fround(
         "list_dot_product(v.e, cent.c)"
         " / (sqrt(list_dot_product(v.e, v.e))"
@@ -1183,7 +1183,7 @@ def _stream_maxsim_oracle() -> str:
         " * sqrt(list_dot_product(vn.e, vn.e)))",
         6,
     )
-    return f"""
+    ctes = f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), cent AS (
@@ -1199,14 +1199,34 @@ def _stream_maxsim_oracle() -> str:
     ), probes AS (
       SELECT vec_id AS token_id, vec_id // 2 AS query_id, cid
       FROM asn WHERE vec_id < 8 AND rn <= 2
+    ), pairs AS (
+      SELECT p.query_id, p.token_id, po.vec_id // 4 AS doc_id,
+             po.vec_id AS member_id,
+             CAST(floor({pair_cos} * 1000000 + 0.5) AS BIGINT)
+               AS cos_micro
+      FROM probes p
+      JOIN posting po ON po.cid = p.cid
+      JOIN v vq ON vq.vec_id = p.token_id
+      JOIN v vn ON vn.vec_id = po.vec_id
+    )"""
+    if not regroup:
+        return ctes + """
+    SELECT query_id, token_id, doc_id, member_id, cos_micro FROM pairs
+    """
+    return ctes + """
+    , per_tok AS (
+      SELECT query_id, token_id, doc_id, max(cos_micro) AS m
+      FROM pairs GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+      FROM per_tok GROUP BY 1, 2
     )
-    SELECT p.query_id, p.token_id, po.vec_id // 4 AS doc_id,
-           po.vec_id AS member_id,
-           CAST(floor({pair_cos} * 1000000 + 0.5) AS BIGINT) AS cos_micro
-    FROM probes p
-    JOIN posting po ON po.cid = p.cid
-    JOIN v vq ON vq.vec_id = p.token_id
-    JOIN v vn ON vn.vec_id = po.vec_id
+    SELECT query_id, doc_id, score_micro, rank FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM score
+    ) WHERE rank <= 5
     """
 
 
@@ -1232,6 +1252,18 @@ def _stream_maxsim_oracle() -> str:
     "is never broadcast-hinted (plan-pinned).",
 )
 def q_stream_maxsim_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        _stream_maxsim_stage_one(spark, sf_dir), output_mode="append"
+    )
+
+
+def _stream_maxsim_stage_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared streaming MaxSim stage one: freeze the sampled coarse
+    quantizer + cid-partitioned member posting store, stage the token
+    feed, probe map-only, and emit the per-(token, candidate member)
+    micro-integer cosine as a stateless stream-static equi-join on cid.
+    q_stream_maxsim_serve drains it raw; q_stream_maxsim_topk composes
+    the exact regroup in a foreachBatch sink."""
     import os
     import uuid
 
@@ -1274,9 +1306,61 @@ def q_stream_maxsim_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid"),
         F.col("embedding").alias("__qv"),
     )
-    return run_to_memory(
-        maxsim_stream_scored(probes, posting), output_mode="append"
+    return maxsim_stream_scored(probes, posting)
+
+
+@query(
+    "q_stream_maxsim_topk",
+    _stream_maxsim_oracle(regroup=True),
+    doc="STREAMING late-interaction serving, COMPLETE to final top-k "
+    "(VERDICT r11 #6): the same frozen-store stage one as "
+    "q_stream_maxsim_serve (map-only probes, stateless cid equi-join "
+    "emitting per-(token, candidate member) micro-integer cosines), "
+    "composed with the exact MaxSim regroup INSIDE a foreachBatch "
+    "sink — per-token max, order-free integer sum, per-query top-5 "
+    "(maxsim_regroup_scored: the same arithmetic as _maxsim_regroup "
+    "picked up after the micro lift, which commutes with max). A "
+    "query's tokens all arrive in the SAME request micro-batch — a "
+    "query never spans batches — so the per-batch regroup is exact "
+    "per query with ZERO streaming state; each drained batch appends "
+    "its verdicts to the sink relation. The oracle replays stage one "
+    "AND the regroup relationally; the stream/batch agreement pin "
+    "(tests/test_streaming.py) gates the drained result against the "
+    "batch plan on the same feed. Scale: regroup input per batch is "
+    "shortlist-sized (nprobe x cell geometry per token), the posting "
+    "side is never broadcast-hinted, and the sink append is the only "
+    "write.",
+)
+def q_stream_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from huckli_spark.operators.cache import _scratch_dir
+    from huckli_spark.operators.simsearch import maxsim_regroup_scored
+
+    scored = _stream_maxsim_stage_one(spark, sf_dir)
+    base = os.path.join(
+        _scratch_dir(), f"stream_maxsim_topk_{uuid.uuid4().hex[:12]}"
     )
+    out_dir = os.path.join(base, "topk")
+    ckpt = os.path.join(base, "ckpt")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maxsim_regroup_scored(batch_df, k=5).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        scored.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
 
 
 def _stream_unigram_oracle() -> str:
