@@ -43,74 +43,91 @@ def query(name: str, oracle: Optional[str], doc: str = ""):
 # the rest keep local-replica coverage (tools/check_correctness.py
 # runs the WHOLE registry, whatever its size).
 #
-# Round-3 lesson (VERDICT r03 "What's wrong #4"): rotating long-green
-# queries out of the gate hid an environment regression. Policy now:
-# the PINNED block below — the 20 SURVEY §2.B named queries — NEVER
-# rotates out; only the tail beyond it may be swapped per round.
+# PIN POLICY (round 12, per VERDICT r11 "Next round #1"). The round-3
+# lesson (VERDICT r03 "What's wrong #4") was that rotating LONG-GREEN
+# queries out of the gate hid an environment regression — so rounds
+# 3-11 pinned the full 20-query SURVEY §2.B set. After 11 consecutive
+# green rounds, with the full-registry local replica run every session
+# and the registry-wide oracle-kind sweep (tests/test_registry.py)
+# making the known regression classes loud locally, the 20-slot pin
+# had become the bottleneck: 40% of every gate re-proved the same 20
+# rows while 133 oracle-backed queries sat with no driver row newer
+# than r8. Policy now: FIVE permanent §2.B sentinels (one per
+# environment-coupling class — aggregation, warehouse checkpoint
+# read, timestamp heuristics, oneof demux, explode fan-out) never
+# rotate; the other fifteen §2.B rows rotate through normal freshness
+# slots like every other query; 45 slots/round drain the backlog
+# oldest-first.
 _GATE_PRIORITY: list[str] = [
-    # --- PINNED: SURVEY §2.B named parity set (20). Do not rotate. ---
-    "q_scan_project",
-    "q_filter_timerange",
-    "q_parent_child_join",
-    "q_semi_anti_join",
-    "q_broadcast_dim_join",
+    # --- PINNED: 5 §2.B sentinels. Do not rotate. ---
     "q_group_sum",
-    "q_group_distinct",
-    "q_rollup",
-    "q_window_rank",
-    "q_window_lag",
-    "q_topk",
-    "q_union_dedup",
-    "q_except",
-    "q_json_extract",
-    "q_time_bucket",
     "q_checkpoint_max",
-    "q_explode",
-    "q_demux_counts",
-    "q_decimal_default",
     "q_ts_heuristic",
-    # --- round-11 rotation (full per-round ledger: COVERAGE.md "Gate
-    # rotation ledger"). (a) the 13 never-graded r10 registrations +
-    # the deferred q_multimodal_pipeline re-grade (VERDICT r10 #2):
-    "q_substring_dedup",
-    "q_substring_cut",
-    "q_stream_substring_screen",
-    "q_ann_ivf_append",
-    "q_stream_video_dedup",
-    "q_crossmodal_dedup",
-    "q_stream_scd2_lookup",
-    "q_pit_backfill",
-    "q_time_travel",
-    "q_ann_maxsim",
-    "q_classifier_auc",
-    "q_calibration_curve",
-    "q_threshold_sweep",
-    "q_multimodal_pipeline",
-    # (b) family-freshness re-grades, oldest-first (last green round
-    # in parens), one representative per family:
-    "q_correlated_scalar",  # r2 subquery family
-    "q_pivot",  # r2 reshaping
-    "q_udaf_median",  # r3 UDAF
-    "q_tfidf_terms",  # r3 text stats
-    "q_salted_join",  # r3 skew handling
-    "q_stream_dedup",  # r3 streaming dedup
-    "q_dedup_embed_lsh",  # r3 embedding dedup
-    "q_dedup_simhash",  # r4 simhash family
-    "q_ann_bruteforce",  # r4 exact ANN baseline
-    "q_unigram_logprob",  # r5 unigram LM
-    "q_stream_session_native",  # r5 session windows
-    "q_pagerank",  # r6 graph
-    "q_kmeans",  # r6 clustering
-    "q_table_changes",  # r7 warehouse CDF
-    "q_semdedup",  # r8 SemDeDup
-    # (c) registered this round, graded this round (the
-    # q_media_dedup_cap precedent): MaxSim at production shape over
-    # the frozen IVF store:
+    "q_demux_counts",
+    "q_explode",
+    # --- round-12 rotation (ledger: COVERAGE.md "Gate rotation
+    # ledger"). (a) the 5 never-graded r11 registrations (the
+    # documented r12 queue):
+    "q_stream_maxsim_serve",
+    "q_epoch_shuffle",
+    "q_release_diff",
+    "q_pack_nosplit",
+    "q_pack_nosplit_ffd",
+    # (b) registered this round, graded this round: the epoch
+    # shuffle-then-pack composition and the sink-composed streaming
+    # MaxSim top-k:
+    "q_epoch_pack",
+    "q_stream_maxsim_topk",
+    # (c) changed this round, re-graded this round: the serving
+    # default now applies the PLAID candidate budget with
+    # centroid-evidence ranking (oracle replays the cut):
     "q_ann_maxsim_serve",
+    # (d) freshness backlog, strictly oldest-first — every row whose
+    # last driver-green round is r2:
+    "q_except_all",
+    "q_exists_subquery",
+    "q_in_subquery",
+    "q_intersect",
+    "q_intersect_all",
+    "q_percentile",
+    "q_scalar_subquery",
+    "q_stats_corr",
+    # ... then every row last driver-green in r3:
+    "q_array_fns",
+    "q_corpus_prep",
+    "q_date_fns",
+    "q_dedup_incremental",
+    "q_dedup_keeplist",
+    "q_embed_centroids",
+    "q_embed_normalize",
+    "q_fingerprint_winnow",
+    "q_hash_sample",
+    "q_latest_per_key",
+    "q_length_histogram",
+    "q_map_fns",
+    "q_minhash_estimate",
+    "q_multi_join_topk",
+    "q_ngram_jaccard_guarded",
+    "q_null_semantics",
+    "q_region_revenue",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_string_fns",
+    "q_text_normalize",
+    "q_token_count",
+    "q_token_count_regex",
+    "q_two_phase_distinct",
+    "q_udtf_chunks",
+    "q_window_frame",
+    # ... and the first three r4 rows (the rest of r4 heads the r13
+    # queue):
+    "q_ann_lsh",
+    "q_cube",
+    "q_grouping_sets",
 ]
-# Keep the 20-slot §2.B pin, keep len == 50 (meta-test enforces both).
-# Rotation history + the next-round queue live in COVERAGE.md ("Gate
-# rotation ledger").
+# Keep the 5 sentinels first, keep len == 50 (meta-test enforces
+# both). Rotation history + the next-round queue live in COVERAGE.md
+# ("Gate rotation ledger").
 
 
 def all_queries() -> dict[str, QuerySpec]:
