@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="power-of-two hash buckets for the --epoch permutation "
         "rank; raise with the corpus",
     )
+    s.add_argument(
+        "--emit", action="store_true",
+        help="materialize the packed sequences themselves (one row "
+        "per (shard, seq) with the token array) instead of the "
+        "per-doc assignment relation; incompatible with --curriculum "
+        "/ --no-split / --epoch",
+    )
 
     s = sub.add_parser(
         "release-verify",
@@ -450,7 +457,32 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "--epoch is exclusive with --curriculum / --no-split"
             )
-        if args.no_split:
+        if args.emit and (args.curriculum or args.no_split
+                          or args.epoch is not None):
+            raise SystemExit(
+                "--emit is exclusive with --curriculum / --no-split / "
+                "--epoch"
+            )
+        if args.emit:
+            from huckli_spark.operators.packing import emit_sequences
+
+            emit_sequences(
+                docs.select("doc_id", "text"), budget=args.budget,
+                n_shards=args.shards,
+            ).write.mode("overwrite").parquet(args.out)
+            agg = spark.read.parquet(args.out).agg(
+                F.count("*").alias("seqs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("n_docs").alias("doc_slots"),
+            ).collect()[0]
+            summary |= {
+                "seqs": agg["seqs"],
+                "tokens": int(agg["tokens"]),
+                "budget": args.budget,
+                "shards": args.shards,
+                "emitted": True,
+            }
+        elif args.no_split:
             if order_cols is not None:
                 raise SystemExit("--no-split and --curriculum are exclusive")
             from huckli_spark.operators.packing import pack_sequences_nosplit
@@ -473,18 +505,19 @@ def main(argv: list[str] | None = None) -> int:
                 pack_in, budget=args.budget, n_shards=args.shards,
                 order_cols=order_cols,
             )
-        packed.write.mode("overwrite").parquet(args.out)
-        agg = spark.read.parquet(args.out).agg(
-            F.count("*").alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
-            (F.max("seq_idx") + 1).alias("max_seqs_per_shard"),
-        ).collect()[0]
-        summary |= {
-            "docs": agg["docs"],
-            "tokens": int(agg["tokens"]),
-            "budget": args.budget,
-            "shards": args.shards,
-        }
+        if not args.emit:
+            packed.write.mode("overwrite").parquet(args.out)
+            agg = spark.read.parquet(args.out).agg(
+                F.count("*").alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                (F.max("seq_idx") + 1).alias("max_seqs_per_shard"),
+            ).collect()[0]
+            summary |= {
+                "docs": agg["docs"],
+                "tokens": int(agg["tokens"]),
+                "budget": args.budget,
+                "shards": args.shards,
+            }
 
     elif args.cmd == "tokenize":
         from huckli_spark.operators.tokenizer_store import (

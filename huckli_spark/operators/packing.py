@@ -133,6 +133,7 @@ def epoch_shuffle(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     first_epoch: int = 0,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Deterministic per-epoch GLOBAL training-order permutation —
     every document gets a unique 1-based position per epoch, the
@@ -164,6 +165,14 @@ def epoch_shuffle(
     its own epoch's permutation without materializing the preceding
     ones; epoch e's keys (and therefore its order) are identical
     whether reached via first_epoch or a longer enumeration.
+
+    ``carry_cols``: input columns to thread through to the output
+    unchanged. At 100 TB this is how a consumer gets payload columns
+    in epoch order WITHOUT re-joining the corpus against the
+    positions (a doc-key sort-merge join costs two more corpus
+    shuffles + sorts than riding the rank's one bucket exchange) —
+    epoch_pack carries the text this way. Wide columns widen that
+    exchange; carry only what the next stage reads.
     """
     if epochs <= 0 or n_buckets <= 0:
         raise ValueError(
@@ -174,13 +183,25 @@ def epoch_shuffle(
         raise ValueError(f"first_epoch must be >= 0, got {first_epoch}")
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    carry = list(carry_cols) if carry_cols else []
+    bad = sorted(
+        set(carry) & {"epoch", "pos", "__key", "__bucket", "__n", "__off"}
+    ) + sorted(set(carry) - set(df.columns)) + (
+        [id_col] if id_col in carry else []
+    )
+    if bad:
+        raise ValueError(
+            f"carry_cols {bad} must be input columns distinct from "
+            "the id and the generated names (epoch, pos)"
+        )
     ep = F.explode(
         F.array(*[F.lit(e) for e in range(first_epoch,
                                           first_epoch + epochs)])
     ).alias("epoch")
-    keyed = df.select(F.col(id_col), ep).select(
+    keyed = df.select(F.col(id_col), *carry, ep).select(
         "epoch",
         id_col,
+        *carry,
         h60(
             F.concat(
                 F.lit("epoch:"),
@@ -220,6 +241,7 @@ def epoch_shuffle(
         .select(
             "epoch",
             id_col,
+            *carry,
             (F.col("__off") + F.row_number().over(w_rank)).alias("pos"),
         )
     )
@@ -349,6 +371,100 @@ def pack_sequences_nosplit(
     return d.groupBy("shard").applyInPandas(walk, schema)
 
 
+def emit_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_token: str = "</s>",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences — the final step of
+    the pretraining data pipeline: where :func:`pack_sequences` only
+    assigns each document a (shard, seq, offset), this emits the
+    actual fixed-length token rows the dataloader reads, concat-and-
+    chunk semantics (a document's tokens spill into the next sequence
+    at the budget boundary; every sequence except a shard's last holds
+    exactly ``budget`` tokens).
+
+    Fully relational — no Python in the plan:
+
+    1. tokens = whitespace split + one ``eos_token`` (so token counts
+       equal pack_sequences' ``n_tokens`` at eos_tokens=1);
+    2. the same per-shard exclusive token offset window as
+       pack_sequences (same hash shard, same hash-or-``order_cols``
+       walk);
+    3. posexplode to per-token rows, global-in-shard position =
+       offset + ordinal, sequence = position div budget;
+    4. group by (shard, seq) collecting the struct(pos, token) list,
+       sorted in-row — each group is budget-bounded, so the collect
+       is O(budget) per row at any corpus size.
+
+    The explode-to-token shuffle is the honest cost of re-chunking a
+    corpus into fixed windows; rows are narrow (shard, seq, token) and
+    every reduce group is <= budget tokens. Returns (shard, seq_idx,
+    n_tokens, n_docs, tokens array<string>).
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"budget and n_shards must be positive (got {budget}, "
+            f"{n_shards})"
+        )
+    key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+    okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    extra = (
+        [c for c in df.columns if c not in (id_col, text_col)]
+        if order_cols else []
+    )
+    d = df.select(
+        F.col(id_col),
+        F.concat(
+            F.split(F.col(text_col), " "), F.array(F.lit(eos_token))
+        ).alias("__toks"),
+        F.pmod(h60(key), F.lit(n_shards)).alias("shard"),
+        h60(okey).alias("__ok"),
+        *extra,
+    )
+    order = list(order_cols) if order_cols else [F.col("__ok")]
+    w = Window.partitionBy("shard").orderBy(*order, id_col)
+    cum_before = F.coalesce(
+        F.sum(F.size("__toks")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    toks = (
+        d.withColumn("__off", cum_before)
+        .select(
+            id_col,
+            "shard",
+            "__off",
+            F.posexplode("__toks").alias("__p", "__tok"),
+        )
+        .select(
+            id_col,
+            "shard",
+            (F.col("__off") + F.col("__p")).alias("__gpos"),
+            "__tok",
+        )
+    )
+    return (
+        toks.groupBy(
+            "shard", F.expr(f"__gpos div {budget}").alias("seq_idx")
+        )
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct(id_col).alias("n_docs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__gpos", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("tokens"),
+        )
+        .select("shard", "seq_idx", "n_tokens", "n_docs", "tokens")
+    )
+
+
 def epoch_pack(
     df: DataFrame,
     epoch: int = 0,
@@ -373,18 +489,20 @@ def epoch_pack(
     All-integer arithmetic end to end: epoch positions are exact
     global ranks, the pack offsets are exact integer sums, so a DuckDB
     oracle replays every (shard, seq, offset) bit-identically
-    (q_epoch_pack). One extra narrow shuffle vs plain pack (the rank's
-    bucket exchange); the position column threads through the pack
-    projection — never re-joined against the corpus.
+    (q_epoch_pack). One extra exchange vs plain pack (the rank's
+    bucket exchange, which CARRIES the text — epoch_shuffle's
+    carry_cols — so the corpus is never re-joined against the
+    positions; a doc-key sort-merge join would cost two more corpus
+    shuffles + sorts, and the plan pin asserts it is absent).
 
     Returns (id, pos, n_tokens, shard, pack_rank, seq_idx,
     offset_in_seq).
     """
-    pos = epoch_shuffle(
-        df, epochs=1, id_col=id_col, n_buckets=n_buckets,
-        first_epoch=epoch,
-    ).select(id_col, "pos")
-    d = df.select(F.col(id_col), F.col(text_col)).join(pos, id_col)
+    d = epoch_shuffle(
+        df.select(F.col(id_col), F.col(text_col)), epochs=1,
+        id_col=id_col, n_buckets=n_buckets, first_epoch=epoch,
+        carry_cols=[text_col],
+    ).select(id_col, text_col, "pos")
     return pack_sequences(
         d,
         id_col=id_col,

@@ -74,10 +74,11 @@ _GATE_PRIORITY: list[str] = [
     "q_pack_nosplit",
     "q_pack_nosplit_ffd",
     # (b) registered this round, graded this round: the epoch
-    # shuffle-then-pack composition and the sink-composed streaming
-    # MaxSim top-k:
+    # shuffle-then-pack composition, the sink-composed streaming
+    # MaxSim top-k, and the materialized-sequence emission:
     "q_epoch_pack",
     "q_stream_maxsim_topk",
+    "q_pack_emit",
     # (c) changed this round, re-graded this round: the serving
     # default now applies the PLAID candidate budget with
     # centroid-evidence ranking (oracle replays the cut):
@@ -119,11 +120,10 @@ _GATE_PRIORITY: list[str] = [
     "q_two_phase_distinct",
     "q_udtf_chunks",
     "q_window_frame",
-    # ... and the first three r4 rows (the rest of r4 heads the r13
-    # queue):
+    # ... and the first two r4 rows (the rest of r4 — starting with
+    # q_grouping_sets — heads the r13 queue):
     "q_ann_lsh",
     "q_cube",
-    "q_grouping_sets",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

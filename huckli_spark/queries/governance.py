@@ -1319,4 +1319,55 @@ def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_emit",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_append(string_split(text, ' '), '</s>') AS toks,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, toks, shard,
+             coalesce(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM d
+    ), tok AS (
+      SELECT doc_id, shard,
+             off + generate_subscripts(toks, 1) - 1 AS gpos,
+             unnest(toks) AS tok
+      FROM w
+    )
+    SELECT shard, CAST(gpos // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           list(tok ORDER BY gpos) AS tokens
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="MATERIALIZED training sequences — the pipeline's final step: "
+    "where q_sequence_pack assigns each doc a (shard, seq, offset), "
+    "this emits the actual fixed-length token rows the dataloader "
+    "reads (whitespace tokens + one EOS per doc, concat-and-chunk: a "
+    "doc's tokens spill across the budget boundary; every sequence "
+    "except a shard's last holds exactly budget tokens). Fully "
+    "relational: the pack window's exclusive token offset, posexplode "
+    "to per-token rows, position div budget, group-collect sorted "
+    "in-row. The oracle replays it with generate_subscripts/unnest + "
+    "ordered list() — token arrays hash-match element-for-element. "
+    "Scale: the explode-to-token shuffle is the honest cost of "
+    "re-chunking; rows are narrow and every reduce group is <= budget "
+    "tokens, so no collect outgrows a row.",
+)
+def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import emit_sequences
+
+    return emit_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
 _fill_maxmatch_oracle()

@@ -729,3 +729,34 @@ class TestEpochPack:
                 main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
                       "--out", str(tmp_path / "x"), "--epoch", "1"]
                      + extra)
+
+
+class TestPackEmit:
+    def test_pack_emit_journey(self, spark, tmp_path, jsonl_corpus,
+                               capsys):
+        clean = str(tmp_path / "clean_em")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        out = str(tmp_path / "emitted")
+        s = _run(capsys, ["pack", "--in", clean, "--out", out,
+                          "--budget", "12", "--shards", "2", "--emit"])
+        assert s["emitted"] is True and s["tokens"] > 0
+        rows = spark.read.parquet(out).collect()
+        assert s["seqs"] == len(rows)
+        for r in rows:
+            assert r.n_tokens == len(r.tokens) <= 12
+        # conservation against the assignment relation on the same
+        # input
+        assign_out = str(tmp_path / "assigned")
+        a = _run(capsys, ["pack", "--in", clean, "--out", assign_out,
+                          "--budget", "12", "--shards", "2"])
+        assert a["tokens"] == s["tokens"]
+
+    def test_emit_excludes_other_modes(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        for extra in (["--no-split"], ["--curriculum"],
+                      ["--epoch", "1"]):
+            with _pytest.raises(SystemExit):
+                main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", str(tmp_path / "x"), "--emit"] + extra)

@@ -576,6 +576,33 @@ class TestEpochPack:
                     )
                     off += r.n_tokens
 
+    def test_no_global_sort_no_python(self, spark):
+        # the composition's scale contract: the epoch rank stays the
+        # two-phase bucket form (no Sort global=true anywhere) and the
+        # whole plan is JVM-side
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.packing import epoch_pack
+
+        docs = spark.range(80).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1,"
+                " cast(id % 9 + 1 as int)), i -> 'w'), ' ')"
+            ).alias("text"),
+        )
+        df = epoch_pack(docs, epoch=1, budget=16, n_shards=4)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode\
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert not _re.search(r"Sort\b.*global=true", plan), plan
+        assert "Python" not in plan, plan
+        # the text rides the rank's bucket exchange (carry_cols) — the
+        # corpus is never re-joined against the positions on doc key
+        assert "SortMergeJoin" not in plan, plan
+
     def test_keep_cols_requires_order_cols_membership(self, spark):
         import pytest as _pytest
 
@@ -584,6 +611,112 @@ class TestEpochPack:
         df = self._df(spark)
         with _pytest.raises(ValueError, match="keep_cols"):
             pack_sequences(df, keep_cols=["nope"])
+
+    def test_carry_cols_thread_through_unchanged(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = self._df(spark, 40)
+        out = epoch_shuffle(df, epochs=2, n_buckets=8,
+                            carry_cols=["text"])
+        rows = out.collect()
+        want_text = {r.doc_id: r.text for r in df.collect()}
+        assert all(r.text == want_text[r.doc_id] for r in rows)
+        # positions unchanged by carrying
+        plain = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(df, epochs=2, n_buckets=8).collect()
+        }
+        assert {(r.epoch, r.doc_id): r.pos for r in rows} == plain
+        for bad in (["doc_id"], ["pos"], ["missing_col"]):
+            with _pytest.raises(ValueError, match="carry_cols"):
+                epoch_shuffle(df, carry_cols=bad)
+
+
+class TestEmitSequences:
+    """emit_sequences materializes the packed token rows; its geometry
+    must agree exactly with pack_sequences' assignment arithmetic."""
+
+    def _df(self, spark, n=50):
+        return spark.createDataFrame(
+            [(i, " ".join([f"t{i}w{j}" for j in range(i % 9 + 1)]))
+             for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def test_exact_budget_fill_and_conservation(self, spark):
+        from huckli_spark.operators.packing import emit_sequences
+
+        df = self._df(spark)
+        rows = emit_sequences(df, budget=16, n_shards=2).collect()
+        # conservation: every token (incl. one EOS per doc) lands once
+        want_total = sum(
+            (i % 9 + 1) + 1 for i in range(50)
+        )
+        assert sum(r.n_tokens for r in rows) == want_total
+        by_shard = {}
+        for r in rows:
+            assert r.n_tokens == len(r.tokens)
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r.seq_idx)
+            assert [r.seq_idx for r in shard_rows] == list(
+                range(len(shard_rows))
+            )
+            # every sequence except the shard's last is exactly full
+            for r in shard_rows[:-1]:
+                assert r.n_tokens == 16
+            assert 1 <= shard_rows[-1].n_tokens <= 16
+
+    def test_agrees_with_pack_sequences_assignment(self, spark):
+        # a doc's first token must land at exactly the (seq, offset)
+        # pack_sequences assigned it, and its tokens must appear
+        # contiguously in emission order
+        from huckli_spark.operators.packing import (
+            emit_sequences,
+            pack_sequences,
+        )
+
+        df = self._df(spark)
+        assign = {
+            r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq, r.n_tokens)
+            for r in pack_sequences(df, budget=16, n_shards=2).collect()
+        }
+        emitted = {
+            (r.shard, r.seq_idx): r.tokens
+            for r in emit_sequences(df, budget=16, n_shards=2).collect()
+        }
+        texts = {r.doc_id: r.text for r in df.collect()}
+        for doc, (shard, seq, off, n) in assign.items():
+            want = texts[doc].split(" ") + ["</s>"]
+            assert len(want) == n
+            got = []
+            s, o = seq, off
+            while len(got) < n:  # follow the spill across sequences
+                row = emitted[(shard, s)]
+                take = min(n - len(got), len(row) - o)
+                got.extend(row[o:o + take])
+                s, o = s + 1, 0
+            assert got == want, (doc, got, want)
+
+    def test_plan_is_jvm_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.packing import emit_sequences
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1,"
+                " cast(id % 5 + 1 as int)), i -> 'w'), ' ')"
+            ).alias("text"),
+        )
+        df = emit_sequences(docs, budget=16, n_shards=2)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode\
+            .fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "Python" not in plan, plan
 
 
 class TestNoSplitPacking:
