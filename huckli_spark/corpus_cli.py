@@ -126,8 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--emit", action="store_true",
         help="materialize the packed sequences themselves (one row "
         "per (shard, seq) with the token array) instead of the "
-        "per-doc assignment relation; incompatible with --curriculum "
-        "/ --no-split / --epoch",
+        "per-doc assignment relation; composes with --epoch (emit in "
+        "that epoch's shuffle order); incompatible with --curriculum "
+        "/ --no-split",
     )
 
     s = sub.add_parser(
@@ -457,19 +458,29 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "--epoch is exclusive with --curriculum / --no-split"
             )
-        if args.emit and (args.curriculum or args.no_split
-                          or args.epoch is not None):
+        if args.emit and (args.curriculum or args.no_split):
             raise SystemExit(
-                "--emit is exclusive with --curriculum / --no-split / "
-                "--epoch"
+                "--emit is exclusive with --curriculum / --no-split"
             )
         if args.emit:
-            from huckli_spark.operators.packing import emit_sequences
+            from huckli_spark.operators.packing import (
+                emit_sequences,
+                epoch_emit,
+            )
 
-            emit_sequences(
-                docs.select("doc_id", "text"), budget=args.budget,
-                n_shards=args.shards,
-            ).write.mode("overwrite").parquet(args.out)
+            if args.epoch is not None:
+                emitted = epoch_emit(
+                    docs.select("doc_id", "text"), epoch=args.epoch,
+                    budget=args.budget, n_shards=args.shards,
+                    n_buckets=args.buckets,
+                )
+                summary["epoch"] = args.epoch
+            else:
+                emitted = emit_sequences(
+                    docs.select("doc_id", "text"), budget=args.budget,
+                    n_shards=args.shards,
+                )
+            emitted.write.mode("overwrite").parquet(args.out)
             agg = spark.read.parquet(args.out).agg(
                 F.count("*").alias("seqs"),
                 F.sum("n_tokens").alias("tokens"),

@@ -465,6 +465,45 @@ def emit_sequences(
     )
 
 
+def epoch_emit(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_token: str = "</s>",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The full dataloader composition: per-epoch deterministic global
+    shuffle (:func:`epoch_shuffle`), then MATERIALIZED fixed-length
+    token sequences (:func:`emit_sequences`) with each shard's
+    concatenation following the epoch order. What the trainer reads
+    for epoch N, produced end to end: same hash shards every epoch,
+    re-mixed stream order, exactly-``budget`` token rows (the shard's
+    last row may be short).
+
+    Plan shape = epoch_pack's rank (text rides the bucket exchange,
+    no corpus re-join) + emit's explode/regroup; all-integer
+    positions, so the q_epoch_emit oracle replays every token
+    placement bit-identically.
+    """
+    d = epoch_shuffle(
+        df.select(F.col(id_col), F.col(text_col)), epochs=1,
+        id_col=id_col, n_buckets=n_buckets, first_epoch=epoch,
+        carry_cols=[text_col],
+    ).select(id_col, text_col, "pos")
+    return emit_sequences(
+        d,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        n_shards=n_shards,
+        eos_token=eos_token,
+        order_cols=[F.col("pos")],
+    )
+
+
 def epoch_pack(
     df: DataFrame,
     epoch: int = 0,

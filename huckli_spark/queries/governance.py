@@ -1370,4 +1370,62 @@ def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_epoch_emit",
+    f"""
+    WITH k AS (
+      SELECT doc_id, text,
+             {sql_h60("'epoch:1:' || CAST(doc_id AS VARCHAR)")} AS key
+      FROM documents
+    ), p AS (
+      SELECT doc_id, text,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+               AS pos
+      FROM k
+    ), d AS (
+      SELECT doc_id, pos,
+             list_append(string_split(text, ' '), '</s>') AS toks,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {_PACK_SHARDS} AS shard
+      FROM p
+    ), w AS (
+      SELECT doc_id, toks, shard,
+             coalesce(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY pos, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM d
+    ), tok AS (
+      SELECT doc_id, shard,
+             off + generate_subscripts(toks, 1) - 1 AS gpos,
+             unnest(toks) AS tok
+      FROM w
+    )
+    SELECT shard, CAST(gpos // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           list(tok ORDER BY gpos) AS tokens
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="the full dataloader composition, end to end: per-epoch "
+    "deterministic global shuffle (epoch 1's two-phase distributed "
+    "rank) feeding MATERIALIZED fixed-length token sequences — what "
+    "the trainer reads for epoch N. Same hash shards every epoch, "
+    "re-mixed stream order, exactly-budget token rows. The oracle "
+    "replays the epoch rank AND every token placement "
+    "bit-identically. Scale: epoch_pack's carry-through rank (no "
+    "corpus re-join) + emit's narrow explode shuffle with "
+    "budget-bounded reduce groups. Queued for a graded slot in r13 "
+    "(the r12 window was sealed when this registered); "
+    "replica-covered every session meanwhile.",
+)
+def q_epoch_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import epoch_emit
+
+    return epoch_emit(
+        _docs(spark, sf_dir), epoch=1, budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
 _fill_maxmatch_oracle()

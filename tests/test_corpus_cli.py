@@ -752,11 +752,32 @@ class TestPackEmit:
                           "--budget", "12", "--shards", "2"])
         assert a["tokens"] == s["tokens"]
 
-    def test_emit_excludes_other_modes(self, tmp_path, jsonl_corpus):
+    def test_emit_excludes_walk_modes(self, tmp_path, jsonl_corpus):
         import pytest as _pytest
 
-        for extra in (["--no-split"], ["--curriculum"],
-                      ["--epoch", "1"]):
+        for extra in (["--no-split"], ["--curriculum"]):
             with _pytest.raises(SystemExit):
                 main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
                       "--out", str(tmp_path / "x"), "--emit"] + extra)
+
+    def test_emit_composes_with_epoch(self, spark, tmp_path,
+                                      jsonl_corpus, capsys):
+        clean = str(tmp_path / "clean_ee")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        outs = {}
+        for e in (0, 1):
+            out = str(tmp_path / f"emitted_e{e}")
+            s = _run(capsys, ["pack", "--in", clean, "--out", out,
+                              "--budget", "12", "--shards", "2",
+                              "--emit", "--epoch", str(e)])
+            assert s["emitted"] is True and s["epoch"] == e
+            outs[e] = sorted(
+                (r.shard, r.seq_idx, tuple(r.tokens))
+                for r in spark.read.parquet(out).collect()
+            )
+        # same total token mass, different epoch stream order
+        tok0 = sorted(t for _, _, toks in outs[0] for t in toks)
+        tok1 = sorted(t for _, _, toks in outs[1] for t in toks)
+        assert tok0 == tok1
+        assert outs[0] != outs[1]

@@ -700,6 +700,42 @@ class TestEmitSequences:
                 s, o = s + 1, 0
             assert got == want, (doc, got, want)
 
+    def test_epoch_emit_streams_shards_in_epoch_order(self, spark):
+        # the capstone composition: within every shard, the emitted
+        # token stream must be exactly the docs' tokens concatenated
+        # in epoch-position order
+        from huckli_spark.operators.packing import (
+            epoch_emit,
+            epoch_shuffle,
+            pack_sequences,
+        )
+
+        df = self._df(spark)
+        pos = {
+            r.doc_id: r.pos
+            for r in epoch_shuffle(df, epochs=1, first_epoch=1).collect()
+        }
+        shard_of = {
+            r.doc_id: r.shard
+            for r in pack_sequences(df, budget=16, n_shards=2).collect()
+        }
+        texts = {r.doc_id: r.text for r in df.collect()}
+        want = {}
+        for shard in (0, 1):
+            docs = sorted(
+                (d for d in texts if shard_of[d] == shard),
+                key=lambda d: pos[d],
+            )
+            stream = []
+            for d in docs:
+                stream.extend(texts[d].split(" ") + ["</s>"])
+            want[shard] = stream
+        rows = epoch_emit(df, epoch=1, budget=16, n_shards=2).collect()
+        got = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.seq_idx)):
+            got.setdefault(r.shard, []).extend(r.tokens)
+        assert got == want
+
     def test_plan_is_jvm_side(self, spark):
         from pyspark.sql import functions as F
 
