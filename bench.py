@@ -288,6 +288,13 @@ def main() -> None:
         "q_epoch_shuffle",
         "q_pack_nosplit",
         "q_pack_nosplit_ffd",
+        # round-12 additions: epoch shuffle-then-pack, materialized
+        # sequences (batch + epoch-ordered), streaming MaxSim final
+        # top-k
+        "q_epoch_pack",
+        "q_pack_emit",
+        "q_epoch_emit",
+        "q_stream_maxsim_topk",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)
