@@ -417,6 +417,14 @@ def emit_sequences(
         [c for c in df.columns if c not in (id_col, text_col)]
         if order_cols else []
     )
+    reserved = {"shard", "seq_idx", "n_tokens", "n_docs", "tokens",
+                "__toks", "__ok", "__off", "__p", "__tok", "__gpos"}
+    clash = sorted(set(extra) & reserved)
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with emit_sequences' "
+            "generated names; rename or drop them before emitting"
+        )
     d = df.select(
         F.col(id_col),
         F.concat(

@@ -736,6 +736,20 @@ class TestEmitSequences:
             got.setdefault(r.shard, []).extend(r.tokens)
         assert got == want
 
+    def test_reserved_name_collision_is_loud(self, spark):
+        # ADVICE r08 #5's lesson applied here too: arbitrary input
+        # schemas flow through the CLI, so a stray column must never
+        # silently collide with a generated name
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from huckli_spark.operators.packing import emit_sequences
+
+        df = self._df(spark).withColumn("shard", F.lit(1))
+        with _pytest.raises(ValueError, match="collide"):
+            emit_sequences(df, budget=16, n_shards=2,
+                           order_cols=[F.col("shard")])
+
     def test_plan_is_jvm_side(self, spark):
         from pyspark.sql import functions as F
 
