@@ -78,6 +78,15 @@ EXPECTATIONS = {
     "q_ann_maxsim_serve": [
         r"BroadcastHashJoin", r"HashAggregate", r"row_number",
     ],
+    # epoch shuffle-then-pack: the offsets relation broadcasts into
+    # the rank join and the pack window is partition-local (the
+    # no-global-sort / no-SortMergeJoin absences are pinned in
+    # tests/test_governance.py TestEpochPack)
+    "q_epoch_pack": [r"BroadcastHashJoin", r"Window"],
+    # materialized sequences: posexplode (Generate) feeding the
+    # budget-bounded group-collect
+    "q_pack_emit": [r"Generate", r"Aggregate"],
+    "q_epoch_emit": [r"Generate", r"BroadcastHashJoin", r"Window"],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
