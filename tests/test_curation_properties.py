@@ -261,3 +261,59 @@ def test_content_diff_null_text_is_presence_not_absence(spark):
     assert {
         r.doc_id: r.status for r in content_diff(a2, b2).collect()
     } == {9: "changed"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=24),  # words per doc (0 => "")
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([4, 16, 64]),
+)
+def test_emit_sequences_conservation_and_agreement(spark, word_counts,
+                                                   budget):
+    """Property: for ANY corpus shape (including empty-text docs) and
+    budget, emit_sequences (a) conserves every token exactly once,
+    (b) fills every non-final sequence of a shard to exactly the
+    budget, and (c) places each doc's first token at precisely the
+    (seq, offset) pack_sequences assigned it."""
+    from huckli_spark.operators.packing import (
+        emit_sequences,
+        pack_sequences,
+    )
+
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)))
+        for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emitted = emit_sequences(df, budget=budget, n_shards=2).collect()
+    assign = {
+        r.doc_id: (r.shard, r.seq_idx, r.offset_in_seq, r.n_tokens)
+        for r in pack_sequences(df, budget=budget, n_shards=2).collect()
+    }
+    # (a) conservation: split("") == [""], so an empty doc contributes
+    # one empty token + EOS — exactly pack_sequences' n_tokens
+    assert sum(r.n_tokens for r in emitted) == sum(
+        n for (_, _, _, n) in assign.values()
+    )
+    # (b) exact fill
+    by_shard = {}
+    for r in emitted:
+        assert r.n_tokens == len(r.tokens)
+        by_shard.setdefault(r.shard, []).append(r)
+    seqs = {}
+    for shard, srows in by_shard.items():
+        srows.sort(key=lambda r: r.seq_idx)
+        assert [r.seq_idx for r in srows] == list(range(len(srows)))
+        for r in srows[:-1]:
+            assert r.n_tokens == budget
+        for r in srows:
+            seqs[(shard, r.seq_idx)] = r.tokens
+    # (c) first-token placement agrees with the assignment relation
+    texts = dict(rows)
+    for doc, (shard, seq, off, _) in assign.items():
+        first = texts[doc].split(" ")[0]
+        assert seqs[(shard, seq)][off] == first, (doc, shard, seq, off)
