@@ -127,8 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="materialize the packed sequences themselves (one row "
         "per (shard, seq) with the token array) instead of the "
         "per-doc assignment relation; composes with --epoch (emit in "
-        "that epoch's shuffle order); incompatible with --curriculum "
-        "/ --no-split",
+        "that epoch's shuffle order) or --no-split (emit whole-doc "
+        "SFT bins, walk order from --pack-order); incompatible with "
+        "--curriculum",
     )
 
     s = sub.add_parser(
@@ -458,17 +459,27 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "--epoch is exclusive with --curriculum / --no-split"
             )
-        if args.emit and (args.curriculum or args.no_split):
+        if args.emit and args.curriculum:
+            raise SystemExit("--emit is exclusive with --curriculum")
+        if args.emit and args.no_split and args.epoch is not None:
             raise SystemExit(
-                "--emit is exclusive with --curriculum / --no-split"
+                "--emit --no-split does not compose with --epoch "
+                "(the no-split walk order is --pack-order)"
             )
         if args.emit:
             from huckli_spark.operators.packing import (
                 emit_sequences,
+                emit_sequences_nosplit,
                 epoch_emit,
             )
 
-            if args.epoch is not None:
+            if args.no_split:
+                emitted = emit_sequences_nosplit(
+                    docs.select("doc_id", "text"), budget=args.budget,
+                    n_shards=args.shards, order=args.pack_order,
+                )
+                summary["no_split"] = True
+            elif args.epoch is not None:
                 emitted = epoch_emit(
                     docs.select("doc_id", "text"), epoch=args.epoch,
                     budget=args.budget, n_shards=args.shards,

@@ -473,6 +473,77 @@ def emit_sequences(
     )
 
 
+def emit_sequences_nosplit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_token: str = "</s>",
+    order: str = "hash",
+    max_shard_rows: "int | None" = 4_000_000,
+) -> DataFrame:
+    """Materialize the NO-SPLIT (SFT) training sequences: every bin
+    from :func:`pack_sequences_nosplit` becomes one row carrying the
+    concatenated whole documents — no token ever crosses a document
+    boundary mid-bin, so the emitted row is directly usable with
+    per-doc attention masks (doc spans are recoverable from the
+    assignment relation's offsets).
+
+    Plan: the per-shard Arrow walk produces the assignment, one
+    corpus equi-join brings the text back, posexplode places each
+    token at offset_in_seq + ordinal (doc spans within a bin are
+    disjoint and contiguous, so the in-bin position is unique), and a
+    budget-bounded group-collect emits the bin. An oversize doc's
+    solo bin exceeds the budget by construction and is flagged.
+    Returns (shard, seq_idx, n_tokens, n_docs, oversize,
+    tokens array<string>).
+    """
+    asn = pack_sequences_nosplit(
+        df, id_col=id_col, text_col=text_col, budget=budget,
+        n_shards=n_shards, order=order, max_shard_rows=max_shard_rows,
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.concat(
+            F.split(F.col(text_col), " "), F.array(F.lit(eos_token))
+        ).alias("__toks"),
+    )
+    placed = (
+        asn.join(toks, id_col)
+        .select(
+            id_col,
+            "shard",
+            "seq_idx",
+            "oversize",
+            "offset_in_seq",
+            F.posexplode("__toks").alias("__p", "__tok"),
+        )
+        .select(
+            id_col,
+            "shard",
+            "seq_idx",
+            "oversize",
+            (F.col("offset_in_seq") + F.col("__p")).alias("__pos"),
+            "__tok",
+        )
+    )
+    return (
+        placed.groupBy("shard", "seq_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct(id_col).alias("n_docs"),
+            F.max("oversize").alias("oversize"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("tokens"),
+        )
+        .select("shard", "seq_idx", "n_tokens", "n_docs", "oversize",
+                "tokens")
+    )
+
+
 def epoch_emit(
     df: DataFrame,
     epoch: int = 0,

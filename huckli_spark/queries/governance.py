@@ -1428,4 +1428,75 @@ def q_epoch_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_emit_nosplit",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS offset_in_seq,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    ), placed AS (
+      SELECT w.shard, w.seq_idx,
+             w.n_tokens > {_PACK_BUDGET} AS oversize,
+             w.doc_id,
+             w.offset_in_seq
+               + generate_subscripts(
+                   list_append(string_split(t.text, ' '), '</s>'), 1)
+               - 1 AS pos,
+             unnest(list_append(string_split(t.text, ' '), '</s>'))
+               AS tok
+      FROM walk w JOIN documents t ON t.doc_id = w.doc_id
+    )
+    SELECT shard, seq_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           max(oversize) AS oversize,
+           list(tok ORDER BY pos) AS tokens
+    FROM placed GROUP BY 1, 2
+    """,
+    doc="materialized NO-SPLIT (SFT) training sequences: every bin "
+    "from the sequential next-fit walk becomes one row carrying the "
+    "concatenated WHOLE documents — no token crosses a doc boundary "
+    "mid-bin, so the row is directly usable with per-doc attention "
+    "masks; an oversize doc's solo bin is flagged. The oracle replays "
+    "the recursive-CTE walk, then places every token at "
+    "offset_in_seq + ordinal and collects bins ordered — token arrays "
+    "hash-match element-for-element. Scale: the walk is the gated "
+    "applyInPandas pass (shards bound memory), text returns via ONE "
+    "corpus equi-join, and every reduce group is bin-sized. Queued "
+    "for a graded slot in r13 (window sealed); replica-covered "
+    "meanwhile.",
+)
+def q_pack_emit_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import emit_sequences_nosplit
+
+    return emit_sequences_nosplit(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
 _fill_maxmatch_oracle()

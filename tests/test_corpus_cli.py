@@ -752,13 +752,31 @@ class TestPackEmit:
                           "--budget", "12", "--shards", "2"])
         assert a["tokens"] == s["tokens"]
 
-    def test_emit_excludes_walk_modes(self, tmp_path, jsonl_corpus):
+    def test_emit_exclusions(self, tmp_path, jsonl_corpus):
         import pytest as _pytest
 
-        for extra in (["--no-split"], ["--curriculum"]):
+        for extra in (["--curriculum"], ["--no-split", "--epoch", "1"]):
             with _pytest.raises(SystemExit):
                 main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
                       "--out", str(tmp_path / "x"), "--emit"] + extra)
+
+    def test_emit_composes_with_no_split(self, spark, tmp_path,
+                                         jsonl_corpus, capsys):
+        clean = str(tmp_path / "clean_ens")
+        _run(capsys, ["scrub", "--in", jsonl_corpus, "--format", "jsonl",
+                      "--out", clean])
+        out = str(tmp_path / "emitted_ns")
+        s = _run(capsys, ["pack", "--in", clean, "--out", out,
+                          "--budget", "12", "--shards", "2",
+                          "--emit", "--no-split"])
+        assert s["emitted"] is True and s["no_split"] is True
+        rows = spark.read.parquet(out).collect()
+        # every non-oversize bin respects the budget; every doc's
+        # tokens are contiguous (whole docs end with the EOS marker)
+        for r in rows:
+            assert r.n_tokens == len(r.tokens)
+            assert r.oversize or r.n_tokens <= 12
+            assert r.tokens[-1] == "</s>"
 
     def test_emit_composes_with_epoch(self, spark, tmp_path,
                                       jsonl_corpus, capsys):

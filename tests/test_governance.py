@@ -736,6 +736,42 @@ class TestEmitSequences:
             got.setdefault(r.shard, []).extend(r.tokens)
         assert got == want
 
+    def test_nosplit_emission_keeps_docs_whole(self, spark):
+        # the SFT emission contract: every bin is a concatenation of
+        # WHOLE documents in walk order — each doc's tokens appear
+        # contiguously, ending with the EOS, and never span bins
+        from huckli_spark.operators.packing import (
+            emit_sequences_nosplit,
+            pack_sequences_nosplit,
+        )
+
+        df = self._df(spark)
+        asn = pack_sequences_nosplit(df, budget=16, n_shards=2).collect()
+        emitted = {
+            (r.shard, r.seq_idx): r
+            for r in emit_sequences_nosplit(
+                df, budget=16, n_shards=2
+            ).collect()
+        }
+        texts = {r.doc_id: r.text for r in df.collect()}
+        # reconstruct every bin from the assignment and compare
+        want_bins = {}
+        for a in sorted(asn, key=lambda a: (a.shard, a.seq_idx,
+                                            a.offset_in_seq)):
+            want_bins.setdefault((a.shard, a.seq_idx), []).extend(
+                texts[a.doc_id].split(" ") + ["</s>"]
+            )
+        got_bins = {k: list(r.tokens) for k, r in emitted.items()}
+        assert got_bins == want_bins
+        for (shard, seq), r in emitted.items():
+            assert r.n_tokens == len(r.tokens)
+            assert r.oversize or r.n_tokens <= 16
+            docs_in_bin = [a for a in asn
+                           if (a.shard, a.seq_idx) == (shard, seq)]
+            assert r.n_docs == len(docs_in_bin)
+            if r.oversize:
+                assert len(docs_in_bin) == 1  # solo flagged bin
+
     def test_reserved_name_collision_is_loud(self, spark):
         # ADVICE r08 #5's lesson applied here too: arbitrary input
         # schemas flow through the CLI, so a stray column must never
