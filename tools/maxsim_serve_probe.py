@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""MaxSim serving-path scaling probe (round 11).
+"""MaxSim serving-path scaling probe (round 11, re-based round 12 on
+the budgeted default).
 
 maxsim_topk_ivf's scale claim: the exact path scores |tokens| x
 |members| pairs (corpus-linear per token), while the IVF serving path
@@ -7,8 +8,12 @@ scores only the shortlist — so at fixed cell geometry the serving
 path's advantage must WIDEN with the corpus. Probe both paths at
 1x / 10x a clustered corpus (32 two-token queries, 64 coarse cells,
 nprobe=2 -> shortlist ~6% of members), after a warmup pass so JIT
-doesn't masquerade as scaling. Records wall, recall@5, and the
-realized shortlist fraction. Writes SCALE_PROBE_maxsim_serve.json.
+doesn't masquerade as scaling. `wall_s_serve` is the SERVING DEFAULT
+(PLAID budget 64x k, centroid-evidence ranking — what
+q_ann_maxsim_serve runs); the uncapped exact-within-probes arm is
+recorded separately. Records wall, recall@5 (of the budgeted serve vs
+exact), the realized shortlist fraction, and the recall-vs-budget
+sweep at 10x. Writes SCALE_PROBE_maxsim_serve.json.
 """
 
 from __future__ import annotations
@@ -81,6 +86,8 @@ def main() -> None:
     wm, wt, wc, wp = _paths(spark, 2_000)
     simsearch.maxsim_topk(wm.select("doc_id", "embedding"), wt, k=5).count()
     simsearch.maxsim_topk_ivf(wm, wt, wc, wp, k=5, nprobe=NPROBE).count()
+    simsearch.maxsim_topk_ivf(wm, wt, wc, wp, k=5, nprobe=NPROBE,
+                              max_candidates=64 * 5).count()
     wm.unpersist()
 
     results: dict = {
@@ -97,11 +104,22 @@ def main() -> None:
         ).collect()
         wall_exact = time.perf_counter() - t0
 
+        # the SERVING DEFAULT: PLAID candidate budget 64x k with
+        # centroid-evidence ranking (what q_ann_maxsim_serve runs)
         t0 = time.perf_counter()
         served = simsearch.maxsim_topk_ivf(
-            mem, tokens, cents, posting, k=5, nprobe=NPROBE
+            mem, tokens, cents, posting, k=5, nprobe=NPROBE,
+            max_candidates=64 * 5,
         ).collect()
         wall_serve = time.perf_counter() - t0
+
+        # the uncapped exact-within-probes arm (opt-in; plain
+        # equi-join on the candidate side since ADVICE r11 #3)
+        t0 = time.perf_counter()
+        simsearch.maxsim_topk_ivf(
+            mem, tokens, cents, posting, k=5, nprobe=NPROBE
+        ).collect()
+        wall_serve_uncapped = time.perf_counter() - t0
 
         ep = {(r.query_id, r.doc_id) for r in exact}
         sp = {(r.query_id, r.doc_id) for r in served}
@@ -123,6 +141,7 @@ def main() -> None:
             "members": n,
             "wall_s_exact": round(wall_exact, 3),
             "wall_s_serve": round(wall_serve, 3),
+            "wall_s_serve_uncapped": round(wall_serve_uncapped, 3),
             "recall_at_5": round(recall, 3),
             "shortlist_frac": round(cand / total, 4),
         }
