@@ -134,6 +134,7 @@ def epoch_shuffle(
     n_buckets: int = 256,
     first_epoch: int = 0,
     carry_cols: "list[str] | None" = None,
+    max_bucket_rows: "int | None" = 8_000_000,
 ) -> DataFrame:
     """Deterministic per-epoch GLOBAL training-order permutation —
     every document gets a unique 1-based position per epoch, the
@@ -173,6 +174,14 @@ def epoch_shuffle(
     shuffles + sorts than riding the rank's one bucket exchange) —
     epoch_pack carries the text this way. Wide columns widen that
     exchange; carry only what the next stage reads.
+
+    ``max_bucket_rows`` (default 8M): positions are INDEPENDENT of
+    the bucket count — bucketing is purely internal to the two-phase
+    rank — so when a driver-side count shows a bucket would exceed
+    the bound, ``n_buckets`` auto-raises to the next power of two
+    that honors it, output-unchanged (the permutation tests pin this
+    invariance). The explicit ``n_buckets`` still sets the floor;
+    pass ``None`` to skip the count and pin the bucket count exactly.
     """
     if epochs <= 0 or n_buckets <= 0:
         raise ValueError(
@@ -183,6 +192,14 @@ def epoch_shuffle(
         raise ValueError(f"first_epoch must be >= 0, got {first_epoch}")
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    if max_bucket_rows is not None:
+        if max_bucket_rows <= 0:
+            raise ValueError(
+                f"max_bucket_rows must be positive, got {max_bucket_rows}"
+            )
+        total = df.count()
+        while n_buckets * max_bucket_rows < total:
+            n_buckets *= 2
     carry = list(carry_cols) if carry_cols else []
     bad = sorted(
         set(carry) & {"epoch", "pos", "__key", "__bucket", "__n", "__off"}

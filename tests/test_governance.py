@@ -633,6 +633,33 @@ class TestEpochPack:
             with _pytest.raises(ValueError, match="carry_cols"):
                 epoch_shuffle(df, carry_cols=bad)
 
+    def test_bucket_autosize_is_output_invariant(self, spark):
+        # positions are independent of the bucket count (bucketing is
+        # internal to the two-phase rank), so the max_bucket_rows
+        # guard must auto-raise n_buckets WITHOUT changing a single
+        # position
+        from huckli_spark.operators.packing import epoch_shuffle
+
+        df = self._df(spark, 64)
+        pinned = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(
+                df, epochs=2, n_buckets=2, max_bucket_rows=None
+            ).collect()
+        }
+        # 64 rows / max 4 per bucket -> auto-raises 2 -> 16 buckets
+        raised = {
+            (r.epoch, r.doc_id): r.pos
+            for r in epoch_shuffle(
+                df, epochs=2, n_buckets=2, max_bucket_rows=4
+            ).collect()
+        }
+        assert raised == pinned
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_bucket_rows"):
+            epoch_shuffle(df, max_bucket_rows=0)
+
 
 class TestEmitSequences:
     """emit_sequences materializes the packed token rows; its geometry
