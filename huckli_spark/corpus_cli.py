@@ -167,6 +167,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="power-of-two hash buckets; worst window input is "
         "~n/buckets rows — raise with the corpus",
     )
+    s.add_argument(
+        "--weights", default=None,
+        help="source-weighted mixing, 'src=2.5,other=0.5' (the "
+        "'epochs per source' recipe knob): floor(w) copies per doc "
+        "plus one more for the frac(w) hash-selected share, a "
+        "different share each epoch; unlisted sources weigh "
+        "--default-weight; weight 0 drops the source",
+    )
+    s.add_argument("--default-weight", type=float, default=1.0)
 
     s = sub.add_parser(
         "tokenize", help="train a tokenizer + tokenize the corpus"
@@ -412,11 +421,40 @@ def main(argv: list[str] | None = None) -> int:
         summary |= _release(spark, docs, args)
 
     elif args.cmd == "shuffle":
-        from huckli_spark.operators.packing import epoch_shuffle
-
-        out = epoch_shuffle(
-            docs, epochs=args.epochs, n_buckets=args.buckets
+        from huckli_spark.operators.packing import (
+            epoch_mix_shuffle,
+            epoch_shuffle,
         )
+
+        if args.weights is not None:
+            try:
+                wmap = {
+                    k.strip(): float(v)
+                    for k, v in (
+                        pair.split("=", 1)
+                        for pair in args.weights.split(",")
+                    )
+                }
+            except ValueError as exc:
+                raise SystemExit(
+                    f"--weights must be 'src=w,src2=w2', got "
+                    f"{args.weights!r}: {exc}"
+                )
+            per_epoch = [
+                epoch_mix_shuffle(
+                    docs, wmap, epoch=e, n_buckets=args.buckets,
+                    default_weight=args.default_weight,
+                )
+                for e in range(args.epochs)
+            ]
+            out = per_epoch[0]
+            for p in per_epoch[1:]:
+                out = out.unionByName(p)
+            summary["weights"] = wmap
+        else:
+            out = epoch_shuffle(
+                docs, epochs=args.epochs, n_buckets=args.buckets
+            )
         out.write.mode("overwrite").parquet(args.out)
         written = spark.read.parquet(args.out)
         summary |= {

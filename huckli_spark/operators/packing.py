@@ -490,6 +490,95 @@ def emit_sequences(
     )
 
 
+def epoch_mix_shuffle(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    n_buckets: int = 256,
+    max_bucket_rows: "int | None" = 8_000_000,
+) -> DataFrame:
+    """SOURCE-WEIGHTED per-epoch training order — the data-mixing knob
+    of published pretraining recipes ("epochs per source": Wikipedia
+    x2.5, code x0.5, ...) composed with the deterministic epoch
+    shuffle. Each document yields ``floor(w)`` copies plus one more
+    when its per-(epoch, id) hash draw falls under frac(w) — so a
+    weight of 2.5 repeats HALF the source's docs 3x and half 2x,
+    deterministic forever, a different half each epoch; a weight
+    under 1 downsamples the same way; weight 0 drops the source.
+    Every copy then gets a unique global position from
+    :func:`epoch_shuffle` keyed on (id, copy).
+
+    All arithmetic is integer (weights lift to micro-ints; the draw
+    is ``h60('mix:<e>:<id>') % 1e6``), so a DuckDB oracle replays
+    every copy count and every position bit-identically
+    (q_epoch_mix_shuffle). The weight table bakes into the plan as a
+    CASE literal (it is vocabulary-sized); replication is a map-side
+    explode; the rank is the same two-phase bucket form as
+    epoch_shuffle. Returns (epoch, <id_col>, <source_col>, copy,
+    pos).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+    wm = {s: int(w * 1_000_000 + 0.5) for s, w in weights.items()}
+    dm = int(default_weight * 1_000_000 + 0.5)
+    w_expr = None
+    for s, m in sorted(wm.items()):
+        cond = F.col(source_col) == s
+        w_expr = (F.when(cond, F.lit(m)) if w_expr is None
+                  else w_expr.when(cond, F.lit(m)))
+    w_expr = F.lit(dm) if w_expr is None else w_expr.otherwise(F.lit(dm))
+    draw = F.pmod(
+        h60(
+            F.concat(
+                F.lit(f"mix:{int(epoch)}:"), F.col(id_col).cast("string")
+            )
+        ),
+        F.lit(1_000_000),
+    )
+    # integer floor of the micro weight; values are < 2^31 so the
+    # double division is exact (unlike the 60-bit bucket keys)
+    copies = (w_expr / F.lit(1_000_000)).cast("long") + F.when(
+        draw < w_expr % F.lit(1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    rep = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            copies.alias("__copies"),
+        )
+        .where(F.col("__copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__copies"))
+            ).alias("copy"),
+        )
+        .select(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("#"),
+                F.col("copy").cast("string"),
+            ).alias("__mix_id"),
+            id_col,
+            source_col,
+            "copy",
+        )
+    )
+    return epoch_shuffle(
+        rep,
+        epochs=1,
+        id_col="__mix_id",
+        n_buckets=n_buckets,
+        first_epoch=epoch,
+        carry_cols=[id_col, source_col, "copy"],
+        max_bucket_rows=max_bucket_rows,
+    ).select("epoch", id_col, source_col, "copy", "pos")
+
+
 def emit_sequences_nosplit(
     df: DataFrame,
     id_col: str = "doc_id",

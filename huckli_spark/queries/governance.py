@@ -1499,4 +1499,66 @@ def q_pack_emit_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {
+    "src1": 0.4,   # downsample
+    "src3": 1.5,   # 1x + half the docs twice
+    "src5": 2.5,   # 2x + half the docs a third time
+    "src7": 0.0,   # dropped source
+    "src9": 3.0,   # exact integer repetition
+}
+
+
+@query(
+    "q_epoch_mix_shuffle",
+    f"""
+    WITH wmap(source, wm) AS (
+      VALUES ('src1', 400000), ('src3', 1500000), ('src5', 2500000),
+             ('src7', 0), ('src9', 3000000)
+    ), c AS (
+      SELECT d.doc_id, d.source, COALESCE(w.wm, 1000000) AS wm,
+             {sql_h60("'mix:1:' || CAST(d.doc_id AS VARCHAR)")}
+               % 1000000 AS pick
+      FROM documents d LEFT JOIN wmap w ON w.source = d.source
+    ), rep AS (
+      SELECT doc_id, source,
+             wm // 1000000
+               + CASE WHEN pick < wm % 1000000 THEN 1 ELSE 0 END
+               AS copies
+      FROM c
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+      FROM rep WHERE copies >= 1
+    ), k AS (
+      SELECT doc_id, source, copy,
+             CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)
+               AS mix_id
+      FROM r
+    )
+    SELECT CAST(1 AS INTEGER) AS epoch, doc_id, source, copy,
+           CAST(row_number() OVER (
+             ORDER BY {sql_h60("'epoch:1:' || mix_id")}, mix_id
+           ) AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="SOURCE-WEIGHTED per-epoch training order — the 'epochs per "
+    "source' data-mixing knob of published pretraining recipes, "
+    "composed with the deterministic epoch shuffle: each doc yields "
+    "floor(w) copies plus one more when its per-(epoch, id) hash "
+    "draw falls under frac(w) (weight 2.5 repeats half of src5 3x; "
+    "0.4 downsamples src1; 0 drops src7; 3.0 repeats src9 exactly), "
+    "then every copy gets a unique global position keyed on "
+    "(id, copy). All-integer micro-weight arithmetic, so the oracle "
+    "replays every copy count AND every position bit-identically. "
+    "Scale: the weight table bakes as a CASE literal, replication is "
+    "a map-side explode, and the rank is epoch_shuffle's two-phase "
+    "bucket form — no global sort, buckets auto-sized. Queued for a "
+    "graded slot in r13 (window sealed); replica-covered meanwhile.",
+)
+def q_epoch_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import epoch_mix_shuffle
+
+    return epoch_mix_shuffle(_docs(spark, sf_dir), _MIX_WEIGHTS, epoch=1)
+
+
 _fill_maxmatch_oracle()

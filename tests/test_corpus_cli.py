@@ -799,3 +799,36 @@ class TestPackEmit:
         tok1 = sorted(t for _, _, toks in outs[1] for t in toks)
         assert tok0 == tok1
         assert outs[0] != outs[1]
+
+
+class TestMixShuffle:
+    def test_weighted_shuffle_journey(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "mix_in")
+        spark.createDataFrame(
+            [(i, f"doc number {i} words", "webA" if i % 2 else "books")
+             for i in range(12)],
+            "doc_id long, text string, source string",
+        ).write.parquet(inp)
+        out = str(tmp_path / "mixed")
+        s = _run(capsys, ["shuffle", "--in", inp, "--out", out,
+                          "--epochs", "2", "--buckets", "8",
+                          "--weights", "webA=2.0", "--default-weight",
+                          "1.0"])
+        assert s["weights"] == {"webA": 2.0} and s["epochs"] == 2
+        rows = spark.read.parquet(out).collect()
+        for e in (0, 1):
+            ep = [r for r in rows if r.epoch == e]
+            # integer weights: every webA doc exactly twice, others once
+            per_doc = {}
+            for r in ep:
+                per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+            for d, n in per_doc.items():
+                assert n == (2 if d % 2 else 1), (d, n)
+            assert sorted(r.pos for r in ep) == list(range(1, len(ep) + 1))
+
+    def test_bad_weights_spec_is_loud(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="--weights"):
+            main(["shuffle", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--weights", "nonsense"])

@@ -633,6 +633,66 @@ class TestEpochPack:
             with _pytest.raises(ValueError, match="carry_cols"):
                 epoch_shuffle(df, carry_cols=bad)
 
+    def test_mix_shuffle_copies_match_python_reference(self, spark):
+        # source-weighted repetition: copy counts must equal the
+        # documented integer arithmetic exactly, positions must be a
+        # permutation of 1..total, and the draw must differ by epoch
+        import hashlib
+
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        rows = [(i, f"w{i}", ["a", "b", "c"][i % 3]) for i in range(90)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        weights = {"a": 2.5, "b": 0.4, "c": 0.0}
+
+        def want_copies(epoch):
+            out = {}
+            wm = {"a": 2_500_000, "b": 400_000, "c": 0}
+            for i, _, s in rows:
+                w = wm[s]
+                c = w // 1_000_000 + (
+                    1 if h60(f"mix:{epoch}:{i}") % 1_000_000
+                    < w % 1_000_000 else 0
+                )
+                if c >= 1:
+                    out[i] = c
+            return out
+
+        for epoch in (0, 1):
+            got = {}
+            res = epoch_mix_shuffle(df, weights, epoch=epoch).collect()
+            for r in res:
+                got[r.doc_id] = got.get(r.doc_id, 0) + 1
+                assert r.epoch == epoch
+            assert got == want_copies(epoch)
+            assert sorted(r.pos for r in res) == list(
+                range(1, len(res) + 1)
+            )
+            # every copy index present exactly once per doc
+            seen = {(r.doc_id, r.copy) for r in res}
+            assert len(seen) == len(res)
+        # frac(w) rotates the extra copy across epochs: the set of
+        # 'a'-source docs drawing the 3rd copy must differ
+        third0 = {d for d, c in want_copies(0).items() if c == 3}
+        third1 = {d for d, c in want_copies(1).items() if c == 3}
+        assert third0 != third1
+
+    def test_mix_shuffle_rejects_negative_weights(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        df = self._df(spark, 10).withColumn(
+            "source", F.lit("s")
+        )
+        with _pytest.raises(ValueError, match=">= 0"):
+            epoch_mix_shuffle(df, {"s": -1.0})
+
     def test_bucket_autosize_is_output_invariant(self, spark):
         # positions are independent of the bucket count (bucketing is
         # internal to the two-phase rank), so the max_bucket_rows
