@@ -87,6 +87,15 @@ EXPECTATIONS = {
     # budget-bounded group-collect
     "q_pack_emit": [r"Generate", r"Aggregate"],
     "q_epoch_emit": [r"Generate", r"BroadcastHashJoin", r"Window"],
+    # whole-doc SFT emission: the Arrow walk (ArrowEvalPython-free
+    # elsewhere — FlatMapGroupsInPandas is the one sanctioned Python
+    # stage), the text equi-join, and the bin collect
+    "q_pack_emit_nosplit": [
+        r"FlatMapGroupsInPandas", r"Generate", r"Aggregate",
+    ],
+    # source-weighted mixing: replication is a map-side explode
+    # (Generate) and the rank's offsets broadcast
+    "q_epoch_mix_shuffle": [r"Generate", r"BroadcastHashJoin"],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
