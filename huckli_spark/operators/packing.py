@@ -490,6 +490,50 @@ def emit_sequences(
     )
 
 
+def pack_stats_nosplit(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-shard fill accounting for NO-SPLIT packing — the padding
+    report the SFT packer exists to optimize (next-fit-decreasing is
+    chosen over hash order exactly when this says so). From
+    :func:`pack_sequences_nosplit` output: bins, docs, token mass,
+    padding (budget - fill over non-oversize bins; an oversize solo
+    bin pads nothing), and the fill rate in exact parts-per-million
+    (integer division — bit-portable, no float aggregation).
+    Returns (shard, n_bins, n_docs, tokens, oversize_bins,
+    padding_tokens, fill_ppm)."""
+    bins = packed.groupBy("shard", "seq_idx").agg(
+        F.count("*").alias("__docs"),
+        F.sum("n_tokens").alias("__fill"),
+        F.max("oversize").alias("__over"),
+    ).select(
+        "shard",
+        "__docs",
+        "__fill",
+        "__over",
+        F.when(F.col("__over"), F.lit(0))
+        .otherwise(F.lit(budget) - F.col("__fill"))
+        .alias("__pad"),
+        F.when(F.col("__over"), F.col("__fill"))
+        .otherwise(F.lit(budget))
+        .alias("__cap"),
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("__docs").alias("n_docs"),
+            F.sum("__fill").alias("tokens"),
+            F.sum(F.col("__over").cast("long")).alias("oversize_bins"),
+            F.sum("__pad").alias("padding_tokens"),
+            # exact integer ppm: the double form loses exactness once
+            # tokens * 1e6 passes 2^53 (a few TB of tokens per shard)
+            F.expr("(sum(__fill) * 1000000) div sum(__cap)")
+            .alias("fill_ppm"),
+        )
+        .select("shard", "n_bins", "n_docs", "tokens", "oversize_bins",
+                "padding_tokens", "fill_ppm")
+    )
+
+
 def epoch_mix_shuffle(
     df: DataFrame,
     weights: "dict[str, float]",

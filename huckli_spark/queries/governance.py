@@ -1499,6 +1499,81 @@ def q_pack_emit_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_fill_report",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    ), bins AS (
+      SELECT shard, seq_idx, count(*) AS docs, sum(n_tokens) AS binfill,
+             bool_or(n_tokens > {_PACK_BUDGET}) AS over
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(docs) AS BIGINT) AS n_docs,
+           CAST(sum(binfill) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT)
+             AS oversize_bins,
+           CAST(sum(CASE WHEN over THEN 0
+                         ELSE {_PACK_BUDGET} - binfill END) AS BIGINT)
+             AS padding_tokens,
+           CAST((sum(binfill) * 1000000)
+                // sum(CASE WHEN over THEN binfill
+                            ELSE {_PACK_BUDGET} END) AS BIGINT)
+             AS fill_ppm
+    FROM bins GROUP BY 1
+    """,
+    doc="per-shard PADDING report for no-split packing — the metric "
+    "the SFT packer exists to optimize (next-fit-decreasing is "
+    "chosen over hash order exactly when this says so): bins, docs, "
+    "token mass, oversize bins, padding tokens (budget - fill over "
+    "non-oversize bins) and the fill rate in exact integer ppm. The "
+    "oracle replays the recursive-CTE walk and the two-level "
+    "aggregation; every sum is CAST back from DuckDB's HUGEINT. "
+    "Scale: two map-side-combined groupBys over the assignment "
+    "relation; the ppm stays integer because the double form loses "
+    "exactness once tokens x 1e6 passes 2^53. Queued for a graded "
+    "slot in r13 (window sealed); replica-covered meanwhile.",
+)
+def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import (
+        pack_sequences_nosplit,
+        pack_stats_nosplit,
+    )
+
+    return pack_stats_nosplit(
+        pack_sequences_nosplit(
+            _docs(spark, sf_dir), budget=_PACK_BUDGET,
+            n_shards=_PACK_SHARDS,
+        ),
+        budget=_PACK_BUDGET,
+    )
+
+
 _MIX_WEIGHTS = {
     "src1": 0.4,   # downsample
     "src3": 1.5,   # 1x + half the docs twice

@@ -1013,6 +1013,71 @@ class TestNoSplitPacking:
         assert {r.shard for r in pinned} == {0, 1}
 
 
+class TestNoSplitFillReport:
+    def test_fill_report_matches_hand_accounting(self, spark):
+        from huckli_spark.operators.packing import (
+            pack_sequences_nosplit,
+            pack_stats_nosplit,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * ((i * 3) % 7 + 1))) for i in range(30)]
+            + [(99, " ".join(["x"] * 30))],  # oversize at budget 10
+            "doc_id long, text string",
+        )
+        packed = pack_sequences_nosplit(df, budget=10, n_shards=2)
+        rows = packed.collect()
+        got = {r.shard: r for r in pack_stats_nosplit(
+            packed, budget=10
+        ).collect()}
+        for shard in {r.shard for r in rows}:
+            bins = {}
+            for r in rows:
+                if r.shard != shard:
+                    continue
+                b = bins.setdefault(r.seq_idx, [0, 0, False])
+                b[0] += 1
+                b[1] += r.n_tokens
+                b[2] = b[2] or r.oversize
+            g = got[shard]
+            assert g.n_bins == len(bins)
+            assert g.n_docs == sum(b[0] for b in bins.values())
+            assert g.tokens == sum(b[1] for b in bins.values())
+            assert g.oversize_bins == sum(
+                1 for b in bins.values() if b[2]
+            )
+            want_pad = sum(
+                0 if b[2] else 10 - b[1] for b in bins.values()
+            )
+            assert g.padding_tokens == want_pad
+            cap = sum(b[1] if b[2] else 10 for b in bins.values())
+            assert g.fill_ppm == (g.tokens * 1_000_000) // cap
+
+    def test_ffd_reports_no_worse_fill(self, spark):
+        # the report exists to justify the walk order: on this mixed
+        # fixture next-fit-decreasing must never pad more than hash
+        from huckli_spark.operators.packing import (
+            pack_sequences_nosplit,
+            pack_stats_nosplit,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * ((i * 7) % 11 + 1))) for i in range(80)],
+            "doc_id long, text string",
+        )
+        def pad(order):
+            return sum(
+                r.padding_tokens
+                for r in pack_stats_nosplit(
+                    pack_sequences_nosplit(
+                        df, budget=16, n_shards=2, order=order
+                    ),
+                    budget=16,
+                ).collect()
+            )
+        assert pad("length") <= pad("hash")
+
+
 class TestNoSplitDecreasing:
     def test_length_order_fills_at_least_as_well(self, spark):
         # next-fit-decreasing's classic property on mixed lengths:
