@@ -31,6 +31,45 @@ from pyspark.sql import functions as F
 from huckli_spark.functions.portable import h60
 
 
+def _resolve_shards(
+    df: DataFrame,
+    n_shards: int,
+    max_shard_rows: "int | None",
+    what: str,
+) -> int:
+    """Shared shard-count guard (VERDICT r12 #3): every packer routes
+    a whole shard through ONE task (a window sort or an Arrow group),
+    so ``n_shards`` is the memory/parallelism lever. With
+    ``max_shard_rows`` set, a driver-side count auto-raises
+    ``n_shards`` to ceil(rows / max_shard_rows) — LOUDLY, because the
+    shard hash assignment (and therefore the packing) changes with the
+    shard count. Pass ``None`` to skip the count and pin ``n_shards``
+    exactly (the differential oracles do: a DuckDB replay bakes a
+    FIXED shard count, so a guarded auto-raise would silently diverge
+    from it — ADVICE r12 #5)."""
+    if max_shard_rows is None:
+        return n_shards
+    if max_shard_rows <= 0:
+        raise ValueError(
+            f"max_shard_rows must be positive, got {max_shard_rows}"
+        )
+    import warnings
+
+    total = df.count()
+    need = -(-total // max_shard_rows)
+    if need > n_shards:
+        warnings.warn(
+            f"{what}: {total} rows over {n_shards} shards exceeds "
+            f"max_shard_rows={max_shard_rows} per shard task; raising "
+            f"n_shards to {need} (shard assignment changes — pass "
+            "max_shard_rows=None to pin the shard count)",
+            UserWarning,
+            stacklevel=3,
+        )
+        return int(need)
+    return n_shards
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -40,6 +79,7 @@ def pack_sequences(
     eos_tokens: int = 1,
     order_cols: list | None = None,
     keep_cols: "list[str] | None" = None,
+    max_shard_rows: "int | None" = 4_000_000,
 ) -> DataFrame:
     """Assign every document a (shard, seq_idx, offset_in_seq).
 
@@ -58,11 +98,20 @@ def pack_sequences(
     ``keep_cols``: input column NAMES to carry into the output
     unchanged (requires ``order_cols``; epoch_pack keeps its ``pos``
     this way) — threaded through the shard window, never re-joined.
+
+    ``max_shard_rows`` (default 4M): the per-shard offset window sorts
+    each shard inside ONE task, so an unbounded shard is a single-task
+    sort at 100 TB — the guard counts rows and auto-raises
+    ``n_shards`` loudly when the bound would be exceeded (see
+    :func:`_resolve_shards`; ``None`` pins the shard count for the
+    fixed-count oracles).
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(
             f"budget and n_shards must be positive (got {budget}, {n_shards})"
         )
+    n_shards = _resolve_shards(df, n_shards, max_shard_rows,
+                               "pack_sequences")
     reserved = {"n_tokens", "shard", "pack_rank", "seq_idx",
                 "offset_in_seq", "__ok", "__off"}
     extra = (
@@ -106,7 +155,12 @@ def pack_sequences(
             "n_tokens",
             "shard",
             "pack_rank",
-            (F.col("__off") / budget).cast("long").alias("seq_idx"),
+            # exact integer division (ADVICE r12 #2): the float form
+            # (__off / budget).cast('long') loses exactness once the
+            # running offset passes 2^53 tokens; `div` (and bigint %,
+            # which is already an integer remainder) match the
+            # DuckDB oracle's // at every offset.
+            F.expr(f"__off div {budget}").alias("seq_idx"),
             (F.col("__off") % budget).alias("offset_in_seq"),
         )
     )
@@ -311,8 +365,6 @@ def pack_sequences_nosplit(
     oversize). ``id`` keeps the input column's type (string keys pack
     the same way long keys do).
     """
-    import warnings
-
     import pandas as pd
 
     if budget <= 0 or n_shards <= 0:
@@ -322,24 +374,8 @@ def pack_sequences_nosplit(
         )
     if order not in ("hash", "length"):
         raise ValueError(f"order must be hash|length, got {order!r}")
-    if max_shard_rows is not None:
-        if max_shard_rows <= 0:
-            raise ValueError(
-                f"max_shard_rows must be positive, got {max_shard_rows}"
-            )
-        total = df.count()
-        need = -(-total // max_shard_rows)
-        if need > n_shards:
-            warnings.warn(
-                f"pack_sequences_nosplit: {total} rows over "
-                f"{n_shards} shards exceeds max_shard_rows="
-                f"{max_shard_rows} per Arrow group; raising n_shards "
-                f"to {need} (shard assignment changes — pass "
-                "max_shard_rows=None to pin the shard count)",
-                UserWarning,
-                stacklevel=2,
-            )
-            n_shards = int(need)
+    n_shards = _resolve_shards(df, n_shards, max_shard_rows,
+                               "pack_sequences_nosplit")
     id_type = df.schema[id_col].dataType.simpleString()
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
@@ -396,6 +432,7 @@ def emit_sequences(
     n_shards: int = 8,
     eos_token: str = "</s>",
     order_cols: list | None = None,
+    max_shard_rows: "int | None" = 4_000_000,
 ) -> DataFrame:
     """MATERIALIZE the packed training sequences — the final step of
     the pretraining data pipeline: where :func:`pack_sequences` only
@@ -422,12 +459,18 @@ def emit_sequences(
     corpus into fixed windows; rows are narrow (shard, seq, token) and
     every reduce group is <= budget tokens. Returns (shard, seq_idx,
     n_tokens, n_docs, tokens array<string>).
+
+    ``max_shard_rows`` (default 4M): same single-task shard-window
+    guard as :func:`pack_sequences` (``None`` pins the shard count —
+    the fixed-count oracles require it).
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError(
             f"budget and n_shards must be positive (got {budget}, "
             f"{n_shards})"
         )
+    n_shards = _resolve_shards(df, n_shards, max_shard_rows,
+                               "emit_sequences")
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
     extra = (
@@ -534,38 +577,28 @@ def pack_stats_nosplit(packed: DataFrame, budget: int = 512) -> DataFrame:
     )
 
 
-def epoch_mix_shuffle(
-    df: DataFrame,
+def _mix_copies(
     weights: "dict[str, float]",
-    epoch: int = 0,
-    id_col: str = "doc_id",
-    source_col: str = "source",
-    default_weight: float = 1.0,
-    n_buckets: int = 256,
-    max_bucket_rows: "int | None" = 8_000_000,
-) -> DataFrame:
-    """SOURCE-WEIGHTED per-epoch training order — the data-mixing knob
-    of published pretraining recipes ("epochs per source": Wikipedia
-    x2.5, code x0.5, ...) composed with the deterministic epoch
-    shuffle. Each document yields ``floor(w)`` copies plus one more
-    when its per-(epoch, id) hash draw falls under frac(w) — so a
-    weight of 2.5 repeats HALF the source's docs 3x and half 2x,
-    deterministic forever, a different half each epoch; a weight
-    under 1 downsamples the same way; weight 0 drops the source.
-    Every copy then gets a unique global position from
-    :func:`epoch_shuffle` keyed on (id, copy).
+    epoch: int,
+    id_col: str,
+    source_col: str,
+    default_weight: float,
+):
+    """Per-document copy count for source-weighted mixing, as a pure
+    Column: floor(w) plus one more when the per-(epoch, id) hash draw
+    falls under frac(w). All-integer micro-weight arithmetic (the
+    draw is ``h60('mix:<e>:<id>') % 1e6``); weights must be finite
+    and >= 0. Shared by :func:`epoch_mix_shuffle` (replication) and
+    :func:`epoch_mix_emit` (whose shard guard SUMS this map-side to
+    count mixed rows without executing the rank)."""
+    import math
 
-    All arithmetic is integer (weights lift to micro-ints; the draw
-    is ``h60('mix:<e>:<id>') % 1e6``), so a DuckDB oracle replays
-    every copy count and every position bit-identically
-    (q_epoch_mix_shuffle). The weight table bakes into the plan as a
-    CASE literal (it is vocabulary-sized); replication is a map-side
-    explode; the rank is the same two-phase bucket form as
-    epoch_shuffle. Returns (epoch, <id_col>, <source_col>, copy,
-    pos).
-    """
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("weights must be >= 0")
+    if any(not math.isfinite(w) for w in weights.values()) or not (
+        math.isfinite(default_weight)
+    ):
+        raise ValueError("weights must be finite")
     wm = {s: int(w * 1_000_000 + 0.5) for s, w in weights.items()}
     dm = int(default_weight * 1_000_000 + 0.5)
     w_expr = None
@@ -584,32 +617,102 @@ def epoch_mix_shuffle(
     )
     # integer floor of the micro weight; values are < 2^31 so the
     # double division is exact (unlike the 60-bit bucket keys)
-    copies = (w_expr / F.lit(1_000_000)).cast("long") + F.when(
+    return (w_expr / F.lit(1_000_000)).cast("long") + F.when(
         draw < w_expr % F.lit(1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
+
+
+def _mix_key(id_col: str, copy_col: str = "copy"):
+    """Injective (id, copy) -> string rank key (ADVICE r12 #3): the
+    plain id || '#' || copy form is ambiguous when a STRING id itself
+    contains '#' (id 'a#1' copy 2 collides with id 'a' copy 1's
+    sibling space), which would let two copies tie on an identical
+    key and make their order nondeterministic. Length-prefixing the
+    id makes the encoding injective — the decimal prefix fixes where
+    the id ends, then one '#', then the copy digits."""
+    ids = F.col(id_col).cast("string")
+    return F.concat(
+        F.length(ids).cast("string"),
+        F.lit(":"),
+        ids,
+        F.lit("#"),
+        F.col(copy_col).cast("string"),
+    )
+
+
+def epoch_mix_shuffle(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    n_buckets: int = 256,
+    max_bucket_rows: "int | None" = 8_000_000,
+    carry_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """SOURCE-WEIGHTED per-epoch training order — the data-mixing knob
+    of published pretraining recipes ("epochs per source": Wikipedia
+    x2.5, code x0.5, ...) composed with the deterministic epoch
+    shuffle. Each document yields ``floor(w)`` copies plus one more
+    when its per-(epoch, id) hash draw falls under frac(w) — so a
+    weight of 2.5 repeats HALF the source's docs 3x and half 2x,
+    deterministic forever, a different half each epoch; a weight
+    under 1 downsamples the same way; weight 0 drops the source.
+    Every copy then gets a unique global position from
+    :func:`epoch_shuffle` keyed on (id, copy).
+
+    All arithmetic is integer (weights lift to micro-ints; the draw
+    is ``h60('mix:<e>:<id>') % 1e6``), so a DuckDB oracle replays
+    every copy count and every position bit-identically
+    (q_epoch_mix_shuffle). The weight table bakes into the plan as a
+    CASE literal (it is vocabulary-sized); replication is a map-side
+    explode; the rank is the same two-phase bucket form as
+    epoch_shuffle, keyed on the injective length-prefixed
+    :func:`_mix_key` encoding of (id, copy) — safe for string ids
+    containing the delimiter (ADVICE r12 #3). Returns (epoch,
+    <id_col>, <source_col>, copy, pos, *carry_cols).
+
+    ``carry_cols``: payload columns (e.g. the text) threaded through
+    the explode and the rank's bucket exchange unchanged — how
+    :func:`epoch_mix_emit` gets tokens in mixed order WITHOUT
+    re-joining the corpus against the positions.
+    """
+    copies = _mix_copies(weights, epoch, id_col, source_col,
+                         default_weight)
+    carry = list(carry_cols) if carry_cols else []
+    bad = sorted(
+        set(carry)
+        & {id_col, source_col, "copy", "pos", "epoch", "__mix_id",
+           "__copies"}
+    ) + sorted(set(carry) - set(df.columns))
+    if bad:
+        raise ValueError(
+            f"carry_cols {bad} must be input columns distinct from "
+            "the id/source and the generated names (copy, pos, epoch)"
+        )
     rep = (
         df.select(
             F.col(id_col),
             F.col(source_col),
+            *carry,
             copies.alias("__copies"),
         )
         .where(F.col("__copies") >= 1)
         .select(
             id_col,
             source_col,
+            *carry,
             F.explode(
                 F.sequence(F.lit(1).cast("long"), F.col("__copies"))
             ).alias("copy"),
         )
         .select(
-            F.concat(
-                F.col(id_col).cast("string"),
-                F.lit("#"),
-                F.col("copy").cast("string"),
-            ).alias("__mix_id"),
+            _mix_key(id_col).alias("__mix_id"),
             id_col,
             source_col,
             "copy",
+            *carry,
         )
     )
     return epoch_shuffle(
@@ -618,9 +721,9 @@ def epoch_mix_shuffle(
         id_col="__mix_id",
         n_buckets=n_buckets,
         first_epoch=epoch,
-        carry_cols=[id_col, source_col, "copy"],
+        carry_cols=[id_col, source_col, "copy", *carry],
         max_bucket_rows=max_bucket_rows,
-    ).select("epoch", id_col, source_col, "copy", "pos")
+    ).select("epoch", id_col, source_col, "copy", "pos", *carry)
 
 
 def emit_sequences_nosplit(
@@ -703,6 +806,7 @@ def epoch_emit(
     n_shards: int = 8,
     eos_token: str = "</s>",
     n_buckets: int = 256,
+    max_shard_rows: "int | None" = 4_000_000,
 ) -> DataFrame:
     """The full dataloader composition: per-epoch deterministic global
     shuffle (:func:`epoch_shuffle`), then MATERIALIZED fixed-length
@@ -716,7 +820,14 @@ def epoch_emit(
     no corpus re-join) + emit's explode/regroup; all-integer
     positions, so the q_epoch_emit oracle replays every token
     placement bit-identically.
+
+    ``max_shard_rows``: the shard guard resolves against the INPUT
+    corpus (one cheap scan) rather than the shuffled relation, so the
+    rank pipeline is never executed twice just to count it — the
+    shuffle is a 1:1 map of the corpus rows.
     """
+    n_shards = _resolve_shards(df, n_shards, max_shard_rows,
+                               "epoch_emit")
     d = epoch_shuffle(
         df.select(F.col(id_col), F.col(text_col)), epochs=1,
         id_col=id_col, n_buckets=n_buckets, first_epoch=epoch,
@@ -730,6 +841,7 @@ def epoch_emit(
         n_shards=n_shards,
         eos_token=eos_token,
         order_cols=[F.col("pos")],
+        max_shard_rows=None,
     )
 
 
@@ -742,6 +854,7 @@ def epoch_pack(
     n_shards: int = 8,
     eos_tokens: int = 1,
     n_buckets: int = 256,
+    max_shard_rows: "int | None" = 4_000_000,
 ) -> DataFrame:
     """Shuffle-then-pack for ONE training epoch — the pretraining
     dataloader composition (VERDICT r11 #5): every epoch gets its own
@@ -764,8 +877,12 @@ def epoch_pack(
     shuffles + sorts, and the plan pin asserts it is absent).
 
     Returns (id, pos, n_tokens, shard, pack_rank, seq_idx,
-    offset_in_seq).
+    offset_in_seq). ``max_shard_rows`` resolves against the INPUT
+    corpus (one cheap scan, same row count as the shuffled relation)
+    so the rank pipeline never runs twice just to count it.
     """
+    n_shards = _resolve_shards(df, n_shards, max_shard_rows,
+                               "epoch_pack")
     d = epoch_shuffle(
         df.select(F.col(id_col), F.col(text_col)), epochs=1,
         id_col=id_col, n_buckets=n_buckets, first_epoch=epoch,
@@ -780,4 +897,94 @@ def epoch_pack(
         eos_tokens=eos_tokens,
         order_cols=[F.col("pos")],
         keep_cols=["pos"],
+        max_shard_rows=None,
+    )
+
+
+def epoch_mix_emit(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 512,
+    n_shards: int = 8,
+    eos_token: str = "</s>",
+    default_weight: float = 1.0,
+    n_buckets: int = 256,
+    max_bucket_rows: "int | None" = 8_000_000,
+    max_shard_rows: "int | None" = 4_000_000,
+) -> DataFrame:
+    """The LAST seam of the pretraining dataloader (VERDICT r12 #6):
+    source-weighted mixing (:func:`epoch_mix_shuffle`) composed into
+    MATERIALIZED fixed-length token sequences
+    (:func:`emit_sequences`) — what the trainer reads for epoch N of
+    a weighted recipe. A weight-2.5 source's selected docs appear 3x
+    in the epoch's token stream, each copy at its own deterministic
+    position.
+
+    Composition discipline:
+
+    - the TEXT rides the mix explode and the rank's bucket exchange
+      (``carry_cols``) — the corpus is never re-joined against the
+      positions;
+    - the emit identity is the injective :func:`_mix_key` of
+      (id, copy), so each copy hash-scatters to its OWN shard and
+      holds its own slot in the shard's stream (``n_docs`` on the
+      output therefore counts mix INSTANCES, not distinct docs);
+    - all-integer copy counts and positions, so the q_epoch_mix_emit
+      oracle replays every token placement bit-identically;
+    - the shard guard sums the copy expression MAP-SIDE over the
+      corpus (one scan) instead of counting the mixed relation, so
+      the rank pipeline never executes just to size the shards.
+    """
+    copies = _mix_copies(weights, epoch, id_col, source_col,
+                         default_weight)
+    if max_shard_rows is not None:
+        if max_shard_rows <= 0:
+            raise ValueError(
+                f"max_shard_rows must be positive, got {max_shard_rows}"
+            )
+        import warnings
+
+        total = int(
+            df.agg(F.coalesce(F.sum(copies), F.lit(0)).alias("n"))
+            .collect()[0]["n"]
+        )
+        need = -(-total // max_shard_rows)
+        if need > n_shards:
+            warnings.warn(
+                f"epoch_mix_emit: {total} mixed rows over {n_shards} "
+                f"shards exceeds max_shard_rows={max_shard_rows} per "
+                f"shard task; raising n_shards to {need} (shard "
+                "assignment changes — pass max_shard_rows=None to pin "
+                "the shard count)",
+                UserWarning,
+                stacklevel=2,
+            )
+            n_shards = int(need)
+    mixed = epoch_mix_shuffle(
+        df.select(F.col(id_col), F.col(source_col), F.col(text_col)),
+        weights,
+        epoch=epoch,
+        id_col=id_col,
+        source_col=source_col,
+        default_weight=default_weight,
+        n_buckets=n_buckets,
+        max_bucket_rows=max_bucket_rows,
+        carry_cols=[text_col],
+    )
+    d = mixed.select(
+        _mix_key(id_col).alias("__mix_id"), F.col(text_col), F.col("pos")
+    )
+    return emit_sequences(
+        d,
+        id_col="__mix_id",
+        text_col=text_col,
+        budget=budget,
+        n_shards=n_shards,
+        eos_token=eos_token,
+        order_cols=[F.col("pos")],
+        max_shard_rows=None,
     )

@@ -212,7 +212,8 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import pack_sequences
 
     return pack_sequences(
-        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
     )
 
 
@@ -1046,6 +1047,7 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_PACK_BUDGET,
         n_shards=_PACK_SHARDS,
         order_cols=[F.desc("score_micro")],
+        max_shard_rows=None,
     )
     return packed.join(score, "doc_id").select(
         "doc_id", "n_tokens", "shard", "score_micro", "pack_rank",
@@ -1206,7 +1208,8 @@ def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import pack_sequences_nosplit
 
     return pack_sequences_nosplit(
-        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
     )
 
 
@@ -1260,7 +1263,7 @@ def q_pack_nosplit_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_sequences_nosplit(
         _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
-        order="length",
+        order="length", max_shard_rows=None,
     )
 
 
@@ -1315,7 +1318,7 @@ def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return epoch_pack(
         _docs(spark, sf_dir), epoch=1, budget=_PACK_BUDGET,
-        n_shards=_PACK_SHARDS,
+        n_shards=_PACK_SHARDS, max_shard_rows=None,
     )
 
 
@@ -1345,7 +1348,7 @@ def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard, CAST(gpos // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           list(tok ORDER BY gpos) AS tokens
+           array_to_string(list(tok ORDER BY gpos), ' ') AS tokens
     FROM tok GROUP BY 1, 2
     """,
     doc="MATERIALIZED training sequences — the pipeline's final step: "
@@ -1357,7 +1360,11 @@ def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational: the pack window's exclusive token offset, posexplode "
     "to per-token rows, position div budget, group-collect sorted "
     "in-row. The oracle replays it with generate_subscripts/unnest + "
-    "ordered list() — token arrays hash-match element-for-element. "
+    "ordered list() — token placement hash-matches "
+    "element-for-element; the gate row emits tokens SPACE-JOINED "
+    "(array_join both engines): the driver canonicalizer sorts with "
+    "pandas over all columns and raw lists are unhashable (VERDICT "
+    "r12 #1, the q_array_fns convention). "
     "Scale: the explode-to-token shuffle is the honest cost of "
     "re-chunking; rows are narrow and every reduce group is <= budget "
     "tokens, so no collect outgrows a row.",
@@ -1366,8 +1373,9 @@ def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import emit_sequences
 
     return emit_sequences(
-        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
-    )
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    ).withColumn("tokens", F.array_join("tokens", " "))
 
 
 @query(
@@ -1404,7 +1412,7 @@ def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard, CAST(gpos // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           list(tok ORDER BY gpos) AS tokens
+           array_to_string(list(tok ORDER BY gpos), ' ') AS tokens
     FROM tok GROUP BY 1, 2
     """,
     doc="the full dataloader composition, end to end: per-epoch "
@@ -1413,19 +1421,18 @@ def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the trainer reads for epoch N. Same hash shards every epoch, "
     "re-mixed stream order, exactly-budget token rows. The oracle "
     "replays the epoch rank AND every token placement "
-    "bit-identically. Scale: epoch_pack's carry-through rank (no "
-    "corpus re-join) + emit's narrow explode shuffle with "
-    "budget-bounded reduce groups. Queued for a graded slot in r13 "
-    "(the r12 window was sealed when this registered); "
-    "replica-covered every session meanwhile.",
+    "bit-identically; tokens emit space-joined (driver-canonicalizer "
+    "convention, VERDICT r12 #1). Scale: epoch_pack's carry-through "
+    "rank (no corpus re-join) + emit's narrow explode shuffle with "
+    "budget-bounded reduce groups.",
 )
 def q_epoch_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import epoch_emit
 
     return epoch_emit(
         _docs(spark, sf_dir), epoch=1, budget=_PACK_BUDGET,
-        n_shards=_PACK_SHARDS,
-    )
+        n_shards=_PACK_SHARDS, max_shard_rows=None,
+    ).withColumn("tokens", F.array_join("tokens", " "))
 
 
 @query(
@@ -1475,7 +1482,7 @@ def q_epoch_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            max(oversize) AS oversize,
-           list(tok ORDER BY pos) AS tokens
+           array_to_string(list(tok ORDER BY pos), ' ') AS tokens
     FROM placed GROUP BY 1, 2
     """,
     doc="materialized NO-SPLIT (SFT) training sequences: every bin "
@@ -1484,19 +1491,20 @@ def q_epoch_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mid-bin, so the row is directly usable with per-doc attention "
     "masks; an oversize doc's solo bin is flagged. The oracle replays "
     "the recursive-CTE walk, then places every token at "
-    "offset_in_seq + ordinal and collects bins ordered — token arrays "
-    "hash-match element-for-element. Scale: the walk is the gated "
-    "applyInPandas pass (shards bound memory), text returns via ONE "
-    "corpus equi-join, and every reduce group is bin-sized. Queued "
-    "for a graded slot in r13 (window sealed); replica-covered "
-    "meanwhile.",
+    "offset_in_seq + ordinal and collects bins ordered — token "
+    "placement hash-matches element-for-element; tokens emit "
+    "space-joined (driver-canonicalizer convention, VERDICT r12 #1). "
+    "Scale: the walk is the gated applyInPandas pass (shards bound "
+    "memory), text returns via ONE corpus equi-join, and every "
+    "reduce group is bin-sized.",
 )
 def q_pack_emit_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import emit_sequences_nosplit
 
     return emit_sequences_nosplit(
-        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
-    )
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    ).withColumn("tokens", F.array_join("tokens", " "))
 
 
 @query(
@@ -1556,8 +1564,7 @@ def q_pack_emit_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation; every sum is CAST back from DuckDB's HUGEINT. "
     "Scale: two map-side-combined groupBys over the assignment "
     "relation; the ppm stays integer because the double form loses "
-    "exactness once tokens x 1e6 passes 2^53. Queued for a graded "
-    "slot in r13 (window sealed); replica-covered meanwhile.",
+    "exactness once tokens x 1e6 passes 2^53.",
 )
 def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import (
@@ -1568,7 +1575,7 @@ def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats_nosplit(
         pack_sequences_nosplit(
             _docs(spark, sf_dir), budget=_PACK_BUDGET,
-            n_shards=_PACK_SHARDS,
+            n_shards=_PACK_SHARDS, max_shard_rows=None,
         ),
         budget=_PACK_BUDGET,
     )
@@ -1606,8 +1613,9 @@ _MIX_WEIGHTS = {
       FROM rep WHERE copies >= 1
     ), k AS (
       SELECT doc_id, source, copy,
-             CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)
-               AS mix_id
+             CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR) || '#'
+               || CAST(copy AS VARCHAR) AS mix_id
       FROM r
     )
     SELECT CAST(1 AS INTEGER) AS epoch, doc_id, source, copy,
@@ -1622,18 +1630,102 @@ _MIX_WEIGHTS = {
     "floor(w) copies plus one more when its per-(epoch, id) hash "
     "draw falls under frac(w) (weight 2.5 repeats half of src5 3x; "
     "0.4 downsamples src1; 0 drops src7; 3.0 repeats src9 exactly), "
-    "then every copy gets a unique global position keyed on "
-    "(id, copy). All-integer micro-weight arithmetic, so the oracle "
+    "then every copy gets a unique global position keyed on the "
+    "INJECTIVE length-prefixed (id, copy) encoding — unambiguous "
+    "even for string ids containing the delimiter (ADVICE r12 #3; "
+    "the oracle replays the same prefix). All-integer micro-weight "
+    "arithmetic, so the oracle "
     "replays every copy count AND every position bit-identically. "
     "Scale: the weight table bakes as a CASE literal, replication is "
     "a map-side explode, and the rank is epoch_shuffle's two-phase "
-    "bucket form — no global sort, buckets auto-sized. Queued for a "
-    "graded slot in r13 (window sealed); replica-covered meanwhile.",
+    "bucket form — no global sort, buckets auto-sized.",
 )
 def q_epoch_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import epoch_mix_shuffle
 
     return epoch_mix_shuffle(_docs(spark, sf_dir), _MIX_WEIGHTS, epoch=1)
+
+
+@query(
+    "q_epoch_mix_emit",
+    f"""
+    WITH wmap(source, wm) AS (
+      VALUES ('src1', 400000), ('src3', 1500000), ('src5', 2500000),
+             ('src7', 0), ('src9', 3000000)
+    ), c AS (
+      SELECT d.doc_id, d.text, COALESCE(w.wm, 1000000) AS wm,
+             {sql_h60("'mix:1:' || CAST(d.doc_id AS VARCHAR)")}
+               % 1000000 AS pick
+      FROM documents d LEFT JOIN wmap w ON w.source = d.source
+    ), rep AS (
+      SELECT doc_id, text,
+             wm // 1000000
+               + CASE WHEN pick < wm % 1000000 THEN 1 ELSE 0 END
+               AS copies
+      FROM c
+    ), r AS (
+      SELECT doc_id, text,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+      FROM rep WHERE copies >= 1
+    ), k AS (
+      SELECT text,
+             CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR) || '#'
+               || CAST(copy AS VARCHAR) AS mix_id
+      FROM r
+    ), p AS (
+      SELECT mix_id, text,
+             CAST(row_number() OVER (
+               ORDER BY {sql_h60("'epoch:1:' || mix_id")}, mix_id
+             ) AS BIGINT) AS pos
+      FROM k
+    ), d2 AS (
+      SELECT mix_id, pos,
+             list_append(string_split(text, ' '), '</s>') AS toks,
+             {sql_h60("'shard:' || mix_id")} % {_PACK_SHARDS} AS shard
+      FROM p
+    ), w2 AS (
+      SELECT mix_id, toks, shard,
+             coalesce(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY pos, mix_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM d2
+    ), tok AS (
+      SELECT mix_id, shard,
+             off + generate_subscripts(toks, 1) - 1 AS gpos,
+             unnest(toks) AS tok
+      FROM w2
+    )
+    SELECT shard, CAST(gpos // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT mix_id) AS BIGINT) AS n_docs,
+           array_to_string(list(tok ORDER BY gpos), ' ') AS tokens
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="the LAST seam of the pretraining dataloader (VERDICT r12 "
+    "#6): source-weighted mixing composed into MATERIALIZED "
+    "fixed-length token sequences — what the trainer reads for epoch "
+    "1 of a weighted recipe. A weight-2.5 source's selected docs "
+    "appear 3x in the token stream, each copy at its own "
+    "deterministic position; the emit identity is the injective "
+    "length-prefixed (id, copy) key, so copies hash-scatter to their "
+    "own shards and n_docs counts mix INSTANCES. The oracle replays "
+    "copy counts, positions, shard hashes and every token placement "
+    "bit-identically; tokens emit space-joined (driver-canonicalizer "
+    "convention, VERDICT r12 #1). Scale: text rides the mix explode "
+    "and the rank's bucket exchange (no corpus re-join); the shard "
+    "guard sums the copy expression map-side instead of counting the "
+    "mixed relation.",
+)
+def q_epoch_mix_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import epoch_mix_emit
+
+    return epoch_mix_emit(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, epoch=1,
+        budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    ).withColumn("tokens", F.array_join("tokens", " "))
 
 
 _fill_maxmatch_oracle()
