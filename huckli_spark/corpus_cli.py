@@ -127,10 +127,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="materialize the packed sequences themselves (one row "
         "per (shard, seq) with the token array) instead of the "
         "per-doc assignment relation; composes with --epoch (emit in "
-        "that epoch's shuffle order) or --no-split (emit whole-doc "
-        "SFT bins, walk order from --pack-order); incompatible with "
-        "--curriculum",
+        "that epoch's shuffle order), --no-split (emit whole-doc "
+        "SFT bins, walk order from --pack-order), or --weights "
+        "(source-weighted mix in the epoch's order); incompatible "
+        "with --curriculum",
     )
+    s.add_argument(
+        "--weights", default=None,
+        help="source-weighted mixing for --emit, 'src=2.5,other=0.5' "
+        "(the 'epochs per source' recipe knob): floor(w) copies per "
+        "doc plus one more for the frac(w) hash-selected share; "
+        "unlisted sources weigh --default-weight; weight 0 drops the "
+        "source; combine with --epoch to pick the epoch (default 0)",
+    )
+    s.add_argument("--default-weight", type=float, default=1.0)
 
     s = sub.add_parser(
         "release-verify",
@@ -276,6 +286,41 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of the O(cluster^2) pair relation)",
     )
     return p
+
+
+def _parse_weights(spec: str, default_weight: float) -> dict:
+    """Parse a '--weights src=2.5,other=0.5' spec. Every weight (and
+    the default) must be a FINITE non-negative float: NaN slips past
+    a `w < 0` check (comparisons with NaN are False) and then dies as
+    an uncaught int-conversion error deep in the micro-weight
+    arithmetic; inf overflows the same way (ADVICE r12 #4) — both get
+    a clean CLI error here instead."""
+    import math
+
+    try:
+        wmap = {
+            k.strip(): float(v)
+            for k, v in (pair.split("=", 1) for pair in spec.split(","))
+        }
+    except ValueError as exc:
+        raise SystemExit(
+            f"--weights must be 'src=w,src2=w2', got {spec!r}: {exc}"
+        )
+    bad = sorted(
+        k for k, w in wmap.items()
+        if not math.isfinite(w) or w < 0
+    )
+    if bad:
+        raise SystemExit(
+            f"--weights values must be finite and >= 0; offending "
+            f"sources: {bad} in {spec!r}"
+        )
+    if not math.isfinite(default_weight) or default_weight < 0:
+        raise SystemExit(
+            f"--default-weight must be finite and >= 0, got "
+            f"{default_weight}"
+        )
+    return wmap
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -427,19 +472,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         if args.weights is not None:
-            try:
-                wmap = {
-                    k.strip(): float(v)
-                    for k, v in (
-                        pair.split("=", 1)
-                        for pair in args.weights.split(",")
-                    )
-                }
-            except ValueError as exc:
-                raise SystemExit(
-                    f"--weights must be 'src=w,src2=w2', got "
-                    f"{args.weights!r}: {exc}"
-                )
+            wmap = _parse_weights(args.weights, args.default_weight)
             per_epoch = [
                 epoch_mix_shuffle(
                     docs, wmap, epoch=e, n_buckets=args.buckets,
@@ -504,14 +537,42 @@ def main(argv: list[str] | None = None) -> int:
                 "--emit --no-split does not compose with --epoch "
                 "(the no-split walk order is --pack-order)"
             )
+        if args.weights is not None and not args.emit:
+            raise SystemExit(
+                "pack --weights requires --emit (the mixed stream "
+                "only exists as materialized sequences; use "
+                "'shuffle --weights' for the assignment relation)"
+            )
+        if args.weights is not None and args.no_split:
+            raise SystemExit("--weights does not compose with --no-split")
         if args.emit:
             from huckli_spark.operators.packing import (
                 emit_sequences,
                 emit_sequences_nosplit,
                 epoch_emit,
+                epoch_mix_emit,
             )
 
-            if args.no_split:
+            if args.weights is not None:
+                if "source" not in docs.columns:
+                    raise SystemExit(
+                        "pack --emit --weights needs a 'source' "
+                        "column on the corpus"
+                    )
+                wmap = _parse_weights(args.weights, args.default_weight)
+                emitted = epoch_mix_emit(
+                    docs.select("doc_id", "source", "text"),
+                    wmap,
+                    epoch=args.epoch if args.epoch is not None else 0,
+                    budget=args.budget, n_shards=args.shards,
+                    default_weight=args.default_weight,
+                    n_buckets=args.buckets,
+                )
+                summary["weights"] = wmap
+                summary["epoch"] = (
+                    args.epoch if args.epoch is not None else 0
+                )
+            elif args.no_split:
                 emitted = emit_sequences_nosplit(
                     docs.select("doc_id", "text"), budget=args.budget,
                     n_shards=args.shards, order=args.pack_order,

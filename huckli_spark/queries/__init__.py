@@ -65,65 +65,69 @@ _GATE_PRIORITY: list[str] = [
     "q_ts_heuristic",
     "q_demux_counts",
     "q_explode",
-    # --- round-12 rotation (ledger: COVERAGE.md "Gate rotation
-    # ledger"). (a) the 5 never-graded r11 registrations (the
-    # documented r12 queue):
-    "q_stream_maxsim_serve",
-    "q_epoch_shuffle",
-    "q_release_diff",
-    "q_pack_nosplit",
-    "q_pack_nosplit_ffd",
-    # (b) registered this round, graded this round: the epoch
-    # shuffle-then-pack composition, the sink-composed streaming
-    # MaxSim top-k, and the materialized-sequence emission:
-    "q_epoch_pack",
-    "q_stream_maxsim_topk",
+    # --- round-13 rotation (ledger: COVERAGE.md "Gate rotation
+    # ledger"). (a) the documented r13 queue: the 5 late round-12
+    # registrations that have never held a graded slot — the three
+    # emit rows made gate-compatible this round (tokens space-joined
+    # both engines, VERDICT r12 #1), the weighted mix, and the fill
+    # report:
     "q_pack_emit",
-    # (c) changed this round, re-graded this round: the serving
-    # default now applies the PLAID candidate budget with
-    # centroid-evidence ranking (oracle replays the cut):
-    "q_ann_maxsim_serve",
+    "q_epoch_emit",
+    "q_pack_emit_nosplit",
+    "q_epoch_mix_shuffle",
+    "q_pack_fill_report",
+    # (b) registered this round, graded this round: weighted mixing
+    # composed into materialized sequences (VERDICT r12 #6):
+    "q_epoch_mix_emit",
+    # (c) changed this round, re-graded this round: the top-k sink
+    # now enforces the single-batch invariant and overwrites
+    # (retry-idempotent, ADVICE r12 #1):
+    "q_stream_maxsim_topk",
     # (d) freshness backlog, strictly oldest-first — every row whose
-    # last driver-green round is r2:
-    "q_except_all",
-    "q_exists_subquery",
-    "q_in_subquery",
-    "q_intersect",
-    "q_intersect_all",
-    "q_percentile",
-    "q_scalar_subquery",
-    "q_stats_corr",
-    # ... then every row last driver-green in r3:
-    "q_array_fns",
-    "q_corpus_prep",
-    "q_date_fns",
-    "q_dedup_incremental",
-    "q_dedup_keeplist",
-    "q_embed_centroids",
-    "q_embed_normalize",
-    "q_fingerprint_winnow",
-    "q_hash_sample",
-    "q_latest_per_key",
-    "q_length_histogram",
-    "q_map_fns",
-    "q_minhash_estimate",
-    "q_multi_join_topk",
-    "q_ngram_jaccard_guarded",
-    "q_null_semantics",
-    "q_region_revenue",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_fns",
-    "q_text_normalize",
-    "q_token_count",
-    "q_token_count_regex",
-    "q_two_phase_distinct",
-    "q_udtf_chunks",
-    "q_window_frame",
-    # ... and the first two r4 rows (the rest of r4 — starting with
-    # q_grouping_sets — heads the r13 queue):
-    "q_ann_lsh",
-    "q_cube",
+    # last driver-green round is r4:
+    "q_grouping_sets",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_fingerprint",
+    "q_quality_score",
+    "q_dup_clusters",
+    "q_dedup_embed_cosine",
+    "q_embed_norms",
+    "q_minhash_recall",
+    "q_funnel",
+    # ... then every row last driver-green in r5 (q_sequence_pack is
+    # also a re-grade: it pins max_shard_rows=None and uses exact
+    # integer div for seq_idx this round):
+    "q_unpivot",
+    "q_window_misc",
+    "q_bitwise",
+    "q_kmv_distinct",
+    "q_lang_profile",
+    "q_ann_ivf",
+    "q_embed_quantize",
+    "q_ann_recall",
+    "q_incremental_rollup",
+    "q_retention",
+    "q_stream_time_bucket",
+    "q_stream_interval_join",
+    "q_stream_join_window",
+    "q_stream_left_join",
+    "q_multimodal_features",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_cdc_chunks",
+    "q_mixture_sample",
+    "q_shard_assign",
+    "q_sequence_pack",
+    # ... and the first seven r6 rows (the rest of r6 — starting
+    # with q_stream_countmin — heads the r14 queue):
+    "q_pq_encode",
+    "q_pq_adc",
+    "q_pq_recall",
+    "q_ann_ivf_trained",
+    "q_full_outer_join",
+    "q_hopping_window",
+    "q_stream_static_join",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

@@ -1322,8 +1322,10 @@ def _stream_maxsim_stage_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     "picked up after the micro lift, which commutes with max). A "
     "query's tokens all arrive in the SAME request micro-batch — a "
     "query never spans batches — so the per-batch regroup is exact "
-    "per query with ZERO streaming state; each drained batch appends "
-    "its verdicts to the sink relation. The oracle replays stage one "
+    "per query with ZERO streaming state; the sink ENFORCES the "
+    "invariant (a second batch raises instead of appending "
+    "conflicting ranks) and overwrites, so a batch retry is "
+    "idempotent (ADVICE r12 #1). The oracle replays stage one "
     "AND the regroup relationally; the stream/batch agreement pin "
     "(tests/test_streaming.py) gates the drained result against the "
     "batch plan on the same feed. Scale: regroup input per batch is "
@@ -1346,9 +1348,23 @@ def q_stream_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        maxsim_regroup_scored(batch_df, k=5).write.mode("append").parquet(
-            out_dir
-        )
+        # The per-batch regroup is exact ONLY because the staged feed
+        # arrives as ONE availableNow micro-batch (a query's tokens
+        # must never span batches). Enforce the invariant instead of
+        # assuming it (ADVICE r12 #1): a second batch fails loudly
+        # rather than appending conflicting (query, rank) rows, and
+        # the overwrite makes a batch-0 retry idempotent where the
+        # old append was not.
+        if batch_id != 0:
+            raise ValueError(
+                "q_stream_maxsim_topk requires the whole feed in one "
+                f"micro-batch; got batch_id={batch_id} — drain the raw "
+                "scored stream and run maxsim_regroup_scored once over "
+                "the drained relation instead"
+            )
+        maxsim_regroup_scored(batch_df, k=5).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
 
     q = (
         scored.writeStream.foreachBatch(sink)

@@ -832,3 +832,56 @@ class TestMixShuffle:
         with _pytest.raises(SystemExit, match="--weights"):
             main(["shuffle", "--in", jsonl_corpus, "--format", "jsonl",
                   "--out", str(tmp_path / "x"), "--weights", "nonsense"])
+
+
+class TestPackEmitWeights:
+    def test_pack_emit_weights_journey(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "mix_emit_in")
+        spark.createDataFrame(
+            [(i, f"doc number {i} words", "webA" if i % 2 else "books")
+             for i in range(12)],
+            "doc_id long, text string, source string",
+        ).write.parquet(inp)
+        out = str(tmp_path / "mix_emitted")
+        s = _run(capsys, ["pack", "--in", inp, "--out", out,
+                          "--budget", "12", "--shards", "2",
+                          "--emit", "--weights", "webA=2.0",
+                          "--epoch", "1"])
+        assert s["emitted"] is True
+        assert s["weights"] == {"webA": 2.0} and s["epoch"] == 1
+        rows = spark.read.parquet(out).collect()
+        # integer weights: every webA doc's tokens appear twice,
+        # books once (5 tokens per doc incl. EOS)
+        got = {}
+        for r in rows:
+            assert r.n_tokens == len(r.tokens)
+            for t in r.tokens:
+                got[t] = got.get(t, 0) + 1
+        for i in range(12):
+            assert got[str(i)] == (2 if i % 2 else 1), (i, got.get(str(i)))
+
+    def test_weights_require_emit_and_exclude_no_split(
+        self, tmp_path, jsonl_corpus
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="requires --emit"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--weights", "a=1"])
+        with _pytest.raises(SystemExit, match="no-split"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--emit", "--no-split",
+                  "--weights", "a=1"])
+
+    def test_nonfinite_weights_are_loud(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        for spec in ("src=nan", "src=inf", "src=-1"):
+            with _pytest.raises(SystemExit, match="finite"):
+                main(["shuffle", "--in", jsonl_corpus, "--format",
+                      "jsonl", "--out", str(tmp_path / "x"),
+                      "--weights", spec])
+        with _pytest.raises(SystemExit, match="default-weight"):
+            main(["shuffle", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--weights", "src=1",
+                  "--default-weight", "inf"])

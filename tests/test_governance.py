@@ -1124,3 +1124,228 @@ class TestNoSplitDecreasing:
         df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="order"):
             pack_sequences_nosplit(df, order="random")
+
+
+class TestSplitPackerShardGuard:
+    """VERDICT r12 #3: the split packer's per-shard offset window (and
+    emit's) sorts a whole shard in ONE task, so the same
+    max_shard_rows auto-raise its no-split sibling got must guard it
+    too."""
+
+    def _df(self, spark, n=100):
+        return spark.createDataFrame(
+            [(i, "a b c") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_pack_sequences_auto_raises_with_warning(self, spark):
+        import warnings as _warnings
+
+        from huckli_spark.operators.packing import pack_sequences
+
+        df = self._df(spark)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            rows = pack_sequences(
+                df, budget=10, n_shards=2, max_shard_rows=10
+            ).collect()
+        assert any("raising n_shards" in str(w.message) for w in caught)
+        shards = {r.shard for r in rows}
+        assert len(shards) == 10  # ceil(100 / 10)
+        # and None pins the requested count exactly (the oracles do)
+        pinned = pack_sequences(
+            df, budget=10, n_shards=2, max_shard_rows=None
+        ).collect()
+        assert {r.shard for r in pinned} == {0, 1}
+
+    def test_emit_sequences_auto_raises_with_warning(self, spark):
+        import warnings as _warnings
+
+        from huckli_spark.operators.packing import emit_sequences
+
+        df = self._df(spark)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            rows = emit_sequences(
+                df, budget=10, n_shards=2, max_shard_rows=25
+            ).collect()
+        assert any("raising n_shards" in str(w.message) for w in caught)
+        assert {r.shard for r in rows} == set(range(4))
+        # conservation survives the re-shard: 4 tokens per doc
+        assert sum(r.n_tokens for r in rows) == 400
+
+    def test_epoch_variants_resolve_on_input_and_pin_downstream(
+        self, spark
+    ):
+        # epoch_pack/epoch_emit resolve the guard against the INPUT
+        # corpus; output token mass must be unchanged by the raise
+        import warnings as _warnings
+
+        from huckli_spark.operators.packing import epoch_emit, epoch_pack
+
+        df = self._df(spark, 40)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            packed = epoch_pack(
+                df, epoch=1, budget=10, n_shards=2, max_shard_rows=10
+            ).collect()
+            emitted = epoch_emit(
+                df, epoch=1, budget=10, n_shards=2, max_shard_rows=10
+            ).collect()
+        msgs = [str(w.message) for w in caught]
+        assert sum("epoch_pack" in m for m in msgs) == 1
+        assert sum("epoch_emit" in m for m in msgs) == 1
+        assert len({r.shard for r in packed}) == 4  # ceil(40/10)
+        assert sum(r.n_tokens for r in packed) == 160
+        assert sum(r.n_tokens for r in emitted) == 160
+
+    def test_guard_rejects_nonpositive_bound(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import pack_sequences
+
+        with _pytest.raises(ValueError, match="max_shard_rows"):
+            pack_sequences(self._df(spark, 5), max_shard_rows=0)
+
+
+class TestEpochMixEmit:
+    """epoch_mix_emit: source-weighted mixing composed into
+    materialized sequences — the last dataloader seam (VERDICT r12
+    #6)."""
+
+    def _df(self, spark, n=60):
+        return spark.createDataFrame(
+            [(i, " ".join(f"d{i}w{j}" for j in range(i % 5 + 1)),
+              ["webA", "books", "code"][i % 3])
+             for i in range(n)],
+            "doc_id long, text string, source string",
+        )
+
+    def test_conserves_weighted_token_mass(self, spark):
+        from huckli_spark.operators.packing import (
+            epoch_mix_emit,
+            epoch_mix_shuffle,
+        )
+
+        df = self._df(spark)
+        weights = {"webA": 2.0, "books": 0.5, "code": 0.0}
+        copies = {}
+        for r in epoch_mix_shuffle(df, weights, epoch=1).collect():
+            copies[r.doc_id] = copies.get(r.doc_id, 0) + 1
+        toks = {r.doc_id: r.text.split(" ") + ["</s>"]
+                for r in df.collect()}
+        want = sorted(
+            t for d, c in copies.items() for _ in range(c)
+            for t in toks[d]
+        )
+        rows = epoch_mix_emit(
+            df, weights, epoch=1, budget=16, n_shards=2
+        ).collect()
+        got = sorted(t for r in rows for t in r.tokens)
+        assert got == want
+        # geometry: every sequence except a shard's last is full
+        by_shard = {}
+        for r in rows:
+            assert r.n_tokens == len(r.tokens)
+            by_shard.setdefault(r.shard, []).append(r)
+        for srows in by_shard.values():
+            srows.sort(key=lambda r: r.seq_idx)
+            assert [r.seq_idx for r in srows] == list(range(len(srows)))
+            assert all(r.n_tokens == 16 for r in srows[:-1])
+
+    def test_shard_stream_follows_mixed_positions(self, spark):
+        # within every shard, the emitted token stream must be exactly
+        # the copies' tokens concatenated in mixed-position order,
+        # sharded by the injective (id, copy) key
+        import hashlib
+
+        from huckli_spark.operators.packing import (
+            epoch_mix_emit,
+            epoch_mix_shuffle,
+        )
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        df = self._df(spark, 40)
+        weights = {"webA": 2.0, "books": 1.0, "code": 1.5}
+        mixed = epoch_mix_shuffle(df, weights, epoch=1).collect()
+        texts = {r.doc_id: r.text for r in df.collect()}
+        stream = {}
+        for r in sorted(mixed, key=lambda r: r.pos):
+            key = f"{len(str(r.doc_id))}:{r.doc_id}#{r.copy}"
+            shard = h60(f"shard:{key}") % 2
+            stream.setdefault(shard, []).extend(
+                texts[r.doc_id].split(" ") + ["</s>"]
+            )
+        rows = epoch_mix_emit(
+            df, weights, epoch=1, budget=16, n_shards=2
+        ).collect()
+        got = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.seq_idx)):
+            got.setdefault(r.shard, []).extend(r.tokens)
+        assert got == stream
+
+    def test_mix_key_is_injective_for_hashy_string_ids(self, spark):
+        # ADVICE r12 #3: string ids containing '#' must not collide;
+        # the length-prefixed key keeps every (id, copy) distinct and
+        # the order deterministic
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        df = spark.createDataFrame(
+            [("a", "x", "s"), ("a#1", "y", "s"), ("a#1#2", "z", "s")],
+            "doc_id string, text string, source string",
+        )
+        a = epoch_mix_shuffle(df, {"s": 3.0}, epoch=0).collect()
+        b = epoch_mix_shuffle(df, {"s": 3.0}, epoch=0).collect()
+        assert len(a) == 9
+        assert len({(r.doc_id, r.copy) for r in a}) == 9
+        assert sorted(r.pos for r in a) == list(range(1, 10))
+        assert {(r.doc_id, r.copy, r.pos) for r in a} == {
+            (r.doc_id, r.copy, r.pos) for r in b
+        }
+
+    def test_mix_carry_cols_thread_through(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        df = self._df(spark, 20)
+        rows = epoch_mix_shuffle(
+            df, {"webA": 2.0}, epoch=0, carry_cols=["text"]
+        ).collect()
+        want = {r.doc_id: r.text for r in df.collect()}
+        assert rows and all(r.text == want[r.doc_id] for r in rows)
+        for bad in (["doc_id"], ["copy"], ["missing"]):
+            with _pytest.raises(ValueError, match="carry_cols"):
+                epoch_mix_shuffle(df, {}, carry_cols=bad)
+
+    def test_rejects_nonfinite_weights(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        df = self._df(spark, 5)
+        for w in (float("nan"), float("inf")):
+            with _pytest.raises(ValueError, match="finite"):
+                epoch_mix_shuffle(df, {"webA": w})
+        with _pytest.raises(ValueError, match="finite"):
+            epoch_mix_shuffle(df, {}, default_weight=float("nan"))
+
+    def test_mix_emit_guard_counts_mapside(self, spark):
+        # the guard's total is the SUM of copies (mixed rows), not the
+        # corpus row count
+        import warnings as _warnings
+
+        from huckli_spark.operators.packing import epoch_mix_emit
+
+        df = self._df(spark, 30)  # 10 webA docs x3 + 10 books + 10 code
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            rows = epoch_mix_emit(
+                df, {"webA": 3.0}, epoch=0, budget=16, n_shards=2,
+                max_shard_rows=10,
+            ).collect()
+        msg = [str(w.message) for w in caught if "epoch_mix_emit" in
+               str(w.message)]
+        assert msg and "50 mixed rows" in msg[0]
+        assert rows

@@ -165,3 +165,55 @@ def test_every_oracle_arrow_fetch_has_no_decimal_columns():
         "DuckDB HUGEINT/decimal promotion in oracle output — add "
         "CAST(... AS BIGINT) in the oracle SQL:\n" + "\n".join(offenders)
     )
+
+
+def test_every_oracle_survives_driver_canonicalization():
+    """Registry-wide driver-canonicalization sweep (VERDICT r12 #1).
+
+    The driver's gate canonicalizes each result by fetching it into
+    pandas (Arrow path) and running ``sort_values`` over ALL columns
+    before hashing. A column whose cells are unhashable — a raw
+    ``array<string>``, a map, a struct-as-dict — dies inside pandas
+    with ``TypeError: unhashable type``, ERRing the gate row even
+    when the values hash-match under every other recipe. q_pack_emit
+    shipped exactly this in round 12 (and its two emit siblings were
+    queued to repeat it). This sweep applies the DRIVER's
+    canonicalization step to EVERY registered oracle's Arrow fetch on
+    the sf0.001 views, so a non-sortable output type can never
+    register again; the session replica (tools/check_correctness.py)
+    applies the same step to the Spark side of every query, and its
+    kind check pins the two sides to the same column kinds.
+    """
+    import os
+
+    import duckdb
+
+    from huckli_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        pdf = con.execute(spec.oracle).arrow().to_pandas()
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        try:
+            if len(pdf.columns):
+                pdf.sort_values(by=list(pdf.columns))
+        except Exception as e:  # noqa: BLE001 — any raise is the defect
+            offenders.append(f"{name}: {type(e).__name__}: {e}")
+    assert not offenders, (
+        "driver canonicalization (pandas sort_values over all columns) "
+        "fails on these oracle outputs — string-join arrays / flatten "
+        "maps and structs (the q_array_fns convention):\n"
+        + "\n".join(offenders)
+    )

@@ -58,6 +58,35 @@ def norm_cell(v):
     return str(v)
 
 
+def driver_canon_error(cols, rows):
+    """Replicate the DRIVER gate's canonicalization step (VERDICT r12
+    #1/#4): the driver fetches each result into pandas via Arrow and
+    runs ``sort_values`` over ALL columns before hashing — a column
+    whose cells are unhashable (list/map/dict fetch) dies there with
+    ``TypeError: unhashable type`` even when the values hash-match
+    under this replica's own recipe (round 12's q_pack_emit ERR
+    shipped through a "strict PASS" replica exactly this way). Rows
+    go through an Arrow table first so nullable ints land as float64
+    NaN columns, matching the driver's Arrow-fetched frame. Returns
+    the canonicalization error string, or None when the driver's sort
+    would succeed."""
+    import pandas as pd
+    import pyarrow as pa
+
+    try:
+        data = list(rows)
+        tbl = pa.table(
+            {c: [r[i] for r in data] for i, c in enumerate(cols)}
+        ) if cols else pa.table({})
+        pdf = tbl.to_pandas()
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        if len(pdf.columns):
+            pdf.sort_values(by=list(pdf.columns))
+        return None
+    except Exception as e:  # noqa: BLE001 — any raise is the defect
+        return f"{type(e).__name__}: {e}"
+
+
 def hash_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -175,6 +204,15 @@ def main():
                     continue
                 if sk != ok:
                     problems.append(f"kind[{c}] spark={sk} oracle={ok}")
+        # driver-canonicalization fidelity (VERDICT r12 #4): the gate's
+        # pandas sort must succeed on BOTH sides or the row ERRs there
+        # regardless of value equality
+        err = driver_canon_error(scols, [tuple(r) for r in srows])
+        if err:
+            problems.append(f"driver-canon spark: {err}")
+        err = driver_canon_error(ocols, orows)
+        if err:
+            problems.append(f"driver-canon oracle: {err}")
         if not problems:
             sh, oh = hash_rows(scols, srows), hash_rows(ocols, orows)
             if sh != oh:
