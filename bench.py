@@ -300,6 +300,14 @@ def main() -> None:
         "q_pack_emit",
         "q_epoch_emit",
         "q_stream_maxsim_topk",
+        # round-13 additions: whole-doc SFT emission, the two fill /
+        # fragmentation reports, source-weighted mixing and its
+        # materialized composition
+        "q_pack_emit_nosplit",
+        "q_pack_fill_report",
+        "q_pack_frag_report",
+        "q_epoch_mix_shuffle",
+        "q_epoch_mix_emit",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

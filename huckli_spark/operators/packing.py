@@ -181,6 +181,47 @@ def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
     )
 
 
+def pack_frag_report(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-shard FRAGMENTATION report for split (concat-and-chunk)
+    packing — the metric the pretraining packer trades against the
+    SFT packer's padding (no-split pads, split fragments): a doc
+    whose offset + n_tokens crosses the budget boundary straddles a
+    sequence break, cutting its attention span. From
+    :func:`pack_sequences` output: docs, sequences, token mass,
+    straddling docs (a doc longer than the budget straddles several
+    breaks but counts once), the shard's emitted-sequence count
+    (ceil(tokens / budget) — NOT max starting seq, which undercounts
+    when the last doc spills past its own boundary), the tail fill
+    (every sequence except the last is exactly full, so tail =
+    tokens - budget x (n_seqs - 1)), and the straddle rate in exact
+    integer ppm (same 2^53 discipline as the no-split fill report).
+    One map-side combined aggregation over the assignment relation;
+    all-integer, so a DuckDB oracle replays it bit-identically
+    (q_pack_frag_report)."""
+    straddle = (
+        (F.col("offset_in_seq") + F.col("n_tokens")) > F.lit(budget)
+    ).cast("long")
+    n_seqs = F.expr(f"(sum(n_tokens) + {budget - 1}) div {budget}")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_seqs.alias("n_seqs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(straddle).alias("straddlers"),
+            (F.sum("n_tokens")
+             - F.lit(budget) * (n_seqs - F.lit(1)))
+            .alias("tail_tokens"),
+            F.expr(
+                f"(sum(cast(offset_in_seq + n_tokens > {budget} as "
+                "long)) * 1000000) div count(*)"
+            ).alias("frag_ppm"),
+        )
+        .select("shard", "n_docs", "n_seqs", "tokens", "straddlers",
+                "tail_tokens", "frag_ppm")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     epochs: int = 2,

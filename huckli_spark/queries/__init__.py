@@ -77,8 +77,11 @@ _GATE_PRIORITY: list[str] = [
     "q_epoch_mix_shuffle",
     "q_pack_fill_report",
     # (b) registered this round, graded this round: weighted mixing
-    # composed into materialized sequences (VERDICT r12 #6):
+    # composed into materialized sequences (VERDICT r12 #6) and the
+    # split-packer fragmentation report (the q_pack_fill_report twin
+    # across the packing trade-off):
     "q_epoch_mix_emit",
+    "q_pack_frag_report",
     # (c) changed this round, re-graded this round: the top-k sink
     # now enforces the single-batch invariant and overwrites
     # (retry-idempotent, ADVICE r12 #1):
@@ -119,15 +122,14 @@ _GATE_PRIORITY: list[str] = [
     "q_mixture_sample",
     "q_shard_assign",
     "q_sequence_pack",
-    # ... and the first seven r6 rows (the rest of r6 — starting
-    # with q_stream_countmin — heads the r14 queue):
+    # ... and the first six r6 rows (the rest of r6 — starting
+    # with q_stream_static_join — heads the r14 queue):
     "q_pq_encode",
     "q_pq_adc",
     "q_pq_recall",
     "q_ann_ivf_trained",
     "q_full_outer_join",
     "q_hopping_window",
-    "q_stream_static_join",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

@@ -1581,6 +1581,70 @@ def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_frag_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+                AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN off % {_PACK_BUDGET} + n_tokens
+                              > {_PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS straddlers,
+           CAST(sum(n_tokens)
+                - {_PACK_BUDGET}
+                  * ((sum(n_tokens) + {_PACK_BUDGET} - 1)
+                     // {_PACK_BUDGET} - 1)
+                AS BIGINT) AS tail_tokens,
+           CAST((sum(CASE WHEN off % {_PACK_BUDGET} + n_tokens
+                               > {_PACK_BUDGET}
+                          THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS frag_ppm
+    FROM w GROUP BY 1
+    """,
+    doc="per-shard FRAGMENTATION report for split (concat-and-chunk) "
+    "packing — the twin of q_pack_fill_report across the packing "
+    "trade-off (no-split pads, split fragments): docs whose tokens "
+    "straddle a budget boundary have their attention span cut, and "
+    "this rate (exact integer ppm) is what a pipeline tunes budget "
+    "and sharding against. n_seqs is the EMITTED count "
+    "ceil(tokens/budget) — not the max starting seq, which "
+    "undercounts a spilling last doc — and the tail fill follows: "
+    "every sequence except the last is exactly full, so tail = "
+    "tokens - budget x (n_seqs - 1). The oracle replays the offset "
+    "window and both aggregations bit-identically. Scale: one "
+    "map-side-combined groupBy over the assignment relation.",
+)
+def q_pack_frag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import (
+        pack_frag_report,
+        pack_sequences,
+    )
+
+    return pack_frag_report(
+        pack_sequences(
+            _docs(spark, sf_dir), budget=_PACK_BUDGET,
+            n_shards=_PACK_SHARDS, max_shard_rows=None,
+        ),
+        budget=_PACK_BUDGET,
+    )
+
+
 _MIX_WEIGHTS = {
     "src1": 0.4,   # downsample
     "src3": 1.5,   # 1x + half the docs twice

@@ -1349,3 +1349,59 @@ class TestEpochMixEmit:
                str(w.message)]
         assert msg and "50 mixed rows" in msg[0]
         assert rows
+
+
+class TestFragReport:
+    def test_matches_hand_accounting(self, spark):
+        from huckli_spark.operators.packing import (
+            pack_frag_report,
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(80)],
+            "doc_id long, text string",
+        )
+        packed = pack_sequences(df, budget=16, n_shards=4,
+                                max_shard_rows=None)
+        rows = packed.collect()
+        want = {}
+        for r in rows:
+            w = want.setdefault(
+                r.shard, {"n_docs": 0, "tokens": 0, "straddlers": 0}
+            )
+            w["n_docs"] += 1
+            w["tokens"] += r.n_tokens
+            if r.offset_in_seq + r.n_tokens > 16:
+                w["straddlers"] += 1
+        got = {r.shard: r.asDict()
+               for r in pack_frag_report(packed, budget=16).collect()}
+        assert set(got) == set(want)
+        for shard, w in want.items():
+            g = got[shard]
+            n_seqs = -(-w["tokens"] // 16)
+            assert g["n_docs"] == w["n_docs"]
+            assert g["tokens"] == w["tokens"]
+            assert g["straddlers"] == w["straddlers"]
+            assert g["n_seqs"] == n_seqs
+            assert g["tail_tokens"] == w["tokens"] - 16 * (n_seqs - 1)
+            assert 1 <= g["tail_tokens"] <= 16
+            assert g["frag_ppm"] == w["straddlers"] * 1_000_000 // w["n_docs"]
+
+    def test_n_seqs_counts_the_spill_of_the_last_doc(self, spark):
+        # one doc of 25 tokens at budget 10 STARTS in seq 0 but emits
+        # three sequences — n_seqs must be ceil(tokens/budget), not
+        # max(seq_idx) + 1
+        from huckli_spark.operators.packing import (
+            pack_frag_report,
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 24))], "doc_id long, text string"
+        )
+        packed = pack_sequences(df, budget=10, n_shards=1,
+                                max_shard_rows=None)
+        [r] = pack_frag_report(packed, budget=10).collect()
+        assert r.tokens == 25 and r.n_seqs == 3 and r.tail_tokens == 5
+        assert r.straddlers == 1 and r.frag_ppm == 1_000_000

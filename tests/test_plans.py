@@ -96,6 +96,14 @@ EXPECTATIONS = {
     # source-weighted mixing: replication is a map-side explode
     # (Generate) and the rank's offsets broadcast
     "q_epoch_mix_shuffle": [r"Generate", r"BroadcastHashJoin"],
+    # weighted mixing composed into materialized sequences: the mix
+    # explode + token posexplode (Generate), the rank's offsets
+    # broadcast, the pack offset window, and the budget-bounded
+    # group-collect; the text rides the bucket exchange, so no
+    # corpus-key SortMergeJoin may appear (asserted below)
+    "q_epoch_mix_emit": [
+        r"Generate", r"BroadcastHashJoin", r"Window", r"Aggregate",
+    ],
 }
 
 # queries whose scale contract is the ABSENCE of a cross product —
@@ -156,6 +164,16 @@ def test_incremental_dedup_broadcasts_the_batch_side(spark):
     # every join must broadcast the small side — a sort-merge join
     # here means the corpus shuffles to serve a tiny candidate set
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_epoch_mix_emit_no_corpus_rejoin(spark):
+    # the text must ride the mix explode and the rank's bucket
+    # exchange — a corpus-key SortMergeJoin (or any cross product)
+    # would mean the positions were re-joined against the corpus
+    plan = _plan(spark, "q_epoch_mix_emit")
+    _assert_no_cartesian(plan)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan  # fully relational emission
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
