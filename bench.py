@@ -308,6 +308,8 @@ def main() -> None:
         "q_pack_frag_report",
         "q_epoch_mix_shuffle",
         "q_epoch_mix_emit",
+        "q_length_batching",
+        "q_batch_pad_report",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

@@ -181,6 +181,108 @@ def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
     )
 
 
+def length_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eos_tokens: int = 1,
+    n_subbuckets: int = 16,
+) -> DataFrame:
+    """LENGTH-BUCKETED batch formation — the padding minimizer on the
+    BATCH axis (packing minimizes padding on the sequence axis; a
+    dynamic-batching dataloader pads every sequence in a batch to the
+    batch max, so batching similar lengths together is the classic
+    fairseq/sortish trick). Documents get a deterministic GLOBAL rank
+    ordered by (n_tokens, hash, id) and batch = (rank - 1) div
+    batch_size — so every batch holds ``batch_size`` near-equal-length
+    docs (the last batch may be short), and the hash tiebreak keeps
+    same-length docs mixed rather than id-ordered.
+
+    No global sort: the rank is two-phase, the epoch_shuffle
+    discipline, with RANGE-aligned composite buckets (n_tokens,
+    hash div 2^60/n_subbuckets) — bucket order equals the order key
+    because the sub-bucket ranges are contiguous in the hash
+    tiebreak, so per-bucket ranks offset into exact global ranks via
+    a tiny counts relation (distinct lengths x n_subbuckets; raise
+    ``n_subbuckets`` — power of two — when one (length, sub) cell
+    would outgrow a task). All-integer, so a DuckDB row_number oracle
+    replays every rank and batch bit-identically
+    (q_length_batching). Returns (id, n_tokens, rnk, batch_id).
+    """
+    if batch_size <= 0 or n_subbuckets <= 0:
+        raise ValueError(
+            f"batch_size and n_subbuckets must be positive (got "
+            f"{batch_size}, {n_subbuckets})"
+        )
+    if n_subbuckets & (n_subbuckets - 1):
+        raise ValueError(
+            f"n_subbuckets must be a power of two, got {n_subbuckets}"
+        )
+    key = F.concat(F.lit("batch:"), F.col(id_col).cast("string"))
+    sub_width = (1 << 60) // n_subbuckets
+    d = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens))
+        .alias("n_tokens"),
+        h60(key).alias("__bk"),
+    ).withColumn("__sub", F.expr(f"__bk div {sub_width}"))
+    counts = d.groupBy("n_tokens", "__sub").agg(
+        F.count("*").alias("__n")
+    )
+    # tiny relation (distinct lengths x n_subbuckets): the exclusive
+    # prefix over the global (length, sub) order
+    w_off = (
+        Window.orderBy("n_tokens", "__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "n_tokens",
+        "__sub",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rank = Window.partitionBy("n_tokens", "__sub").orderBy(
+        "__bk", id_col
+    )
+    return (
+        d.join(F.broadcast(offsets), ["n_tokens", "__sub"])
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__off") + F.row_number().over(w_rank)).alias("rnk"),
+        )
+        .withColumn(
+            "batch_id", F.expr(f"(rnk - 1) div {batch_size}")
+        )
+    )
+
+
+def batch_pad_report(batched: DataFrame) -> DataFrame:
+    """Per-batch PADDING report from :func:`length_batches` output —
+    the metric length-bucketing exists to optimize: a dynamic-batching
+    loader pads every sequence to the batch max, so pad = max_len x
+    n_seqs - tokens, and the pad rate in exact integer ppm (the same
+    2^53 discipline as the packing reports). One map-side combined
+    groupBy. Returns (batch_id, n_seqs, tokens, max_len, pad_tokens,
+    pad_ppm)."""
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max("n_tokens").alias("max_len"),
+            (F.max("n_tokens") * F.count("*") - F.sum("n_tokens"))
+            .alias("pad_tokens"),
+            F.expr(
+                "((max(n_tokens) * count(*) - sum(n_tokens)) * 1000000)"
+                " div (max(n_tokens) * count(*))"
+            ).alias("pad_ppm"),
+        )
+        .select("batch_id", "n_seqs", "tokens", "max_len",
+                "pad_tokens", "pad_ppm")
+    )
+
+
 def pack_frag_report(packed: DataFrame, budget: int = 512) -> DataFrame:
     """Per-shard FRAGMENTATION report for split (concat-and-chunk)
     packing — the metric the pretraining packer trades against the

@@ -79,9 +79,13 @@ _GATE_PRIORITY: list[str] = [
     # (b) registered this round, graded this round: weighted mixing
     # composed into materialized sequences (VERDICT r12 #6) and the
     # split-packer fragmentation report (the q_pack_fill_report twin
-    # across the packing trade-off):
+    # across the packing trade-off), length-bucketed batch formation
+    # (two-phase global length rank vs the oracle's naive
+    # row_number) and its per-batch padding report:
     "q_epoch_mix_emit",
     "q_pack_frag_report",
+    "q_length_batching",
+    "q_batch_pad_report",
     # (c) changed this round, re-graded this round: the top-k sink
     # now enforces the single-batch invariant and overwrites
     # (retry-idempotent, ADVICE r12 #1):
@@ -122,14 +126,12 @@ _GATE_PRIORITY: list[str] = [
     "q_mixture_sample",
     "q_shard_assign",
     "q_sequence_pack",
-    # ... and the first six r6 rows (the rest of r6 — starting
-    # with q_stream_static_join — heads the r14 queue):
+    # ... and the first four r6 rows (the rest of r6 — starting
+    # with q_full_outer_join — heads the r14 queue):
     "q_pq_encode",
     "q_pq_adc",
     "q_pq_recall",
     "q_ann_ivf_trained",
-    "q_full_outer_join",
-    "q_hopping_window",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

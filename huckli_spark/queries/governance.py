@@ -1645,6 +1645,91 @@ def q_pack_frag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_SIZE = 32
+
+
+@query(
+    "q_length_batching",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'batch:' || CAST(doc_id AS VARCHAR)")} AS bk
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, bk, doc_id)
+                  AS BIGINT) AS rnk
+      FROM d
+    )
+    SELECT doc_id, n_tokens, rnk,
+           CAST((rnk - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id
+    FROM r
+    """,
+    doc="LENGTH-BUCKETED batch formation — the padding minimizer on "
+    "the BATCH axis (packing handles the sequence axis): a "
+    "dynamic-batching dataloader pads every sequence in a batch to "
+    "the batch max, so batches hold near-equal-length docs via a "
+    "deterministic global rank ordered by (n_tokens, hash, id); the "
+    "hash tiebreak keeps same-length docs mixed. The Spark side "
+    "computes the rank TWO-PHASE (range-aligned (length, hash-sub) "
+    "buckets + tiny prefix relation — no global sort, the "
+    "epoch_shuffle discipline); the oracle replays it with a plain "
+    "row_number, so the gate proves the distributed rank equals the "
+    "naive one bit-identically.",
+)
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import length_batches
+
+    return length_batches(_docs(spark, sf_dir), batch_size=_BATCH_SIZE)
+
+
+@query(
+    "q_batch_pad_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'batch:' || CAST(doc_id AS VARCHAR)")} AS bk
+      FROM documents
+    ), r AS (
+      SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens, bk, doc_id) AS rnk
+      FROM d
+    ), b AS (
+      SELECT n_tokens, (rnk - 1) // {_BATCH_SIZE} AS batch_id FROM r
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+             AS pad_tokens,
+           CAST(((max(n_tokens) * count(*) - sum(n_tokens)) * 1000000)
+                // (max(n_tokens) * count(*)) AS BIGINT) AS pad_ppm
+    FROM b GROUP BY 1
+    """,
+    doc="per-batch PADDING report for length-bucketed batching — the "
+    "metric the bucketing exists to optimize: pad = max_len x n_seqs "
+    "- tokens per batch (every sequence pads to the batch max), rate "
+    "in exact integer ppm. With length-sorted batches this stays "
+    "near zero except where a batch spans a length step; the same "
+    "report over a hash-ordered batching would show the unsorted "
+    "baseline. The oracle replays rank, grouping and both exact "
+    "integer aggregates. Scale: one map-side-combined groupBy over "
+    "the assignment relation.",
+)
+def q_batch_pad_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import (
+        batch_pad_report,
+        length_batches,
+    )
+
+    return batch_pad_report(
+        length_batches(_docs(spark, sf_dir), batch_size=_BATCH_SIZE)
+    )
+
+
 _MIX_WEIGHTS = {
     "src1": 0.4,   # downsample
     "src3": 1.5,   # 1x + half the docs twice

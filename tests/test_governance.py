@@ -1405,3 +1405,81 @@ class TestFragReport:
         [r] = pack_frag_report(packed, budget=10).collect()
         assert r.tokens == 25 and r.n_seqs == 3 and r.tail_tokens == 5
         assert r.straddlers == 1 and r.frag_ppm == 1_000_000
+
+
+class TestLengthBatching:
+    """length_batches: two-phase global length rank == naive rank;
+    batch geometry and the padding report it exists to optimize."""
+
+    def _df(self, spark, n=100):
+        return spark.createDataFrame(
+            [(i, " ".join(["w"] * (i * 7 % 23 + 1))) for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def test_rank_matches_python_reference(self, spark):
+        import hashlib
+
+        from huckli_spark.operators.packing import length_batches
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        df = self._df(spark)
+        rows = length_batches(df, batch_size=8).collect()
+        want = sorted(
+            ((i * 7 % 23 + 2), h60(f"batch:{i}"), i) for i in range(100)
+        )
+        want_rank = {doc: r + 1 for r, (_, _, doc) in enumerate(want)}
+        got = {r.doc_id: (r.rnk, r.batch_id, r.n_tokens) for r in rows}
+        assert len(got) == 100
+        for doc, (rnk, bid, n) in got.items():
+            assert rnk == want_rank[doc], (doc, rnk, want_rank[doc])
+            assert bid == (rnk - 1) // 8
+            assert n == doc * 7 % 23 + 2
+
+    def test_rank_is_subbucket_invariant_and_partition_invariant(
+        self, spark
+    ):
+        from huckli_spark.operators.packing import length_batches
+
+        df = self._df(spark, 60)
+        base = {(r.doc_id, r.rnk)
+                for r in length_batches(df, batch_size=8).collect()}
+        for variant in (
+            length_batches(df, batch_size=8, n_subbuckets=64),
+            length_batches(df.repartition(13), batch_size=8),
+        ):
+            assert {(r.doc_id, r.rnk) for r in variant.collect()} == base
+
+    def test_batches_are_near_equal_length_and_full(self, spark):
+        from huckli_spark.operators.packing import (
+            batch_pad_report,
+            length_batches,
+        )
+
+        df = self._df(spark)
+        batched = length_batches(df, batch_size=8)
+        rep = {r.batch_id: r.asDict()
+               for r in batch_pad_report(batched).collect()}
+        # 100 docs / 8 => 12 full batches + one of 4
+        sizes = sorted(r["n_seqs"] for r in rep.values())
+        assert sizes == [4] + [8] * 12
+        for r in rep.values():
+            assert r["pad_tokens"] == r["max_len"] * r["n_seqs"] - r["tokens"]
+            assert 0 <= r["pad_ppm"] < 1_000_000
+        # the point of the sort: total pad far under the worst case
+        total_pad = sum(r["pad_tokens"] for r in rep.values())
+        total_tok = sum(r["tokens"] for r in rep.values())
+        assert total_pad * 10 < total_tok
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import length_batches
+
+        df = self._df(spark, 5)
+        with _pytest.raises(ValueError, match="batch_size"):
+            length_batches(df, batch_size=0)
+        with _pytest.raises(ValueError, match="power of two"):
+            length_batches(df, n_subbuckets=3)

@@ -166,6 +166,19 @@ def test_incremental_dedup_broadcasts_the_batch_side(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_length_batching_no_global_sort(spark):
+    # the global length rank must be the two-phase form: tiny offsets
+    # relation broadcast back, per-(length, sub) window — never a
+    # corpus-wide global sort
+    import re as _re
+
+    plan = _plan(spark, "q_length_batching")
+    _assert_no_cartesian(plan)
+    assert "BroadcastHashJoin" in plan, plan
+    assert not _re.search(r"Sort\b.*global=true", plan), plan
+    assert "Python" not in plan, plan
+
+
 def test_epoch_mix_emit_no_corpus_rejoin(spark):
     # the text must ride the mix explode and the rank's bucket
     # exchange — a corpus-key SortMergeJoin (or any cross product)
