@@ -310,6 +310,7 @@ def main() -> None:
         "q_epoch_mix_emit",
         "q_length_batching",
         "q_batch_pad_report",
+        "q_bpe_pack",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

@@ -80,10 +80,17 @@ def pack_sequences(
     order_cols: list | None = None,
     keep_cols: "list[str] | None" = None,
     max_shard_rows: "int | None" = 4_000_000,
+    n_tokens_col: "str | None" = None,
 ) -> DataFrame:
     """Assign every document a (shard, seq_idx, offset_in_seq).
 
-    ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separator.
+    ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separator —
+    unless ``n_tokens_col`` names a PRECOMPUTED count column (model
+    tokens from a real tokenizer: a training budget is denominated in
+    BPE/unigram tokens, not whitespace words — q_bpe_pack composes
+    exactly this). With ``n_tokens_col`` set, ``text_col`` is never
+    touched and the caller owns the EOS accounting (``eos_tokens``
+    still adds on top; pass 0 when the counts already include it).
     Returns (id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq).
 
     ``order_cols``: ordering Columns applied WITHIN each shard before
@@ -115,7 +122,8 @@ def pack_sequences(
     reserved = {"n_tokens", "shard", "pack_rank", "seq_idx",
                 "offset_in_seq", "__ok", "__off"}
     extra = (
-        [c for c in df.columns if c not in (id_col, text_col)]
+        [c for c in df.columns
+         if c not in (id_col, text_col, n_tokens_col)]
         if order_cols else []
     )
     clash = sorted(set(extra) & reserved)
@@ -123,6 +131,10 @@ def pack_sequences(
         raise ValueError(
             f"input columns {clash} collide with pack_sequences' "
             "generated names; rename or drop them before packing"
+        )
+    if n_tokens_col is not None and n_tokens_col not in df.columns:
+        raise ValueError(
+            f"n_tokens_col {n_tokens_col!r} is not an input column"
         )
     keep = list(keep_cols) if keep_cols else []
     missing = sorted(set(keep) - set(extra))
@@ -133,9 +145,14 @@ def pack_sequences(
         )
     key = F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
     okey = F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    tok = (
+        F.col(n_tokens_col).cast("long") + F.lit(eos_tokens)
+        if n_tokens_col
+        else F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens)
+    )
     d = df.select(
         F.col(id_col),
-        (F.size(F.split(F.col(text_col), " ")) + F.lit(eos_tokens)).alias("n_tokens"),
+        tok.alias("n_tokens"),
         F.pmod(h60(key), F.lit(n_shards)).alias("shard"),
         h60(okey).alias("__ok"),
         *extra,

@@ -81,11 +81,13 @@ _GATE_PRIORITY: list[str] = [
     # split-packer fragmentation report (the q_pack_fill_report twin
     # across the packing trade-off), length-bucketed batch formation
     # (two-phase global length rank vs the oracle's naive
-    # row_number) and its per-batch padding report:
+    # row_number), its per-batch padding report, and model-token
+    # (BPE) budget packing via the precomputed-count column:
     "q_epoch_mix_emit",
     "q_pack_frag_report",
     "q_length_batching",
     "q_batch_pad_report",
+    "q_bpe_pack",
     # (c) changed this round, re-graded this round: the top-k sink
     # now enforces the single-batch invariant and overwrites
     # (retry-idempotent, ADVICE r12 #1):
@@ -126,12 +128,11 @@ _GATE_PRIORITY: list[str] = [
     "q_mixture_sample",
     "q_shard_assign",
     "q_sequence_pack",
-    # ... and the first four r6 rows (the rest of r6 — starting
-    # with q_full_outer_join — heads the r14 queue):
+    # ... and the first three r6 rows (the rest of r6 — starting
+    # with q_ann_ivf_trained — heads the r14 queue):
     "q_pq_encode",
     "q_pq_adc",
     "q_pq_recall",
-    "q_ann_ivf_trained",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

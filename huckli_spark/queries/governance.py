@@ -1645,6 +1645,97 @@ def q_pack_frag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pack_oracle() -> str:
+    from huckli_spark.operators.bpe import sql_bpe_apply
+
+    tok_sql = sql_bpe_apply(
+        "SELECT DISTINCT w AS word FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+        ") WHERE length(w) > 0",
+        BPE_FIXTURE_MERGES,
+    )
+    return f"""
+    WITH tok AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+      FROM ({tok_sql}) GROUP BY word
+    ), dw AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE length(w) > 0
+    ), dtok AS (
+      SELECT doc_id, CAST(sum(tok.n_tok) + 1 AS BIGINT) AS n_tokens
+      FROM dw JOIN tok USING (word) GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM dtok
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT doc_id, n_tokens, shard, pack_rank,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM w
+    """
+
+
+@query(
+    "q_bpe_pack",
+    _bpe_pack_oracle(),
+    doc="MODEL-TOKEN-budget packing: a training context window is "
+    "denominated in tokenizer tokens, not whitespace words, so the "
+    "packer must budget what the model will actually see. The corpus "
+    "collapses to its distinct vocabulary once, the frozen 8-merge "
+    "BPE table tokenizes each word (Arrow-batched, map-only), "
+    "per-doc counts come back via one occurrence join + sum, and "
+    "pack_sequences consumes the PRECOMPUTED count column "
+    "(n_tokens_col) — same hash shards, same window offsets, same "
+    "integer arithmetic, new denomination. The oracle replays the "
+    "merges relationally (gaps-and-islands — the cross-formulation "
+    "differential), the occurrence sums, and every (shard, seq, "
+    "offset). Scale: tokenize-once-per-distinct-word, one "
+    "vocab-sized join, then the standard one-shuffle pack.",
+)
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.bpe import bpe_apply
+    from huckli_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+        .select(F.col("word").alias("text"))
+    )
+    wc = bpe_apply(words, BPE_FIXTURE_MERGES).select(
+        F.col("__w").alias("__word"), F.size("syms").alias("__wtok")
+    )
+    docw = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("__word")
+        )
+        .where(F.length("__word") > 0)
+    )
+    dtok = (
+        docw.join(wc, "__word")
+        .groupBy("doc_id")
+        .agg(F.sum("__wtok").alias("bpe_tokens"))
+    )
+    return pack_sequences(
+        dtok, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        n_tokens_col="bpe_tokens", max_shard_rows=None,
+    )
+
+
 _BATCH_SIZE = 32
 
 

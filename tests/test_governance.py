@@ -1483,3 +1483,43 @@ class TestLengthBatching:
             length_batches(df, batch_size=0)
         with _pytest.raises(ValueError, match="power of two"):
             length_batches(df, n_subbuckets=3)
+
+
+class TestPrecountedPacking:
+    def test_precomputed_counts_match_whitespace_path(self, spark):
+        # packing a precomputed whitespace count must equal the
+        # text-derived path exactly (same hashing, same offsets)
+        from huckli_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        via_text = {
+            r.doc_id: (r.n_tokens, r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences(
+                df, budget=16, n_shards=2, max_shard_rows=None
+            ).collect()
+        }
+        pre = df.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS cnt"
+        )
+        via_count = {
+            r.doc_id: (r.n_tokens, r.shard, r.seq_idx, r.offset_in_seq)
+            for r in pack_sequences(
+                pre, budget=16, n_shards=2, n_tokens_col="cnt",
+                max_shard_rows=None,
+            ).collect()
+        }
+        assert via_text == via_count
+
+    def test_missing_count_column_is_loud(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="n_tokens_col"):
+            pack_sequences(df, n_tokens_col="nope", max_shard_rows=None)
