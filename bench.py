@@ -311,6 +311,9 @@ def main() -> None:
         "q_length_batching",
         "q_batch_pad_report",
         "q_bpe_pack",
+        "q_pack_spans",
+        "q_temp_weights",
+        "q_temp_mix",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

@@ -389,3 +389,113 @@ def sql_doremi(
         for r in range(rounds)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+# ------------------------------------------------- temperature sampling
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+    n_tokens_col: "str | None" = None,
+) -> DataFrame:
+    """mT5-style TEMPERATURE sampling weights (arXiv:1910.10683 §3.4.2
+    / arXiv:2010.11934): sample source ``s`` with probability
+    proportional to ``p_s ** alpha`` where ``p_s`` is the source's
+    token share — ``alpha = 1`` keeps the natural mix, ``alpha -> 0``
+    flattens toward uniform, boosting low-resource sources. Expressed
+    as the mixer's "epochs per source" knob: relative to the LARGEST
+    source (which keeps weight 1.0 — no downsampling), source ``s``
+    upsamples by ``(n_max / n_s) ** (1 - alpha)``.
+
+    Token mass is whitespace tokens from ``text_col`` (or a
+    precomputed ``n_tokens_col`` for model-token accounting, the
+    q_bpe_pack discipline). Output is fixed-point: ``share_ppm`` is
+    the exact integer token share, ``boost_micro`` the weight in
+    micros ``floor(x * 1e6 + 0.5)`` — the one double ``power`` is
+    rounded immediately at 1e-6, the ln/exp micro-nat discipline used
+    across the repo, so a DuckDB oracle replays it (q_temp_weights).
+
+    Scale: one map-side-combined aggregation to a |sources|-sized
+    relation, then a broadcast one-row totals join — the corpus is
+    scanned once and never shuffled on a data-sized key. Returns
+    (<source_col>, n_docs, n_tokens, share_ppm, boost_micro).
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"), F.sum(tok).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__tot"), F.max("n_tokens").alias("__max")
+    )
+    exp = 1.0 - alpha
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            # decimal(38,0) widen before the ppm lift: at 100 TB a
+            # source's token mass passes 2^63 / 1e6, where a bigint
+            # multiply would overflow (DuckDB's sum is HUGEINT
+            # already); div on decimals returns bigint
+            F.expr(
+                "(cast(n_tokens as decimal(38,0)) * 1000000) div __tot"
+            ).alias("share_ppm"),
+            F.floor(
+                F.pow(F.col("__max") / F.col("n_tokens"), F.lit(exp))
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("boost_micro"),
+        )
+    )
+
+
+def temperature_weight_map(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+    n_tokens_col: "str | None" = None,
+) -> "dict[str, float]":
+    """Driver-side weight dict for :func:`epoch_mix_shuffle` /
+    ``epoch_mix_emit`` from :func:`temperature_weights` — the collect
+    is the |sources| dimension relation, never corpus-sized. Values
+    are ``boost_micro / 1e6``; the mixer's ``int(w * 1e6 + 0.5)``
+    lift round-trips that exactly for any micro below 2^51, so the
+    oracle-replayed micro weights equal the served ones bit-for-bit.
+    """
+    rows = temperature_weights(
+        df, source_col=source_col, text_col=text_col, alpha=alpha,
+        n_tokens_col=n_tokens_col,
+    ).collect()
+    return {r[source_col]: r["boost_micro"] / 1_000_000 for r in rows}
+
+
+def sql_temperature_wmap(alpha: float, table: str = "documents") -> str:
+    """DuckDB CTE body replaying :func:`temperature_weights` over
+    ``table`` as ``(source, wm)`` — shared by the q_temp_weights and
+    q_temp_mix oracles. The exponent is embedded via ``repr`` so both
+    engines raise to the IDENTICAL double (1 - 0.3 is not 0.7 in
+    binary)."""
+    exp = repr(1.0 - alpha)
+    return f"""
+      SELECT source,
+             CAST(floor(power(mx * 1.0 / n_tokens, {exp}) * 1000000
+                        + 0.5) AS BIGINT) AS wm
+      FROM (
+        SELECT source, sum(array_length(string_split(text, ' ')))
+                 AS n_tokens,
+               max(sum(array_length(string_split(text, ' '))))
+                 OVER () AS mx
+        FROM {table} GROUP BY source
+      )
+    """

@@ -341,6 +341,72 @@ def pack_frag_report(packed: DataFrame, budget: int = 512) -> DataFrame:
     )
 
 
+def pack_doc_spans(
+    packed: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence DOCUMENT SPANS from a :func:`pack_sequences`
+    assignment — the relation a dataloader needs to build the
+    block-diagonal attention mask over concat-and-chunk packed data
+    (attention must not cross document boundaries inside a packed
+    sequence; every modern pretraining loader ships these spans or
+    the equivalent position/segment-id resets).
+
+    A doc at global in-shard token offset ``off = seq_idx * budget +
+    offset_in_seq`` covering ``[off, off + n_tokens)`` touches
+    sequences ``seq_idx .. (off + n_tokens - 1) div budget``; its
+    slice of sequence ``s`` is ``[max(off, s*budget),
+    min(off + n_tokens, (s+1)*budget))``. The explode emits exactly
+    the touched sequences — ``ceil(n_tokens/budget) + 1`` rows per
+    doc at most, so fan-out is proportional to the doc's own token
+    mass, never the corpus — and every expression is integer (the
+    ``div``/``%``/``greatest``/``least`` forms are exact past 2^53,
+    the same discipline as the packer itself), so a DuckDB
+    generate_series oracle replays every span bit-identically
+    (q_pack_spans). No shuffle at all: the spans are a map-side
+    projection of the assignment relation.
+
+    Returns (shard, seq_idx, <id>, part, n_parts, start_in_seq,
+    len_in_seq): ``part`` is the doc's 0-based chunk ordinal,
+    ``start_in_seq``/``len_in_seq`` the slice within the sequence.
+    Within one (shard, seq_idx) the spans are disjoint and cover the
+    sequence exactly (the shard's last sequence ends at its tail).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    off = (F.col("seq_idx") * F.lit(budget) + F.col("offset_in_seq"))
+    d = packed.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        off.alias("__off"),
+        F.col("seq_idx").alias("__s0"),
+        F.expr(
+            f"(seq_idx * {budget} + offset_in_seq + n_tokens - 1) "
+            f"div {budget}"
+        ).alias("__s1"),
+    )
+    e = d.select(
+        id_col, "shard", "n_tokens", "__off", "__s0", "__s1",
+        F.explode(F.sequence("__s0", "__s1")).alias("seq_idx"),
+    )
+    seq_start = F.col("seq_idx") * F.lit(budget)
+    start_g = F.greatest(F.col("__off"), seq_start)
+    end_g = F.least(
+        F.col("__off") + F.col("n_tokens"), seq_start + F.lit(budget)
+    )
+    return e.select(
+        "shard",
+        "seq_idx",
+        id_col,
+        (F.col("seq_idx") - F.col("__s0")).alias("part"),
+        (F.col("__s1") - F.col("__s0") + F.lit(1)).alias("n_parts"),
+        (start_g - seq_start).alias("start_in_seq"),
+        (end_g - start_g).alias("len_in_seq"),
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     epochs: int = 2,

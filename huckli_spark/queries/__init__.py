@@ -128,11 +128,13 @@ _GATE_PRIORITY: list[str] = [
     "q_mixture_sample",
     "q_shard_assign",
     "q_sequence_pack",
-    # ... and the first three r6 rows (the rest of r6 — starting
-    # with q_ann_ivf_trained — heads the r14 queue):
-    "q_pq_encode",
-    "q_pq_adc",
-    "q_pq_recall",
+    # (e) registered late this round, graded this round (never-green
+    # rows are a bigger liability than stale-green ones — VERDICT r12
+    # "What's missing #1" — so these displace the r6 freshness tail;
+    # r6 now heads the r14 queue starting with q_pq_encode):
+    "q_pack_spans",
+    "q_temp_weights",
+    "q_temp_mix",
 ]
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md

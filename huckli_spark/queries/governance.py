@@ -217,6 +217,61 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    ), b AS (
+      SELECT doc_id, n_tokens, shard, CAST(off AS BIGINT) AS off,
+             CAST(off // {_PACK_BUDGET} AS BIGINT) AS s0,
+             CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS s1
+      FROM w
+    ), x AS (
+      SELECT doc_id, shard, n_tokens, off, s0, s1,
+             unnest(generate_series(s0, s1)) AS seq_idx
+      FROM b
+    )
+    SELECT shard, seq_idx, doc_id,
+           CAST(seq_idx - s0 AS BIGINT) AS part,
+           CAST(s1 - s0 + 1 AS BIGINT) AS n_parts,
+           CAST(greatest(off, seq_idx * {_PACK_BUDGET})
+                - seq_idx * {_PACK_BUDGET} AS BIGINT) AS start_in_seq,
+           CAST(least(off + n_tokens, (seq_idx + 1) * {_PACK_BUDGET})
+                - greatest(off, seq_idx * {_PACK_BUDGET}) AS BIGINT)
+             AS len_in_seq
+    FROM x
+    """,
+    doc="per-sequence document spans from the pack assignment — the "
+    "block-diagonal attention-mask relation (attention must not cross "
+    "doc boundaries inside a packed sequence): each doc explodes over "
+    "exactly the sequences it touches (fan-out bounded by its own "
+    "token mass), span = the integer intersection of the doc's token "
+    "interval with the sequence's. No shuffle beyond the pack window "
+    "itself; all-integer, so the DuckDB generate_series oracle "
+    "replays every span bit-identically.",
+)
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import pack_doc_spans, pack_sequences
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    )
+    return pack_doc_spans(packed, budget=_PACK_BUDGET)
+
+
 # ---------------------------------------------------------- unigram logprob
 @query(
     "q_unigram_logprob",
@@ -1884,6 +1939,99 @@ def q_epoch_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.packing import epoch_mix_shuffle
 
     return epoch_mix_shuffle(_docs(spark, sf_dir), _MIX_WEIGHTS, epoch=1)
+
+
+_TEMP_ALPHA = 0.3
+
+from huckli_spark.operators.mixture import sql_temperature_wmap as _sql_tw  # noqa: E402
+
+
+@query(
+    "q_temp_weights",
+    f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             sum(array_length(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(n_tokens) AS tot, max(n_tokens) AS mx FROM per
+    )
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens * 1000000 // tot AS BIGINT) AS share_ppm,
+           CAST(floor(power(mx * 1.0 / n_tokens, {1.0 - _TEMP_ALPHA!r})
+                      * 1000000 + 0.5) AS BIGINT) AS boost_micro
+    FROM per CROSS JOIN t
+    """,
+    doc="mT5-style TEMPERATURE sampling weights (arXiv:1910.10683 "
+    "§3.4.2): upsample source s by (n_max / n_s) ** (1 - alpha) so "
+    "sampling probability tracks token-share ** alpha — the "
+    "low-resource boost every multilingual/multi-domain pretraining "
+    "recipe applies. Fixed-point outputs: exact integer share_ppm "
+    "(decimal-widened against the 2^63/1e6 bigint ceiling) and "
+    "boost_micro rounded at 1e-6 immediately after the one double "
+    "power (the ln/exp micro discipline; the exponent embeds via "
+    "repr so both engines raise to the identical double). Scale: one "
+    "map-side aggregation to a |sources| relation + a broadcast "
+    "one-row totals join.",
+)
+def q_temp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.mixture import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir), alpha=_TEMP_ALPHA)
+
+
+@query(
+    "q_temp_mix",
+    f"""
+    WITH wmap AS (
+      {_sql_tw(_TEMP_ALPHA)}
+    ), c AS (
+      SELECT d.doc_id, d.source, w.wm,
+             {sql_h60("'mix:2:' || CAST(d.doc_id AS VARCHAR)")}
+               % 1000000 AS pick
+      FROM documents d JOIN wmap w ON w.source = d.source
+    ), rep AS (
+      SELECT doc_id, source,
+             wm // 1000000
+               + CASE WHEN pick < wm % 1000000 THEN 1 ELSE 0 END
+               AS copies
+      FROM c
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+      FROM rep WHERE copies >= 1
+    ), k AS (
+      SELECT doc_id, source, copy,
+             CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR) || '#'
+               || CAST(copy AS VARCHAR) AS mix_id
+      FROM r
+    )
+    SELECT CAST(2 AS INTEGER) AS epoch, doc_id, source, copy,
+           CAST(row_number() OVER (
+             ORDER BY {sql_h60("'epoch:2:' || mix_id")}, mix_id
+           ) AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="TEMPERATURE-SAMPLED epoch mix — q_temp_weights composed into "
+    "the weighted epoch shuffle: the |sources| weight relation is "
+    "collected driver-side (a dimension, never corpus-sized), lifts "
+    "back to micro-ints bit-exactly (m/1e6 round-trips int(w*1e6+.5) "
+    "below 2^51), and drives copy counts + the injective (id, copy) "
+    "global rank. The oracle recomputes the weights in SQL and "
+    "replays every copy count and position bit-identically — "
+    "certifying the full low-resource-upsampling dataloader path, "
+    "recipe knob to training order. Scale: weights bake as a CASE "
+    "literal, replication is a map-side explode, rank is the "
+    "two-phase bucket form.",
+)
+def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.mixture import temperature_weight_map
+    from huckli_spark.operators.packing import epoch_mix_shuffle
+
+    d = _docs(spark, sf_dir)
+    w = temperature_weight_map(d, alpha=_TEMP_ALPHA)
+    return epoch_mix_shuffle(d, w, epoch=2)
 
 
 @query(

@@ -196,6 +196,102 @@ class TestSequencePacking:
         assert tuple(total) == tuple(direct)
 
 
+class TestPackDocSpans:
+    """pack_doc_spans emits the block-diagonal attention-mask relation:
+    within every (shard, seq) the spans must be disjoint and cover the
+    sequence exactly, and per-doc the parts must reassemble the doc."""
+
+    BUDGET = 64
+
+    def _spans(self, spark, n=300):
+        docs = TestSequencePacking()._docs(spark, n)
+        packed = packing.pack_sequences(
+            docs, budget=self.BUDGET, n_shards=4
+        )
+        return packed, packing.pack_doc_spans(packed, budget=self.BUDGET)
+
+    def test_spans_cover_each_sequence_exactly(self, spark):
+        packed, spans = self._spans(spark)
+        per_seq: dict = {}
+        for r in spans.collect():
+            per_seq.setdefault((r["shard"], r["seq_idx"]), []).append(
+                (r["start_in_seq"], r["len_in_seq"])
+            )
+        last_seq = {
+            r["shard"]: r["m"]
+            for r in spans.groupBy("shard")
+            .agg(F.max("seq_idx").alias("m"))
+            .collect()
+        }
+        assert per_seq, "no spans emitted"
+        for (shard, seq), sl in per_seq.items():
+            sl.sort()
+            pos = 0
+            for start, length in sl:
+                assert start == pos, (shard, seq, sl)
+                assert length > 0
+                pos = start + length
+            if seq < last_seq[shard]:
+                assert pos == self.BUDGET, (shard, seq, pos)
+            else:
+                assert 0 < pos <= self.BUDGET
+
+    def test_parts_reassemble_each_doc(self, spark):
+        packed, spans = self._spans(spark)
+        tok = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+        by_doc: dict = {}
+        for r in spans.collect():
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(tok)
+        for doc, parts in by_doc.items():
+            parts.sort(key=lambda r: r["part"])
+            assert [p["part"] for p in parts] == list(range(len(parts)))
+            assert all(p["n_parts"] == len(parts) for p in parts)
+            assert sum(p["len_in_seq"] for p in parts) == tok[doc]
+            # consecutive parts sit on consecutive sequences; interior
+            # parts span the full budget
+            for a, b in zip(parts, parts[1:]):
+                assert b["seq_idx"] == a["seq_idx"] + 1
+                assert b["start_in_seq"] == 0
+            for p in parts[1:-1]:
+                assert p["len_in_seq"] == self.BUDGET
+
+    def test_agrees_with_emit_sequences(self, spark):
+        # the spans' per-sequence token mass must equal the emitted
+        # sequence lengths (same budget, same shard walk)
+        docs = TestSequencePacking()._docs(spark, 120)
+        packed = packing.pack_sequences(docs, budget=16, n_shards=2)
+        spans = packing.pack_doc_spans(packed, budget=16)
+        emitted = packing.emit_sequences(docs, budget=16, n_shards=2)
+        span_mass = {
+            (r["shard"], r["seq_idx"]): r["m"]
+            for r in spans.groupBy("shard", "seq_idx")
+            .agg(F.sum("len_in_seq").alias("m"))
+            .collect()
+        }
+        emit_mass = {
+            (r["shard"], r["seq_idx"]): r["n_tokens"]
+            for r in emitted.collect()
+        }
+        assert span_mass == emit_mass
+
+    def test_plan_is_jvm_side_and_shuffle_free_after_pack(self, spark):
+        packed, spans = self._spans(spark)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the only exchange is the pack window's shard partitioning
+        pack_plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= pack_plan.count("Exchange")
+
+    def test_rejects_bad_budget(self, spark):
+        packed, _ = self._spans(spark, n=10)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            packing.pack_doc_spans(packed, budget=0)
+
+
 class TestFuzzyPairs:
     def _df(self, spark, names):
         return spark.createDataFrame(

@@ -126,3 +126,84 @@ class TestDomainLiteralEscaping:
         assert len(out) == 4  # 2 rounds x 2 domains
         assert {r.dom for r in out} == {"d'0\\x", 'd"1\\'}
         assert all(r.n_docs == 20 for r in out)
+
+
+class TestTemperatureWeights:
+    def _docs(self, spark):
+        # 6/3/2 docs of 8 tokens each: token masses 48/24/16, so
+        # alpha=0 boosts are the exact integers 1/2/3
+        rows = []
+        for i in range(11):
+            src = ["big", "mid", "small"][0 if i < 6 else (1 if i < 9 else 2)]
+            rows.append((f"d{i}", src, "w " * 7 + "end"))
+        return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    def test_alpha_one_is_natural_mix(self, spark):
+        from huckli_spark.operators.mixture import temperature_weights
+
+        out = temperature_weights(self._docs(spark), alpha=1.0).collect()
+        assert {r["boost_micro"] for r in out} == {1_000_000}
+
+    def test_alpha_zero_is_full_flattening(self, spark):
+        from huckli_spark.operators.mixture import temperature_weights
+
+        out = {r["source"]: r for r in
+               temperature_weights(self._docs(spark), alpha=0.0).collect()}
+        # boost = n_max / n_s exactly at alpha=0
+        assert out["big"]["boost_micro"] == 1_000_000
+        assert out["mid"]["boost_micro"] == 2_000_000
+        assert out["small"]["boost_micro"] == 3_000_000
+
+    def test_monotone_and_share_exact(self, spark):
+        from huckli_spark.operators.mixture import temperature_weights
+
+        rows = temperature_weights(self._docs(spark), alpha=0.3).collect()
+        by = {r["source"]: r for r in rows}
+        assert (by["small"]["boost_micro"] > by["mid"]["boost_micro"]
+                > by["big"]["boost_micro"] == 1_000_000)
+        tot = sum(r["n_tokens"] for r in rows)
+        for r in rows:
+            assert r["share_ppm"] == r["n_tokens"] * 1_000_000 // tot
+
+    def test_weight_map_round_trips_micros(self, spark):
+        from huckli_spark.operators.mixture import (
+            temperature_weight_map,
+            temperature_weights,
+        )
+
+        d = self._docs(spark)
+        micros = {r["source"]: r["boost_micro"]
+                  for r in temperature_weights(d, alpha=0.3).collect()}
+        wmap = temperature_weight_map(d, alpha=0.3)
+        assert set(wmap) == set(micros)
+        for s, w in wmap.items():
+            assert int(w * 1_000_000 + 0.5) == micros[s]
+
+    def test_rejects_alpha_out_of_range(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.mixture import temperature_weights
+
+        with _pytest.raises(ValueError):
+            temperature_weights(self._docs(spark), alpha=1.5)
+
+    def test_composes_with_mix_shuffle(self, spark):
+        from huckli_spark.operators.mixture import temperature_weight_map
+        from huckli_spark.operators.packing import epoch_mix_shuffle
+
+        d = self._docs(spark)
+        mixed = epoch_mix_shuffle(
+            d, temperature_weight_map(d, alpha=0.0), epoch=3
+        ).collect()
+        # alpha=0 weights are exact integers (1, 2, 3): copy counts
+        # are deterministic per source
+        per_src = {}
+        for r in mixed:
+            per_src.setdefault(r["source"], set()).add(
+                (r["doc_id"], r["copy"])
+            )
+        assert len(per_src["big"]) == 6      # 6 docs x 1
+        assert len(per_src["mid"]) == 6      # 3 docs x 2
+        assert len(per_src["small"]) == 6    # 2 docs x 3
+        pos = sorted(r["pos"] for r in mixed)
+        assert pos == list(range(1, len(mixed) + 1))
