@@ -312,6 +312,7 @@ def main() -> None:
         "q_batch_pad_report",
         "q_bpe_pack",
         "q_pack_spans",
+        "q_pack_segments",
         "q_temp_weights",
         "q_temp_mix",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run

@@ -407,6 +407,53 @@ def pack_doc_spans(
     )
 
 
+def pack_segment_ids(
+    spans: DataFrame,
+    sep: str = " ",
+) -> DataFrame:
+    """Per-sequence SEGMENT-ID emission from :func:`pack_doc_spans`
+    output — the token-aligned form of the attention mask: position
+    ``p`` of a packed sequence gets the 0-based ordinal (by start
+    offset) of the document covering ``p``, the `segment_ids` array
+    HF/T5-style loaders feed next to `input_ids` so attention resets
+    at document boundaries.
+
+    Built WITHOUT a token-level explode: sort the (start, len) spans
+    in-row, then ``array_repeat`` each segment id ``len`` times and
+    flatten — per (shard, seq) the collect and the repeat are both
+    budget-bounded (a sequence holds at most ``budget`` docs and
+    exactly its token count of ids), so cost is O(budget) per output
+    row at any corpus size, the emit_sequences bound. The ids join to
+    one string (the gate-friendly q_array_fns convention). Returns
+    (shard, seq_idx, n_docs, n_tokens, segment_ids).
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct("start_in_seq", "len_in_seq"))
+    )
+    return (
+        spans.groupBy("shard", "seq_idx")
+        .agg(arr.alias("__spans"))
+        .select(
+            "shard",
+            "seq_idx",
+            F.size("__spans").alias("n_docs"),
+            F.expr(
+                "aggregate(__spans, 0L, (a, x) -> a + x.len_in_seq)"
+            ).alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.expr(
+                        "transform(__spans, (x, i) -> "
+                        "array_repeat(cast(i as string), "
+                        "cast(x.len_in_seq as int)))"
+                    )
+                ),
+                sep,
+            ).alias("segment_ids"),
+        )
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     epochs: int = 2,

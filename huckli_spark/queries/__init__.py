@@ -109,7 +109,6 @@ _GATE_PRIORITY: list[str] = [
     # integer div for seq_idx this round):
     "q_unpivot",
     "q_window_misc",
-    "q_bitwise",
     "q_kmv_distinct",
     "q_lang_profile",
     "q_ann_ivf",
@@ -133,9 +132,12 @@ _GATE_PRIORITY: list[str] = [
     # "What's missing #1" — so these displace the r6 freshness tail;
     # r6 now heads the r14 queue starting with q_pq_encode):
     "q_pack_spans",
+    "q_pack_segments",
     "q_temp_weights",
     "q_temp_mix",
 ]
+# Displaced to the r14 queue by the (e) block: q_pq_encode, q_pq_adc,
+# q_pq_recall (r6) and q_bitwise (r5) — stale-green beats never-green.
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md
 # ("Gate rotation ledger").

@@ -272,6 +272,83 @@ def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_doc_spans(packed, budget=_PACK_BUDGET)
 
 
+@query(
+    "q_pack_segments",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    ), b AS (
+      SELECT n_tokens, shard, CAST(off AS BIGINT) AS off,
+             CAST(off // {_PACK_BUDGET} AS BIGINT) AS s0,
+             CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS s1
+      FROM w
+    ), x AS (
+      SELECT shard, n_tokens, off, s0, s1,
+             unnest(generate_series(s0, s1)) AS seq_idx
+      FROM b
+    ), sp AS (
+      SELECT shard, seq_idx,
+             CAST(greatest(off, seq_idx * {_PACK_BUDGET})
+                  - seq_idx * {_PACK_BUDGET} AS BIGINT) AS start_in_seq,
+             CAST(least(off + n_tokens, (seq_idx + 1) * {_PACK_BUDGET})
+                  - greatest(off, seq_idx * {_PACK_BUDGET}) AS BIGINT)
+               AS len_in_seq
+      FROM x
+    ), seg AS (
+      SELECT shard, seq_idx, start_in_seq, len_in_seq,
+             row_number() OVER (
+               PARTITION BY shard, seq_idx ORDER BY start_in_seq
+             ) - 1 AS seg
+      FROM sp
+    ), tok AS (
+      SELECT shard, seq_idx, seg,
+             start_in_seq + unnest(generate_series(1, len_in_seq)) - 1
+               AS pos
+      FROM seg
+    )
+    SELECT shard, seq_idx,
+           CAST(count(DISTINCT seg) AS INTEGER) AS n_docs,
+           count(*) AS n_tokens,
+           string_agg(CAST(seg AS VARCHAR), ' ' ORDER BY pos)
+             AS segment_ids
+    FROM tok GROUP BY shard, seq_idx
+    """,
+    doc="token-aligned SEGMENT IDS for packed sequences — position p "
+    "gets the 0-based in-sequence ordinal of the doc covering p, the "
+    "segment_ids array a block-diagonal-attention loader feeds next "
+    "to input_ids. The Spark side never explodes tokens (sort the "
+    "budget-bounded spans in-row, array_repeat each id len times, "
+    "flatten — O(budget) per output row); the ORACLE builds the same "
+    "string from token-level generate_series rows — two different "
+    "constructions agreeing bit-for-bit is the point of the "
+    "differential. Space-joined output (the q_array_fns gate "
+    "convention).",
+)
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import (
+        pack_doc_spans,
+        pack_segment_ids,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    )
+    return pack_segment_ids(pack_doc_spans(packed, budget=_PACK_BUDGET))
+
+
 # ---------------------------------------------------------- unigram logprob
 @query(
     "q_unigram_logprob",

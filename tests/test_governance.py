@@ -291,6 +291,38 @@ class TestPackDocSpans:
         with _pytest.raises(ValueError):
             packing.pack_doc_spans(packed, budget=0)
 
+    def test_segment_ids_align_with_spans(self, spark):
+        _, spans = self._spans(spark)
+        segs = packing.pack_segment_ids(spans).collect()
+        span_lens: dict = {}
+        for r in spans.collect():
+            span_lens.setdefault((r["shard"], r["seq_idx"]), []).append(
+                (r["start_in_seq"], r["len_in_seq"])
+            )
+        assert {(r["shard"], r["seq_idx"]) for r in segs} == set(span_lens)
+        for r in segs:
+            ids = [int(x) for x in r["segment_ids"].split(" ")]
+            assert len(ids) == r["n_tokens"]
+            # non-decreasing run starting at 0, one run per doc with
+            # exactly the span's length
+            assert ids[0] == 0
+            assert ids == sorted(ids)
+            assert len(set(ids)) == r["n_docs"]
+            expected = sorted(span_lens[(r["shard"], r["seq_idx"])])
+            runs = [ids.count(i) for i in range(r["n_docs"])]
+            assert runs == [ln for _, ln in expected]
+
+    def test_segment_plan_has_no_python_and_no_token_explode(self, spark):
+        _, spans = self._spans(spark)
+        segs = packing.pack_segment_ids(spans)
+        plan = segs._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # no TOKEN-level explode: the only Generate is the spans'
+        # own per-sequence fan-out (the in-row repeat adds none)
+        spans_plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == spans_plan.count("Generate") == 1
+
 
 class TestFuzzyPairs:
     def _df(self, spark, names):
