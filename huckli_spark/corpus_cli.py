@@ -133,6 +133,20 @@ def build_parser() -> argparse.ArgumentParser:
         "with --curriculum",
     )
     s.add_argument(
+        "--spans", action="store_true",
+        help="write the per-sequence DOCUMENT SPANS (shard, seq, doc, "
+        "part, start, len) instead of the assignment — the "
+        "block-diagonal attention-mask relation; split packing only "
+        "(composes with --epoch / --curriculum)",
+    )
+    s.add_argument(
+        "--segments", action="store_true",
+        help="write token-aligned SEGMENT IDS per packed sequence "
+        "(position p gets the ordinal of the doc covering p) — the "
+        "segment_ids array a masking loader feeds next to input_ids; "
+        "split packing only",
+    )
+    s.add_argument(
         "--weights", default=None,
         help="source-weighted mixing for --emit, 'src=2.5,other=0.5' "
         "(the 'epochs per source' recipe knob): floor(w) copies per "
@@ -186,6 +200,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--default-weight; weight 0 drops the source",
     )
     s.add_argument("--default-weight", type=float, default=1.0)
+    s.add_argument(
+        "--temperature", type=float, default=None,
+        help="mT5-style temperature sampling: derive the per-source "
+        "weights from token shares as (n_max/n_s)^(1-alpha) — "
+        "alpha=1 keeps the natural mix, alpha->0 flattens toward "
+        "uniform (boosting low-resource sources); exclusive with "
+        "--weights",
+    )
 
     s = sub.add_parser(
         "tokenize", help="train a tokenizer + tokenize the corpus"
@@ -471,8 +493,33 @@ def main(argv: list[str] | None = None) -> int:
             epoch_shuffle,
         )
 
-        if args.weights is not None:
+        if args.weights is not None and args.temperature is not None:
+            raise SystemExit(
+                "shuffle --temperature derives the weights itself; "
+                "it is exclusive with --weights"
+            )
+        if args.temperature is not None:
+            if "source" not in docs.columns:
+                raise SystemExit(
+                    "shuffle --temperature needs a 'source' column "
+                    "on the corpus"
+                )
+            from huckli_spark.operators.mixture import (
+                temperature_weight_map,
+            )
+
+            try:
+                wmap = temperature_weight_map(
+                    docs, alpha=args.temperature
+                )
+            except ValueError as exc:
+                raise SystemExit(str(exc)) from exc
+            summary["temperature"] = args.temperature
+        elif args.weights is not None:
             wmap = _parse_weights(args.weights, args.default_weight)
+        else:
+            wmap = None
+        if wmap is not None:
             per_epoch = [
                 epoch_mix_shuffle(
                     docs, wmap, epoch=e, n_buckets=args.buckets,
@@ -532,6 +579,17 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.emit and args.curriculum:
             raise SystemExit("--emit is exclusive with --curriculum")
+        if args.spans and args.segments:
+            raise SystemExit(
+                "--spans and --segments are exclusive (one output "
+                "relation per run)"
+            )
+        if (args.spans or args.segments) and args.emit:
+            raise SystemExit(
+                "--spans/--segments are exclusive with --emit (emit "
+                "materializes tokens; spans/segments annotate the "
+                "assignment)"
+            )
         if args.emit and args.no_split and args.epoch is not None:
             raise SystemExit(
                 "--emit --no-split does not compose with --epoch "
@@ -627,18 +685,54 @@ def main(argv: list[str] | None = None) -> int:
                 order_cols=order_cols,
             )
         if not args.emit:
-            packed.write.mode("overwrite").parquet(args.out)
-            agg = spark.read.parquet(args.out).agg(
-                F.count("*").alias("docs"),
-                F.sum("n_tokens").alias("tokens"),
-                (F.max("seq_idx") + 1).alias("max_seqs_per_shard"),
-            ).collect()[0]
-            summary |= {
-                "docs": agg["docs"],
-                "tokens": int(agg["tokens"]),
-                "budget": args.budget,
-                "shards": args.shards,
-            }
+            if args.spans or args.segments:
+                if args.no_split:
+                    raise SystemExit(
+                        "--spans/--segments apply to split packing "
+                        "only (no-split bins keep docs whole; the "
+                        "assignment relation IS the span table)"
+                    )
+                from huckli_spark.operators.packing import (
+                    pack_doc_spans,
+                    pack_segment_ids,
+                )
+
+                spans = pack_doc_spans(packed, budget=args.budget)
+                rel = (pack_segment_ids(spans) if args.segments
+                       else spans)
+                rel.write.mode("overwrite").parquet(args.out)
+                w = spark.read.parquet(args.out)
+                if args.segments:
+                    agg = w.agg(
+                        F.count("*").alias("seqs"),
+                        F.sum("n_tokens").alias("tokens"),
+                    ).collect()[0]
+                    summary |= {"segments": True,
+                                "seqs": agg["seqs"]}
+                else:
+                    agg = w.agg(
+                        F.count("*").alias("spans"),
+                        F.sum("len_in_seq").alias("tokens"),
+                    ).collect()[0]
+                    summary |= {"spans": agg["spans"]}
+                summary |= {
+                    "tokens": int(agg["tokens"]),
+                    "budget": args.budget,
+                    "shards": args.shards,
+                }
+            else:
+                packed.write.mode("overwrite").parquet(args.out)
+                agg = spark.read.parquet(args.out).agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_tokens").alias("tokens"),
+                    (F.max("seq_idx") + 1).alias("max_seqs_per_shard"),
+                ).collect()[0]
+                summary |= {
+                    "docs": agg["docs"],
+                    "tokens": int(agg["tokens"]),
+                    "budget": args.budget,
+                    "shards": args.shards,
+                }
 
     elif args.cmd == "tokenize":
         from huckli_spark.operators.tokenizer_store import (

@@ -885,3 +885,92 @@ class TestPackEmitWeights:
             main(["shuffle", "--in", jsonl_corpus, "--format", "jsonl",
                   "--out", str(tmp_path / "x"), "--weights", "src=1",
                   "--default-weight", "inf"])
+
+
+class TestPackSpansCli:
+    def test_pack_spans_journey(self, spark, tmp_path, jsonl_corpus, capsys):
+        out = str(tmp_path / "spans")
+        s = _run(capsys, ["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                          "--out", out, "--budget", "8", "--shards", "2",
+                          "--spans"])
+        assert s["spans"] >= 4 and s["budget"] == 8
+        rows = spark.read.parquet(out).collect()
+        # spans tile each sequence: disjoint, start-contiguous
+        per_seq = {}
+        for r in rows:
+            per_seq.setdefault((r.shard, r.seq_idx), []).append(
+                (r.start_in_seq, r.len_in_seq))
+        for sl in per_seq.values():
+            sl.sort()
+            pos = 0
+            for st, ln in sl:
+                assert st == pos and ln > 0
+                pos += ln
+            assert pos <= 8
+
+    def test_pack_segments_journey(self, spark, tmp_path, jsonl_corpus,
+                                   capsys):
+        out = str(tmp_path / "segs")
+        s = _run(capsys, ["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                          "--out", out, "--budget", "8", "--shards", "2",
+                          "--segments"])
+        assert s["segments"] is True
+        for r in spark.read.parquet(out).collect():
+            ids = [int(x) for x in r.segment_ids.split(" ")]
+            assert len(ids) == r.n_tokens and ids == sorted(ids)
+            assert len(set(ids)) == r.n_docs
+
+    def test_spans_exclusive_flags(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="exclusive"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--spans", "--segments"])
+        with _pytest.raises(SystemExit, match="exclusive"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--spans", "--emit"])
+        with _pytest.raises(SystemExit, match="split packing"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--spans", "--no-split"])
+
+
+class TestTemperatureShuffleCli:
+    def test_temperature_shuffle_journey(self, spark, tmp_path, capsys):
+        inp = str(tmp_path / "temp_in")
+        # big source 8 docs, small source 2 docs, same doc length
+        spark.createDataFrame(
+            [(i, "five words in this doc", "big" if i < 8 else "small")
+             for i in range(10)],
+            "doc_id long, text string, source string",
+        ).write.parquet(inp)
+        out = str(tmp_path / "tshuf")
+        s = _run(capsys, ["shuffle", "--in", inp, "--out", out,
+                          "--epochs", "1", "--buckets", "8",
+                          "--temperature", "0.0"])
+        assert s["temperature"] == 0.0
+        # alpha=0: small upsamples by exactly n_big/n_small = 4
+        assert s["weights"]["big"] == 1.0 and s["weights"]["small"] == 4.0
+        rows = spark.read.parquet(out).collect()
+        per_src = {}
+        for r in rows:
+            per_src[r.source] = per_src.get(r.source, 0) + 1
+        assert per_src == {"big": 8, "small": 8}
+
+    def test_temperature_exclusive_with_weights(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="exclusive"):
+            main(["shuffle", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--temperature", "0.5",
+                  "--weights", "s=2.0"])
+
+    def test_temperature_out_of_range_is_loud(self, spark, tmp_path, capsys):
+        import pytest as _pytest
+
+        inp = str(tmp_path / "temp_in2")
+        spark.createDataFrame(
+            [(1, "w", "s")], "doc_id long, text string, source string"
+        ).write.parquet(inp)
+        with _pytest.raises(SystemExit, match="alpha"):
+            main(["shuffle", "--in", inp,
+                  "--out", str(tmp_path / "x"), "--temperature", "2.0"])
