@@ -1070,6 +1070,79 @@ def emit_sequences_nosplit(
     )
 
 
+def sft_loss_masks(
+    df: DataFrame,
+    prompt_col: str = "prompt_tokens",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+    order: str = "hash",
+    max_shard_rows: "int | None" = 4_000_000,
+) -> DataFrame:
+    """COMPLETION-ONLY loss masks for no-split (SFT) bins — the other
+    half of the attention story: instruction tuning masks the loss on
+    prompt tokens and trains only on completions, so the loader needs
+    a token-aligned 0/1 mask next to each packed bin. ``prompt_col``
+    is the per-doc PROMPT token count (loss-masked prefix; clamped to
+    the doc's token count — the EOS rides the completion side).
+
+    Plan: :func:`pack_sequences_nosplit` assigns (shard, seq,
+    offset); one doc-keyed equi-join brings the prompt length back;
+    per (shard, seq) the budget-bounded span list sorts in-row and
+    each doc contributes '0' x masked then '1' x (n - masked) via
+    array_repeat — NO token-level explode, the pack_segment_ids
+    bound: O(budget) per output row at any corpus size. The oracle
+    replays the recursive walk and builds the same mask from
+    token-level generate_series rows (q_sft_loss_mask). Returns
+    (shard, seq_idx, n_docs, n_tokens, masked_tokens, loss_mask).
+    """
+    if prompt_col not in df.columns:
+        raise ValueError(f"prompt_col {prompt_col!r} is not an input column")
+    asn = pack_sequences_nosplit(
+        df, id_col=id_col, text_col=text_col, budget=budget,
+        n_shards=n_shards, order=order, max_shard_rows=max_shard_rows,
+    )
+    withp = asn.join(
+        df.select(F.col(id_col), F.col(prompt_col).cast("long")
+                  .alias("__prompt")),
+        id_col,
+    ).select(
+        "shard", "seq_idx", "offset_in_seq", "n_tokens",
+        F.least(F.greatest(F.col("__prompt"), F.lit(0)),
+                F.col("n_tokens")).alias("__masked"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("offset_in_seq", "__masked", "n_tokens"))
+    )
+    return (
+        withp.groupBy("shard", "seq_idx")
+        .agg(arr.alias("__docs"))
+        .select(
+            "shard",
+            "seq_idx",
+            F.size("__docs").alias("n_docs"),
+            F.expr(
+                "aggregate(__docs, 0L, (a, x) -> a + x.n_tokens)"
+            ).alias("n_tokens"),
+            F.expr(
+                "aggregate(__docs, 0L, (a, x) -> a + x.__masked)"
+            ).alias("masked_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.expr(
+                        "transform(__docs, x -> concat("
+                        "array_repeat('0', cast(x.__masked as int)), "
+                        "array_repeat('1', "
+                        "cast(x.n_tokens - x.__masked as int))))"
+                    )
+                ),
+                " ",
+            ).alias("loss_mask"),
+        )
+    )
+
+
 def epoch_emit(
     df: DataFrame,
     epoch: int = 0,

@@ -109,8 +109,6 @@ _GATE_PRIORITY: list[str] = [
     # integer div for seq_idx this round):
     "q_unpivot",
     "q_window_misc",
-    "q_kmv_distinct",
-    "q_lang_profile",
     "q_ann_ivf",
     "q_embed_quantize",
     "q_ann_recall",
@@ -135,9 +133,12 @@ _GATE_PRIORITY: list[str] = [
     "q_pack_segments",
     "q_temp_weights",
     "q_temp_mix",
+    "q_sft_loss_mask",
+    "q_fim_transform",
 ]
 # Displaced to the r14 queue by the (e) block: q_pq_encode, q_pq_adc,
-# q_pq_recall (r6) and q_bitwise (r5) — stale-green beats never-green.
+# q_pq_recall (r6) and q_bitwise, q_kmv_distinct, q_lang_profile (r5)
+# — stale-green beats never-green.
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md
 # ("Gate rotation ledger").

@@ -1346,6 +1346,128 @@ def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sft_loss_mask",
+    f"""
+    -- the nosplit walk again, extended with per-doc prompt lengths
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             array_length(string_split(text, ' ')) // 2 AS prompt,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS offset_in_seq,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    ), m AS (
+      SELECT w.shard, w.seq_idx, w.offset_in_seq, w.n_tokens,
+             least(greatest(d.prompt, 0), w.n_tokens) AS masked
+      FROM walk w JOIN d ON d.doc_id = w.doc_id
+    ), tok AS (
+      SELECT shard, seq_idx,
+             offset_in_seq + unnest(generate_series(1, n_tokens)) - 1
+               AS pos,
+             CASE WHEN unnest(generate_series(1, n_tokens)) <= masked
+                  THEN '0' ELSE '1' END AS bit
+      FROM m
+    ), agg AS (
+      SELECT shard, seq_idx,
+             CAST(count(*) AS INTEGER) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(masked) AS BIGINT) AS masked_tokens
+      FROM m GROUP BY shard, seq_idx
+    ), msk AS (
+      SELECT shard, seq_idx,
+             string_agg(bit, ' ' ORDER BY pos) AS loss_mask
+      FROM tok GROUP BY shard, seq_idx
+    )
+    SELECT a.shard, a.seq_idx, a.n_docs, a.n_tokens, a.masked_tokens,
+           k.loss_mask
+    FROM agg a JOIN msk k ON k.shard = a.shard AND k.seq_idx = a.seq_idx
+    """,
+    doc="COMPLETION-ONLY loss masks for SFT bins — instruction tuning "
+    "masks the loss on prompt tokens and trains only on completions, "
+    "so the loader needs a token-aligned 0/1 mask next to each "
+    "no-split bin (prompt length here: half the doc's words, the "
+    "fixture's instruction/response split; the EOS rides the "
+    "completion side). Spark builds the mask with NO token explode "
+    "(budget-bounded in-row array_repeat per doc — the "
+    "pack_segment_ids bound); the oracle replays the recursive "
+    "next-fit walk and assembles the identical string from "
+    "token-level generate_series rows.",
+)
+def q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import sft_loss_masks
+
+    d = _docs(spark, sf_dir).withColumn(
+        "prompt_tokens", F.expr("size(split(text, ' ')) div 2")
+    )
+    return sft_loss_masks(
+        d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    )
+
+
+@query(
+    "q_fim_transform",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             array_length(string_split(text, ' ')) AS n,
+             {sql_h60("'fim:' || CAST(doc_id AS VARCHAR)")}
+               % 1000000 AS pick,
+             {sql_h60("'fim1:' || CAST(doc_id AS VARCHAR)")} AS h1,
+             {sql_h60("'fim2:' || CAST(doc_id AS VARCHAR)")} AS h2
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, w, n, pick,
+             least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+             greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+      FROM b
+    )
+    SELECT doc_id, pick < 500000 AS fim, CAST(n AS INTEGER) AS n_tokens,
+           CASE WHEN pick < 500000 THEN array_to_string(
+             ['<PRE>'] || w[1:lo] || ['<SUF>'] || w[hi+1:n]
+               || ['<MID>'] || w[lo+1:hi], ' ')
+           ELSE text END AS text_out
+    FROM c
+    """,
+    doc="deterministic fill-in-the-middle transform (arXiv:2207.14255, "
+    "PSM order): half the corpus rearranges as '<PRE> prefix <SUF> "
+    "suffix <MID> middle' so the model learns infilling; apply draw "
+    "and both cut points are portable-hash integers (same doc, same "
+    "cuts, forever, partitioning-independent), spans are token-"
+    "aligned whitespace slices (empty spans allowed, per the paper). "
+    "Map-side only — no shuffle, no UDF, slice/concat in whole-stage "
+    "codegen; the oracle replays every transformed document "
+    "bit-identically via list slicing.",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.objectives import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir), rate=0.5)
+
+
+@query(
     "q_pack_nosplit_ffd",
     f"""
     WITH RECURSIVE d AS (

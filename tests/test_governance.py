@@ -1651,3 +1651,122 @@ class TestPrecountedPacking:
         )
         with _pytest.raises(ValueError, match="n_tokens_col"):
             pack_sequences(df, n_tokens_col="nope", max_shard_rows=None)
+
+
+class TestSftLossMasks:
+    """Completion-only loss masks over no-split bins: token-aligned
+    0/1 runs that must agree with the bin geometry."""
+
+    def _docs(self, spark, n=60):
+        d = TestSequencePacking()._docs(spark, n)
+        return d.withColumn(
+            "prompt_tokens", F.expr("size(split(text, ' ')) div 2")
+        )
+
+    def test_mask_runs_match_assignment(self, spark):
+        docs = self._docs(spark)
+        asn = packing.pack_sequences_nosplit(docs, budget=64, n_shards=2)
+        out = packing.sft_loss_masks(docs, budget=64, n_shards=2).collect()
+        prompts = {
+            r["doc_id"]: r["prompt_tokens"] for r in docs.collect()
+        }
+        by_bin: dict = {}
+        for r in asn.collect():
+            by_bin.setdefault((r["shard"], r["seq_idx"]), []).append(r)
+        assert {(r["shard"], r["seq_idx"]) for r in out} == set(by_bin)
+        for r in out:
+            bits = r["loss_mask"].split(" ")
+            assert len(bits) == r["n_tokens"]
+            members = sorted(
+                by_bin[(r["shard"], r["seq_idx"])],
+                key=lambda x: x["offset_in_seq"],
+            )
+            assert r["n_docs"] == len(members)
+            want = []
+            for m in members:
+                p = min(max(prompts[m["doc_id"]], 0), m["n_tokens"])
+                want += ["0"] * p + ["1"] * (m["n_tokens"] - p)
+            assert bits == want
+            assert r["masked_tokens"] == want.count("0")
+
+    def test_prompt_clamps_to_doc_length(self, spark):
+        docs = self._docs(spark, n=20).withColumn(
+            "prompt_tokens", F.lit(10_000)
+        )
+        out = packing.sft_loss_masks(docs, budget=64, n_shards=2)
+        for r in out.collect():
+            # everything masked: no loss tokens anywhere
+            assert set(r["loss_mask"].split(" ")) == {"0"}
+            assert r["masked_tokens"] == r["n_tokens"]
+
+    def test_missing_prompt_col_is_loud(self, spark):
+        import pytest as _pytest
+
+        d = TestSequencePacking()._docs(spark, 5)
+        with _pytest.raises(ValueError, match="prompt_col"):
+            packing.sft_loss_masks(d, budget=64, n_shards=2)
+
+    def test_plan_has_no_token_explode(self, spark):
+        docs = self._docs(spark, n=20)
+        out = packing.sft_loss_masks(docs, budget=64, n_shards=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan  # in-row repeat, never explode
+
+
+class TestFimTransform:
+    def _docs(self, spark, n=80):
+        return TestSequencePacking()._docs(spark, n)
+
+    def test_untransformed_pass_through_and_psm_reassembles(self, spark):
+        from huckli_spark.operators.objectives import fim_transform
+
+        docs = self._docs(spark)
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        out = fim_transform(docs, rate=0.5).collect()
+        n_fim = sum(1 for r in out if r["fim"])
+        assert 0 < n_fim < len(out)  # both arms exercised
+        for r in out:
+            if not r["fim"]:
+                assert r["text_out"] == orig[r["doc_id"]]
+                continue
+            toks = r["text_out"].split(" ")
+            assert toks.count("<PRE>") == 1
+            assert toks.count("<SUF>") == 1
+            assert toks.count("<MID>") == 1
+            i_p, i_s, i_m = (toks.index("<PRE>"), toks.index("<SUF>"),
+                             toks.index("<MID>"))
+            assert i_p == 0 and i_p < i_s < i_m
+            prefix = toks[1:i_s]
+            suffix = toks[i_s + 1:i_m]
+            middle = toks[i_m + 1:]
+            assert prefix + middle + suffix == orig[r["doc_id"]].split(" ")
+
+    def test_rate_bounds(self, spark):
+        from huckli_spark.operators.objectives import fim_transform
+
+        docs = self._docs(spark, 10)
+        assert all(not r["fim"]
+                   for r in fim_transform(docs, rate=0.0).collect())
+        assert all(r["fim"]
+                   for r in fim_transform(docs, rate=1.0).collect())
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fim_transform(docs, rate=1.5)
+
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        from huckli_spark.operators.objectives import fim_transform
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, fim_transform(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, fim_transform(docs.repartition(16)).collect()))
+        assert a == b
+
+    def test_map_side_only_no_shuffle_no_python(self, spark):
+        from huckli_spark.operators.objectives import fim_transform
+
+        out = fim_transform(self._docs(spark, 10))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
