@@ -317,6 +317,7 @@ def main() -> None:
         "q_temp_mix",
         "q_sft_loss_mask",
         "q_fim_transform",
+        "q_loader_steps",
         # (q_stream_scd2_lookup / q_pit_backfill / q_time_travel run
         # the warehouse write path — driver-commit bound, the same
         # exclusion class as merge/scd2)

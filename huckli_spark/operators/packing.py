@@ -1070,6 +1070,104 @@ def emit_sequences_nosplit(
     )
 
 
+def loader_steps(
+    packed: DataFrame,
+    budget: int = 512,
+    start_step: "int | None" = None,
+) -> DataFrame:
+    """GLOBAL STEP MANIFEST for the packed corpus — the deterministic
+    ``step -> (shard, seq)`` mapping a multi-worker dataloader
+    consumes: sequence (seq, shard) is read at global step
+    ``rank of (seq, shard) in lexicographic order`` (round-robin
+    across shards, the standard co-sharded consumption order), which
+    is what exact mid-run RESUME needs ("skip to step K" = filter
+    ``step >= K``, no state beyond K itself).
+
+    The rank is CLOSED-FORM, not a sort: with ``n_t`` = shard t's
+    sequence count (``ceil(tokens/budget)``, the frag-report
+    formula — a |shards|-sized relation collected driver-side),
+
+        step(seq, shard) = sum_t min(n_t, seq)
+                           + |{t < shard : n_t > seq}|
+
+    bakes as an ``aggregate`` over the literal counts array — so the
+    manifest is a map-side projection over the per-shard sequence
+    ranges with ZERO shuffle beyond the pack window's, at any corpus
+    size (12B sequences at 100 TB / budget 2048: still no exchange).
+    The oracle replays a naive ``row_number() OVER (ORDER BY seq_idx,
+    shard)`` — the gate proves closed-form == global sort
+    bit-identically (q_loader_steps). All arithmetic integer.
+
+    ``start_step``: when set, keep only ``step >= start_step`` (the
+    resume cut) — pruned before the explode, so a deep resume skips
+    whole shard prefixes without enumerating them. Returns
+    (shard, seq_idx, step).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counts = {
+        r["shard"]: r["n"]
+        for r in packed.groupBy("shard")
+        .agg(F.expr(f"(sum(n_tokens) + {budget - 1}) div {budget}")
+             .alias("n"))
+        .collect()
+    }
+    if not counts:
+        return packed.sparkSession.createDataFrame(
+            [], "shard long, seq_idx long, step long"
+        )
+    n_shards = max(counts) + 1
+    ns = [int(counts.get(s, 0)) for s in range(n_shards)]
+    arr = ", ".join(f"{n}L" for n in ns)
+
+    def _step(seq: int, shard: int) -> int:
+        return (sum(min(n, seq) for n in ns)
+                + sum(1 for n in ns[:shard] if n > seq))
+
+    lo_by_shard = {s: 0 for s in range(n_shards) if ns[s] > 0}
+    if start_step is not None:
+        k = int(start_step)
+        for s in list(lo_by_shard):
+            # smallest seq with step >= k (step is monotone in seq);
+            # the whole-shard-prefix skip happens HERE, driver-side,
+            # so the explode below never enumerates skipped steps
+            lo, hi = 0, ns[s]
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if _step(mid, s) >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            if lo >= ns[s]:
+                del lo_by_shard[s]
+            else:
+                lo_by_shard[s] = lo
+    if not lo_by_shard:
+        return packed.sparkSession.createDataFrame(
+            [], "shard long, seq_idx long, step long"
+        )
+    shards = packed.sparkSession.createDataFrame(
+        [(s, lo, ns[s]) for s, lo in sorted(lo_by_shard.items())],
+        "shard long, lo long, n long",
+    )
+    seqs = shards.select(
+        "shard",
+        F.explode(F.expr("sequence(lo, n - 1)")).alias("seq_idx"),
+    )
+    step = (
+        F.expr(f"aggregate(array({arr}), 0L,"
+               " (a, x) -> a + least(x, seq_idx))")
+        + F.expr(f"aggregate(slice(array({arr}), 1, cast(shard as int)),"
+                 " 0L, (a, x) -> a + cast(x > seq_idx as long))")
+    )
+    out = seqs.select("shard", "seq_idx", step.alias("step"))
+    if start_step is not None:
+        # binary-search bound is per-shard; the exact boundary filter
+        # trims the (at most one) straddling sequence per shard
+        out = out.where(F.col("step") >= F.lit(int(start_step)))
+    return out
+
+
 def sft_loss_masks(
     df: DataFrame,
     prompt_col: str = "prompt_tokens",

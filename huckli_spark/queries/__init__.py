@@ -107,7 +107,6 @@ _GATE_PRIORITY: list[str] = [
     # ... then every row last driver-green in r5 (q_sequence_pack is
     # also a re-grade: it pins max_shard_rows=None and uses exact
     # integer div for seq_idx this round):
-    "q_unpivot",
     "q_window_misc",
     "q_ann_ivf",
     "q_embed_quantize",
@@ -135,10 +134,11 @@ _GATE_PRIORITY: list[str] = [
     "q_temp_mix",
     "q_sft_loss_mask",
     "q_fim_transform",
+    "q_loader_steps",
 ]
 # Displaced to the r14 queue by the (e) block: q_pq_encode, q_pq_adc,
-# q_pq_recall (r6) and q_bitwise, q_kmv_distinct, q_lang_profile (r5)
-# — stale-green beats never-green.
+# q_pq_recall (r6) and q_bitwise, q_kmv_distinct, q_lang_profile,
+# q_unpivot (r5) — stale-green beats never-green.
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md
 # ("Gate rotation ledger").

@@ -1467,6 +1467,59 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(_docs(spark, sf_dir), rate=0.5)
 
 
+_RESUME_STEP = 37
+
+
+@query(
+    "q_loader_steps",
+    f"""
+    WITH d AS (
+      SELECT array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard
+      FROM documents
+    ), c AS (
+      SELECT shard,
+             CAST((sum(n_tokens) + {_PACK_BUDGET - 1}) // {_PACK_BUDGET}
+                  AS BIGINT) AS n
+      FROM d GROUP BY shard
+    ), s AS (
+      SELECT shard, unnest(generate_series(0, n - 1)) AS seq_idx
+      FROM c WHERE n > 0
+    ), r AS (
+      SELECT shard, seq_idx,
+             row_number() OVER (ORDER BY seq_idx, shard) - 1 AS step
+      FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_idx AS BIGINT) AS seq_idx,
+           CAST(step AS BIGINT) AS step
+    FROM r WHERE step >= {_RESUME_STEP}
+    """,
+    doc="GLOBAL STEP MANIFEST + mid-run resume: the deterministic "
+    "step -> (shard, seq) mapping a multi-worker loader consumes "
+    "round-robin across shards, cut at resume step "
+    f"{_RESUME_STEP}. Spark computes the rank CLOSED-FORM from the "
+    "|shards|-sized sequence-count relation (step = sum_t min(n_t, "
+    "seq) + straddle count, baked as an aggregate over the literal "
+    "counts array) with the resume cut applied by DRIVER-SIDE binary "
+    "search per shard BEFORE the explode — zero shuffle at any "
+    "corpus size, skipped prefixes never enumerated; the oracle "
+    "replays a naive row_number global sort + post-filter, so the "
+    "gate proves closed-form == global sort bit-identically.",
+)
+def q_loader_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huckli_spark.operators.packing import loader_steps, pack_sequences
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+        max_shard_rows=None,
+    )
+    return loader_steps(
+        packed, budget=_PACK_BUDGET, start_step=_RESUME_STEP
+    )
+
+
 @query(
     "q_pack_nosplit_ffd",
     f"""

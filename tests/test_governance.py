@@ -1770,3 +1770,84 @@ class TestFimTransform:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestLoaderSteps:
+    """loader_steps: the closed-form global step manifest must equal
+    the naive lexicographic enumeration, and the resume cut must be
+    an exact suffix of it."""
+
+    def _packed(self, spark, n=120):
+        docs = TestSequencePacking()._docs(spark, n)
+        return packing.pack_sequences(
+            docs, budget=64, n_shards=4, max_shard_rows=None
+        )
+
+    def _naive(self, packed, budget):
+        import math
+
+        tok = {}
+        for r in packed.collect():
+            tok[r["shard"]] = tok.get(r["shard"], 0) + r["n_tokens"]
+        seqs = [
+            (seq, s)
+            for s, t in tok.items()
+            for seq in range(math.ceil(t / budget))
+        ]
+        seqs.sort()
+        return {(s, seq): i for i, (seq, s) in enumerate(seqs)}
+
+    def test_matches_naive_enumeration(self, spark):
+        packed = self._packed(spark)
+        want = self._naive(packed, 64)
+        got = {
+            (r["shard"], r["seq_idx"]): r["step"]
+            for r in packing.loader_steps(packed, budget=64).collect()
+        }
+        assert got == want
+
+    def test_resume_is_exact_suffix(self, spark):
+        packed = self._packed(spark)
+        full = packing.loader_steps(packed, budget=64).collect()
+        total = len(full)
+        k = total // 3
+        cut = packing.loader_steps(
+            packed, budget=64, start_step=k
+        ).collect()
+        assert sorted(r["step"] for r in cut) == list(range(k, total))
+        assert {(r["shard"], r["seq_idx"], r["step"]) for r in cut} == {
+            (r["shard"], r["seq_idx"], r["step"])
+            for r in full if r["step"] >= k
+        }
+
+    def test_resume_past_end_is_empty(self, spark):
+        packed = self._packed(spark)
+        total = packing.loader_steps(packed, budget=64).count()
+        assert packing.loader_steps(
+            packed, budget=64, start_step=total + 5
+        ).count() == 0
+
+    def test_manifest_plan_has_no_exchange(self, spark):
+        packed = self._packed(spark)
+        out = packing.loader_steps(packed, budget=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the manifest itself is a local explode over the tiny shard
+        # relation: the closed-form rank adds no shuffle
+        assert "Exchange" not in plan
+
+    def test_uneven_shards_closed_form(self, spark):
+        # adversarial: one giant doc in one shard, tiny docs elsewhere
+        docs = spark.createDataFrame(
+            [(0, "w " * 500 + "end")]
+            + [(i, "a b") for i in range(1, 9)],
+            "doc_id long, text string",
+        )
+        packed = packing.pack_sequences(
+            docs, budget=16, n_shards=3, max_shard_rows=None
+        )
+        want = self._naive(packed, 16)
+        got = {
+            (r["shard"], r["seq_idx"]): r["step"]
+            for r in packing.loader_steps(packed, budget=16).collect()
+        }
+        assert got == want
