@@ -147,6 +147,17 @@ def build_parser() -> argparse.ArgumentParser:
         "split packing only",
     )
     s.add_argument(
+        "--manifest", action="store_true",
+        help="write the GLOBAL STEP MANIFEST (shard, seq, step): the "
+        "deterministic round-robin consumption order a multi-worker "
+        "loader reads; closed-form rank, zero shuffle",
+    )
+    s.add_argument(
+        "--resume-step", type=int, default=None,
+        help="with --manifest: keep only steps >= K (exact mid-run "
+        "resume; whole shard prefixes are pruned driver-side)",
+    )
+    s.add_argument(
         "--weights", default=None,
         help="source-weighted mixing for --emit, 'src=2.5,other=0.5' "
         "(the 'epochs per source' recipe knob): floor(w) copies per "
@@ -684,7 +695,36 @@ def main(argv: list[str] | None = None) -> int:
                 pack_in, budget=args.budget, n_shards=args.shards,
                 order_cols=order_cols,
             )
-        if not args.emit:
+        if args.resume_step is not None and not args.manifest:
+            raise SystemExit("--resume-step requires --manifest")
+        if args.manifest and (args.emit or args.spans or args.segments
+                              or args.no_split):
+            raise SystemExit(
+                "--manifest is exclusive with --emit/--spans/"
+                "--segments/--no-split (it annotates the split "
+                "assignment)"
+            )
+        if args.manifest:
+            from huckli_spark.operators.packing import loader_steps
+
+            rel = loader_steps(
+                packed, budget=args.budget,
+                start_step=args.resume_step,
+            )
+            rel.write.mode("overwrite").parquet(args.out)
+            w = spark.read.parquet(args.out)
+            agg = w.agg(
+                F.count("*").alias("steps"),
+                F.min("step").alias("first_step"),
+            ).collect()[0]
+            summary |= {
+                "manifest": True,
+                "steps": agg["steps"],
+                "first_step": agg["first_step"],
+                "budget": args.budget,
+                "shards": args.shards,
+            }
+        elif not args.emit:
             if args.spans or args.segments:
                 if args.no_split:
                     raise SystemExit(

@@ -974,3 +974,39 @@ class TestTemperatureShuffleCli:
         with _pytest.raises(SystemExit, match="alpha"):
             main(["shuffle", "--in", inp,
                   "--out", str(tmp_path / "x"), "--temperature", "2.0"])
+
+
+class TestLoaderManifestCli:
+    def test_manifest_and_resume_journey(self, spark, tmp_path,
+                                         jsonl_corpus, capsys):
+        out = str(tmp_path / "manifest")
+        s = _run(capsys, ["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                          "--out", out, "--budget", "8", "--shards", "2",
+                          "--manifest"])
+        assert s["manifest"] is True and s["first_step"] == 0
+        total = s["steps"]
+        rows = spark.read.parquet(out).collect()
+        assert sorted(r.step for r in rows) == list(range(total))
+        # round-robin order: step order == (seq_idx, shard) lexicographic
+        by_step = sorted(rows, key=lambda r: r.step)
+        assert [(r.seq_idx, r.shard) for r in by_step] == sorted(
+            (r.seq_idx, r.shard) for r in rows
+        )
+
+        out2 = str(tmp_path / "resume")
+        s2 = _run(capsys, ["pack", "--in", jsonl_corpus, "--format",
+                           "jsonl", "--out", out2, "--budget", "8",
+                           "--shards", "2", "--manifest",
+                           "--resume-step", str(total // 2)])
+        assert s2["steps"] == total - total // 2
+        assert s2["first_step"] == total // 2
+
+    def test_manifest_exclusive_flags(self, tmp_path, jsonl_corpus):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="exclusive"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--manifest", "--emit"])
+        with _pytest.raises(SystemExit, match="requires --manifest"):
+            main(["pack", "--in", jsonl_corpus, "--format", "jsonl",
+                  "--out", str(tmp_path / "x"), "--resume-step", "5"])
