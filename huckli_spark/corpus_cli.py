@@ -601,6 +601,18 @@ def main(argv: list[str] | None = None) -> int:
                 "materializes tokens; spans/segments annotate the "
                 "assignment)"
             )
+        # validate the manifest flags BEFORE any packer runs: the
+        # shard guard's corpus count must never execute for an
+        # invocation that is going to be rejected
+        if args.resume_step is not None and not args.manifest:
+            raise SystemExit("--resume-step requires --manifest")
+        if args.manifest and (args.emit or args.spans or args.segments
+                              or args.no_split):
+            raise SystemExit(
+                "--manifest is exclusive with --emit/--spans/"
+                "--segments/--no-split (it annotates the split "
+                "assignment)"
+            )
         if args.emit and args.no_split and args.epoch is not None:
             raise SystemExit(
                 "--emit --no-split does not compose with --epoch "
@@ -694,15 +706,6 @@ def main(argv: list[str] | None = None) -> int:
             packed = pack_sequences(
                 pack_in, budget=args.budget, n_shards=args.shards,
                 order_cols=order_cols,
-            )
-        if args.resume_step is not None and not args.manifest:
-            raise SystemExit("--resume-step requires --manifest")
-        if args.manifest and (args.emit or args.spans or args.segments
-                              or args.no_split):
-            raise SystemExit(
-                "--manifest is exclusive with --emit/--spans/"
-                "--segments/--no-split (it annotates the split "
-                "assignment)"
             )
         if args.manifest:
             from huckli_spark.operators.packing import loader_steps

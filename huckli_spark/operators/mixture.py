@@ -477,6 +477,14 @@ def temperature_weight_map(
         df, source_col=source_col, text_col=text_col, alpha=alpha,
         n_tokens_col=n_tokens_col,
     ).collect()
+    if any(r[source_col] is None for r in rows):
+        # a None key would crash the mixer's CASE-literal build with
+        # an opaque TypeError, and `source == NULL` never matches a
+        # row anyway — fail here with an actionable message
+        raise ValueError(
+            f"{source_col!r} contains NULLs; fill or filter the "
+            "source column before temperature mixing"
+        )
     return {r[source_col]: r["boost_micro"] / 1_000_000 for r in rows}
 
 

@@ -387,7 +387,13 @@ def pack_doc_spans(
             f"div {budget}"
         ).alias("__s1"),
     )
-    e = d.select(
+    # zero-token docs (possible on the n_tokens_col path with
+    # eos_tokens=0) occupy an empty interval and emit NO spans; the
+    # filter also keeps the sequence ascending — at off exactly on a
+    # budget boundary an empty doc has s1 = s0 - 1, and Spark's
+    # sequence() would count DOWN [s0, s1] where DuckDB's
+    # generate_series is empty
+    e = d.where(F.col("n_tokens") >= 1).select(
         id_col, "shard", "n_tokens", "__off", "__s0", "__s1",
         F.explode(F.sequence("__s0", "__s1")).alias("seq_idx"),
     )
@@ -1160,12 +1166,11 @@ def loader_steps(
         + F.expr(f"aggregate(slice(array({arr}), 1, cast(shard as int)),"
                  " 0L, (a, x) -> a + cast(x > seq_idx as long))")
     )
-    out = seqs.select("shard", "seq_idx", step.alias("step"))
-    if start_step is not None:
-        # binary-search bound is per-shard; the exact boundary filter
-        # trims the (at most one) straddling sequence per shard
-        out = out.where(F.col("step") >= F.lit(int(start_step)))
-    return out
+    # no post-explode filter: step is strictly increasing in seq
+    # within a shard (the shard's own n_t > seq term contributes 1
+    # every increment), so the binary-search lower bound is exact —
+    # every emitted row already satisfies step >= start_step
+    return seqs.select("shard", "seq_idx", step.alias("step"))
 
 
 def sft_loss_masks(

@@ -177,6 +177,75 @@ _PACK_BUDGET = 128
 _PACK_SHARDS = 8
 
 
+def _span_ctes() -> str:
+    """Shared oracle CTE chain: pack offsets -> per-doc sequence range
+    -> exploded (doc, seq) span rows. One definition feeds both
+    q_pack_spans and q_pack_segments so the span-intersection
+    arithmetic can never diverge between them (the
+    sql_temperature_wmap factoring pattern)."""
+    return f"""d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    ), b AS (
+      SELECT doc_id, n_tokens, shard, CAST(off AS BIGINT) AS off,
+             CAST(off // {_PACK_BUDGET} AS BIGINT) AS s0,
+             CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS s1
+      FROM w
+    ), x AS (
+      SELECT doc_id, shard, n_tokens, off, s0, s1,
+             unnest(generate_series(s0, s1)) AS seq_idx
+      FROM b
+    )"""
+
+
+def _nosplit_walk_ctes(d_extra: str = "") -> str:
+    """Shared oracle CTE chain for the sequential next-fit bin walk
+    (RECURSIVE CTE) — one definition feeds q_pack_nosplit and
+    q_sft_loss_mask so the walk condition can never diverge.
+    ``d_extra``: extra per-doc columns for the d CTE (the loss-mask
+    oracle adds the prompt length)."""
+    return f"""d AS (
+      SELECT doc_id,
+             array_length(string_split(text, ' ')) + 1 AS n_tokens,
+             {d_extra}
+             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+               AS shard,
+             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+               AS pack_rank
+      FROM d
+    ), walk AS (
+      SELECT shard, pack_rank, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS offset_in_seq,
+             n_tokens AS fill
+      FROM o WHERE pack_rank = 1
+      UNION ALL
+      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
+      FROM o JOIN walk w
+        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
+    )"""
+
+
 @query(
     "q_sequence_pack",
     f"""
@@ -220,29 +289,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pack_spans",
     f"""
-    WITH d AS (
-      SELECT doc_id,
-             array_length(string_split(text, ' ')) + 1 AS n_tokens,
-             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
-               AS shard,
-             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
-      FROM documents
-    ), w AS (
-      SELECT doc_id, n_tokens, shard,
-             coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY ok, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM d
-    ), b AS (
-      SELECT doc_id, n_tokens, shard, CAST(off AS BIGINT) AS off,
-             CAST(off // {_PACK_BUDGET} AS BIGINT) AS s0,
-             CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS s1
-      FROM w
-    ), x AS (
-      SELECT doc_id, shard, n_tokens, off, s0, s1,
-             unnest(generate_series(s0, s1)) AS seq_idx
-      FROM b
-    )
+    WITH {_span_ctes()}
     SELECT shard, seq_idx, doc_id,
            CAST(seq_idx - s0 AS BIGINT) AS part,
            CAST(s1 - s0 + 1 AS BIGINT) AS n_parts,
@@ -275,29 +322,7 @@ def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pack_segments",
     f"""
-    WITH d AS (
-      SELECT doc_id,
-             array_length(string_split(text, ' ')) + 1 AS n_tokens,
-             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
-               AS shard,
-             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
-      FROM documents
-    ), w AS (
-      SELECT doc_id, n_tokens, shard,
-             coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY ok, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM d
-    ), b AS (
-      SELECT n_tokens, shard, CAST(off AS BIGINT) AS off,
-             CAST(off // {_PACK_BUDGET} AS BIGINT) AS s0,
-             CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS s1
-      FROM w
-    ), x AS (
-      SELECT shard, n_tokens, off, s0, s1,
-             unnest(generate_series(s0, s1)) AS seq_idx
-      FROM b
-    ), sp AS (
+    WITH {_span_ctes()}, sp AS (
       SELECT shard, seq_idx,
              CAST(greatest(off, seq_idx * {_PACK_BUDGET})
                   - seq_idx * {_PACK_BUDGET} AS BIGINT) AS start_in_seq,
@@ -1292,35 +1317,7 @@ def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_nosplit",
     f"""
     -- the sequential next-fit bin walk, replayed via RECURSIVE CTE
-    WITH RECURSIVE d AS (
-      SELECT doc_id,
-             array_length(string_split(text, ' ')) + 1 AS n_tokens,
-             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
-               AS shard,
-             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
-      FROM documents
-    ), o AS (
-      SELECT doc_id, n_tokens, shard,
-             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
-               AS pack_rank
-      FROM d
-    ), walk AS (
-      SELECT shard, pack_rank, doc_id, n_tokens,
-             CAST(0 AS BIGINT) AS seq_idx,
-             CAST(0 AS BIGINT) AS offset_in_seq,
-             n_tokens AS fill
-      FROM o WHERE pack_rank = 1
-      UNION ALL
-      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN 0 ELSE w.fill END,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
-      FROM o JOIN walk w
-        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
-    )
+    WITH RECURSIVE {_nosplit_walk_ctes()}
     SELECT doc_id, n_tokens, shard, pack_rank, seq_idx, offset_in_seq,
            n_tokens > {_PACK_BUDGET} AS oversize
     FROM walk
@@ -1348,37 +1345,10 @@ def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sft_loss_mask",
     f"""
-    -- the nosplit walk again, extended with per-doc prompt lengths
-    WITH RECURSIVE d AS (
-      SELECT doc_id,
-             array_length(string_split(text, ' ')) + 1 AS n_tokens,
-             array_length(string_split(text, ' ')) // 2 AS prompt,
-             {sql_h60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
-               AS shard,
-             {sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} AS ok
-      FROM documents
-    ), o AS (
-      SELECT doc_id, n_tokens, shard,
-             row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
-               AS pack_rank
-      FROM d
-    ), walk AS (
-      SELECT shard, pack_rank, doc_id, n_tokens,
-             CAST(0 AS BIGINT) AS seq_idx,
-             CAST(0 AS BIGINT) AS offset_in_seq,
-             n_tokens AS fill
-      FROM o WHERE pack_rank = 1
-      UNION ALL
-      SELECT o.shard, o.pack_rank, o.doc_id, o.n_tokens,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN w.seq_idx + 1 ELSE w.seq_idx END,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN 0 ELSE w.fill END,
-             CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_PACK_BUDGET}
-                  THEN o.n_tokens ELSE w.fill + o.n_tokens END
-      FROM o JOIN walk w
-        ON o.shard = w.shard AND o.pack_rank = w.pack_rank + 1
-    ), m AS (
+    -- the shared nosplit walk, extended with per-doc prompt lengths
+    WITH RECURSIVE {_nosplit_walk_ctes(
+        "array_length(string_split(text, ' ')) // 2 AS prompt,"
+    )}, m AS (
       SELECT w.shard, w.seq_idx, w.offset_in_seq, w.n_tokens,
              least(greatest(d.prompt, 0), w.n_tokens) AS masked
       FROM walk w JOIN d ON d.doc_id = w.doc_id

@@ -1851,3 +1851,30 @@ class TestLoaderSteps:
             for r in packing.loader_steps(packed, budget=16).collect()
         }
         assert got == want
+
+
+class TestSpanZeroTokenDocs:
+    def test_zero_token_docs_emit_no_spans(self, spark):
+        # model-token path with eos_tokens=0 can yield n_tokens=0; a
+        # zero-token doc occupies an empty interval and must emit NO
+        # spans — in particular not the descending-sequence pair that
+        # Spark's sequence(s0, s0-1) would produce when the doc's
+        # offset sits exactly on a budget boundary
+        docs = spark.createDataFrame(
+            [(0, "x", 16), (1, "x", 0), (2, "x", 16), (3, "x", 0),
+             (4, "x", 8)],
+            "doc_id long, text string, n_tokens_pre long",
+        )
+        packed = packing.pack_sequences(
+            docs, budget=16, n_shards=1, eos_tokens=0,
+            n_tokens_col="n_tokens_pre", max_shard_rows=None,
+        )
+        spans = packing.pack_doc_spans(packed, budget=16).collect()
+        docs_with_spans = {r["doc_id"] for r in spans}
+        zero = {r["doc_id"] for r in packed.collect()
+                if r["n_tokens"] == 0}
+        assert zero and docs_with_spans.isdisjoint(zero)
+        for r in spans:
+            assert r["len_in_seq"] > 0
+        mass = sum(r["len_in_seq"] for r in spans)
+        assert mass == 40  # 16 + 16 + 8

@@ -207,3 +207,15 @@ class TestTemperatureWeights:
         assert len(per_src["small"]) == 6    # 2 docs x 3
         pos = sorted(r["pos"] for r in mixed)
         assert pos == list(range(1, len(mixed) + 1))
+
+    def test_null_source_is_loud(self, spark):
+        import pytest as _pytest
+
+        from huckli_spark.operators.mixture import temperature_weight_map
+
+        d = spark.createDataFrame(
+            [("a", None, "w w"), ("b", "s", "w w")],
+            "doc_id string, source string, text string",
+        )
+        with _pytest.raises(ValueError, match="NULL"):
+            temperature_weight_map(d, alpha=0.3)

@@ -32,15 +32,16 @@ from huckli_spark.session import get_spark
 
 BASE_DOCS = 500_000
 ALPHA = 0.3
-N_SOURCES = 8
+# floor(log2(id % 256 + 1)) yields src0..src8: geometric skew with
+# src7 covering [128, 255] (~half the docs) and src0 only id%256==0
+N_SOURCES = 9
 
 
 def docs_df(spark, n):
-    # source sizes skew geometrically: src0 holds ~half the docs
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.expr(
-            f"concat('src', cast(floor(log2(id % {2 ** N_SOURCES} + 1)) "
+            "concat('src', cast(floor(log2(id % 256 + 1)) "
             "as int))"
         ).alias("source"),
         F.expr(
