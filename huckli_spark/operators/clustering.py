@@ -32,6 +32,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from huckli_spark.functions import vecfold
+
 MICRO = 1_000_000
 
 
@@ -46,11 +48,7 @@ def _assign_expr(cents: list[list[int]]) -> str:
     """cid = argmin over exact integer squared L2; ties -> lowest cid."""
     entries = []
     for cid, c in enumerate(cents):
-        arr = "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
-        d = (
-            f"aggregate(zip_with(__vm, {arr}, (x, y) -> (x - y) * (x - y)),"
-            f" cast(0 AS bigint), (acc, v) -> acc + v)"
-        )
+        d = vecfold.sql_sqdist_int_lit("__vm", c)
         entries.append(f"named_struct('d', {d}, 'cid', {cid})")
     return (
         "element_at(array_sort(array(" + ", ".join(entries) + "),"

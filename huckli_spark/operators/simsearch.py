@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from huckli_spark.functions import vecfold
 from huckli_spark.functions.portable import fround
 from huckli_spark.operators.parallel import fan_out
 
@@ -28,11 +29,14 @@ def _as_double(col) -> Column:
 
 
 def dot(a: str, b: str) -> Column:
-    """Sequential-fold dot product in double precision."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
-        f" cast(0.0 AS double), (acc, v) -> acc + v)"
-    )
+    """Sequential-fold dot product in double precision.
+
+    Emitted through vecfold.sql_dot: at the configured embedding dim
+    the fold is unrolled into a codegen-able sum (bit-identical —
+    guarded on exact size, left-assoc order preserved; guide §4.1),
+    every other width falls back to the interpreted fold. Operands
+    must be plain column references."""
+    return F.expr(vecfold.sql_dot(a, b))
 
 
 def l2_norm(a: str) -> Column:
@@ -456,11 +460,7 @@ def lsh_assign(
     ]
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in plane) + ")"
-        d = F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x AS double) * y),"
-            f" cast(0.0 AS double), (acc, v) -> acc + v)"
-        )
+        d = F.expr(vecfold.sql_dot_lit(vec_col, plane))
         sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
@@ -501,11 +501,7 @@ def lsh_band_sigs(
         for j in range(planes_per_band):
             p = band * planes_per_band + j
             plane = [_md5_unit(seed, p, i) for i in range(dim)]
-            arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in plane) + ")"
-            d = (
-                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x AS double) * y),"
-                f" cast(0.0 AS double), (acc, v) -> acc + v)"
-            )
+            d = vecfold.sql_dot_lit(vec_col, plane)
             terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
         cols.append(F.expr(" + ".join(terms)).cast("long").alias(f"bs{band}"))
     return df.select(F.col(id_col), *cols)
@@ -650,13 +646,8 @@ def _centroid_sim_entries(
 
     entries = []
     for cid, vec in centroids:
-        arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in vec) + ")"
         cnorm = math.sqrt(sum(v * v for v in vec))
-        dot_e = (
-            f"aggregate(zip_with({vec_col}, {arr},"
-            f" (x, y) -> cast(x AS double) * y),"
-            f" cast(0.0 AS double), (acc, v) -> acc + v)"
-        )
+        dot_e = vecfold.sql_dot_lit(vec_col, vec)
         sim = f"({dot_e} / ({norm_col} * cast({cnorm!r} AS double)))"
         rounded = f"cast(floor({sim} * 1000000.0 + 0.5) / 1000000.0 AS double)"
         entries.append(f"named_struct('sim', {rounded}, 'cid', {cid})")
@@ -902,12 +893,7 @@ def _pq_sub_entries(vec_col: str, s: int, sub: int, codebook_s) -> str:
     sorted (d ASC, code ASC) — element 1 is the assignment."""
     entries = []
     for c, cv in enumerate(codebook_s):
-        arr = "array(" + ", ".join(f"cast({v!r} AS double)" for v in cv) + ")"
-        d = (
-            f"aggregate(zip_with(slice({vec_col}, {s * sub + 1}, {sub}), {arr},"
-            f" (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
-            f" cast(0.0 AS double), (acc, v) -> acc + v)"
-        )
+        d = vecfold.sql_sqdist_lit_at(vec_col, s * sub, cv)
         dm = f"cast(floor({d} * 1000000.0 + 0.5) AS bigint)"
         entries.append(f"named_struct('d', {dm}, 'code', {c})")
     return (
@@ -982,13 +968,9 @@ def pq_adc_topk(
         tab = (
             "array("
             + ", ".join(
-                "cast(floor(aggregate(zip_with("
-                f"slice(__qv, {s * sub + 1}, {sub}), "
-                "array("
-                + ", ".join(f"cast({v!r} AS double)" for v in codebooks[s][code])
-                + "), (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
-                " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-                " AS bigint)"
+                "cast(floor("
+                + vecfold.sql_sqdist_lit_at("__qv", s * sub, codebooks[s][code])
+                + " * 1000000.0 + 0.5) AS bigint)"
                 for code in range(len(codebooks[s]))
             )
             + ")"
@@ -1096,13 +1078,7 @@ def exact_refine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     )
-    d = (
-        "cast(floor(aggregate(zip_with(__qv, __nv,"
-        " (x, y) -> (cast(x AS double) - cast(y AS double))"
-        " * (cast(x AS double) - cast(y AS double))),"
-        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-        " AS bigint)"
-    )
+    d = vecfold.sql_micro_sqdist("__qv", "__nv")
     w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
     return (
         shortlist.join(c, "neighbor_id")

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from huckli_spark.functions import vecfold
 from huckli_spark.functions.portable import fround, sql_fround
 from huckli_spark.operators import simsearch
 from huckli_spark.queries import query
@@ -782,13 +783,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("__qv"))
     c = em.select(F.col("vec_id").alias("neighbor_id"),
                   F.col("embedding").alias("__nv"))
-    d = (
-        "cast(floor(aggregate(zip_with(__qv, __nv,"
-        " (x, y) -> (cast(x AS double) - cast(y AS double))"
-        " * (cast(x AS double) - cast(y AS double))),"
-        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-        " AS bigint)"
-    )
+    d = vecfold.sql_micro_sqdist("__qv", "__nv")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
@@ -1081,13 +1076,7 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("__qv"))
     c = em.select(F.col("vec_id").alias("neighbor_id"),
                   F.col("embedding").alias("__nv"))
-    d = (
-        "cast(floor(aggregate(zip_with(__qv, __nv,"
-        " (x, y) -> (cast(x AS double) - cast(y AS double))"
-        " * (cast(x AS double) - cast(y AS double))),"
-        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-        " AS bigint)"
-    )
+    d = vecfold.sql_micro_sqdist("__qv", "__nv")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")
@@ -1184,13 +1173,7 @@ def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("__qv"))
     c = em.select(F.col("vec_id").alias("neighbor_id"),
                   F.col("embedding").alias("__nv"))
-    d = (
-        "cast(floor(aggregate(zip_with(__qv, __nv,"
-        " (x, y) -> (cast(x AS double) - cast(y AS double))"
-        " * (cast(x AS double) - cast(y AS double))),"
-        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-        " AS bigint)"
-    )
+    d = vecfold.sql_micro_sqdist("__qv", "__nv")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("d_micro", "neighbor_id")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from huckli_spark.functions import vecfold
 from huckli_spark.functions.portable import fround, sql_fround
 from huckli_spark.operators.retrieval import sql_bm25
 from huckli_spark.queries import query
@@ -1128,13 +1129,7 @@ def ann_serve_scored(q: DataFrame, posting: DataFrame) -> DataFrame:
     -> exact micro-integer L2 per candidate. The posting side carries
     NO broadcast hint — it is corpus-sized; any broadcast at fixture
     scale must come from AQE's size bound, never from the plan."""
-    d = (
-        "cast(floor(aggregate(zip_with(__qv, __nv,"
-        " (x, y) -> (cast(x AS double) - cast(y AS double))"
-        " * (cast(x AS double) - cast(y AS double))),"
-        " cast(0.0 AS double), (acc, v) -> acc + v) * 1000000.0 + 0.5)"
-        " AS bigint)"
-    )
+    d = vecfold.sql_micro_sqdist("__qv", "__nv")
     return (
         q.join(posting, "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
