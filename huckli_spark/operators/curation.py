@@ -242,7 +242,7 @@ def dsir_select(
     tests) — it re-derives weights inside the threshold branch,
     doubling the corpus scans.
     """
-    from huckli_spark.operators.parallel import fan_out
+    from huckli_spark.operators.parallel import exploded, fan_out
 
     # fan_out: the n-gram explode + per-feature h60 below is the
     # corpus-sized compute (the shingle_array discipline) — a
@@ -253,10 +253,11 @@ def dsir_select(
         F.split(F.col(text_col), " ").alias("__w"),
     ))
     feats = (
-        base.select(
-            F.col(id_col),
-            F.col("__is_t"),
-            F.explode(_feature_col("__w")).alias("__f"),
+        exploded(
+            base,
+            [F.col(id_col), F.col("__is_t")],
+            _feature_col("__w"),
+            "__f",
         )
         .select(
             F.col(id_col),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
-from huckli_spark.operators.parallel import fan_out
+from huckli_spark.operators.parallel import exploded, fan_out, pos_exploded
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,8 +86,9 @@ def shingles(
     """Distinct word n-gram shingles per document (docs shorter than n
     words produce none). Map-side only: per-doc dedup happens inside
     the array before explode."""
-    return shingle_array(df, id_col, text_col, n=n).select(
-        F.col(id_col), F.explode("sh_arr").alias(out_col)
+    return exploded(
+        shingle_array(df, id_col, text_col, n=n),
+        [F.col(id_col)], "sh_arr", out_col,
     )
 
 
@@ -157,7 +158,7 @@ def _shingle_intersections(
     # keys instead of ~20-byte text, cheaper comparisons, identical
     # results — the oracle hashes with the same portable h60, so the
     # (astronomically unlikely, ~n²/2^61) collisions are shared too
-    sh = docs.select(F.col(id_col), F.explode("sh_arr").alias("__s")).select(
+    sh = exploded(docs, [F.col(id_col)], "sh_arr", "__s").select(
         F.col(id_col), h60(F.col("__s")).alias("shingle")
     )
     if max_doc_freq is not None:
@@ -273,8 +274,8 @@ def jaccard_pairs_cross(
     corp_docs = reg(shingle_array(corpus_df, id_col, text_col, n=n))
 
     def _sh(docs: DataFrame, alias: str) -> DataFrame:
-        return docs.select(
-            F.col(id_col).alias(alias), F.explode("sh_arr").alias("__s")
+        return exploded(
+            docs, [F.col(id_col).alias(alias)], "sh_arr", "__s"
         ).select(F.col(alias), h60(F.col("__s")).alias("shingle"))
 
     new_sh = _sh(new_docs, "d_new")
@@ -550,7 +551,7 @@ def fuzzy_pairs(
         f"CASE WHEN length({str_col}) = 0 THEN array({str_col}) ELSE {body} END"
     )
     v = (
-        df.select(F.col(id_col), s.alias("__s"), F.explode(variants).alias("__v"))
+        exploded(df, [F.col(id_col), s.alias("__s")], variants, "__v")
         .select(F.col(id_col), F.col("__s"), h60(F.col("__v")).alias("vh"))
         .distinct()
     )
@@ -599,16 +600,16 @@ def segment_dedup(
 
     base = docs.select(id_col, F.split(text_col, " ").alias("__w"))
     nseg = F.ceil(F.size("__w") / float(seg_words)).cast("int")
-    segs = base.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("__w"), i * seg_words + 1, seg_words), " "
-                ),
-            )
-        ).alias("seg_idx", "seg"),
+    segs = pos_exploded(
+        base,
+        [id_col],
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("__w"), i * seg_words + 1, seg_words), " "
+            ),
+        ),
+        "seg_idx", "seg",
     ).select(
         id_col,
         F.col("seg_idx").cast("long").alias("seg_idx"),
@@ -687,7 +688,7 @@ def duplicate_spans(
         f"transform(sequence(1, size(__words) - {window_len - 1}),"
         f" i -> array_join(slice(__words, i, {window_len}), ' '))"
     )
-    g = (
+    g = pos_exploded(
         docs.select(
             F.col(id_col),
             F.expr(
@@ -696,8 +697,8 @@ def duplicate_spans(
         )
         # docs shorter than the window produce no grams (and
         # sequence(1, n<=0) would be a DESCENDING sequence — guard)
-        .where(F.size("__words") >= window_len)
-        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram"))
+        .where(F.size("__words") >= window_len),
+        [F.col(id_col)], F.expr(grams), "pos", "gram",
     )
     occ = Window.partitionBy("gram")
     dpos = (

@@ -20,6 +20,7 @@ possible volume to distribute the compute.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -38,3 +39,31 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def pos_exploded(
+    df: DataFrame, keep: list, arr, pos_alias: str, val_alias: str
+) -> DataFrame:
+    """``select(*keep, posexplode(arr) AS (pos, val))`` without the
+    Generate filter-pushdown re-derivation pathology.
+
+    ``Generate(outer=false)`` makes the optimizer infer
+    ``size(arr) > 0 AND isnotnull(arr)`` and push it toward the scan;
+    when ``arr`` is an aliased EXPENSIVE projection (shingling, n-gram
+    arrays, feature arrays) sitting above a fan_out exchange, the
+    pushed filter re-derives that whole expression BELOW the exchange
+    — on the scan's task count (one task for single-row-group
+    fixtures) and a second time above it. Measured on the shingle
+    kernel (r13): the exploded plan ran one-task and ~3x slower than
+    the map stage itself. ``outer=true`` infers no filter; dropping
+    the NULL-pos row (emitted only for empty/NULL arrays — exactly
+    the rows ``outer=false`` suppresses) above the Generate yields
+    the identical relation, computed once, wide."""
+    out = df.select(*keep, F.posexplode_outer(arr).alias(pos_alias, val_alias))
+    return out.where(F.col(pos_alias).isNotNull())
+
+
+def exploded(df: DataFrame, keep: list, arr, val_alias: str) -> DataFrame:
+    """``select(*keep, explode(arr) AS val)`` — see pos_exploded."""
+    pos = "__exploded_pos"
+    return pos_exploded(df, keep, arr, pos, val_alias).drop(pos)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
 from huckli_spark.operators.dedup import shingle_array
-from huckli_spark.operators.parallel import fan_out
+from huckli_spark.operators.parallel import exploded, fan_out
 
 # MinHash parameters — mirrored verbatim in the SQL oracle.
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -62,19 +62,29 @@ def _signature_from_arrays(
     # ORACLE-GATED pipelines never set it; candidate recall vs the
     # portable pipeline is pinned in tests/test_sketch_properties.py.
     h_expr = (
-        f"pmod(xxhash64(__s), {MINHASH_P})"
+        f"pmod(xxhash64(s), {MINHASH_P})"
         if fast_hash
-        else f"{_H60.format(v='__s')} % {MINHASH_P}"
+        else f"{_H60.format(v='s')} % {MINHASH_P}"
     )
-    h = docs.select(F.col(id_col), F.explode("sh_arr").alias("__s")).select(
+    # document-local: hash each shingle ONCE inside the row, then K
+    # permuted array_min's — same multiset, same min, zero shuffle
+    # (and no explode: the exploded groupBy formulation paid the
+    # Generate filter-pushdown re-derivation, see parallel.pos_exploded,
+    # plus a corpus-wide (doc, h) exchange; r13 measured this form
+    # ~7x faster at sf0.1 and it stays a pure map stage at any scale).
+    # Rows match the old explode+groupBy exactly: docs with empty or
+    # NULL sh_arr (none survive shingle_array's size filter) drop.
+    hashed = docs.where(F.size("sh_arr") > 0).select(
         F.col(id_col),
-        F.expr(h_expr).alias("h"),
+        F.expr(f"transform(sh_arr, s -> {h_expr})").alias("__h"),
     )
     mins = [
-        F.min(F.expr(f"(h * {a} + {b}) % {MINHASH_P}")).alias(f"mh{k}")
+        F.expr(
+            f"array_min(transform(__h, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{k}")
         for k, (a, b) in ((k, _perm_params(k)) for k in range(MINHASH_K))
     ]
-    return h.groupBy(id_col).agg(*mins)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def minhash_signature(
@@ -186,8 +196,9 @@ def _exact_jaccard_for_candidates(
         cand.select(F.col("d2").alias(id_col))
     ).distinct()
     sh_c = reg(
-        docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-            F.col(id_col), F.explode("sh_arr").alias("shingle")
+        exploded(
+            docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            [F.col(id_col)], "sh_arr", "shingle",
         )
     )
     a = sh_c.select(F.col(id_col).alias("d1"), "shingle")
@@ -326,9 +337,11 @@ def simhash(
     whole-stage codegen. The groupBy shuffle is harmless at scale:
     a doc's words are map-side partial-aggregated to ONE 61-column
     row per doc per partition before the exchange."""
-    words = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(F.expr(f"array_distinct(split({text_col}, ' '))")).alias("__w"),
+    words = exploded(
+        fan_out(df.select(F.col(id_col), F.col(text_col))),
+        [F.col(id_col)],
+        F.expr(f"array_distinct(split({text_col}, ' '))"),
+        "__w",
     )
     hashed = words.select(F.col(id_col), F.expr(_H60.format(v="__w")).alias("h"))
     sums = [
@@ -350,21 +363,27 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    checkpoint_sig: bool = True,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming``, via exact
     pigeonhole banding: 4 chunks of 15 bits — any pair with <= 3
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches).
 
-    No persist: recomputing the signature per self-join side costs
-    nothing measurable — at sf0.1 the uncached plan runs 3.5s vs 3.9s
-    persisted vs 6.3s with a driver round-trip (the r1 note that
-    caching halved the cost predates the explode+SUM signature
-    formulation, whose exchange AQE can also reuse at runtime). The
-    result scales with the corpus (271k pairs at sf0.1), so an eager
-    driver materialization is wrong here anyway — callers needing a
-    boundary should write it to a table."""
+    The one-row-per-doc signature is localCheckpoint'ed (eager) so
+    the words-explode + 60-SUM pipeline runs ONCE instead of once per
+    self-join side: r13 measured 1.17s vs 1.60s uncached vs 1.77s
+    with a persist_scope + eager_release boundary (the scratch
+    parquet round-trip of the corpus-scale PAIR output eats the win
+    — the result is 271k pairs at sf0.1, so only the tiny sig, never
+    the pairs, should hit a boundary; guide §5's cheap lineage cut).
+    RDD blocks behind a localCheckpoint are released by the context
+    cleaner when the plan is GC'd, so no cache-registry entry leaks.
+    On a fault-sensitive cluster deployment set ``checkpoint_sig=
+    False`` to trade the recompute for full lineage."""
     sig = simhash(df, id_col, text_col)
+    if checkpoint_sig and not df.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     return simhash_pairs_from_signatures(sig, id_col, max_hamming)
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from huckli_spark.functions.portable import fround
+from huckli_spark.operators.parallel import exploded
 
 # Stopword profiles for the heuristic language identifier. Small,
 # high-frequency function words; enough to separate major languages on
@@ -168,14 +169,14 @@ def repetition_stats(
         F.size(F.array_distinct("__w")).alias("n_distinct"),
     )
     topw = (
-        base.select(F.col(id_col), F.explode("__w").alias("g"))
+        exploded(base, [F.col(id_col)], "__w", "g")
         .groupBy(id_col, "g")
         .count()
         .groupBy(id_col)
         .agg(F.max("count").alias("top_w"))
     )
     topb = (
-        base.select(F.col(id_col), F.explode("__bg").alias("g"))
+        exploded(base, [F.col(id_col)], "__bg", "g")
         .groupBy(id_col, "g")
         .count()
         .groupBy(id_col)
