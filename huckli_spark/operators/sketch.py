@@ -370,20 +370,24 @@ def simhash_pairs(
     differing bits shares at least one chunk, so the banded join loses
     nothing vs brute force (and the brute-force SQL oracle matches).
 
-    The one-row-per-doc signature is localCheckpoint'ed (eager) so
-    the words-explode + 60-SUM pipeline runs ONCE instead of once per
-    self-join side: r13 measured 1.17s vs 1.60s uncached vs 1.77s
-    with a persist_scope + eager_release boundary (the scratch
-    parquet round-trip of the corpus-scale PAIR output eats the win
-    — the result is 271k pairs at sf0.1, so only the tiny sig, never
+    The one-row-per-doc signature is materialized to scratch parquet
+    (eager_release with nothing to unpersist) so the words-explode +
+    60-SUM pipeline runs ONCE instead of once per self-join side: r13
+    measured every A/B pair faster (median ratio 0.76) vs recompute,
+    and 1.77s with the boundary on the corpus-scale PAIR output
+    instead (271k pairs at sf0.1 — only the 16-byte-per-doc sig, never
     the pairs, should hit a boundary; guide §5's cheap lineage cut).
-    RDD blocks behind a localCheckpoint are released by the context
-    cleaner when the plan is GC'd, so no cache-registry entry leaks.
-    On a fault-sensitive cluster deployment set ``checkpoint_sig=
-    False`` to trade the recompute for full lineage."""
+    A localCheckpoint variant was rejected twice (r3 and again r13):
+    its blocks pin the block manager until the plan is GC'd, so five
+    sequential builds grew getPersistentRDDs 3 -> 8 — the scratch
+    round trip is the leak-free form (test_cache_discipline pins it).
+    ``checkpoint_sig=False`` opts out where the extra scratch I/O is
+    worse than recompute (e.g. remote-only scratch)."""
     sig = simhash(df, id_col, text_col)
     if checkpoint_sig and not df.isStreaming:
-        sig = sig.localCheckpoint(eager=True)
+        from huckli_spark.operators.cache import eager_release
+
+        sig = eager_release(sig)
     return simhash_pairs_from_signatures(sig, id_col, max_hamming)
 
 
