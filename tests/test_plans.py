@@ -693,14 +693,38 @@ class TestTpchBatteryPlans:
 
 class TestRound8CompositionPlans:
     def test_triplets_cluster_keyed_no_python(self, spark):
-        # pair stage keys on cid (the SemDeDup discipline): no product,
-        # no Python — and since the round-8 rewrite the rank-1 picks
-        # are conditional struct-max aggregates, so the O(n·cluster)
-        # pair relation is never window-sorted (no Window operator at
-        # all) and reduces map-side (partial HashAggregate before the
-        # anchor exchange). Inspect the LAZY form — the gated query
-        # materializes eagerly (cache discipline), so its registry
-        # plan is a scratch scan.
+        # SQL pair form: pair stage keys on cid (the SemDeDup
+        # discipline): no product, no Python — and since the round-8
+        # rewrite the rank-1 picks are conditional struct-max
+        # aggregates, so the O(n·cluster) pair relation is never
+        # window-sorted (no Window operator at all) and reduces
+        # map-side (partial HashAggregate before the anchor exchange).
+        # Inspect the LAZY form — the gated query materializes eagerly
+        # (cache discipline), so its registry plan is a scratch scan.
+        import os
+
+        from huckli_spark.operators.curation import mine_triplets
+
+        emb = spark.read.parquet(
+            os.path.join(SF_SMALL, "embeddings.parquet")
+        )
+        df = mine_triplets(
+            emb, k=8, iterations=2, materialize=False, pair_form="sql"
+        )
+        plan = _lazy_plan(spark, df)
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        assert "Window" not in plan, plan
+        # struct-typed max buffers aren't hash-aggregable, so the picks
+        # compile to SortAggregate — partial + final, so the pair
+        # relation still combines map-side before the anchor exchange
+        assert len(re.findall(r"SortAggregate|HashAggregate", plan)) >= 2, plan
+
+    def test_triplets_arrow_cluster_keyed_single_python_stage(self, spark):
+        # r13 default: the within-cluster pair scan is ONE keyed Arrow
+        # stage (applyInPandas on cid — guide §4.2): the corpus ships
+        # once per side, no O(n·cluster) pair relation, no product, no
+        # window; exactly one Python boundary.
         import os
 
         from huckli_spark.operators.curation import mine_triplets
@@ -711,12 +735,10 @@ class TestRound8CompositionPlans:
         df = mine_triplets(emb, k=8, iterations=2, materialize=False)
         plan = _lazy_plan(spark, df)
         assert "CartesianProduct" not in plan
-        assert "Python" not in plan
         assert "Window" not in plan, plan
-        # struct-typed max buffers aren't hash-aggregable, so the picks
-        # compile to SortAggregate — partial + final, so the pair
-        # relation still combines map-side before the anchor exchange
-        assert len(re.findall(r"SortAggregate|HashAggregate", plan)) >= 2, plan
+        assert len(
+            re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)
+        ) == 1, plan
 
     def test_quality_budget_no_global_ntile(self, spark):
         # the decile assignment must use exact_ntile's decomposition:
