@@ -964,33 +964,48 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one global sort); the decision table is 3 rows per language.",
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huckli_spark.operators.parallel import exploded, fan_out
+
     d = _docs(spark, sf_dir)
     base = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
-    pairs = (
-        base.where(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1),"
-                    " i -> struct(element_at(w, i) AS ctx,"
-                    " element_at(w, i + 1) AS nxt))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.ctx", "p.nxt")
+    # r13: the old form derived the corpus bigram explode THREE times
+    # (cb, cc, scored), each on the scan's task count — one task for
+    # single-row-group fixtures — and shuffled the full instance
+    # stream through two joins. Now: explode ONCE, wide (fan_out +
+    # the no-filter-inference exploded), collapse to distinct
+    # (doc, bigram) with multiplicity m — shuffle fewer bytes (§2.2)
+    # — and ride BOTH LM stats on one hash(ctx) exchange: the (ctx)
+    # window partitioning satisfies the (ctx, nxt) window's
+    # clustering, so Spark plans the second window sort-only.
+    # Counts are exact (sum(m) over a group == count over instances),
+    # so lp_micro and the oracle are bit-identical.
+    pairs = exploded(
+        fan_out(base.where(F.size("w") >= 2).select("doc_id", "w")),
+        ["doc_id"],
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS ctx,"
+            " element_at(w, i + 1) AS nxt))"
+        ),
+        "p",
+    ).select("doc_id", "p.ctx", "p.nxt")
+    pg = pairs.groupBy("doc_id", "ctx", "nxt").agg(
+        F.count("*").alias("m")
     )
-    cb = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
-    cc = pairs.groupBy("ctx").agg(F.count("*").alias("n"))
-    vocab = base.select(F.explode("w").alias("x")).agg(
+    vocab = exploded(fan_out(base.select("w")), [], F.col("w"), "x").agg(
         F.count_distinct("x").alias("v")
     )
+    wcc = Window.partitionBy("ctx")
+    wcb = Window.partitionBy("ctx", "nxt")
     scored = (
-        pairs.join(cb, ["ctx", "nxt"])
-        .join(cc, "ctx")
+        pg.withColumn("n", F.sum("m").over(wcc))
+        .withColumn("c", F.sum("m").over(wcb))
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "m",
             F.floor(
                 F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * 1000000
                 + F.lit(0.5)
@@ -1003,7 +1018,9 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.floor(
-                F.sum("lp_micro") * F.lit(1.0) / F.count("*") + F.lit(0.5)
+                F.sum(F.col("m") * F.col("lp_micro")) * F.lit(1.0)
+                / F.sum("m")
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("avg_lp_micro")
@@ -1020,11 +1037,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus/5 rows in a single task at scale. exact_ntile_grouped
     # is the distributed decomposition, hash-pinned bit-identical to
     # the partitioned-window NTILE (oracle below is unchanged).
+    # r13: materialize per_doc (one row per doc) first — the ntile
+    # decomposition references its input several times, and each
+    # reference re-derived the whole LM-scoring pipeline above.
+    from huckli_spark.operators.cache import eager_release
     from huckli_spark.operators.skew import exact_ntile_grouped
 
     tiled = exact_ntile_grouped(
-        per_doc, 3, score_col="avg_lp_micro", id_col="doc_id",
-        group_col="lang", out_col="t",
+        eager_release(per_doc), 3, score_col="avg_lp_micro",
+        id_col="doc_id", group_col="lang", out_col="t",
     )
     bucket = (
         F.when(F.col("t") == 1, "head")
