@@ -1314,22 +1314,50 @@ def _pca_oracle() -> str:
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
-    c = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("xm"),
+    from huckli_spark.operators.parallel import (
+        exploded,
+        fan_out,
+        pos_exploded,
     )
-    nn = c.agg(F.count_distinct("vec_id").alias("n"))
-    sums = c.groupBy("i").agg(F.sum("xm").alias("si"))
+
+    emb = _emb(spark, sf_dir)
+    # r13 (§2.1/§3.4): the covariance cell products used to come from
+    # a corpus self-join on vec_id (explode to (vec, dim) x64, shuffle
+    # both sides, join-fan to d^2 rows/vec). The outer product is
+    # per-ROW arithmetic — build the d^2 cells in-row and let the
+    # partial aggregate collapse them map-side: zero joins, one
+    # exchange of d^2 partial rows. Same long products, same sums.
+    emb2 = fan_out(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(floor(x * 1000000 + 0.5) as bigint))"
+            ).alias("xm"),
+        )
+    )
+    nn = emb2.where(F.size("xm") > 0).agg(
+        F.count_distinct("vec_id").alias("n")
+    )
+    sums = (
+        pos_exploded(emb2, [], F.col("xm"), "i", "xi")
+        .groupBy("i")
+        .agg(F.sum("xi").alias("si"))
+    )
     prods = (
-        c.alias("a")
-        .join(c.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.xm") * F.col("b.xm")).alias("p"))
+        exploded(
+            emb2,
+            [],
+            F.expr(
+                "flatten(transform(xm, (xi, i) ->"
+                " transform(xm, (xj, j) ->"
+                " struct(i AS i, j AS j, xi * xj AS v))))"
+            ),
+            "cell",
+        )
+        .select("cell.i", "cell.j", "cell.v")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("p"))
     )
     d38 = "decimal(38,0)"
     sp = (
@@ -1357,32 +1385,44 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # referenced by p0 and the Rayleigh quotient
     )
 
-    def renorm(df: DataFrame, col: str) -> DataFrame:
-        m = df.agg(F.max(F.abs(F.col(col))).alias("__m"))
-        keep = [x for x in df.columns if x != col]
-        return df.crossJoin(F.broadcast(m)).select(
-            *keep,
-            F.floor(F.col(col).cast("double") * 1000000 / F.col("__m"))
-            .cast("long")
-            .alias("v"),
+    # r13 (§5.2 bounded driver state): the 8 squarings iterate on the
+    # d x d matrix alone — corpus-independent, dimension-bounded
+    # (d^2 = 4096 cells, the collected-codebook discipline kmeans
+    # already uses). Running them as Spark jobs cost 9 localCheckpoint
+    # round-trips + 9 renorm aggregates of a 4096-row relation; the
+    # driver does the identical arithmetic in microseconds. Bit
+    # identity with the oracle's relational replay: the matmul is
+    # int64 products/sums (|v| <= 1e6 -> row sums <= 6.4e13, exact),
+    # and renorm replays floor(double(x) * 1000000 / double(max)) as
+    # the same IEEE-754 double ops numpy performs elementwise.
+    import numpy as np
+
+    sp_rows = sp.collect()  # d^2 rows — dimension-, not corpus-sized
+    dim = max(r["i"] for r in sp_rows) + 1
+    S = np.zeros((dim, dim), dtype=np.int64)
+    for r in sp_rows:
+        S[r["i"], r["j"]] = r["sp"]
+
+    def renorm_np(M: "np.ndarray") -> "np.ndarray":
+        m = float(np.max(np.abs(M)))
+        if m == 0.0:
+            # replays Spark/DuckDB cast(0.0/0.0 -> NaN as long) = 0
+            return np.zeros_like(M)
+        return np.floor(M.astype(np.float64) * 1000000 / m).astype(
+            np.int64
         )
 
-    p = renorm(sp, "sp").localCheckpoint()
+    p = renorm_np(S)
     for _ in range(_PCA_SQUARINGS):
-        q = (
-            p.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("va"))
-            .join(
-                p.select(
-                    F.col("i").alias("k"), F.col("j"), F.col("v").alias("vb")
-                ),
-                "k",
-            )
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("va") * F.col("vb")).alias("q"))
-        )
-        p = renorm(q, "q").localCheckpoint()  # referenced twice next round
-    w = p.groupBy("i").agg(F.sum("v").alias("w"))
-    vv = renorm(w, "w").localCheckpoint()
+        p = renorm_np(p @ p)
+    w = p.sum(axis=1)  # exact int64 row sums
+    vvec = renorm_np(w)
+    # a VALUES literal plans as a JVM LocalRelation (no Python
+    # boundary, no RDD round-trip) — d rows of (dim, loading)
+    vals = ", ".join(f"({int(i)}, {int(v)}L)" for i, v in enumerate(vvec))
+    vv = spark.sql(
+        f"SELECT cast(col1 as int) AS i, col2 AS v FROM VALUES {vals}"
+    )
     sgn = (
         vv.withColumn(
             "__rk",
