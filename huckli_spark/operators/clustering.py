@@ -45,6 +45,22 @@ def _vm_expr(vec_col: str) -> str:
     )
 
 
+def _sums_array_expr(dim: int) -> str:
+    """All `dim` per-dimension LONG sums as ONE parsed array
+    expression — identical aggregates to `dim` separate
+    sum(element_at(...)) columns, without the py4j Column-building
+    cost (measured ~0.7 s of pure driver time per iteration at
+    dim=64)."""
+    return (
+        "array("
+        + ", ".join(
+            f"cast(sum(element_at(__vm, {j + 1})) as double)"
+            for j in range(dim)
+        )
+        + ")"
+    )
+
+
 def _assign_expr(cents: list[list[int]]) -> str:
     """cid = argmin over exact integer squared L2; ties -> lowest cid."""
     entries = []
@@ -144,18 +160,20 @@ def kmeans_fit(
             # discipline allows — and measured ~1.6x faster per
             # iteration than the former decimal(38) accumulation
             # (decimal aggregation runs 128-bit arithmetic per row).
-            aggs = [F.count("*").alias("n")] + [
-                F.sum(F.element_at("__vm", j + 1))
-                .cast("double")
-                .alias(f"s{j}")
-                for j in range(dim)
-            ]
-            cells = assigned.groupBy("cid").agg(*aggs).collect()
+            # One parsed expression for all `dim` sums: building 64
+            # Column objects through py4j cost ~0.7 s per iteration
+            # in driver time alone (measured) — same aggregates, one
+            # parse.
+            cells = assigned.groupBy("cid").agg(
+                F.expr("count(*)").alias("n"),
+                F.expr(_sums_array_expr(dim)).alias("s"),
+            ).collect()
             nxt = [list(c) for c in cents]  # empty clusters persist
             for r in cells:
                 n = r["n"]
+                s = r["s"]
                 nxt[r["cid"]] = [
-                    int(math.floor(r[f"s{j}"] / n + 0.5)) for j in range(dim)
+                    int(math.floor(s[j] / n + 0.5)) for j in range(dim)
                 ]
             cents = nxt
     finally:
@@ -316,18 +334,17 @@ def kmeans_fit_grouped(
                     "__vm",
                 )
             # exact LONG sums — same bound + measurement as kmeans_fit
-            aggs = [F.count("*").alias("n")] + [
-                F.sum(F.element_at("__vm", j + 1))
-                .cast("double")
-                .alias(f"s{j}")
-                for j in range(dim)
-            ]
-            cells = assigned.groupBy("__g", "cid").agg(*aggs).collect()
+            # (one parsed array expression, see kmeans_fit)
+            cells = assigned.groupBy("__g", "cid").agg(
+                F.expr("count(*)").alias("n"),
+                F.expr(_sums_array_expr(dim)).alias("s"),
+            ).collect()
             nxt = {g: [list(c) for c in cs] for g, cs in cents.items()}
             for r in cells:
                 n = r["n"]
+                s = r["s"]
                 nxt[int(r["__g"])][r["cid"]] = [
-                    int(math.floor(r[f"s{j}"] / n + 0.5)) for j in range(dim)
+                    int(math.floor(s[j] / n + 0.5)) for j in range(dim)
                 ]
             cents = nxt
     finally:
