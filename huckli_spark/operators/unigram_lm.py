@@ -409,6 +409,48 @@ def piece_counts(words: DataFrame, vocab: DataFrame,
 
 
 # ------------------------------------------------------------------- train
+def _vocab_literal(spark, rows: list) -> DataFrame:
+    """(piece, cost) rows as a VALUES literal — a JVM LocalRelation,
+    so downstream plans root in a constant instead of a checkpointed
+    RDD. Bounded by vocab_size (the collected-codebook discipline
+    kmeans_fit uses for its centroids)."""
+    vals = ", ".join(f"({_sql_str(p)}, {int(c)}L)" for p, c in rows)
+    return spark.sql(f"SELECT col1 AS piece, col2 AS cost FROM VALUES {vals}")
+
+
+def _keep_top_local(scored: list, vocab_size: int, n_chars: int) -> list:
+    """Driver twin of :func:`_keep_top` over (piece, score) tuples:
+    ALL single chars + the top multi-char pieces by (score desc,
+    piece asc). Exact integer compares; Python str order equals
+    Spark's UTF8 binary order (both compare code points)."""
+    chars = [(p, s) for p, s in scored if len(p) == 1]
+    k = max(vocab_size - n_chars, 0)
+    multi = sorted(
+        ((p, s) for p, s in scored if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    return chars + multi
+
+
+def _costed_literal(spark, scored_kept: list) -> DataFrame:
+    """Driver-assembled M-step: the add-one-smoothed cost expression
+    of :func:`_costed` evaluated by Spark SQL over a VALUES literal —
+    the normalizer totals are exact Python ints (same longs the
+    window produced), and log/floor stay Spark expressions, so every
+    micro-nat cost is bit-identical to the windowed form."""
+    tot = sum(s for _, s in scored_kept)
+    v = len(scored_kept)
+    vals = ", ".join(
+        f"({_sql_str(p)}, {int(s)}L)" for p, s in scored_kept
+    )
+    return spark.sql(
+        "SELECT col1 AS piece, CAST(-floor(log((col2 + 1.0) /"
+        f" (CAST({tot} AS DOUBLE) + CAST({v} AS DOUBLE)))"
+        " * 1000000 + 0.5) AS BIGINT) AS cost"
+        f" FROM VALUES {vals}"
+    )
+
+
 def unigram_fit(
     docs: DataFrame,
     vocab_size: int = 60,
@@ -417,8 +459,17 @@ def unigram_fit(
     text_col: str = "text",
 ) -> DataFrame:
     """Train the unigram-LM piece table; returns (piece, cost) with
-    integer micro-nat costs. Entirely dataflow — the vocabulary never
-    visits the driver (it travels as a broadcast map row)."""
+    integer micro-nat costs. Corpus-scale work stays dataflow: the
+    candidate seeding and each E-step run distributed (one
+    piece-counts job per iteration, its output bounded by the vocab).
+    The vocab-sized bookkeeping between E-steps (keep-top, add-one
+    costs) runs on collected rows — vocab_size-bounded, the
+    collected-codebook discipline kmeans_fit already uses — with the
+    cost expression still evaluated by Spark SQL over a VALUES
+    literal, so every cost is bit-identical to the former windowed
+    form (r13: this removed one localCheckpoint round-trip plus a
+    window/TakeOrdered stage chain per iteration, ~2x on fit wall)."""
+    spark = docs.sparkSession
     words = word_table(docs, text_col).persist()
     # No separate materialize action: the first downstream job (the
     # n_chars count) fills the cache in-line, and every later
@@ -428,17 +479,26 @@ def unigram_fit(
         cand = _candidate_pieces(words, max_piece_len)
         # chars never change across iterations (always kept)
         n_chars = cand.where(F.length("piece") == 1).count()
-        vocab = _costed(
-            _keep_top(cand, "score", vocab_size, n_chars), "score"
-        ).localCheckpoint(eager=True)
+        # seed: keep-top runs distributed (the candidate relation is
+        # corpus-vocab-sized); the 60-row costed result collects once
+        vocab_rows = [
+            (r["piece"], int(r["cost"]))
+            for r in _costed(
+                _keep_top(cand, "score", vocab_size, n_chars), "score"
+            ).collect()
+        ]
+        vocab = _vocab_literal(spark, vocab_rows)
         for _ in range(n_iters):
-            counts = piece_counts(words, vocab, max_piece_len)
-            joined = vocab.join(counts, "piece", "left").select(
-                "piece", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-            )
-            vocab = _costed(
-                _keep_top(joined, "c", vocab_size, n_chars), "c"
-            ).localCheckpoint(eager=True)  # cut per-iteration lineage
+            counts = {
+                r["piece"]: int(r["c"])
+                for r in piece_counts(words, vocab, max_piece_len).collect()
+            }
+            scored = [(p, counts.get(p, 0)) for p, _ in vocab_rows]
+            kept = _keep_top_local(scored, vocab_size, n_chars)
+            vocab = _costed_literal(spark, kept)
+            vocab_rows = [
+                (r["piece"], int(r["cost"])) for r in vocab.collect()
+            ]
         return vocab
     finally:
         words.unpersist()
