@@ -350,7 +350,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    if edges.count() <= small_graph_max:
+    # ONE action decides the path AND fetches the small graph: a
+    # bounded limit-collect replaces the former count-then-collect
+    # pair (r13 — one fewer job per components call; when the edge
+    # set exceeds the bound the collected prefix is discarded and the
+    # iterative path reads the partially-filled cache).
+    head = edges.limit(small_graph_max + 1).collect()
+    if len(head) <= small_graph_max:
         parent: dict = {}
 
         def find(x):
@@ -361,7 +367,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in head:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -795,16 +801,29 @@ def capped_keep_decisions(
     instead of the O(cluster^2) pairs
     (SCALE_PROBE_media_cap.json: decisions 10.0x where pairs grow
     112.9x at 10x blobs)."""
-    parts = []
-    for kind, pairs in kinded_pairs:
-        comp = connected_components(pairs.select(src, dst), src=src, dst=dst)
-        parts.append(
-            comp.select(
-                F.lit(kind).alias("kind"),
-                F.col("doc_id").alias(id_out),
-                "cluster_id",
-            )
+    # Per-kind pipelines are independent (separate decode + banded
+    # join + components); run them on concurrent driver threads so
+    # one modality's driver-side union-find overlaps the next
+    # modality's cluster compute (r13 — Spark job submission is
+    # thread-safe; output order stays the caller's list order).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(kind_pairs):
+        kind, pairs = kind_pairs
+        comp = connected_components(
+            pairs.select(src, dst), src=src, dst=dst
         )
+        return comp.select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id").alias(id_out),
+            "cluster_id",
+        )
+
+    if len(kinded_pairs) > 1:
+        with ThreadPoolExecutor(len(kinded_pairs)) as ex:
+            parts = list(ex.map(one, kinded_pairs))
+    else:
+        parts = [one(kp) for kp in kinded_pairs]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
