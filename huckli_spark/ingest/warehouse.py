@@ -620,6 +620,14 @@ class Warehouse:
         warn_placeholder_enums(spec.msg, file_type)
         file_paths = [paths[f.key] if paths else f.key for f in files]
         frames = frames_df(self.spark, file_paths)
+        # NOT fanned out (r13, measured): spreading the framed
+        # payloads to core-count partitions before the decode looked
+        # like the §2.1 shape, but the paired A/B said otherwise
+        # (ingest bench old_med 2.62 s vs fan_out 3.00 s) — the
+        # payload shuffle + extra stage costs more than the idle
+        # cores return at per-batch sizes, and at the 100 TB shape
+        # the batch already has >= core-count files so the fan_out
+        # would be a no-op anyway. Decode parallelism stays per-file.
         decoded = decode_frames(frames, spec.msg, dropped_acc=self.dropped_frames)
         multi_table = len(spec.tables) > 1
         if multi_table:
