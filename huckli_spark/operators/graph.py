@@ -242,10 +242,14 @@ def triangles_per_node(
             F.col("e2.b").alias("z"),
         )
     )
-    verts = (
-        t.select(F.col("x").alias("v"))
-        .unionAll(t.select(F.col("y").alias("v")))
-        .unionAll(t.select(F.col("z").alias("v")))
+    # one row per (triangle, corner) via an in-row array explode: the
+    # unionAll-of-three-projections form re-derived the whole wedge
+    # join once per branch (r13 measured the plan at 3x the join
+    # subtree — runtime exchange reuse dedupes the exchanges but the
+    # join/fan-out work itself still ran per branch); the exploded
+    # multiset is identical, so counts are unchanged
+    verts = t.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("v")
     )
     return verts.groupBy("v").agg(
         F.count("*").cast("long").alias("n_triangles")

@@ -287,6 +287,66 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- graph: triangles
+def _cosupply_edges(
+    spark: SparkSession, sf_dir: str, min_qty: int, materialize: bool = True
+) -> DataFrame:
+    """Supplier co-supply edge relation (s1 < s2, DISTINCT), derived
+    from high-quantity lineitem rows, optionally MATERIALIZED once
+    (scratch parquet via eager_release — the leak-free lineage cut).
+
+    All five graph queries (triangles, k-core, BFS, label propagation,
+    common neighbors) consume this relation through self-joins and
+    bounded-iteration loops that reference it 3-10x. Whether the cut
+    pays depends on HOW the references execute (measured r13, paired
+    A/B at sf0.1):
+
+    - k-core / LPA run eager ``localCheckpoint`` rounds, each a
+      SEPARATE job that replays the uncut derivation — no cross-job
+      exchange reuse exists, so materializing wins (0.80x / 0.89x).
+    - Triangle counting is one job whose three join sides exchange on
+      DIFFERENT keys (b; a; (a,b)) — runtime exchange reuse cannot
+      dedupe them, so materializing wins (0.90x).
+    - Common neighbors is one job whose wedge sides exchange the SAME
+      relation on the SAME key — AQE's runtime ReusedExchange already
+      dedupes it, and the scratch round trip is pure overhead
+      (measured 1.16-1.26x SLOWER); BFS already cuts lineage inside
+      the operator (und.localCheckpoint), so the extra cut is flat
+      (0.97-1.03x). Both pass ``materialize=False``.
+
+    The guide §2.4/§3.3 rule, refined: materialize an intermediate
+    that a large plan references repeatedly ONLY where those
+    references execute as separate jobs or exchange on distinct keys.
+    The k-core oracle mirrors the cut with ``e AS MATERIALIZED``.
+
+    ``SPARK_GRAFT_GRAPH_EDGE_MAT`` overrides per-query defaults for
+    A/B measurement (0 = always lazy, 1 = always materialize)."""
+    from huckli_spark.operators.cache import eager_release
+    from huckli_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > min_qty)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    env = os.environ.get("SPARK_GRAFT_GRAPH_EDGE_MAT")
+    if env is not None:
+        materialize = env != "0"
+    return eager_release(e) if materialize else e
+
+
 @query(
     "q_triangle_count",
     """
@@ -322,26 +382,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in without changing the output.",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from huckli_spark.session import load_table
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 40)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .distinct()
-    )
+    e = _cosupply_edges(spark, sf_dir, 40)
     from huckli_spark.operators.graph import triangles_per_node
 
     # id-oriented form (the oracle's twin); triangles_per_node also
@@ -413,26 +454,8 @@ def _kcore_oracle() -> str:
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.graph import kcore
-    from huckli_spark.session import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 47)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .distinct()
-    )
+    e = _cosupply_edges(spark, sf_dir, 47)
     return kcore(e, k=_KCORE_K, iterations=_KCORE_ITERS).select(
         F.col("v").cast("long").alias("suppkey"), "core_deg"
     )
@@ -943,26 +966,9 @@ def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti-join and the global top-20 window are bounded.",
 )
 def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from huckli_spark.session import load_table
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 40)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .distinct()
-    )
+    # lazy: the wedge sides reuse one runtime exchange; a scratch cut
+    # measured 1.16-1.26x SLOWER (see _cosupply_edges)
+    e = _cosupply_edges(spark, sf_dir, 40, materialize=False)
     und = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
         e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
     )
@@ -1128,24 +1134,9 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.graph import bfs_layers
     from huckli_spark.session import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 40)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .distinct()
-    )
+    # lazy: bfs_layers localCheckpoints `und` itself; the extra cut
+    # measured flat 0.97-1.03x (see _cosupply_edges)
+    e = _cosupply_edges(spark, sf_dir, 40, materialize=False)
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") == 0)
@@ -1299,26 +1290,8 @@ def _lpa_oracle() -> str:
 )
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huckli_spark.operators.graph import label_propagation
-    from huckli_spark.session import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 40)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .distinct()
-    )
+    e = _cosupply_edges(spark, sf_dir, 40)
     labels = label_propagation(e, iterations=_LPA_ITERS)
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "label").select(
