@@ -385,17 +385,29 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     labels = und.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    w = Window.partitionBy("v").orderBy(F.desc("__c"), F.asc("label"))
     for i in range(iterations):
         votes = (
             und.join(labels.withColumnRenamed("v", "dst"), "dst")
             .groupBy(F.col("src").alias("v"), "label")
             .agg(F.count("*").alias("__c"))
         )
+        # top-1 as a MAX over (count, -label): identical pick to the
+        # former row_number() OVER (ORDER BY __c DESC, label ASC)
+        # window — max count, ties toward the smallest label (labels
+        # are node ids >= 0, so the negation is a total order) — but
+        # as a plain aggregate it partial-combines map-side and skips
+        # the window's per-round repartition-by-v sort (r13).
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("v", "label")
+            votes.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c"),
+                        (-F.col("label")).alias("__nl"),
+                    )
+                ).alias("__m")
+            )
+            .select("v", (-F.col("__m.__nl")).alias("label"))
         )
         if (i + 1) % 2 == 0:
             labels = labels.localCheckpoint()
