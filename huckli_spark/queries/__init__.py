@@ -65,80 +65,76 @@ _GATE_PRIORITY: list[str] = [
     "q_ts_heuristic",
     "q_demux_counts",
     "q_explode",
-    # --- round-13 rotation (ledger: COVERAGE.md "Gate rotation
-    # ledger"). (a) the documented r13 queue: the 5 late round-12
-    # registrations that have never held a graded slot — the three
-    # emit rows made gate-compatible this round (tokens space-joined
-    # both engines, VERDICT r12 #1), the weighted mix, and the fill
-    # report:
-    "q_pack_emit",
-    "q_epoch_emit",
-    "q_pack_emit_nosplit",
-    "q_epoch_mix_shuffle",
-    "q_pack_fill_report",
-    # (b) registered this round, graded this round: weighted mixing
-    # composed into materialized sequences (VERDICT r12 #6) and the
-    # split-packer fragmentation report (the q_pack_fill_report twin
-    # across the packing trade-off), length-bucketed batch formation
-    # (two-phase global length rank vs the oracle's naive
-    # row_number), its per-batch padding report, and model-token
-    # (BPE) budget packing via the precomputed-count column:
-    "q_epoch_mix_emit",
-    "q_pack_frag_report",
-    "q_length_batching",
-    "q_batch_pad_report",
-    "q_bpe_pack",
-    # (c) changed this round, re-graded this round: the top-k sink
-    # now enforces the single-batch invariant and overwrites
-    # (retry-idempotent, ADVICE r12 #1):
-    "q_stream_maxsim_topk",
-    # (d) freshness backlog, strictly oldest-first — every row whose
-    # last driver-green round is r4:
-    "q_grouping_sets",
-    "q_dedup_exact",
-    "q_ngram_jaccard",
-    "q_fingerprint",
-    "q_quality_score",
-    "q_dup_clusters",
-    "q_dedup_embed_cosine",
-    "q_embed_norms",
-    "q_minhash_recall",
-    "q_funnel",
-    # ... then every row last driver-green in r5 (q_sequence_pack is
-    # also a re-grade: it pins max_shard_rows=None and uses exact
-    # integer div for seq_idx this round):
-    "q_window_misc",
-    "q_ann_ivf",
-    "q_embed_quantize",
-    "q_ann_recall",
-    "q_incremental_rollup",
-    "q_retention",
-    "q_stream_time_bucket",
-    "q_stream_interval_join",
-    "q_stream_join_window",
-    "q_stream_left_join",
-    "q_multimodal_features",
-    "q_repetition_stats",
-    "q_decontaminate",
-    "q_cdc_chunks",
-    "q_mixture_sample",
-    "q_shard_assign",
-    "q_sequence_pack",
-    # (e) registered late this round, graded this round (never-green
-    # rows are a bigger liability than stale-green ones — VERDICT r12
-    # "What's missing #1" — so these displace the r6 freshness tail;
-    # r6 now heads the r14 queue starting with q_pq_encode):
-    "q_pack_spans",
-    "q_pack_segments",
-    "q_temp_weights",
-    "q_temp_mix",
-    "q_sft_loss_mask",
-    "q_fim_transform",
-    "q_loader_steps",
+    # --- round-14 rotation (ledger: COVERAGE.md "Gate rotation
+    # ledger"). STANDING RULE (VERDICT r13 #2): any query whose
+    # physical plan changed in the previous or current round takes a
+    # gate slot BEFORE any freshness backlog.
+    # (a) the round-13 rewrites, none of which held a driver-graded
+    # row on their new code (VERDICT r13 "Next round #1" names this
+    # exact set): the Arrow triplet kernel, the PCA in-row outer
+    # product, the ccnet one-pass restructure, the unigram
+    # vocab-literal fit, both rewritten sketch signatures, the
+    # threaded media caps, all five graph queries, semdedup and the
+    # streaming ANN screen (kmeans LONG-sum + one-parse consumers):
+    "q_training_triplets",
+    "q_pca_power",
+    "q_ccnet_buckets",
+    "q_unigram_serve",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_media_dedup_cap",
+    "q_dedup_cap",
+    "q_kcore",
+    "q_label_prop",
+    "q_triangle_count",
+    "q_common_neighbors",
+    "q_bfs_layers",
+    "q_semdedup",
+    "q_stream_ann_serve",
+    # (b) rewritten THIS round (r14 optimization wave — same standing
+    # rule, graded on the new code same-round):
+    "q_dsir_select",
+    # (c) the documented r14 queue: freshness rows displaced by the
+    # r13 (e) block — stale-green oldest-first (r5 then r6):
+    "q_bitwise",
+    "q_kmv_distinct",
+    "q_lang_profile",
+    "q_unpivot",
+    "q_pq_encode",
+    "q_pq_adc",
+    "q_pq_recall",
+    # (d) the remaining r6 freshness block (last driver-green r6):
+    "q_ann_ivf_trained",
+    "q_full_outer_join",
+    "q_hopping_window",
+    "q_stream_static_join",
+    "q_stream_countmin",
+    "q_stream_bloom",
+    "q_bpe_pairs",
+    "q_bigram_logprob",
+    "q_countmin_topk",
+    "q_weighted_sample",
+    "q_zscore_outliers",
+    "q_fuzzy_join",
+    # (e) the r7 block, oldest-first (q_kcore/q_triangle_count from
+    # r7 already hold (a) slots); the rest of r7 heads the r15 queue
+    # starting with q_ngram_novelty:
+    "q_asof_join",
+    "q_bloom_decontaminate",
+    "q_bm25_topk",
+    "q_bpe_encode",
+    "q_char_entropy",
+    "q_chunk_windows",
+    "q_containment_dup",
+    "q_event_funnel",
+    "q_hard_negatives",
+    "q_mmr_rerank",
 ]
-# Displaced to the r14 queue by the (e) block: q_pq_encode, q_pq_adc,
-# q_pq_recall (r6) and q_bitwise, q_kmv_distinct, q_lang_profile,
-# q_unpivot (r5) — stale-green beats never-green.
+# Displaced to the r15 queue by blocks (a)/(b): the r7 tail
+# (q_ngram_novelty, q_pii_redact, q_pq_recall_trained,
+# q_pq_refine_recall, q_profile_table, q_range_join, q_rrf_fusion,
+# q_scd2_history, q_sessionize, q_stream_bm25, q_stream_chunks,
+# q_tpch_q17, q_tpch_q22) then the r8 block.
 # Keep the 5 sentinels first, keep len == 50 (meta-test enforces
 # both). Rotation history + the next-round queue live in COVERAGE.md
 # ("Gate rotation ledger").
