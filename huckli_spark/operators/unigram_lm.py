@@ -563,6 +563,120 @@ def unigram_encode(
     )
 
 
+# ----------------------------------------------- Arrow encode-counts kernel
+def _word_ntok_cost(word: str, vc: dict, max_piece_len: int) -> tuple:
+    """(n_tokens, cost) for ONE word — the exact integer op chain of
+    ``_forward_expr`` + ``_backtrack_expr`` (same JSHIFT key packing,
+    same UNK_COST single-char fallback, same min tie-break). Every
+    quantity is a Python int, so the replay is bit-identical to the
+    SQL fold by construction (pinned in tests/test_unigram_lm.py)."""
+    best = [0]
+    L = len(word)
+    for t in range(1, L + 1):
+        c1 = vc.get(word[t - 1 : t], UNK_COST)
+        m = (best[t - 1] // JSHIFT + c1) * JSHIFT + (t - 1)
+        for j in range(max(0, t - max_piece_len), t - 1):
+            c = vc.get(word[j:t])
+            if c is not None:
+                k = (best[j] // JSHIFT + c) * JSHIFT + j
+                if k < m:
+                    m = k
+        best.append(m)
+    nt, pos = 0, L
+    while pos > 0:
+        pos = best[pos] % JSHIFT
+        nt += 1
+    return nt, best[L] // JSHIFT
+
+
+def encode_counts(
+    docs: DataFrame,
+    vocab_rows: list,
+    max_piece_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, cost_micro) for every document with >= 1 token —
+    the streaming-serve relation of q_unigram_serve /
+    q_stream_unigram_encode. Works on batch AND streaming inputs
+    (mapInPandas is stateless, so the stream stays append-mode with
+    zero state store).
+
+    Default ``arrow`` form (guide §4.2, the r13 triplets discipline):
+    one mapInPandas kernel replays the integer Viterbi DP in Python
+    with a per-task memo keyed on the word string — the DP runs once
+    per DISTINCT word per task instead of once per word INSTANCE
+    (Zipf makes distinct << instances at any scale), and only
+    (id, text) crosses the Arrow boundary. Measured at sf0.1
+    (paired in-session A/B, 4 pairs): SQL in-row fold 2.3 s/run vs
+    Arrow kernel 0.75 s/run, ratio 0.34, rows bit-identical (all
+    arithmetic is int64). ``form='sql'`` (or
+    SPARK_GRAFT_UNIGRAM_ENCODE=sql) keeps the pure-JVM in-row
+    expression — the no-Python-runtime deployment escape hatch."""
+    import os
+
+    if form is None:
+        form = os.environ.get("SPARK_GRAFT_UNIGRAM_ENCODE", "arrow")
+    if form == "sql":
+        expr = tokens_in_row_expr(vocab_rows, max_piece_len, text_col)
+        return (
+            docs.select(id_col, F.expr(expr).alias("tk"))
+            .select(
+                id_col,
+                F.size("tk.tokens").cast("long").alias("n_tokens"),
+                F.col("tk.cost_micro").alias("cost_micro"),
+            )
+            .where(F.col("n_tokens") > 0)
+        )
+
+    import pandas as pd
+
+    vc = dict(vocab_rows)
+    lmax = max_piece_len
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type != "bigint":
+        raise ValueError(
+            f"encode_counts arrow form requires a bigint {id_col!r} "
+            f"(got {id_type}); pass form='sql' for other id types"
+        )
+
+    def kernel(batches):
+        memo: dict = {}
+        for pdf in batches:
+            ids, nts, cms = [], [], []
+            for i, txt in zip(pdf[id_col].values, pdf[text_col]):
+                if txt is None:
+                    continue
+                nt = 0
+                cm = 0
+                for w in txt.split(" "):
+                    if not w:
+                        continue
+                    w = w[:WCAP]
+                    r = memo.get(w)
+                    if r is None:
+                        r = _word_ntok_cost(w, vc, lmax)
+                        memo[w] = r
+                    nt += r[0]
+                    cm += r[1]
+                if nt > 0:
+                    ids.append(i)
+                    nts.append(nt)
+                    cms.append(cm)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n_tokens": pd.array(nts, dtype="int64"),
+                    "cost_micro": pd.array(cms, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, n_tokens long, cost_micro long"
+    )
+
+
 # --------------------------------------------------- pure-Python reference
 def _viterbi_local(word: str, cost: dict, max_piece_len: int) -> list:
     word = word[:WCAP]

@@ -1406,7 +1406,6 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = U.unigram_fit(docs, vocab_size=60, n_iters=2, max_piece_len=4)
     vrows = [(r.piece, r.cost) for r in vocab.collect()]
-    expr = U.tokens_in_row_expr(vrows, 4)
 
     schema = T.StructType(
         [
@@ -1417,23 +1416,16 @@ def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType(), True),
         ]
     )
-    # stage as ~core-count files: the in-row Viterbi DP is the
+    # stage as ~core-count files: the per-doc Viterbi DP is the
     # micro-batch's compute, and file-stream parallelism is
     # per-file for small inputs (one staged file = one task)
     stream_dir = stage_table_stream(sf_dir, "documents", n_files=32)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    toks = (
-        stream.select("doc_id", F.expr(expr).alias("tk"))
-        .select(
-            "doc_id",
-            F.size("tk.tokens").cast("long").alias("n_tokens"),
-            F.col("tk.cost_micro").alias("cost_micro"),
-        )
-        # empty/whitespace-only documents produce zero words; the
-        # batch oracle's inner join on the doc-word stream drops them,
-        # so the stream agrees explicitly (ADVICE r08 #3)
-        .where(F.col("n_tokens") > 0)
-    )
+    # r14: the encode leg is the word-memoized Arrow kernel (exact
+    # integer DP replay; empty/whitespace-only docs drop in-kernel,
+    # matching the batch oracle's inner join — ADVICE r08 #3);
+    # SPARK_GRAFT_UNIGRAM_ENCODE=sql restores the in-row fold
+    toks = U.encode_counts(stream, vrows, 4)
     return run_to_memory(toks, output_mode="append")
 
 
@@ -1477,7 +1469,6 @@ def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         params={"vocab_size": 60, "n_iters": 2, "max_piece_len": 4},
     )
     vrows, lmax = U.unigram_serve_rows(spark, path)
-    expr = U.tokens_in_row_expr(vrows, lmax)
 
     schema = T.StructType(
         [
@@ -1488,20 +1479,15 @@ def q_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType(), True),
         ]
     )
-    # stage as ~core-count files: the in-row Viterbi DP is the
+    # stage as ~core-count files: the per-doc Viterbi DP is the
     # micro-batch's compute, and file-stream parallelism is
     # per-file for small inputs (one staged file = one task)
     stream_dir = stage_table_stream(sf_dir, "documents", n_files=32)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    toks = (
-        stream.select("doc_id", F.expr(expr).alias("tk"))
-        .select(
-            "doc_id",
-            F.size("tk.tokens").cast("long").alias("n_tokens"),
-            F.col("tk.cost_micro").alias("cost_micro"),
-        )
-        .where(F.col("n_tokens") > 0)
-    )
+    # r14: serve through the word-memoized Arrow kernel (exact
+    # integer DP replay of the stored table's costs);
+    # SPARK_GRAFT_UNIGRAM_ENCODE=sql restores the in-row fold
+    toks = U.encode_counts(stream, vrows, lmax)
     return run_to_memory(toks, output_mode="append")
 
 

@@ -208,6 +208,75 @@ class TestInRowServing:
         assert (row.x, row.y) == (5, 7)
 
 
+class TestEncodeCountsArrow:
+    """r14: the streaming-serve encode leg (q_unigram_serve /
+    q_stream_unigram_encode) runs a word-memoized mapInPandas kernel
+    by default; its rows must be bit-identical to the SQL in-row fold
+    on adversarial corpora (OOV chars, empties, NULLs, WCAP-long
+    words, tie-heavy vocab)."""
+
+    ADVERSARIAL = [
+        "internationalization nation nation zzz",
+        "",                                # zero words -> dropped
+        "   ",                             # whitespace-only -> dropped
+        "qéér unseen☃chars",  # OOV incl. non-ASCII
+        "a" * 40 + " " + "ab" * 12,        # WCAP truncation
+        "the the the the the",             # heavy memo reuse
+        None,                              # NULL text -> dropped
+        "aa ab ba bb aab abb",             # tie-prone short pieces
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.ADVERSARIAL)],
+            "doc_id long, text string",
+        )
+
+    def test_arrow_matches_sql_rows_exactly(self, spark):
+        from huckli_spark.operators.unigram_lm import encode_counts
+
+        docs = self._docs(spark)
+        vocab = unigram_fit(
+            _corpus(spark, RICH), vocab_size=60, n_iters=2
+        )
+        vrows = [(r.piece, r.cost) for r in vocab.collect()]
+        a = sorted(
+            tuple(r)
+            for r in encode_counts(docs, vrows, 4, form="arrow").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in encode_counts(docs, vrows, 4, form="sql").collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_word_ntok_cost_matches_viterbi_local(self):
+        from huckli_spark.operators.unigram_lm import (
+            _viterbi_local,
+            _word_ntok_cost,
+        )
+
+        vc = {"a": 100, "b": 200, "ab": 150, "ba": 120, "aba": 90}
+        for w in ["ababab", "aabba", "zzz", "a", "z", "ab" * 8]:
+            w = w[:16]
+            pieces = _viterbi_local(w, vc, 3)
+            nt, cost = _word_ntok_cost(w, vc, 3)
+            assert nt == len(pieces)
+            # cost must equal the sum of piece costs with UNK fallback
+            from huckli_spark.operators.unigram_lm import UNK_COST
+
+            assert cost == sum(vc.get(p, UNK_COST) for p in pieces)
+
+    def test_arrow_requires_bigint_id(self, spark):
+        from huckli_spark.operators.unigram_lm import encode_counts
+
+        docs = spark.createDataFrame(
+            [("x", "a b")], "doc_id string, text string"
+        )
+        with pytest.raises(ValueError, match="bigint"):
+            encode_counts(docs, [("a", 1)], 4, form="arrow")
+
+
 class TestViterbiProperty:
     def test_dp_matches_bruteforce_enumeration(self):
         # the DP (with its key-encoded tie-break) must agree with
