@@ -321,11 +321,81 @@ def dsir_select(
 
     if not materialize:
         return _flagged(weights)
+
+    # r14 materialized form: one corpus explode, two jobs, one release.
+    # The lazy plan above derives `feats` once per reference (byb
+    # branch + scoring join — 12 parquet scans / 12 Generates in the
+    # static plan, no ReusedExchange), and the broadcast-threshold
+    # lifecycle spent two TakeOrdered legs inside a broadcast build.
+    # Instead: persist `feats` (the corpus collapses to <= B rows/doc
+    # there), collect the B-row bucket table in the SAME job that
+    # fills the cache, re-enter the log-ratio as a VALUES literal
+    # with ln/floor STILL evaluated by Spark SQL (bit-identical
+    # micro-nats — the unigram-fit r13 discipline), and take the
+    # keep-threshold with ONE driver-side TakeOrdered collect (the
+    # identical (w desc, id asc) top-`keep` cut; keep-bounded rows).
     from huckli_spark.operators.cache import eager_release, persist_scope
 
+    spark = docs.sparkSession
     with persist_scope() as s:
-        w = s.persist(weights)
-        return eager_release(_flagged(w))
+        feats_p = s.persist(feats)
+        brows = feats_p.groupBy("bucket").agg(
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("__is_t"), F.col("cnt")).otherwise(0)
+            ).alias("tc"),
+        ).collect()
+        if not brows:
+            # empty corpus: the lazy form's crossJoin with an empty
+            # threshold row yields zero rows — agree exactly
+            return _flagged(weights).where(F.lit(False))
+        rt = sum(int(r["rc"]) for r in brows)   # == F.sum long, exact
+        tt = sum(int(r["tc"]) for r in brows)
+        vals = ", ".join(
+            f"({int(r['bucket'])}L, {int(r['tc'])}L, {int(r['rc'])}L)"
+            for r in brows
+        )
+        lr_lit = spark.sql(
+            "SELECT col1 AS bucket, CAST(floor((ln((col2 + 1.0) /"
+            f" (CAST({tt} AS DOUBLE) + CAST({buckets} AS DOUBLE)))"
+            f" - ln((col3 + 1.0) / (CAST({rt} AS DOUBLE)"
+            f" + CAST({buckets} AS DOUBLE)))) * 1000000.0 + 0.5)"
+            f" AS BIGINT) AS lr_micro FROM VALUES {vals}"
+        )
+        w = s.persist(
+            feats_p.join(F.broadcast(lr_lit), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").cast("long").alias("n_feats"),
+                F.sum(F.col("cnt") * F.col("lr_micro")).cast("long").alias(
+                    "w_micro"
+                ),
+            )
+        )
+        top = (
+            w.orderBy(F.desc("w_micro"), F.asc(id_col)).limit(keep).collect()
+        )
+        if not top:
+            return _flagged(weights).where(F.lit(False))
+        # the last top-`keep` row under (w desc, id asc) — computed
+        # order-insensitively over the collected prefix
+        tw = min(int(r["w_micro"]) for r in top)
+        # Python max == Spark ordering for both numeric ids and
+        # strings (UTF8 binary order == code-point order)
+        tid = max(r[id_col] for r in top if int(r["w_micro"]) == tw)
+        flagged = w.select(
+            F.col(id_col),
+            "n_feats",
+            "w_micro",
+            (
+                (F.col("w_micro") > F.lit(tw))
+                | (
+                    (F.col("w_micro") == F.lit(tw))
+                    & (F.col(id_col) <= F.lit(tid))
+                )
+            ).alias("selected"),
+        )
+        return eager_release(flagged)
 
 
 def sql_dsir_ctes(
