@@ -163,6 +163,56 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass  # warmup failure is not a round-killer; per-query guard below
 
+    # Scaling observability (VERDICT r13 #5): the 8-vs-32-core ratios
+    # are flat because the sf0.1 fixtures are single-row-group parquet
+    # (1-task scans) and most rows are overhead-bound — not because
+    # the env contract is ignored. Prove the session's parallelism in
+    # the artifact itself: record sc.defaultParallelism plus the max
+    # concurrently-RUNNING task count observed on a core-count-wide
+    # probe job, so `suspect_cpus_ignored` can distinguish "ignores
+    # CPUs" from "nothing to parallelize".
+    def _parallelism_probe() -> tuple[int, int]:
+        import threading
+
+        sc = spark.sparkContext
+        p = sc.defaultParallelism
+        peak = [0]
+        stop = [False]
+
+        def _sample():
+            st = sc.statusTracker()
+            while not stop[0]:
+                n = 0
+                for sid in st.getActiveStageIds():
+                    info = st.getStageInfo(sid)
+                    if info is not None:
+                        n += info.numActiveTasks
+                if n > peak[0]:
+                    peak[0] = n
+                _time.sleep(0.01)
+
+        th = threading.Thread(target=_sample, daemon=True)
+        th.start()
+        try:
+            # ~0.1 s of codegen'd hashing per partition, one partition
+            # per slot, so every core shows a running task long enough
+            # for the 10 ms sampler to observe it
+            spark.sparkContext.setJobDescription("bench: parallelism probe")
+            # % bound keeps the ANSI-mode sum far from long overflow
+            spark.range(0, p * 3_000_000, 1, p).selectExpr(
+                "sum(xxhash64(id) % 1000000000)"
+            ).write.format("noop").mode("overwrite").save()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+            stop[0] = True
+            th.join(timeout=1.0)
+        return p, peak[0]
+
+    try:
+        default_parallelism, observed_max_tasks = _parallelism_probe()
+    except Exception:  # noqa: BLE001
+        default_parallelism, observed_max_tasks = -1, -1
+
     N_RUNS = 3
     # Documented same-code spread on this box (SCALE.md): the r7
     # official artifact ran 1.3x the same-session anchor, so the
@@ -427,6 +477,10 @@ def main() -> None:
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
         "waited_for_idle_s": waited_s,
+        # scaling-probe observability (VERDICT r13 #5): both fields
+        # must move 8 -> 32 with $SPARK_GRAFT_CPUS
+        "default_parallelism": default_parallelism,
+        "observed_max_concurrent_tasks": observed_max_tasks,
         # start-of-run load is the co-tenant signal (the bench itself
         # hasn't created load yet); >2 on this box means a neighbor is
         # actively burning CPU and totals will read high (r12 measured
@@ -456,6 +510,8 @@ def main() -> None:
         "loadavg_start": payload["loadavg_start"],
         "loadavg_end": payload["loadavg_end"],
         "loaded": payload["loaded"],
+        "default_parallelism": default_parallelism,
+        "observed_max_concurrent_tasks": observed_max_tasks,
         "n_errors": len(errors),
         "note": "compact tail summary; full artifact is the previous line",
     }

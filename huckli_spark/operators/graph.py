@@ -376,9 +376,17 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     discipline; sync LPA can oscillate, which bounded rounds make a
     non-issue for parity). Returns (v, label) after ``iterations``.
 
+    REQUIRES numeric (negatable) node ids: the per-round top-1 is a
+    ``max(struct(count, -label))`` aggregate, whose tie-break relies
+    on ``-label`` being a total-order flip — sound for the integer
+    ids this graph family uses (ADVICE r13 #1; a non-numeric id
+    column fails loudly at analysis time on the negation).
+
     Scale shape: per round one (node, neighbor-label) count shuffle
-    plus a per-node top-1 window — O(|E|) per round, no wedge
-    blowup; lineage cut every other round."""
+    plus a per-node top-1 max aggregate (map-side combined; the
+    former row_number window paid a per-round repartition + sort) —
+    O(|E|) per round, no wedge blowup; lineage cut every other
+    round."""
     und = edges.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
         edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
     )

@@ -343,6 +343,19 @@ def _cosupply_edges(
     )
     env = os.environ.get("SPARK_GRAFT_GRAPH_EDGE_MAT")
     if env is not None:
+        # A/B-only override (ADVICE r13 #2): a stale env var silently
+        # flips per-query measured decisions (common_neighbors/bfs
+        # chose lazy because materialization measured 1.16-1.26x
+        # slower), so make any use of it loud.
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_GRAPH_EDGE_MAT is set — overriding the "
+            "measured per-query edge-materialization decision "
+            f"(materialize={env != '0'}); this knob is for A/B runs "
+            "only",
+            stacklevel=2,
+        )
         materialize = env != "0"
     return eager_release(e) if materialize else e
 
